@@ -1,0 +1,643 @@
+"""Deterministic synthetic web-page corpus with planted KG ground truth.
+
+Per BASELINE.json ``input_hint`` the engine's input is a Parquet table of
+Common-Crawl-style pages ``(url, warc_ts, html, text, lang)``.  This module
+synthesizes that table at any scale with *known* gold mentions, triples and
+alias clusters, mirroring the reference's labeled-data protocol
+(``cejil_labeled_data/labels/name_labels.txt`` parsed at
+src/ollama_entity_extraction/check_performance.py:56-59: one real-world
+entity per line, comma-separated alias surface forms).
+
+Planted alias-variation classes are exactly the reference's canonicalization
+targets (src/check_heuristics.py): accent variants (:19-42), word-order
+permutations (:45-60), subset/short names (:63-97), initial abbreviations
+(:175-226), punctuation variants (:229-249), and typos within Levenshtein
+ratio > 0.79 (src/ollama_entity_extraction/OllamaNERExtractor.py:122-126).
+
+Everything is a pure function of ``(seed, page_idx)`` — pages can be
+generated inside parallel Ray tasks with no shared state and identical
+output at any parallelism level.  No wall clock, no global RNG.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import random
+from dataclasses import dataclass, field
+
+from ..functions.textnorm import ascii_fold
+
+# ---------------------------------------------------------------------------
+# vocabulary pools (disjoint from entity-name pools so the gazetteer never
+# fires on filler/boilerplate text)
+
+FIRST_NAMES = [
+    "José", "María", "Andrés", "Lucía", "Miguel", "Sofía", "Ramón", "Elena",
+    "Héctor", "Paula", "Víctor", "Irene", "Óscar", "Nadia", "Rubén", "Clara",
+    "Tomás", "Diana", "Félix", "Laura", "Iván", "Nora", "Adrián", "Teresa",
+    "Hugo", "Alicia", "Bruno", "Carmen", "Diego", "Estela", "Fabio", "Gloria",
+    "Jorge", "Karina", "Leo", "Marta", "Nestor", "Olga", "Pablo", "Rosa",
+]
+MIDDLE_NAMES = [
+    "Alejandro", "Beatriz", "Camilo", "Dolores", "Esteban", "Fernanda",
+    "Gabriel", "Herminia", "Ignacio", "Juliana", "Leopoldo", "Manuela",
+    "Nicolás", "Octavia", "Patricio", "Querubín", "Rodrigo", "Susana",
+    "Teodoro", "Úrsula", "Valentín", "Ximena", "Yolanda", "Zacarías",
+]
+LAST_NAMES = [
+    "Gutiérrez", "Fernández", "Ochoa", "Paredes", "Quintana", "Riquelme",
+    "Saavedra", "Talavera", "Urrutia", "Vallejo", "Zambrano", "Ibáñez",
+    "Cárdenas", "Domínguez", "Echeverría", "Fuentes", "Galarza", "Herrera",
+    "Izquierdo", "Jaramillo", "Kowalski", "Larrañaga", "Mendoza", "Navarrete",
+    "Obregón", "Palacios", "Quiñones", "Rentería", "Sandoval", "Tapia",
+    "Ugarte", "Villanueva", "Wexford", "Yáñez", "Zúñiga", "Aguirre",
+    "Bustamante", "Carrasco", "Delgado", "Escalante", "Figueroa", "Granados",
+    "Hidalgo", "Iturbide", "Jiménez", "Ledesma", "Maldonado", "Noriega",
+    "Arancibia", "Benavides", "Cifuentes", "Donoso", "Espinoza", "Fontecilla",
+    "Gallardo", "Henríquez", "Inostroza", "Jofré", "Klapp", "Lagos",
+    "Montalva", "Novoa", "Orellana", "Pizarro", "Quezada", "Retamal",
+    "Silva", "Troncoso", "Undurraga", "Vicuña", "Walker", "Ybarra",
+    "Zamorano", "Astudillo", "Barrientos", "Contreras", "Díaz", "Errázuriz",
+    "Fredes", "Garretón", "Huidobro", "Infante", "Jerez", "Küster",
+    "Letelier", "Matta", "Neruda", "Ossandón", "Prat", "Quintanilla",
+    "Rozas", "Subercaseaux", "Toro", "Urzúa", "Vergara", "Wood",
+]
+ORG_HEADS = [
+    "Globex", "Initech", "Umbra", "Vertex", "Zephyr", "Quanta", "Helix",
+    "Nimbus", "Orion", "Pinnacle", "Solstice", "Tundra", "Vanguard", "Wavecrest",
+    "Borealis", "Cascade", "Dynamo", "Equinox", "Fulcrum", "Gyroscope",
+    "Apex", "Bastion", "Citadel", "Delta", "Everest", "Falcon",
+    "Hollowbrook", "Ironwood", "Juniper", "Kestrel", "Lodestar", "Meridian",
+    "Northwind", "Oakhaven", "Palisade", "Quicksilver", "Ridgeline", "Stonegate",
+    "Timberline", "Ultraviolet", "Voyager", "Windward", "Xanthic", "Yellowtail",
+    "Zenith", "Amberfield", "Brightwater", "Coldspring", "Dawnfire", "Eastgate",
+    "Foxglove", "Greenmantle", "Highcastle", "Saltmarsh", "Jadeview", "Kingsford",
+    "Longshore", "Moonstone", "Nightingale", "Oceanview",
+]
+ORG_MIDS = [
+    "Analytics", "Robotics", "Logistics", "Biotech", "Energy", "Capital",
+    "Maritime", "Textiles", "Mining", "Telecom", "Aerospace", "Agro",
+    "Chemical", "Media", "Pharma", "Foundry",
+]
+ORG_TAILS = ["Group", "Holdings", "Partners", "Laboratories", "Industries", "Consortium"]
+GPE_NAMES = [
+    "Bogotá", "Asunción", "Córdoba", "Mérida", "Cancún", "San Ramón",
+    "Valparaíso", "Concepción", "Maracaibo", "Bariloche", "Cusco", "Ibagué",
+    "Montería", "Neiva", "Popayán", "Quibdó", "Riohacha", "Tunja",
+    "Villavicencio", "Zipaquirá", "Medellín", "Cartagena", "Santa Marta",
+    "Bucaramanga", "Pereira", "Manizales", "Armenia", "Pasto",
+]
+LAW_CODES = ["Civil", "Penal", "Commercial", "Labor", "Tax", "Electoral"]
+
+FILLER_WORDS = (
+    "alpha beta gamma delta epsilon theta lambda sigma omega kappa "
+    "river stone cloud meadow harbor summit valley prairie canyon lagoon "
+    "copper cobalt quartz basalt granite marble obsidian amber jade onyx"
+).split()
+BOILER_NAV = "Home About Contact Archive Subscribe"
+BOILER_FOOTER = "All rights reserved. Terms of service apply."
+
+PRED_PHRASES = {
+    "en": {
+        "works_for": "works for",
+        "born_on": "was born on",
+        "located_in": "is located in",
+        "visited": "visited",
+        "cites": "cites",
+    },
+    "es": {
+        "works_for": "trabaja para",
+        "born_on": "nació el",
+        "located_in": "está ubicada en",
+        "visited": "visitó",
+        "cites": "cita",
+    },
+}
+
+PAGES_EPOCH = _dt.datetime(2020, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# entity catalog
+
+
+@dataclass
+class Cluster:
+    cluster_id: int
+    type: str
+    canonical: str           # the "most complete" surface (title-cased display)
+    aliases: list[str] = field(default_factory=list)  # includes canonical
+
+    def all_surfaces(self) -> list[str]:
+        return self.aliases
+
+
+def _typo(name: str, rng: random.Random) -> str:
+    """One-char substitution in a long word — stays above Levenshtein 0.79."""
+    words = name.split()
+    k = max(range(len(words)), key=lambda i: len(words[i]))
+    w = words[k]
+    pos = rng.randrange(1, len(w) - 1)
+    repl = chr(ord("a") + rng.randrange(26))
+    words[k] = w[:pos] + repl + w[pos + 1 :]
+    return " ".join(words)
+
+
+def _merge_conflict(aliases: list[str], accepted: list[Cluster]) -> bool:
+    """True when any alias would merge with any accepted same-type cluster
+    under the full rule set (D2 thresholds / M21 subset / M22 abbreviation).
+    Used as a final rejection-sampling guard so gold clusters are valid by
+    construction at ANY seed and size."""
+    from ..functions.textnorm import (
+        abbreviation_expands_to,
+        surfaces_similar,
+        words_subset_merge_key,
+    )
+
+    for cluster in accepted:
+        for a in cluster.aliases:
+            for b in aliases:
+                if (
+                    surfaces_similar(a, b)
+                    or words_subset_merge_key(a, b)
+                    or words_subset_merge_key(b, a)
+                    or abbreviation_expands_to(a, b)
+                    or abbreviation_expands_to(b, a)
+                ):
+                    return True
+    return False
+
+
+def make_catalog(seed: int = 42, n_per_type: int = 25) -> list[Cluster]:
+    """Seeded entity catalog: ``n_per_type`` alias clusters for each of
+    PERSON / ORG / GPE / LAW.  (DATE entities are generated inline per page
+    and canonicalized by parsed value, not by the catalog.)"""
+    rng = random.Random(f"catalog:{seed}")
+    clusters: list[Cluster] = []
+    cid = 0
+
+    # PERSON: canonical = "First Middle Last" (3 words, most complete).
+    # Last names are globally unique across person clusters — two initials
+    # aliases sharing a last name ("P. O. Zúñiga" vs "I. B. Zúñiga") are
+    # Levenshtein 0.83 > 0.79 and would falsely merge.  Person count is
+    # therefore capped at len(LAST_NAMES).
+    # (first, middle) pairs also unique: "Jorge Gabriel Bustamante" vs
+    # "Jorge Gabriel Carrasco" share 2/3 words > 0.65.
+    lasts = rng.sample(LAST_NAMES, k=min(n_per_type, len(LAST_NAMES)))
+    # ... and initial-pair SETS unique: "P. A. Jaramillo" vs "A. P. Vicuña"
+    # share the words {p., a.} -> word-intersection 2/3 > 0.65.
+    used_fm: set = set()
+    used_ii: set = set()
+    for l in lasts:
+        while True:
+            f, m = rng.choice(FIRST_NAMES), rng.choice(MIDDLE_NAMES)
+            ii = frozenset((f[0], m[0]))
+            if (f, m) not in used_fm and ii not in used_ii:
+                used_fm.add((f, m))
+                used_ii.add(ii)
+                break
+        canonical = f"{f} {m} {l}"
+        variants = [
+            f"{f} {l}",                      # subset, word-intersection 2/3
+            ascii_fold(canonical),           # accent fold, Levenshtein > 0.79
+            f"{l}, {f} {m}",                 # word-order / punctuation
+            f"{f[0]}. {m[0]}. {l}",          # initials (M22 abbreviation rule)
+            _typo(canonical, rng),           # typo within ratio > 0.79
+        ]
+        aliases = _uniq([canonical] + rng.sample(variants, k=rng.randint(2, 4)))
+        if _merge_conflict(aliases, [c for c in clusters if c.type == "PERSON"]):
+            continue  # skip this last name; pools are sized with headroom
+        clusters.append(Cluster(cid, "PERSON", canonical, aliases))
+        cid += 1
+
+    # ORG: canonical = "Head Mid Tail" (3 words); unique head per cluster —
+    # a shared head with different mids can land within ~0.001 of the 0.79
+    # Levenshtein threshold ("Globex Analytics Group" vs "Globex Robotics
+    # Group" -> 0.7907), so heads are never reused.  Org count is therefore
+    # capped at len(ORG_HEADS).
+    # ... and unique (mid, tail) pairs: "Juniper Maritime Group" vs
+    # "Zephyr Maritime Group" share 2/3 words > 0.65 and would merge.
+    heads = rng.sample(ORG_HEADS, k=min(n_per_type, len(ORG_HEADS), len(ORG_MIDS) * len(ORG_TAILS)))
+    used_mt: set = set()
+    for h in heads:
+        while True:
+            mdl, t = rng.choice(ORG_MIDS), rng.choice(ORG_TAILS)
+            if (mdl, t) not in used_mt:
+                used_mt.add((mdl, t))
+                break
+        canonical = f"{h} {mdl} {t}"
+        variants = [f"{h} {mdl}", f"{h} {mdl} {t}.", _typo(canonical, rng)]
+        aliases = _uniq([canonical] + rng.sample(variants, k=rng.randint(1, 3)))
+        if _merge_conflict(aliases, [c for c in clusters if c.type == "ORG"]):
+            continue
+        clusters.append(Cluster(cid, "ORG", canonical, aliases))
+        cid += 1
+
+    # GPE: mostly 1-word accented city names; accent-fold alias
+    gpes = rng.sample(GPE_NAMES, k=min(n_per_type, len(GPE_NAMES)))
+    for g in gpes:
+        aliases = [g]
+        if ascii_fold(g) != g:
+            aliases.append(ascii_fold(g))
+        if _merge_conflict(aliases, [c for c in clusters if c.type == "GPE"]):
+            continue
+        clusters.append(Cluster(cid, "GPE", g, _uniq(aliases)))
+        cid += 1
+
+    # LAW: canonical "{W1} {W2} Statute" with W1/W2 drawn WITHOUT replacement
+    # from a pool of long, mutually dissimilar words (each word used in at
+    # most one law), so two distinct laws share only the word "Statute"
+    # (word-intersection 1/3) and have an edit-heavy differing prefix
+    # (Levenshtein ratio well under 0.79).  Count capped at pool_size // 2.
+    law_word_pool = rng.sample(
+        MIDDLE_NAMES + LAST_NAMES + ORG_HEADS, len(MIDDLE_NAMES + LAST_NAMES + ORG_HEADS)
+    )
+    n_laws = min(n_per_type, len(law_word_pool) // 2)
+    for k in range(n_laws):
+        w1, w2 = law_word_pool[2 * k], law_word_pool[2 * k + 1]
+        canonical = f"{w1} {w2} Statute"
+        variants = [f"{w1}-{w2} Statute", ascii_fold(canonical)]
+        aliases = _uniq([canonical] + rng.sample(variants, k=rng.randint(1, 2)))
+        if _merge_conflict(aliases, [c for c in clusters if c.type == "LAW"]):
+            continue
+        clusters.append(Cluster(cid, "LAW", canonical, aliases))
+        cid += 1
+
+    return clusters
+
+
+def _uniq(items: list[str]) -> list[str]:
+    seen: dict[str, None] = {}
+    for it in items:
+        seen.setdefault(it, None)
+    return list(seen)
+
+
+def catalog_gazetteer(clusters: list[Cluster]) -> list[tuple[str, str]]:
+    """(surface, type) pairs for the tagger gazetteer."""
+    return [(s, c.type) for c in clusters for s in c.all_surfaces()]
+
+
+# ---------------------------------------------------------------------------
+# page generation
+
+
+def _pick_cluster(clusters_of_type: list[Cluster], rng: random.Random) -> Cluster:
+    """Zipf-ish head skew: 30% of picks land on the first 3 clusters —
+    the high-degree-entity (countries/celebrities) scenario the north_star
+    calls out."""
+    if len(clusters_of_type) > 3 and rng.random() < 0.30:
+        return rng.choice(clusters_of_type[:3])
+    return rng.choice(clusters_of_type)
+
+
+def _fmt_date(d: _dt.date, lang: str, rng: random.Random) -> str:
+    if lang == "es":
+        months = [
+            "enero", "febrero", "marzo", "abril", "mayo", "junio", "julio",
+            "agosto", "septiembre", "octubre", "noviembre", "diciembre",
+        ]
+        return f"{d.day} de {months[d.month - 1]} de {d.year}"
+    style = rng.randrange(3)
+    months = [
+        "January", "February", "March", "April", "May", "June", "July",
+        "August", "September", "October", "November", "December",
+    ]
+    if style == 0:
+        return f"{months[d.month - 1]} {d.day}, {d.year}"
+    if style == 1:
+        return f"{d.day} {months[d.month - 1]} {d.year}"
+    return d.isoformat()
+
+
+@dataclass
+class GoldPage:
+    url: str
+    warc_ts: _dt.datetime
+    html: bytes
+    text: str
+    lang: str
+    segments: list[str]
+    mentions: list[dict]   # url seg_id text type start end page_start page_end
+    triples: list[dict]    # url seg_id subj subj_type pred obj obj_type (surface level)
+
+
+def generate_page(page_idx: int, clusters: list[Cluster], seed: int = 42) -> GoldPage:
+    """Deterministic page: html + canonical text + gold mentions/triples."""
+    rng = random.Random(f"page:{seed}:{page_idx}")
+    lang = "es" if page_idx % 10 == 7 else "en"
+    by_type: dict[str, list[Cluster]] = {}
+    for c in clusters:
+        by_type.setdefault(c.type, []).append(c)
+
+    phr = PRED_PHRASES[lang]
+    paragraphs: list[list[tuple[str, list, list]]] = []  # sentences per para
+    n_paras = rng.randint(1, 3)
+    for _ in range(n_paras):
+        sentences = []
+        for _ in range(rng.randint(2, 4)):
+            sentences.append(_gen_sentence(rng, by_type, phr, lang))
+        paragraphs.append(sentences)
+
+    # assemble segments = [title, nav, paragraphs..., footer]; the canonical
+    # page text is the single-space join (matches htmlx.html_to_text)
+    title = f"Chronicle {page_idx}"
+    blocks: list[str] = [title, BOILER_NAV]
+    seg_records: list[tuple[str, list, list]] = [(title, [], []), (BOILER_NAV, [], [])]
+    for sentences in paragraphs:
+        seg_text, seg_mentions, seg_triples = _join_sentences(sentences)
+        blocks.append(seg_text)
+        seg_records.append((seg_text, seg_mentions, seg_triples))
+    blocks.append(BOILER_FOOTER)
+    seg_records.append((BOILER_FOOTER, [], []))
+
+    url = f"https://site{page_idx % 50}.example.test/page/{page_idx}"
+    page_text = " ".join(blocks)
+
+    mentions: list[dict] = []
+    triples: list[dict] = []
+    offset = 0
+    for seg_id, (seg_text, seg_mentions, seg_triples) in enumerate(seg_records):
+        for m in seg_mentions:
+            mentions.append(
+                {
+                    "url": url, "seg_id": seg_id, "text": m["text"], "type": m["type"],
+                    "start": m["start"], "end": m["end"],
+                    "page_start": offset + m["start"], "page_end": offset + m["end"],
+                }
+            )
+        for t in seg_triples:
+            triples.append({"url": url, "seg_id": seg_id, **t})
+        offset += len(seg_text) + 1
+
+    html = _render_html(title, [b for b in blocks[2:-1]], rng).encode("utf-8")
+    ts = PAGES_EPOCH + _dt.timedelta(seconds=page_idx)
+    return GoldPage(url, ts, html, page_text, lang, [r[0] for r in seg_records], mentions, triples)
+
+
+def _gen_sentence(rng, by_type, phr, lang) -> tuple[str, list, list]:
+    """One sentence: (text, local mentions, local triples)."""
+    roll = rng.random()
+    if roll < 0.18:  # filler, no entities
+        n = rng.randint(6, 12)
+        words = [rng.choice(FILLER_WORDS) for _ in range(n)]
+        return " ".join(words).capitalize() + ".", [], []
+
+    kind = rng.choice(["works_for", "born_on", "located_in", "visited", "cites"])
+    if kind == "works_for":
+        s, o = _pick_cluster(by_type["PERSON"], rng), _pick_cluster(by_type["ORG"], rng)
+        subj, obj = rng.choice(s.aliases), rng.choice(o.aliases)
+        parts = [(subj, "PERSON"), (f" {phr['works_for']} ", None), (obj, "ORG"), (".", None)]
+        trip = {"subj": subj, "subj_type": "PERSON", "pred": "works_for", "obj": obj,
+                "obj_type": "ORG", "subj_cluster": s.cluster_id, "obj_cluster": o.cluster_id}
+    elif kind == "born_on":
+        s = _pick_cluster(by_type["PERSON"], rng)
+        d = _dt.date(1950 + rng.randrange(60), 1 + rng.randrange(12), 1 + rng.randrange(28))
+        subj, obj = rng.choice(s.aliases), _fmt_date(d, lang, rng)
+        parts = [(subj, "PERSON"), (f" {phr['born_on']} ", None), (obj, "DATE"), (".", None)]
+        trip = {"subj": subj, "subj_type": "PERSON", "pred": "born_on", "obj": obj,
+                "obj_type": "DATE", "subj_cluster": s.cluster_id, "obj_cluster": -1,
+                "obj_date": d.isoformat()}
+    elif kind == "located_in":
+        s, o = _pick_cluster(by_type["ORG"], rng), _pick_cluster(by_type["GPE"], rng)
+        subj, obj = rng.choice(s.aliases), rng.choice(o.aliases)
+        parts = [(subj, "ORG"), (f" {phr['located_in']} ", None), (obj, "GPE"), (".", None)]
+        trip = {"subj": subj, "subj_type": "ORG", "pred": "located_in", "obj": obj,
+                "obj_type": "GPE", "subj_cluster": s.cluster_id, "obj_cluster": o.cluster_id}
+    elif kind == "visited":
+        s, o = _pick_cluster(by_type["PERSON"], rng), _pick_cluster(by_type["GPE"], rng)
+        subj, obj = rng.choice(s.aliases), rng.choice(o.aliases)
+        parts = [(subj, "PERSON"), (f" {phr['visited']} ", None), (obj, "GPE"), (".", None)]
+        trip = {"subj": subj, "subj_type": "PERSON", "pred": "visited", "obj": obj,
+                "obj_type": "GPE", "subj_cluster": s.cluster_id, "obj_cluster": o.cluster_id}
+    else:  # cites
+        laws = by_type["LAW"]
+        s, o = _pick_cluster(laws, rng), _pick_cluster(laws, rng)
+        while o.cluster_id == s.cluster_id and len(laws) > 1:
+            o = _pick_cluster(laws, rng)
+        subj, obj = rng.choice(s.aliases), rng.choice(o.aliases)
+        parts = [(subj, "LAW"), (f" {phr['cites']} ", None), (obj, "LAW"), (".", None)]
+        trip = {"subj": subj, "subj_type": "LAW", "pred": "cites", "obj": obj,
+                "obj_type": "LAW", "subj_cluster": s.cluster_id, "obj_cluster": o.cluster_id}
+
+    text = ""
+    mentions = []
+    for piece, typ in parts:
+        if typ is not None:
+            mentions.append({"text": piece, "type": typ, "start": len(text), "end": len(text) + len(piece)})
+        text += piece
+    return text, mentions, [trip]
+
+
+def _join_sentences(sentences: list[tuple[str, list, list]]) -> tuple[str, list, list]:
+    text = ""
+    mentions: list[dict] = []
+    triples: list[dict] = []
+    for i, (sent, sent_mentions, sent_triples) in enumerate(sentences):
+        if i:
+            text += " "
+        base = len(text)
+        for m in sent_mentions:
+            mentions.append({**m, "start": base + m["start"], "end": base + m["end"]})
+        triples.extend(sent_triples)
+        text += sent
+    return text, mentions, triples
+
+
+def validate_catalog(clusters: list[Cluster]) -> list[tuple[str, str]]:
+    """Assert no two DISTINCT clusters of the same type contain surfaces the
+    merge rules (D2 thresholds / M21 subset / M22 abbreviation) would join.
+    Returns offending pairs (empty = valid).  O(n^2) — small catalogs only
+    (the construction guards above make large catalogs safe by design)."""
+    from ..functions.textnorm import (
+        abbreviation_expands_to,
+        surfaces_similar,
+        words_subset_merge_key,
+    )
+
+    offending: list[tuple[str, str]] = []
+    by_type: dict[str, list[Cluster]] = {}
+    for c in clusters:
+        by_type.setdefault(c.type, []).append(c)
+    for cs in by_type.values():
+        for i in range(len(cs)):
+            for j in range(i + 1, len(cs)):
+                for a in cs[i].aliases:
+                    for b in cs[j].aliases:
+                        if (
+                            surfaces_similar(a, b)
+                            or words_subset_merge_key(a, b)
+                            or words_subset_merge_key(b, a)
+                            or abbreviation_expands_to(a, b)
+                            or abbreviation_expands_to(b, a)
+                        ):
+                            offending.append((a, b))
+    return offending
+
+
+# ---------------------------------------------------------------------------
+# Parquet corpus writer (Ray-parallel; each task regenerates the catalog
+# deterministically from the seed, so nothing is shipped per batch)
+
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def cached_catalog(seed: int, n_per_type: int) -> list[Cluster]:
+    return make_catalog(seed, n_per_type)
+
+
+def gold_canonical_triples(clusters: list[Cluster], surface_triples) -> list[dict]:
+    """Rewrite surface-level gold triples to canonical entity names (DATE
+    objects canonicalize to their ISO date string)."""
+    by_id = {c.cluster_id: c for c in clusters}
+    out = []
+    for t in surface_triples:
+        subj = by_id[t["subj_cluster"]].canonical
+        obj = t["obj_date"] if t.get("obj_date") else by_id[t["obj_cluster"]].canonical
+        out.append(
+            {
+                "subj": subj, "subj_type": t["subj_type"], "pred": t["pred"],
+                "obj": obj, "obj_type": t["obj_type"],
+            }
+        )
+    return out
+
+
+def pages_batch(page_indices, seed: int, n_per_type: int):
+    """Generate a batch of pages + gold rows for the given page indices.
+    Pure function of (seed, index) — safe at any parallelism."""
+    import pyarrow as pa
+
+    clusters = cached_catalog(seed, n_per_type)
+    pages = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+    mentions: list[dict] = []
+    triples: list[dict] = []
+    for idx in page_indices:
+        page = generate_page(int(idx), clusters, seed)
+        pages["url"].append(page.url)
+        pages["warc_ts"].append(page.warc_ts)
+        pages["html"].append(page.html)
+        pages["text"].append(page.text)
+        pages["lang"].append(page.lang)
+        mentions.extend(page.mentions)
+        triples.extend(page.triples)
+    pages_table = pa.table(
+        {
+            "url": pa.array(pages["url"], pa.string()),
+            "warc_ts": pa.array(pages["warc_ts"], pa.timestamp("us")),
+            "html": pa.array(pages["html"], pa.binary()),
+            "text": pa.array(pages["text"], pa.large_string()),
+            "lang": pa.array(pages["lang"], pa.string()),
+        }
+    )
+    return pages_table, mentions, triples
+
+
+def write_corpus(
+    out_dir: str,
+    n_pages: int,
+    seed: int = 42,
+    n_per_type: int = 25,
+    write_gold: bool = True,
+    parallelism: int = 0,
+) -> None:
+    """Materialize pages.parquet (+ gold_* when asked) under ``out_dir``
+    using a Ray pipeline: ``range(n_pages) -> map_batches(generate)``.
+    Deterministic at any parallelism level."""
+    import pyarrow as pa
+    import ray.data
+
+    parallelism = parallelism or max(4, n_pages // 2000)
+
+    def make(batch: dict) -> "pa.Table":
+        table, mentions, triples = pages_batch(batch["id"].tolist(), seed, n_per_type)
+        return table
+
+    ds = ray.data.range(n_pages, override_num_blocks=parallelism)
+    ds.map_batches(make, batch_format="numpy").write_parquet(f"{out_dir}/pages")
+
+    if write_gold:
+
+        def make_mentions(batch: dict) -> "pa.Table":
+            _, mentions, _ = pages_batch(batch["id"].tolist(), seed, n_per_type)
+            return pa.Table.from_pylist(
+                mentions,
+                schema=pa.schema(
+                    [
+                        ("url", pa.string()), ("seg_id", pa.int32()),
+                        ("text", pa.string()), ("type", pa.string()),
+                        ("start", pa.int32()), ("end", pa.int32()),
+                        ("page_start", pa.int32()), ("page_end", pa.int32()),
+                    ]
+                ),
+            )
+
+        def make_triples(batch: dict) -> "pa.Table":
+            clusters = cached_catalog(seed, n_per_type)
+            _, _, triples = pages_batch(batch["id"].tolist(), seed, n_per_type)
+            canon = gold_canonical_triples(clusters, triples)
+            rows = [
+                {
+                    "url": t["url"], "seg_id": t["seg_id"], "subj": t["subj"],
+                    "subj_type": t["subj_type"], "pred": t["pred"], "obj": t["obj"],
+                    "obj_type": t["obj_type"], "subj_canonical": c["subj"],
+                    "obj_canonical": c["obj"],
+                }
+                for t, c in zip(triples, canon)
+            ]
+            return pa.Table.from_pylist(
+                rows,
+                schema=pa.schema(
+                    [
+                        ("url", pa.string()), ("seg_id", pa.int32()),
+                        ("subj", pa.string()), ("subj_type", pa.string()),
+                        ("pred", pa.string()), ("obj", pa.string()),
+                        ("obj_type", pa.string()), ("subj_canonical", pa.string()),
+                        ("obj_canonical", pa.string()),
+                    ]
+                ),
+            )
+
+        base = ray.data.range(n_pages, override_num_blocks=parallelism)
+        base.map_batches(make_mentions, batch_format="numpy").write_parquet(
+            f"{out_dir}/gold_mentions"
+        )
+        base = ray.data.range(n_pages, override_num_blocks=parallelism)
+        base.map_batches(make_triples, batch_format="numpy").write_parquet(
+            f"{out_dir}/gold_triples"
+        )
+
+        clusters = cached_catalog(seed, n_per_type)
+        clusters_table = pa.table(
+            {
+                "cluster_id": pa.array([c.cluster_id for c in clusters], pa.int64()),
+                "type": pa.array([c.type for c in clusters], pa.string()),
+                "canonical": pa.array([c.canonical for c in clusters], pa.string()),
+                "aliases": pa.array([c.aliases for c in clusters], pa.list_(pa.string())),
+            }
+        )
+        import pyarrow.parquet as pq
+        import os
+
+        os.makedirs(f"{out_dir}/gold_clusters", exist_ok=True)
+        pq.write_table(clusters_table, f"{out_dir}/gold_clusters/part-0.parquet")
+
+
+def _render_html(title: str, para_blocks: list[str], rng: random.Random) -> str:
+    noise_id = rng.randrange(10**6)
+    paras = "\n".join(f'    <p class="c{rng.randrange(9)}">{b}</p>' for b in para_blocks)
+    return (
+        "<html>\n<head>\n"
+        f"  <title>{title}</title>\n"
+        "  <style>body { margin: 0; } .hidden { display: none }</style>\n"
+        f"  <script>var t = {noise_id}; console.log(t &amp;&amp; 1);</script>\n"
+        "</head>\n<body>\n"
+        f"  <nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> <a>Contact</a>\n"
+        "       <a>Archive</a> <a>Subscribe</a></nav>\n"
+        "  <!-- generated page -->\n  <main>\n"
+        f"{paras}\n"
+        "  </main>\n"
+        f"  <footer>{BOILER_FOOTER}</footer>\n"
+        "</body>\n</html>\n"
+    )
