@@ -226,7 +226,10 @@ def make_catalog(seed: int = 42, n_per_type: int = 25) -> list[Cluster]:
                 used_mt.add((mdl, t))
                 break
         canonical = f"{h} {mdl} {t}"
-        variants = [f"{h} {mdl}", f"{h} {mdl} {t}.", _typo(canonical, rng)]
+        # punctuation variant is hyphenated (not a trailing "."): a trailing
+        # dot is indistinguishable from "plain alias + sentence period", which
+        # would make gold spans ambiguous under longest-first matching
+        variants = [f"{h} {mdl}", f"{h}-{mdl} {t}", _typo(canonical, rng)]
         aliases = _uniq([canonical] + rng.sample(variants, k=rng.randint(1, 3)))
         if _merge_conflict(aliases, [c for c in clusters if c.type == "ORG"]):
             continue
