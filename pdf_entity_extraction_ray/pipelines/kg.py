@@ -1,0 +1,276 @@
+"""End-to-end KG-construction pipeline (the flagship).
+
+Phases (each = one lazy Ray Dataset plan, resumable via lineage manifests):
+
+  P1 mentions : pages -> segments -> tagger actor pool -> mentions Parquet
+                (bucket-partitioned by hash(url))
+  P2 triples  : pages -> segments -> relation extractor -> triples Parquet
+  P3 linking  : mentions -> distinct surfaces -> LSH blocks -> pair test
+                -> union-find -> cluster map (driver artifact, broadcast)
+  P4 graph    : mentions + cluster map -> nodes Parquet
+                triples  + cluster map -> edges Parquet (+ canonical triples)
+
+The reference's equivalent lifecycle is E2 -> E3 of SURVEY §3
+(run.py:14-27 then check_performance.py:32-91) with in-memory state and
+JSON checkpoints; here every inter-phase artifact is Parquet and every
+stage is a streaming Dataset transform.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+from ..sources.corpus import cached_catalog, catalog_gazetteer
+from ..stages.extract import extract_segments_batch
+from ..stages.graph import build_edges, build_nodes, canonical_triples
+from ..stages.linking import link_entities
+from ..stages.relations import RelationExtractor
+from ..stages.tagger import GazetteerTagger
+from ..state import lineage
+
+CODE_VERSION = 1  # bump to invalidate all phase outputs
+
+
+def _add_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
+    buckets = [lineage.url_bucket(u, n_buckets) for u in batch.column("url").to_pylist()]
+    return batch.append_column("bucket", pa.array(buckets, pa.int32()))
+
+
+def _filter_buckets(batch: pa.Table, wanted: frozenset, n_buckets: int) -> pa.Table:
+    mask = [lineage.url_bucket(u, n_buckets) in wanted for u in batch.column("url").to_pylist()]
+    return batch.filter(pa.array(mask, pa.bool_()))
+
+
+def _bucket_rows(table_dir: str) -> tuple[int, dict[int, int]]:
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(table_dir, partitioning="hive")
+    per: dict[int, int] = {}
+    total = 0
+    for frag in ds.get_fragments():
+        n = frag.count_rows()
+        total += n
+        # hive path .../bucket=N/file.parquet
+        for part in frag.path.split(os.sep):
+            if part.startswith("bucket="):
+                b = int(part.split("=", 1)[1])
+                per[b] = per.get(b, 0) + n
+    return total, per
+
+
+def _run_partitioned_phase(
+    *,
+    phase: str,
+    out_dir: str,
+    pages_path: str,
+    fp: str,
+    stage_cls,
+    stage_kwargs: dict,
+    n_buckets: int,
+    concurrency,
+    batch_size: int,
+    resume: bool,
+    override_num_blocks: int | None = None,
+) -> str:
+    """pages -> segments -> stage -> bucket-partitioned Parquet with
+    per-partition resume.  Returns the table dir."""
+    import ray.data
+
+    table_dir = os.path.join(out_dir, phase)
+    if resume and lineage.phase_complete(out_dir, phase, fp):
+        return table_dir
+    manifest = lineage.load_manifest(out_dir, phase)
+    if manifest is not None and manifest.get("fingerprint") != fp:
+        lineage.invalidate(out_dir, phase, table_dir)  # stale config/code
+
+    done = lineage.existing_buckets(table_dir) if resume else set()
+    missing = frozenset(range(n_buckets)) - done
+    if not resume and os.path.isdir(table_dir):
+        lineage.invalidate(out_dir, phase, table_dir)
+        missing = frozenset(range(n_buckets))
+
+    with lineage.PhaseTimer() as timer:
+        if missing:
+            ds = ray.data.read_parquet(
+                pages_path,
+                columns=["url", "warc_ts", "html", "lang"],
+                override_num_blocks=override_num_blocks,
+            )
+            if done:  # per-partition resume: recompute only missing buckets
+                ds = ds.map_batches(
+                    _filter_buckets,
+                    fn_kwargs={"wanted": missing, "n_buckets": n_buckets},
+                    batch_format="pyarrow",
+                )
+            ds = ds.map_batches(extract_segments_batch, batch_format="pyarrow")
+            ds = ds.map_batches(
+                stage_cls,
+                fn_constructor_kwargs=stage_kwargs,
+                concurrency=concurrency,
+                batch_size=batch_size,
+                batch_format="pyarrow",
+            )
+            ds = ds.map_batches(
+                _add_bucket, fn_kwargs={"n_buckets": n_buckets}, batch_format="pyarrow"
+            )
+            ds.write_parquet(table_dir, partition_cols=["bucket"])
+
+    total, per = _bucket_rows(table_dir)
+    lineage.write_manifest(
+        out_dir, phase, fp, total, timer.wall, per,
+        extra={"recomputed_buckets": sorted(missing), "n_buckets": n_buckets},
+    )
+    return table_dir
+
+
+def run_kg(
+    pages_path: str,
+    out_dir: str,
+    *,
+    gazetteer: list[tuple[str, str]] | None = None,
+    seed: int = 42,
+    n_per_type: int = 25,
+    n_buckets: int = 16,
+    concurrency=None,
+    batch_size: int = 128,
+    resume: bool = True,
+    override_num_blocks: int | None = None,
+) -> dict:
+    """Run the full pipeline; returns artifact paths + stats.
+
+    ``gazetteer`` defaults to the synthetic catalog's (the deterministic
+    stand-in for model weights — at real scale this argument is a model
+    name and the tagger stage loads it per actor)."""
+    import ray
+    import ray.data
+
+    if gazetteer is None:
+        gazetteer = catalog_gazetteer(cached_catalog(seed, n_per_type))
+    if concurrency is None:
+        # size the actor pool to the session: leave headroom for the
+        # upstream read/extract tasks so no stage starves the others
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+
+    os.makedirs(out_dir, exist_ok=True)
+    base_fp = {
+        "pages": os.path.abspath(pages_path),
+        "code": CODE_VERSION,
+        "gazetteer": lineage.fingerprint({"g": sorted(gazetteer)}),
+        "n_buckets": n_buckets,
+    }
+
+    mentions_dir = _run_partitioned_phase(
+        phase="mentions",
+        out_dir=out_dir,
+        pages_path=pages_path,
+        fp=lineage.fingerprint({**base_fp, "phase": "mentions"}),
+        stage_cls=GazetteerTagger,
+        stage_kwargs={"gazetteer": gazetteer, "use_windows": False},
+        n_buckets=n_buckets,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        resume=resume,
+        override_num_blocks=override_num_blocks,
+    )
+    triples_dir = _run_partitioned_phase(
+        phase="triples",
+        out_dir=out_dir,
+        pages_path=pages_path,
+        fp=lineage.fingerprint({**base_fp, "phase": "triples"}),
+        stage_cls=RelationExtractor,
+        stage_kwargs={"gazetteer": gazetteer, "use_windows": False},
+        n_buckets=n_buckets,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        resume=resume,
+        override_num_blocks=override_num_blocks,
+    )
+
+    # P3: linking — the cluster map is itself a checkpointed Parquet artifact
+    fp_link = lineage.fingerprint({**base_fp, "phase": "linking"})
+    surface_map_path = os.path.join(out_dir, "surface_map", "part-0.parquet")
+    with lineage.PhaseTimer() as t_link:
+        if resume and lineage.phase_complete(out_dir, "linking", fp_link):
+            import pyarrow.parquet as pq
+
+            smt = pq.read_table(surface_map_path)
+            cluster_map = {
+                (t, s): (nid, canon)
+                for t, s, nid, canon in zip(
+                    smt.column("type").to_pylist(),
+                    smt.column("surface").to_pylist(),
+                    smt.column("node_id").to_pylist(),
+                    smt.column("canonical").to_pylist(),
+                )
+            }
+            n_surfaces = len(cluster_map)
+        else:
+            mentions_ds = ray.data.read_parquet(mentions_dir)
+            cluster_map, n_surfaces = link_entities(mentions_ds)
+            import pyarrow.parquet as pq
+
+            os.makedirs(os.path.dirname(surface_map_path), exist_ok=True)
+            keys = sorted(cluster_map)
+            pq.write_table(
+                pa.table(
+                    {
+                        "type": pa.array([k[0] for k in keys], pa.string()),
+                        "surface": pa.array([k[1] for k in keys], pa.string()),
+                        "node_id": pa.array([cluster_map[k][0] for k in keys], pa.int64()),
+                        "canonical": pa.array([cluster_map[k][1] for k in keys], pa.string()),
+                    }
+                ),
+                surface_map_path,
+            )
+    if not (resume and lineage.phase_complete(out_dir, "linking", fp_link)):
+        lineage.write_manifest(
+            out_dir, "linking", fp_link, n_surfaces, t_link.wall,
+            extra={"clusters": len({v[0] for v in cluster_map.values()})},
+        )
+    cluster_map_ref = ray.put(cluster_map)
+
+    # P4: graph materialize
+    fp_graph = lineage.fingerprint({**base_fp, "phase": "graph"})
+    nodes_dir = os.path.join(out_dir, "nodes")
+    edges_dir = os.path.join(out_dir, "edges")
+    canon_dir = os.path.join(out_dir, "triples_canonical")
+    recomputed_graph = not (resume and lineage.phase_complete(out_dir, "graph", fp_graph))
+    with lineage.PhaseTimer() as t_graph:
+        if recomputed_graph:
+            import shutil
+
+            for d in (nodes_dir, edges_dir, canon_dir):
+                shutil.rmtree(d, ignore_errors=True)
+            mentions_ds = ray.data.read_parquet(mentions_dir)
+            triples_ds = ray.data.read_parquet(triples_dir)
+            build_nodes(mentions_ds, cluster_map_ref).write_parquet(nodes_dir)
+            build_edges(triples_ds, cluster_map_ref).write_parquet(edges_dir)
+            canonical_triples(
+                ray.data.read_parquet(triples_dir), cluster_map_ref
+            ).write_parquet(canon_dir)
+    if recomputed_graph:
+        import pyarrow.dataset as pads
+
+        n_nodes = pads.dataset(nodes_dir).count_rows()
+        n_edges = pads.dataset(edges_dir).count_rows()
+        lineage.write_manifest(
+            out_dir, "graph", fp_graph, n_nodes + n_edges, t_graph.wall,
+            extra={"nodes": n_nodes, "edges": n_edges,
+                   "distinct_surfaces": n_surfaces,
+                   "clusters": len({v[0] for v in cluster_map.values()})},
+        )
+
+    m = lineage.load_manifest(out_dir, "graph") or {}
+    return {
+        "mentions": mentions_dir,
+        "triples": triples_dir,
+        "triples_canonical": canon_dir,
+        "nodes": nodes_dir,
+        "edges": edges_dir,
+        "n_nodes": m.get("nodes"),
+        "n_edges": m.get("edges"),
+        "distinct_surfaces": n_surfaces,
+        "link_wall_sec": round(t_link.wall, 3),
+    }

@@ -1,0 +1,274 @@
+"""Stage 4: entity linking / canonicalization (the wide shuffle step).
+
+Ray-native re-expression of the reference's entity resolution (D2,
+src/ollama_entity_extraction/OllamaNERExtractor.py:122-184): the reference
+grows transitive similarity groups with an O(n^2) pairwise pass over ALL
+surface forms and consolidates each group with an LLM call.  Here:
+
+1. **distinct surfaces** — mentions are pre-aggregated per batch
+   (``map_batches`` partial count: the combiner) and then reduced with a
+   small ``groupby(["type","surface"]).sum()`` — the shuffle moves one row
+   per distinct (type, surface), not one per mention.  This is the G1
+   head-skew treatment: a surface mentioned 10^9 times still ships one row.
+2. **blocking** — each distinct surface emits a handful of block keys
+   (folded words, sorted-word key M20, MinHash-LSH bands over char shingles
+   for typo recall).  Only pairs sharing a block are tested — the LSH
+   replacement for the reference's all-pairs loop.
+3. **pair test** — within each block (``groupby(block).map_groups``), the
+   EXACT reference predicates decide edges: Levenshtein ratio > 0.79 OR
+   word-intersection > 0.65 (OllamaNERExtractor.py:122-126), plus the
+   subset rule M21 (check_heuristics.py:63-97) and abbreviation rule M22
+   (check_heuristics.py:175-226).  Oversized blocks (stop-word-like keys)
+   are skipped, mirroring LSH banding's intent; the words that matter for
+   recall also appear in smaller, rarer blocks.
+4. **union-find** — the edge list is tiny relative to the corpus (edges ≤
+   a few per distinct surface), so connected components close on the
+   driver; the resulting ``(type, surface) -> (node_id, canonical)`` map is
+   broadcast once with ``ray.put`` and read zero-copy by every rewrite
+   task.  At 10^12-document scale this becomes iterative label propagation
+   over the edge Dataset — the blocking/edge machinery is unchanged.
+
+Representative selection replaces the LLM judge (A9) with the
+deterministic "most complete name" contract the prompts encode
+(OllamaNameExtractor.py:16-20): most words (punctuation-stripped), then
+longest, then lexicographically smallest; never invents a surface.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.similarity import MinHasher, UnionFind, char_shingles
+from ..functions.textnorm import (
+    abbreviation_expands_to,
+    ascii_fold,
+    strip_punct,
+    surface_norm,
+    surfaces_similar,
+    words_subset_merge_key,
+)
+
+# Types that participate in surface-form linking.  DATE canonicalizes by
+# parsed ISO value (functions/dates.py), not by string similarity.
+LINKED_TYPES = ("PERSON", "ORG", "GPE", "LAW")
+
+# Blocks larger than this are skipped in the pair test (head / stop-word
+# keys — the scale guard; recall is preserved by the rarer keys).
+MAX_BLOCK = 200
+
+MINHASH_PERMS = 64
+LSH_BANDS = 16  # 4 rows/band: catches Jaccard >~0.5 char-shingle pairs
+
+
+def node_id_of(type_: str, canonical: str) -> int:
+    """Content-derived node id — stable across runs / partitions / retries."""
+    key = f"{type_}\x00{canonical}".encode()
+    return int.from_bytes(hashlib.blake2b(key, digest_size=8).digest(), "little") & 0x7FFFFFFFFFFFFFFF
+
+
+def representative(surfaces: list[str]) -> str:
+    """Deterministic 'most complete name': most words, longest, lex-smallest."""
+    return max(surfaces, key=lambda s: (len(strip_punct(s).split()), len(s), [-ord(c) for c in s]))
+
+
+# --------------------------------------------------------------------------
+# step 1: partial distinct-surface aggregation (the combiner)
+
+
+def partial_surface_counts(batch: pa.Table) -> pa.Table:
+    """mentions batch -> one row per (type, surface) with partial count."""
+    sub = batch.select(["type", "surface"])
+    grouped = sub.group_by(["type", "surface"]).aggregate([([], "count_all")])
+    return pa.table(
+        {
+            "type": grouped.column("type"),
+            "surface": grouped.column("surface"),
+            "n": grouped.column("count_all").cast(pa.int64()),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# step 2: blocking keys
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=4)
+def _cached_hasher(num_perm: int, seed: int) -> MinHasher:
+    """Per-process MinHasher (cheap to build, process-cached so plain map
+    TASKS reuse it — no actor pool / startup cost for this stage)."""
+    return MinHasher(num_perm=num_perm, seed=seed)
+
+
+class BlockKeyer:
+    """Distinct-surface rows -> exploded (block, type, surface) rows.
+
+    Plain-function-shaped (used with task-pool ``map_batches`` via
+    :func:`block_keys_batch`); the MinHash table is process-cached."""
+
+    def __init__(self, num_perm: int = MINHASH_PERMS, bands: int = LSH_BANDS, seed: int = 42):
+        self.hasher = _cached_hasher(num_perm, seed)
+        self.bands = bands
+
+    def keys_for(self, surface: str) -> set[str]:
+        norm = surface_norm(surface)
+        keys: set[str] = set()
+        # word keys (catch subset M21 / abbreviation M22 / word-permutation
+        # M20 / accent M19 pairs — any shared informative word blocks them)
+        for w in norm.split():
+            if len(w) >= 3:
+                keys.add("w:" + w)
+        # sorted-word key (word-order permutations even of short words)
+        keys.add("s:" + " ".join(sorted(norm.split())))
+        # LSH bands over char shingles (typos within Levenshtein > 0.79)
+        sig = self.hasher.signature(char_shingles(norm, 3))
+        for bk in self.hasher.band_keys(sig, self.bands):
+            keys.add("b:" + bk)
+        return keys
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        types = batch.column("type").to_pylist()
+        surfaces = batch.column("surface").to_pylist()
+        out_block: list[str] = []
+        out_type: list[str] = []
+        out_surface: list[str] = []
+        for typ, surface in zip(types, surfaces):
+            if typ not in LINKED_TYPES:
+                continue
+            for key in self.keys_for(surface):
+                out_block.append(f"{typ}|{key}")
+                out_type.append(typ)
+                out_surface.append(surface)
+        return pa.table(
+            {
+                "block": pa.array(out_block, pa.string()),
+                "type": pa.array(out_type, pa.string()),
+                "surface": pa.array(out_surface, pa.string()),
+            }
+        )
+
+
+# --------------------------------------------------------------------------
+# step 3: within-block pair test (exact reference predicates)
+
+
+def surfaces_match(a: str, b: str) -> bool:
+    """Full merge rule: D2 thresholds OR subset M21 OR abbreviation M22.
+    Similarity runs on accent-folded forms (M19) so accent variants pair."""
+    fa, fb = ascii_fold(a), ascii_fold(b)
+    return (
+        surfaces_similar(fa, fb)
+        or words_subset_merge_key(a, b)
+        or words_subset_merge_key(b, a)
+        or abbreviation_expands_to(a, b)
+        or abbreviation_expands_to(b, a)
+    )
+
+
+def block_pairs(group: pa.Table) -> pa.Table:
+    """One block -> similar-pair edge rows (type, a, b), a < b."""
+    types = group.column("type").to_pylist()
+    surfaces = sorted(set(group.column("surface").to_pylist()))
+    typ = types[0] if types else ""
+    out_a: list[str] = []
+    out_b: list[str] = []
+    if 1 < len(surfaces) <= MAX_BLOCK:
+        for i in range(len(surfaces)):
+            for j in range(i + 1, len(surfaces)):
+                if surfaces_match(surfaces[i], surfaces[j]):
+                    out_a.append(surfaces[i])
+                    out_b.append(surfaces[j])
+    return pa.table(
+        {
+            "type": pa.array([typ] * len(out_a), pa.string()),
+            "a": pa.array(out_a, pa.string()),
+            "b": pa.array(out_b, pa.string()),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# step 4: union-find + cluster map (driver-side over the small edge list)
+
+
+def build_cluster_map(
+    edges: list[tuple[str, str, str]],
+    all_surfaces: list[tuple[str, str]],
+) -> dict[tuple[str, str], tuple[int, str]]:
+    """(type, a, b) edges + (type, surface) universe ->
+    {(type, surface): (node_id, canonical)}.
+
+    Deterministic: union-find roots are order-independent (smaller key
+    wins), representatives are a pure function of the member set.
+    """
+    uf = UnionFind()
+    for typ, a, b in edges:
+        uf.union((typ, a), (typ, b))
+    for typ, surface in all_surfaces:
+        uf.find((typ, surface))
+
+    members: dict[tuple[str, str], list[str]] = {}
+    for typ, surface in all_surfaces:
+        root = uf.find((typ, surface))
+        members.setdefault(root, []).append(surface)
+
+    cluster_map: dict[tuple[str, str], tuple[int, str]] = {}
+    for root, group in members.items():
+        typ = root[0]
+        canon = representative(group)
+        nid = node_id_of(typ, canon)
+        for surface in group:
+            cluster_map[(typ, surface)] = (nid, canon)
+    return cluster_map
+
+
+# --------------------------------------------------------------------------
+# orchestration (Dataset in, Dataset/driver artifacts out)
+
+
+def block_keys_batch(batch: pa.Table) -> pa.Table:
+    """Task-pool form of :class:`BlockKeyer` (process-cached hasher)."""
+    return BlockKeyer()(batch)
+
+
+def link_entities(mentions_ds, *, concurrency=None):
+    """mentions Dataset -> (cluster_map dict, distinct surface count).
+
+    The returned map is small (distinct linked surfaces only); callers
+    broadcast it with ``ray.put`` for the rewrite stages.
+    """
+    import ray
+
+    distinct = (
+        mentions_ds.map_batches(partial_surface_counts, batch_format="pyarrow")
+        .groupby(["type", "surface"])
+        .sum("n")
+        .materialize()  # small by design; consumed twice below
+    )
+    # collect the (type, surface) universe for union-find
+    universe: list[tuple[str, str]] = []
+    for ref in distinct.to_arrow_refs():
+        tbl = ray.get(ref)
+        universe.extend(zip(tbl.column("type").to_pylist(), tbl.column("surface").to_pylist()))
+    universe = [(t, s) for t, s in universe if t in LINKED_TYPES]
+
+    edges_tbl = (
+        distinct.map_batches(block_keys_batch, batch_format="pyarrow")
+        .groupby("block")
+        .map_groups(block_pairs, batch_format="pyarrow")
+    )
+    edges: list[tuple[str, str, str]] = []
+    for batch in edges_tbl.iter_batches(batch_format="pyarrow"):
+        edges.extend(
+            zip(
+                batch.column("type").to_pylist(),
+                batch.column("a").to_pylist(),
+                batch.column("b").to_pylist(),
+            )
+        )
+    return build_cluster_map(sorted(set(edges)), universe), len(universe)

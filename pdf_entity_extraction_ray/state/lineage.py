@@ -1,0 +1,117 @@
+"""Per-partition checkpointed lineage (north_rule: "any partition can resume
+without recomputation").
+
+The reference's poor-man's checkpointing is skip-if-cached JSON per document
+(src/cache_data.py:15-16) and inter-phase JSON files (run.py:24-27).  Here
+each phase writes bucket-partitioned Parquet (``bucket = hash(url) % B``,
+content-derived so retries land in the same bucket) plus a ``_lineage``
+manifest recording the input fingerprint, per-bucket row counts, stage
+config and wall time.  Resume logic:
+
+* manifest present + fingerprint matches  -> phase is complete, skip.
+* manifest absent, some bucket dirs exist -> recompute ONLY missing buckets
+  (input filtered by bucket before the heavy stages), then re-manifest.
+* fingerprint mismatch                    -> stale output, recompute all.
+
+Wall-clock timestamps appear in manifests as *metrics*, never as inputs to
+any computation — determinism is preserved.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+
+
+def url_bucket(url: str, n_buckets: int) -> int:
+    """Content-derived bucket id — stable across runs / workers / retries."""
+    return int.from_bytes(hashlib.blake2b(url.encode(), digest_size=8).digest(), "little") % n_buckets
+
+
+def fingerprint(parts: dict) -> str:
+    """Canonical fingerprint of a phase's inputs + config."""
+    return hashlib.blake2b(
+        json.dumps(parts, sort_keys=True, default=str).encode(), digest_size=16
+    ).hexdigest()
+
+
+def _manifest_file(out_dir: str, phase: str) -> str:
+    return os.path.join(out_dir, "_lineage", f"{phase}.json")
+
+
+def load_manifest(out_dir: str, phase: str) -> dict | None:
+    path = _manifest_file(out_dir, phase)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def phase_complete(out_dir: str, phase: str, fp: str) -> bool:
+    m = load_manifest(out_dir, phase)
+    return m is not None and m.get("fingerprint") == fp
+
+
+def write_manifest(
+    out_dir: str,
+    phase: str,
+    fp: str,
+    rows: int,
+    wall_sec: float,
+    bucket_rows: dict[int, int] | None = None,
+    extra: dict | None = None,
+) -> None:
+    os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
+    manifest = {
+        "phase": phase,
+        "fingerprint": fp,
+        "rows": rows,
+        "wall_sec": round(wall_sec, 3),
+        "bucket_rows": {str(k): v for k, v in (bucket_rows or {}).items()},
+    }
+    if extra:
+        manifest.update(extra)
+    tmp = _manifest_file(out_dir, phase) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, _manifest_file(out_dir, phase))
+
+
+def existing_buckets(table_dir: str) -> set[int]:
+    """Bucket ids with on-disk output (hive-partitioned ``bucket=N`` dirs
+    that contain at least one data file)."""
+    found: set[int] = set()
+    if not os.path.isdir(table_dir):
+        return found
+    for name in os.listdir(table_dir):
+        if name.startswith("bucket="):
+            sub = os.path.join(table_dir, name)
+            if os.path.isdir(sub) and any(
+                f.endswith(".parquet") for f in os.listdir(sub)
+            ):
+                found.add(int(name.split("=", 1)[1]))
+    return found
+
+
+def invalidate(out_dir: str, phase: str, table_dir: str | None = None) -> None:
+    """Drop a phase's manifest (and optionally its output) so it recomputes."""
+    path = _manifest_file(out_dir, phase)
+    if os.path.exists(path):
+        os.remove(path)
+    if table_dir and os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+
+
+class PhaseTimer:
+    """Wall-time metric for manifests (measurement only, never an input)."""
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.wall = time.perf_counter() - self.t0
+        return False

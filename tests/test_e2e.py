@@ -1,0 +1,212 @@
+"""End-to-end pipeline tests against the planted gold (the analog of the
+reference's labeled-data evaluation, check_performance.py:32-91):
+
+* byte-identical extracted text per url (BASELINE.json input_hint)
+* mention / triple P/R >= 0.95 vs gold (north_rule gate; exact match here)
+* cluster pairwise agreement with gold alias groups
+* per-partition resume correctness
+* determinism across parallelism levels
+"""
+
+import itertools
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from pdf_entity_extraction_ray.functions.textnorm import surface_norm
+from pdf_entity_extraction_ray.pipelines.kg import run_kg
+
+TITLE_TYPES = ("PERSON", "ORG", "GPE")
+
+
+@pytest.fixture(scope="module")
+def kg_result(small_corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kg"))
+    res = run_kg(f"{small_corpus}/pages", out, n_buckets=4, concurrency=2)
+    return small_corpus, out, res
+
+
+def _gold_cluster_lookup(corpus_dir):
+    gold = pq.read_table(f"{corpus_dir}/gold_clusters")
+    lookup = {}
+    for cid, typ, aliases in zip(
+        gold.column("cluster_id").to_pylist(),
+        gold.column("type").to_pylist(),
+        gold.column("aliases").to_pylist(),
+    ):
+        for a in aliases:
+            s = a.title() if typ in TITLE_TYPES else a
+            lookup[(typ, surface_norm(s))] = cid
+    return lookup
+
+
+def test_extracted_text_byte_identical(small_corpus):
+    from pdf_entity_extraction_ray.stages.extract import extract_text_batch
+
+    ds = ray.data.read_parquet(f"{small_corpus}/pages")
+    out = pa.concat_tables(
+        list(
+            ds.map_batches(extract_text_batch, batch_format="pyarrow")
+            .select_columns(["url", "text"])
+            .iter_batches(batch_format="pyarrow")
+        )
+    )
+    gold = pq.read_table(f"{small_corpus}/pages", columns=["url", "text"])
+    gold_text = dict(zip(gold.column("url").to_pylist(), gold.column("text").to_pylist()))
+    for url, text in zip(out.column("url").to_pylist(), out.column("text").to_pylist()):
+        assert text == gold_text[url], url
+
+
+def test_mention_pr(kg_result):
+    corpus, out, _ = kg_result
+    pred = pads.dataset(f"{out}/mentions", partitioning="hive").to_table()
+    gold = pq.read_table(f"{corpus}/gold_mentions")
+    key = lambda t: set(
+        zip(
+            t.column("url").to_pylist(),
+            t.column("seg_id").to_pylist(),
+            t.column("start").to_pylist(),
+            t.column("end").to_pylist(),
+            t.column("type").to_pylist(),
+        )
+    )
+    g, p = key(gold), key(pred)
+    precision = len(g & p) / len(p)
+    recall = len(g & p) / len(g)
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+
+
+def test_triple_pr_canonical(kg_result):
+    """P/R on canonicalized triples, gold-group membership protocol (J2)."""
+    corpus, out, _ = kg_result
+    lookup = _gold_cluster_lookup(corpus)
+
+    def to_gold_cluster(typ, name):
+        if typ == "DATE":
+            return name
+        return lookup.get((typ, surface_norm(name)), ("UNK", name))
+
+    pred_tbl = pads.dataset(f"{out}/triples_canonical").to_table()
+    pred = set()
+    for u, sid, st, p, ot, sc, oc in zip(
+        pred_tbl.column("url").to_pylist(),
+        pred_tbl.column("seg_id").to_pylist(),
+        pred_tbl.column("subj_type").to_pylist(),
+        pred_tbl.column("pred").to_pylist(),
+        pred_tbl.column("obj_type").to_pylist(),
+        pred_tbl.column("subj_canonical").to_pylist(),
+        pred_tbl.column("obj_canonical").to_pylist(),
+    ):
+        pred.add((u, sid, to_gold_cluster(st, sc), p, to_gold_cluster(ot, oc)))
+
+    gold_tbl = pq.read_table(f"{corpus}/gold_triples")
+    gold = set()
+    for u, sid, st, p, ot, sc, oc in zip(
+        gold_tbl.column("url").to_pylist(),
+        gold_tbl.column("seg_id").to_pylist(),
+        gold_tbl.column("subj_type").to_pylist(),
+        gold_tbl.column("pred").to_pylist(),
+        gold_tbl.column("obj_type").to_pylist(),
+        gold_tbl.column("subj_canonical").to_pylist(),
+        gold_tbl.column("obj_canonical").to_pylist(),
+    ):
+        sc = sc.title() if st in TITLE_TYPES else sc
+        oc = oc.title() if ot in TITLE_TYPES else oc
+        gold.add((u, sid, to_gold_cluster(st, sc), p, to_gold_cluster(ot, oc)))
+
+    tp = len(pred & gold)
+    precision, recall = tp / len(pred), tp / len(gold)
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+
+
+def test_cluster_agreement(kg_result):
+    """Pairwise same-cluster agreement between our node assignment and the
+    gold alias groups, over observed surfaces."""
+    corpus, out, _ = kg_result
+    lookup = _gold_cluster_lookup(corpus)
+    sm = pq.read_table(f"{out}/surface_map/part-0.parquet")
+    ours = {}
+    for typ, s, nid in zip(
+        sm.column("type").to_pylist(),
+        sm.column("surface").to_pylist(),
+        sm.column("node_id").to_pylist(),
+    ):
+        if (typ, surface_norm(s)) in lookup:
+            ours[(typ, s)] = nid
+    bad = 0
+    total = 0
+    by_type = {}
+    for k in ours:
+        by_type.setdefault(k[0], []).append(k)
+    for typ, keys in by_type.items():
+        for a, b in itertools.combinations(sorted(keys), 2):
+            same_gold = lookup[(typ, surface_norm(a[1]))] == lookup[(typ, surface_norm(b[1]))]
+            same_ours = ours[a] == ours[b]
+            total += 1
+            bad += same_gold != same_ours
+    assert total > 0
+    assert bad / total < 0.01, f"{bad}/{total} disagreeing pairs"
+
+
+def test_nodes_never_invent_surfaces(kg_result):
+    """The LLM-consolidation contract (OllamaNameExtractor.py:19-20):
+    representatives come from the observed alias set, never invented."""
+    _, out, _ = kg_result
+    nodes = pads.dataset(f"{out}/nodes").to_table()
+    for canon, aliases in zip(
+        nodes.column("canonical").to_pylist(), nodes.column("aliases").to_pylist()
+    ):
+        assert canon in aliases
+
+
+def test_resume_recomputes_only_missing_bucket(kg_result):
+    corpus, out, _ = kg_result
+    before = pads.dataset(f"{out}/mentions", partitioning="hive").to_table()
+    os.remove(f"{out}/_lineage/mentions.json")
+    shutil.rmtree(f"{out}/mentions/bucket=1")
+    run_kg(f"{corpus}/pages", out, n_buckets=4, concurrency=2)
+    manifest = json.load(open(f"{out}/_lineage/mentions.json"))
+    assert manifest["recomputed_buckets"] == [1]
+    after = pads.dataset(f"{out}/mentions", partitioning="hive").to_table()
+    key = lambda t: sorted(
+        zip(t.column("mention_id").to_pylist(), t.column("url").to_pylist())
+    )
+    assert key(before) == key(after)
+
+
+def test_determinism_across_parallelism(small_corpus, tmp_path_factory):
+    """Same input, different parallelism/buckets -> identical logical output."""
+    out1 = str(tmp_path_factory.mktemp("kg_p1"))
+    out2 = str(tmp_path_factory.mktemp("kg_p2"))
+    run_kg(f"{small_corpus}/pages", out1, n_buckets=2, concurrency=2, batch_size=32,
+           override_num_blocks=2)
+    run_kg(f"{small_corpus}/pages", out2, n_buckets=4, concurrency=3, batch_size=128,
+           override_num_blocks=7)
+
+    def edge_key(out):
+        t = pads.dataset(f"{out}/edges").to_table()
+        return sorted(
+            zip(
+                t.column("src_id").to_pylist(),
+                t.column("pred").to_pylist(),
+                t.column("dst_id").to_pylist(),
+                t.column("weight").to_pylist(),
+            )
+        )
+
+    assert edge_key(out1) == edge_key(out2)
+
+    def node_key(out):
+        t = pads.dataset(f"{out}/nodes").to_table()
+        return sorted(
+            zip(t.column("node_id").to_pylist(), t.column("canonical").to_pylist(),
+                t.column("n_mentions").to_pylist())
+        )
+
+    assert node_key(out1) == node_key(out2)
