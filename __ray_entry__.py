@@ -1,44 +1,232 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship KG pipeline on a deterministic synthetic pages
+corpus (the BASELINE.json input_hint table); returns the nodes Dataset.
+``queries()`` — one entry per implemented operator/pipeline (SURVEY.md §2 +
+the training-data op family); each takes ``sf_dir`` and returns a Dataset.
+``oracle_sql()`` — DuckDB equivalents where SQL-expressible; KG pipeline,
+LSH/simhash internals, lang-ID and multimodal stages get rows-only checks.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_KG_PAGES = {"sf0.001": 300, "sf0.01": 1000, "sf0.1": 4000}
+
+
+def _read(sf_dir: str, table: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def _kg_artifacts(sf_dir: str) -> dict:
+    """Synthesize the pages corpus for this scale (cached) and run the KG
+    pipeline (resumes instantly via lineage manifests when already built)."""
+    from pdf_entity_extraction_ray.pipelines.kg import run_kg
+    from pdf_entity_extraction_ray.sources.corpus import write_corpus
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    n_pages = _KG_PAGES.get(name, 500)
+    base = f"/tmp/graft_kg/{name}"
+    pages = f"{base}/pages"
+    if not os.path.isdir(pages):
+        write_corpus(base, n_pages=n_pages, seed=42, n_per_type=25, write_gold=False)
+    return run_kg(pages, f"{base}/out", n_buckets=8)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: pages -> extract -> tag -> relate -> link -> graph; nodes."""
+    import ray.data
+
+    res = _kg_artifacts("/root/testdata/sf0.001")
+    return ray.data.read_parquet(res["nodes"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pdf_entity_extraction_ray.ops import ann, dedup, relational, text
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def kg_table(table):
+        def q(sf_dir):
+            import ray.data
+
+            res = _kg_artifacts(sf_dir)
+            return ray.data.read_parquet(res[table])
+
+        return q
+
+    def docs_op(batch_fn):
+        def q(sf_dir):
+            return _read(sf_dir, "documents").map_batches(batch_fn, batch_format="pyarrow")
+
+        return q
+
+    def multimodal_features(sf_dir):
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.multimodal import (
+            ImageFeatureExtractor,
+            synthesize_media_batch,
+        )
+
+        media = ray.data.range(300).map_batches(
+            lambda b: synthesize_media_batch(b), batch_format="pyarrow"
+        )
+        return media.map_batches(
+            ImageFeatureExtractor,
+            fn_constructor_kwargs={"fake": True},
+            concurrency=2,
+            batch_size=64,
+            batch_format="pyarrow",
+        )
+
+    def multimodal_frames(sf_dir):
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.multimodal import FrameSampler, synthesize_media_batch
+
+        media = ray.data.range(300).map_batches(
+            lambda b: synthesize_media_batch(b), batch_format="pyarrow"
+        )
+        return media.map_batches(
+            FrameSampler, concurrency=2, batch_size=64, batch_format="pyarrow"
+        )
+
+    return {
+        # --- KG pipeline (flagship; non-SQL -> rows-only checks) ---
+        "kg_nodes": kg_table("nodes"),
+        "kg_edges": kg_table("edges"),
+        "kg_triples": kg_table("triples_canonical"),
+        "kg_mentions": kg_table("mentions"),
+        # --- text analysis over documents ---
+        "docs_token_stats": docs_op(text.token_stats_batch),
+        "docs_quality": docs_op(text.quality_batch),
+        "docs_fingerprint": docs_op(text.fingerprint_batch),
+        "docs_langid": docs_op(text.langid_batch),
+        # --- dedup family ---
+        "docs_exact_dedup": lambda sf: dedup.exact_dedup(_read(sf, "documents")),
+        "docs_minhash_dedup": lambda sf: dedup.minhash_lsh_pairs(_read(sf, "documents"), 0.7),
+        "docs_simhash_dedup": lambda sf: dedup.simhash_pairs(_read(sf, "documents"), 3),
+        "emb_cosine_dedup": lambda sf: dedup.embedding_cosine_pairs(_read(sf, "embeddings"), 0.5),
+        # --- similarity search ---
+        "emb_knn": lambda sf: ann.knn_bruteforce(_read(sf, "embeddings"), [0, 1, 2, 3, 4], 10),
+        "emb_knn_ivf": lambda sf: ann.knn_ivf(_read(sf, "embeddings"), [0, 1, 2, 3, 4], 10),
+        # --- relational core ---
+        "lineitem_agg": lambda sf: relational.lineitem_agg(_read(sf, "lineitem")),
+        "orders_by_segment": lambda sf: relational.orders_by_segment(
+            _read(sf, "orders"), _read(sf, "customer")
+        ),
+        "top_orders": lambda sf: relational.top_orders(_read(sf, "orders"), 10),
+        "supplier_counts_by_region": lambda sf: relational.supplier_counts_by_region(
+            _read(sf, "supplier"), _read(sf, "nation"), _read(sf, "region")
+        ),
+        "event_sessions": lambda sf: relational.event_sessions(_read(sf, "events"), 30),
+        "event_type_counts": lambda sf: relational.event_type_counts(_read(sf, "events")),
+        # --- multimodal plumbing (deterministic fake kernels) ---
+        "multimodal_image_features": multimodal_features,
+        "multimodal_frame_sample": multimodal_frames,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    token_re = "[A-Za-z0-9_]+"
+    punct_re = r"[!-/:-@\[-`{-~]"
+    return {
+        "docs_token_stats": f"""
+            select doc_id,
+                   len(regexp_extract_all(text, '{token_re}')) as n_tokens,
+                   len(regexp_extract_all(text, '{punct_re}')) as n_punct,
+                   len(regexp_extract_all(text, '[0-9]')) as n_digits,
+                   coalesce(list_max(list_transform(regexp_extract_all(text, '{token_re}'),
+                                                    w -> len(w))), 0) as max_token_len
+            from documents
+        """,
+        "docs_quality": f"""
+            with s as (
+                select doc_id, len(text) as n_chars,
+                       len(regexp_extract_all(text, '{token_re}')) as n_tokens,
+                       len(regexp_extract_all(text, '{punct_re}')) as n_punct
+                from documents)
+            select doc_id, n_chars, n_tokens,
+                   (n_tokens between 5 and 100000) as ok_length,
+                   (n_punct * 10 > n_chars) as punct_heavy,
+                   ((n_tokens between 5 and 100000) and not (n_punct * 10 > n_chars)) as keep
+            from s
+        """,
+        "docs_fingerprint": "select doc_id, md5(text) as fingerprint from documents",
+        "docs_exact_dedup": """
+            select doc_id, text, lang, source, n_chars from documents
+            qualify row_number() over (partition by text order by doc_id) = 1
+        """,
+        "docs_minhash_dedup": """
+            with w as (select doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') as ws
+                       from documents),
+                 t as (select doc_id,
+                              list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                             for i in range(1, greatest(len(ws) - 1, 1))]) as sh
+                       from w)
+            select a.doc_id as doc_a, b.doc_id as doc_b
+            from t a join t b on a.doc_id < b.doc_id
+            where len(list_intersect(a.sh, b.sh))::double
+                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
+        """,
+        "emb_cosine_dedup": """
+            select a.vec_id as vec_a, b.vec_id as vec_b
+            from embeddings a join embeddings b on a.vec_id < b.vec_id
+            where list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+        """,
+        "emb_knn": """
+            with q as (select vec_id as query_id, embedding as qe from embeddings
+                       where vec_id < 5)
+            select query_id, e.vec_id as neighbor_id,
+                   row_number() over (partition by query_id
+                                      order by list_cosine_similarity(qe, e.embedding) desc,
+                                               e.vec_id) as rank
+            from q cross join embeddings e
+            where e.vec_id != query_id
+            qualify rank <= 10
+        """,
+        "lineitem_agg": """
+            select l_returnflag, l_linestatus,
+                   sum(l_quantity) as sum_qty, count(*) as n_rows,
+                   min(l_extendedprice) as min_price, max(l_extendedprice) as max_price
+            from lineitem group by l_returnflag, l_linestatus
+        """,
+        "orders_by_segment": """
+            select c_mktsegment, count(*) as n_orders
+            from orders join customer on o_custkey = c_custkey
+            group by c_mktsegment
+        """,
+        "top_orders": """
+            select o_orderkey from orders
+            order by o_totalprice desc, o_orderkey limit 10
+        """,
+        "supplier_counts_by_region": """
+            select r_name, count(*) as n_suppliers
+            from supplier
+            join nation on s_nationkey = n_nationkey
+            join region on n_regionkey = r_regionkey
+            group by r_name
+        """,
+        "event_sessions": """
+            with o as (select user_id, ts,
+                              lag(ts) over (partition by user_id order by ts) as prev
+                       from events)
+            select user_id, count(*) as n_events,
+                   count(*) filter (where prev is null
+                                    or epoch_us(ts) - epoch_us(prev) > 30*60*1000000)
+                       as n_sessions
+            from o group by user_id
+        """,
+        "event_type_counts": """
+            select event_type, count(*) as n_events,
+                   min(value) as min_value, max(value) as max_value
+            from events group by event_type
+        """,
+    }

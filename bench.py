@@ -1,0 +1,180 @@
+"""Benchmark harness.
+
+Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line.
+
+``--scaling``: run the headline KG pipeline twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the SAME input and report both throughputs +
+scaling efficiency (the sandbox evidence protocol for the north_rule's
+N -> 4N cluster criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _consume(ds) -> int:
+    """Stream a Dataset to completion; return row count (no take_all)."""
+    n = 0
+    for batch in ds.iter_batches(batch_format="pyarrow"):
+        n += batch.num_rows
+    return n
+
+
+def _sf_label(sf_dir: str) -> float:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def bench_corpus_dir(sf: float) -> tuple[str, int]:
+    n_pages = max(2000, int(200_000 * sf))
+    return f"/tmp/graft_bench/pages_{n_pages}", n_pages
+
+
+def ensure_corpus(sf: float) -> tuple[str, int]:
+    from pdf_entity_extraction_ray.sources.corpus import write_corpus
+
+    base, n_pages = bench_corpus_dir(sf)
+    if not os.path.isdir(f"{base}/pages"):
+        write_corpus(base, n_pages=n_pages, seed=42, n_per_type=25, write_gold=False)
+    return f"{base}/pages", n_pages
+
+
+def run_headline(num_cpus: int, sf: float) -> dict:
+    """Fresh (resume=False) KG pipeline over the bench corpus."""
+    import pyarrow.dataset as pads
+
+    from pdf_entity_extraction_ray.pipelines.kg import run_kg
+
+    pages_path, n_pages = ensure_corpus(sf)
+    out = f"/tmp/graft_bench/kg_out_{num_cpus}"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    res = run_kg(pages_path, out, n_buckets=32, resume=False)
+    wall = time.perf_counter() - t0
+    n_triples = pads.dataset(os.path.join(out, "triples"), partitioning="hive").count_rows()
+    return {
+        "wall_sec": round(wall, 3),
+        "n_pages": n_pages,
+        "n_triples": n_triples,
+        "pages_per_sec": round(n_pages / wall, 1),
+        "triples_per_sec": round(n_triples / wall, 1),
+        "n_nodes": res["n_nodes"],
+        "n_edges": res["n_edges"],
+    }
+
+
+def run_ops(sf_dir: str) -> dict[str, float]:
+    """Time the training-data / relational op family on the sf tables."""
+    import ray.data
+
+    from pdf_entity_extraction_ray.ops import ann, dedup, relational, text
+
+    def read(table):
+        return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+    ops = {
+        "docs_token_stats": lambda: read("documents").map_batches(
+            text.token_stats_batch, batch_format="pyarrow"
+        ),
+        "docs_fingerprint": lambda: read("documents").map_batches(
+            text.fingerprint_batch, batch_format="pyarrow"
+        ),
+        "docs_exact_dedup": lambda: dedup.exact_dedup(read("documents")),
+        "docs_minhash_dedup": lambda: dedup.minhash_lsh_pairs(read("documents"), 0.7),
+        "docs_simhash_dedup": lambda: dedup.simhash_pairs(read("documents"), 3),
+        "emb_knn": lambda: ann.knn_bruteforce(read("embeddings"), [0, 1, 2, 3, 4], 10),
+        "lineitem_agg": lambda: relational.lineitem_agg(read("lineitem")),
+        "event_sessions": lambda: relational.event_sessions(read("events"), 30),
+    }
+    times: dict[str, float] = {}
+    for name, make in ops.items():
+        t0 = time.perf_counter()
+        _consume(make())
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf = _sf_label(sf_dir)
+
+    if "--scaling" in sys.argv:
+        # fresh process per parallelism level; same input
+        results = {}
+        for cpus in (8, 32):
+            out = subprocess.run(
+                [sys.executable, __file__, "--headline-child"],
+                env={**os.environ, "RAY_GRAFT_CPUS": str(cpus), "GRAFT_SF_DIR": sf_dir},
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        t8, t32 = results[8]["pages_per_sec"], results[32]["pages_per_sec"]
+        efficiency = t32 / (4 * t8)
+        print(
+            json.dumps(
+                {
+                    "metric": "kg_pipeline_scaling",
+                    "unit": "pages/sec",
+                    "sf": sf,
+                    "throughput_8cpu": t8,
+                    "throughput_32cpu": t32,
+                    "triples_per_sec_8cpu": results[8]["triples_per_sec"],
+                    "triples_per_sec_32cpu": results[32]["triples_per_sec"],
+                    "scaling_efficiency": round(efficiency, 3),
+                    "detail": results,
+                }
+            )
+        )
+        return
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+
+    if "--headline-child" in sys.argv:
+        result = run_headline(num_cpus, sf)
+        print(json.dumps(result))
+        ray.shutdown()
+        return
+
+    queries: dict[str, float] = {}
+    headline = run_headline(num_cpus, sf)
+    queries["kg_pipeline"] = headline["wall_sec"]
+    queries.update(run_ops(sf_dir))
+
+    print(
+        json.dumps(
+            {
+                "metric": "kg_pipeline_wall_plus_ops",
+                "value": round(sum(queries.values()), 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "num_cpus": num_cpus,
+                "pages_per_sec": headline["pages_per_sec"],
+                "triples_per_sec": headline["triples_per_sec"],
+                "n_pages": headline["n_pages"],
+                "n_triples": headline["n_triples"],
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,259 @@
+"""Deduplication operators over ``documents`` — the scale-critical family
+for training-data pipelines:
+
+* :func:`exact_dedup`        — hash-partition + per-group first (shuffle
+  moves md5 keys + small id rows, never full text twice)
+* :func:`minhash_lsh_pairs`  — shingle -> MinHash -> band-bucket groupby ->
+  candidate pairs -> EXACT Jaccard verify (LSH prunes the O(n^2), the
+  verify step keeps the answer exact, so a SQL oracle can check it)
+* :func:`simhash_pairs`      — 64-bit SimHash, 4x16-bit band blocking,
+  Hamming<=k verify
+* :func:`embedding_cosine_pairs` — near-dup by cosine over an embedding
+  column (brute force per batch against a broadcast matrix)
+
+Partitioning assumptions are stated per function; each is the documented
+small-side broadcast or a band-key shuffle — never an all-pairs join.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.similarity import MinHasher, hamming64, jaccard, simhash64_batch
+from .text import TOKEN_RE
+
+MINHASH_PERMS = 64
+MINHASH_BANDS = 32  # r=2 rows/band: catch-probability ~1-(1-J^2)^32 (>0.999 at J=0.5)
+SHINGLE_K = 3
+
+
+def _word_shingles(text: str, k: int = SHINGLE_K) -> set[str]:
+    words = TOKEN_RE.findall(text.lower())
+    if len(words) < k:
+        return {" ".join(words)} if words else set()
+    return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_dedup(docs_ds):
+    """Keep the lowest-doc_id row per distinct text.
+
+    Two-stage: per-batch combiner reduces each batch to one candidate row
+    per md5 key, then a ``groupby(key)`` picks the global minimum — the
+    shuffle moves candidates, not the corpus.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        best: dict[str, tuple[int, int]] = {}  # key -> (doc_id, row_idx)
+        doc_ids = batch.column("doc_id").to_pylist()
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            key = hashlib.md5(t.encode("utf-8")).hexdigest()
+            if key not in best or doc_ids[i] < best[key][0]:
+                best[key] = (doc_ids[i], i)
+        idx = [v[1] for v in best.values()]
+        out = batch.take(pa.array(idx, pa.int64()))
+        return out.append_column("dedup_key", pa.array(list(best.keys()), pa.string()))
+
+    def final(group: pa.Table) -> pa.Table:
+        i = int(pa.compute.index(group.column("doc_id"), pa.compute.min(group.column("doc_id"))).as_py())
+        return group.take(pa.array([i], pa.int64())).drop_columns(["dedup_key"])
+
+    return (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("dedup_key")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup pairs
+
+
+class _ShingleSigner:
+    """Per-process MinHasher (built once, reused across batches)."""
+
+    _hasher: MinHasher | None = None
+
+    @classmethod
+    def hasher(cls) -> MinHasher:
+        if cls._hasher is None:
+            cls._hasher = MinHasher(num_perm=MINHASH_PERMS, seed=42)
+        return cls._hasher
+
+
+def band_rows_batch(batch: pa.Table) -> pa.Table:
+    """documents batch -> exploded (band_key, doc_id) rows."""
+    h = _ShingleSigner.hasher()
+    out_band: list[str] = []
+    out_doc: list[int] = []
+    for doc_id, text in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+        sig = h.signature(_word_shingles(text))
+        for bk in h.band_keys(sig, MINHASH_BANDS):
+            out_band.append(bk)
+            out_doc.append(doc_id)
+    return pa.table(
+        {"band": pa.array(out_band, pa.string()), "doc_id": pa.array(out_doc, pa.int64())}
+    )
+
+
+def _band_candidates(group: pa.Table) -> pa.Table:
+    ids = sorted(set(group.column("doc_id").to_pylist()))
+    a, b = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a.append(ids[i])
+            b.append(ids[j])
+    return pa.table({"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())})
+
+
+def _first_row(group: pa.Table) -> pa.Table:
+    return group.slice(0, 1)
+
+
+def minhash_lsh_pairs(docs_ds, threshold: float = 0.7):
+    """Near-duplicate (doc_a, doc_b) pairs with word-3-gram Jaccard >=
+    ``threshold``; doc_a < doc_b.
+
+    Shuffle #1: band-key groupby (candidates only). Shuffle #2: pair dedup.
+    Verify reads both texts from a broadcast id->text map (small corpus
+    side; at 10^12 scale replace with a bucket-partitioned self-join on
+    doc_a's hash bucket — the band machinery is unchanged).
+    """
+    import ray
+
+    texts: dict[int, str] = {}
+    for batch in docs_ds.select_columns(["doc_id", "text"]).iter_batches(batch_format="pyarrow"):
+        texts.update(zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()))
+    texts_ref = ray.put(texts)
+
+    candidates = (
+        docs_ds.map_batches(band_rows_batch, batch_format="pyarrow")
+        .groupby("band")
+        .map_groups(_band_candidates, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(_first_row, batch_format="pyarrow")
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        tmap = ray.get(texts_ref)
+        keep = []
+        for i, (a, b) in enumerate(
+            zip(batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist())
+        ):
+            j = jaccard(_word_shingles(tmap[a]), _word_shingles(tmap[b]))
+            if j >= threshold:
+                keep.append(i)
+        return batch.take(pa.array(keep, pa.int64()))
+
+    return candidates.map_batches(verify, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup pairs
+
+
+def simhash_rows_batch(batch: pa.Table) -> pa.Table:
+    """documents batch -> (doc_id, simhash, 4 x 16-bit chunk keys exploded)."""
+    token_lists = [TOKEN_RE.findall(t.lower()) for t in batch.column("text").to_pylist()]
+    sims = simhash64_batch(token_lists)
+    doc_ids = batch.column("doc_id").to_pylist()
+    out_chunk, out_doc, out_sim = [], [], []
+    for doc_id, s in zip(doc_ids, sims.tolist()):
+        for c in range(4):
+            out_chunk.append(f"{c}:{(s >> (16 * c)) & 0xFFFF}")
+            out_doc.append(doc_id)
+            out_sim.append(s)
+    return pa.table(
+        {
+            "chunk": pa.array(out_chunk, pa.string()),
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "simhash": pa.array(out_sim, pa.uint64()),
+        }
+    )
+
+
+def simhash_pairs(docs_ds, max_hamming: int = 3):
+    """(doc_a, doc_b, hamming) pairs with Hamming distance <= ``max_hamming``.
+    By pigeonhole, any pair within 3 bits shares at least one of the four
+    16-bit chunks, so chunk-blocking loses nothing."""
+
+    def chunk_candidates(group: pa.Table) -> pa.Table:
+        rows = sorted(set(zip(group.column("doc_id").to_pylist(), group.column("simhash").to_pylist())))
+        a, b, h = [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                d = hamming64(rows[i][1], rows[j][1])
+                if d <= max_hamming:
+                    a.append(rows[i][0])
+                    b.append(rows[j][0])
+                    h.append(d)
+        return pa.table(
+            {
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+                "hamming": pa.array(h, pa.int64()),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(simhash_rows_batch, batch_format="pyarrow")
+        .groupby("chunk")
+        .map_groups(chunk_candidates, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(_first_row, batch_format="pyarrow")
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup
+
+
+def embedding_cosine_pairs(emb_ds, threshold: float = 0.99):
+    """(vec_a, vec_b) with cosine >= threshold; vec_a < vec_b.
+
+    The full matrix is broadcast once (``ray.put``) and each batch does one
+    numpy matmul against it — brute force as the exact baseline; the
+    LSH-bucketed variant for scale is ops/ann.py.
+    """
+    import ray
+
+    ids: list[int] = []
+    vecs: list[list[float]] = []
+    for batch in emb_ds.select_columns(["vec_id", "embedding"]).iter_batches(batch_format="pyarrow"):
+        ids.extend(batch.column("vec_id").to_pylist())
+        vecs.extend(batch.column("embedding").to_pylist())
+    order = np.argsort(ids)
+    all_ids = np.asarray(ids)[order]
+    M = np.asarray(vecs, dtype=np.float64)[order]
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((all_ids, M))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        all_ids_, M_ = ray.get(ref)
+        bids = np.asarray(batch.column("vec_id").to_pylist())
+        B = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+        S = B @ M_.T
+        rows_a, rows_b = [], []
+        for r in range(S.shape[0]):
+            hits = np.where(S[r] >= threshold)[0]
+            for c in hits:
+                if bids[r] < all_ids_[c]:
+                    rows_a.append(int(bids[r]))
+                    rows_b.append(int(all_ids_[c]))
+        # ids only: a float similarity column would hash differently across
+        # engines (numpy vs SQL arithmetic differ in the last ulps)
+        return pa.table(
+            {
+                "vec_a": pa.array(rows_a, pa.int64()),
+                "vec_b": pa.array(rows_b, pa.int64()),
+            }
+        )
+
+    return emb_ds.map_batches(pairs, batch_format="pyarrow")

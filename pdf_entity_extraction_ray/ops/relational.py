@@ -1,0 +1,215 @@
+"""Relational operator demonstrations over the TPC-H-ish tables — the
+engine-core coverage (groupby-aggregate, broadcast join, sort/limit,
+sessionization windows) with exact DuckDB oracles.
+
+Numeric outputs are chosen to hash identically across engines: counts,
+integral-valued double sums (exact in fp), min/max (order-free) — never
+order-dependent float sums.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def lineitem_agg(lineitem_ds):
+    """Pricing-summary-style groupby: per (returnflag, linestatus) counts +
+    exact sums/extrema.  Two-stage: per-batch Arrow ``group_by`` combiner,
+    then the small global groupby."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_quantity", "count"), ("l_extendedprice", "min"), ("l_extendedprice", "max")]
+        )
+        return pa.table(
+            {
+                "l_returnflag": g.column("l_returnflag"),
+                "l_linestatus": g.column("l_linestatus"),
+                "sum_qty": g.column("l_quantity_sum"),
+                "n_rows": g.column("l_quantity_count").cast(pa.int64()),
+                "min_price": g.column("l_extendedprice_min"),
+                "max_price": g.column("l_extendedprice_max"),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": group.column("l_returnflag").slice(0, 1),
+                "l_linestatus": group.column("l_linestatus").slice(0, 1),
+                "sum_qty": pa.array([pc.sum(group.column("sum_qty")).as_py()], pa.float64()),
+                "n_rows": pa.array([pc.sum(group.column("n_rows")).as_py()], pa.int64()),
+                "min_price": pa.array([pc.min(group.column("min_price")).as_py()], pa.float64()),
+                "max_price": pa.array([pc.max(group.column("max_price")).as_py()], pa.float64()),
+            }
+        )
+
+    return (
+        lineitem_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def orders_by_segment(orders_ds, customer_ds):
+    """orders ⋈ customer on custkey -> per-mktsegment order counts.
+
+    Broadcast hash join: the customer->segment map ships once via
+    ``ray.put`` (small side), orders stream through ``map_batches`` — no
+    shuffle join."""
+    import ray
+
+    seg_of: dict[int, str] = {}
+    for batch in customer_ds.select_columns(["c_custkey", "c_mktsegment"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        seg_of.update(
+            zip(batch.column("c_custkey").to_pylist(), batch.column("c_mktsegment").to_pylist())
+        )
+    ref = ray.put(seg_of)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        seg = ray.get(ref)
+        counts: dict[str, int] = {}
+        for ck in batch.column("o_custkey").to_pylist():
+            s = seg.get(ck)
+            if s is not None:
+                counts[s] = counts.get(s, 0) + 1
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(list(counts), pa.string()),
+                "n_orders": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": group.column("c_mktsegment").slice(0, 1),
+                "n_orders": pa.array([pc.sum(group.column("n_orders")).as_py()], pa.int64()),
+            }
+        )
+
+    return (
+        orders_ds.select_columns(["o_custkey"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def top_orders(orders_ds, k: int = 10):
+    """Top-k orders by (o_totalprice desc, o_orderkey asc) — sort + limit.
+    Output is the integer key column only (floats stay out of the hash)."""
+    top = orders_ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+    return top.select_columns(["o_orderkey"])
+
+
+def supplier_counts_by_region(supplier_ds, nation_ds, region_ds):
+    """supplier ⋈ nation ⋈ region -> per-region supplier counts
+    (two chained broadcast joins of the tiny dimension tables)."""
+    import ray
+
+    nation_region: dict[int, int] = {}
+    for batch in nation_ds.iter_batches(batch_format="pyarrow"):
+        nation_region.update(
+            zip(batch.column("n_nationkey").to_pylist(), batch.column("n_regionkey").to_pylist())
+        )
+    region_name: dict[int, str] = {}
+    for batch in region_ds.iter_batches(batch_format="pyarrow"):
+        region_name.update(
+            zip(batch.column("r_regionkey").to_pylist(), batch.column("r_name").to_pylist())
+        )
+    ref = ray.put((nation_region, region_name))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nr, rn = ray.get(ref)
+        counts: dict[str, int] = {}
+        for nk in batch.column("s_nationkey").to_pylist():
+            name = rn.get(nr.get(nk))
+            if name is not None:
+                counts[name] = counts.get(name, 0) + 1
+        return pa.table(
+            {
+                "r_name": pa.array(list(counts), pa.string()),
+                "n_suppliers": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "r_name": group.column("r_name").slice(0, 1),
+                "n_suppliers": pa.array([pc.sum(group.column("n_suppliers")).as_py()], pa.int64()),
+            }
+        )
+
+    return (
+        supplier_ds.select_columns(["s_nationkey"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("r_name")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def event_sessions(events_ds, gap_minutes: int = 30):
+    """Per-user sessionization: a session breaks when the gap between
+    consecutive events exceeds ``gap_minutes``.  groupby(user) +
+    ``map_groups`` sorted by ts — the windowed-aggregate shape the
+    reference lacks (SURVEY §2.9)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessions(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group.column("ts"))
+        ordered = group.column("ts").take(order).cast(pa.int64()).to_pylist()
+        n_sessions = 1 if ordered else 0
+        for prev, cur in zip(ordered, ordered[1:]):
+            if cur - prev > gap_us:
+                n_sessions += 1
+        return pa.table(
+            {
+                "user_id": group.column("user_id").slice(0, 1),
+                "n_events": pa.array([group.num_rows], pa.int64()),
+                "n_sessions": pa.array([n_sessions], pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.select_columns(["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pyarrow")
+    )
+
+
+def event_type_counts(events_ds):
+    """Distinct-ish aggregate: per event_type count + value extrema."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("event_type").aggregate(
+            [("value", "count"), ("value", "min"), ("value", "max")]
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "n_events": g.column("value_count").cast(pa.int64()),
+                "min_value": g.column("value_min"),
+                "max_value": g.column("value_max"),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": group.column("event_type").slice(0, 1),
+                "n_events": pa.array([pc.sum(group.column("n_events")).as_py()], pa.int64()),
+                "min_value": pa.array([pc.min(group.column("min_value")).as_py()], pa.float64()),
+                "max_value": pa.array([pc.max(group.column("max_value")).as_py()], pa.float64()),
+            }
+        )
+
+    return (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(final, batch_format="pyarrow")
+    )

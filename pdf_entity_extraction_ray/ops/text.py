@@ -1,0 +1,118 @@
+"""Text-analysis operators over a ``documents(doc_id, text, lang, source,
+n_chars)`` table — the large-scale training-data-pipeline companions to the
+KG engine (language-ID, quality scoring, token counting, fingerprinting).
+
+All stages are stateless ``map_batches`` over zero-copy Arrow; the token
+regex is ASCII-explicit (``[A-Za-z0-9_]+``) so Python ``re`` and DuckDB's
+RE2 oracle agree byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = re.compile(r"[A-Za-z0-9_]+")
+PUNCT_RE = re.compile(r"[!-/:-@\[-`{-~]")
+DIGIT_RE = re.compile(r"[0-9]")
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+_LANG_PROFILES = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "that", "for", "with"},
+    "es": {"el", "la", "de", "y", "que", "en", "un", "una", "los", "para"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "mit", "für", "von"},
+    "fr": {"le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans"},
+}
+
+
+def token_stats_batch(batch: pa.Table) -> pa.Table:
+    """doc stats as INTEGER columns (exactly reproducible in SQL):
+    n_tokens, n_punct, n_digits, max_token_len."""
+    texts = batch.column("text").to_pylist()
+    n_tokens, n_punct, n_digits, max_tok = [], [], [], []
+    for t in texts:
+        toks = TOKEN_RE.findall(t)
+        n_tokens.append(len(toks))
+        n_punct.append(len(PUNCT_RE.findall(t)))
+        n_digits.append(len(DIGIT_RE.findall(t)))
+        max_tok.append(max((len(w) for w in toks), default=0))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_punct": pa.array(n_punct, pa.int64()),
+            "n_digits": pa.array(n_digits, pa.int64()),
+            "max_token_len": pa.array(max_tok, pa.int64()),
+        }
+    )
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Quality gates as booleans + the classic filter-score ingredients.
+
+    Heuristics follow the public C4/Gopher-style rules (length bounds,
+    symbol ratio, mean word length) computed from integer counts so the
+    DuckDB oracle matches exactly.
+    """
+    stats = token_stats_batch(batch)
+    n_chars = pc.utf8_length(batch.column("text"))
+    n_tokens = stats.column("n_tokens")
+    ok_len = pc.and_(pc.greater_equal(n_tokens, 5), pc.less_equal(n_tokens, 100000))
+    # punct-heavy docs: n_punct * 10 > n_chars  (integer arithmetic only)
+    punct_heavy = pc.greater(
+        pc.multiply(stats.column("n_punct"), pa.scalar(10, pa.int64())),
+        n_chars.cast(pa.int64()),
+    )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars": n_chars.cast(pa.int64()),
+            "n_tokens": n_tokens,
+            "ok_length": ok_len,
+            "punct_heavy": punct_heavy,
+            "keep": pc.and_(ok_len, pc.invert(punct_heavy)),
+        }
+    )
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic content fingerprint (md5 hex — DuckDB ``md5(text)``
+    reproduces it, giving the op an exact SQL oracle)."""
+    texts = batch.column("text").to_pylist()
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "fingerprint": pa.array(
+                [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts], pa.string()
+            ),
+        }
+    )
+
+
+def langid_batch(batch: pa.Table) -> pa.Table:
+    """Charset + stopword heuristic language-ID (no oracle — the synthetic
+    ``lang`` column is uncorrelated with text; the op exists for the real
+    pipeline where text IS language-bearing)."""
+    texts = batch.column("text").to_pylist()
+    preds = []
+    for t in texts:
+        cjk = sum(1 for c in t[:400] if "一" <= c <= "鿿")
+        if cjk * 5 > min(len(t), 400):
+            preds.append("zh")
+            continue
+        words = set(w.lower() for w in TOKEN_RE.findall(t[:2000]))
+        best, best_n = "en", -1
+        for lang in sorted(_LANG_PROFILES):
+            n = len(words & _LANG_PROFILES[lang])
+            if n > best_n:
+                best, best_n = lang, n
+        preds.append(best)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "lang_pred": pa.array(preds, pa.string()),
+        }
+    )
