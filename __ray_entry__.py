@@ -67,6 +67,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return q
 
+    def kg_entities(sf_dir):
+        import ray.data
+
+        from pdf_entity_extraction_ray.stages.entities import build_entities
+
+        res = _kg_artifacts(sf_dir)
+        return build_entities(ray.data.read_parquet(res["mentions"]))
+
     def multimodal_features(sf_dir):
         import ray.data
 
@@ -104,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": kg_table("edges"),
         "kg_triples": kg_table("triples_canonical"),
         "kg_mentions": kg_table("mentions"),
+        "kg_entities": kg_entities,
         # --- text analysis over documents ---
         "docs_token_stats": docs_op(text.token_stats_batch),
         "docs_quality": docs_op(text.quality_batch),

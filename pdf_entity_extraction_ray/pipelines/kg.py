@@ -23,14 +23,13 @@ import os
 import pyarrow as pa
 
 from ..sources.corpus import cached_catalog, catalog_gazetteer
+from ..stages.annotate import Annotator, explode_mentions_batch, explode_triples_batch
 from ..stages.extract import extract_segments_batch
 from ..stages.graph import build_edges, build_nodes, canonical_triples
 from ..stages.linking import link_entities
-from ..stages.relations import RelationExtractor
-from ..stages.tagger import GazetteerTagger
 from ..state import lineage
 
-CODE_VERSION = 1  # bump to invalidate all phase outputs
+CODE_VERSION = 2  # bump to invalidate all phase outputs
 
 
 def _add_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
@@ -125,6 +124,26 @@ def _run_partitioned_phase(
     return table_dir
 
 
+def _explode_phase(
+    out_dir: str, phase: str, annotations_dir: str, explode_fn, fp: str, resume: bool
+) -> str:
+    """annotations -> flat table via a stateless explode (whole-phase
+    manifest; the artifact keeps the hive ``bucket`` partitioning)."""
+    import ray.data
+
+    table_dir = os.path.join(out_dir, phase)
+    if resume and lineage.phase_complete(out_dir, phase, fp):
+        return table_dir
+    lineage.invalidate(out_dir, phase, table_dir)
+    with lineage.PhaseTimer() as timer:
+        ds = ray.data.read_parquet(annotations_dir)
+        ds = ds.map_batches(explode_fn, batch_format="pyarrow")
+        ds.write_parquet(table_dir, partition_cols=["bucket"])
+    total, per = _bucket_rows(table_dir)
+    lineage.write_manifest(out_dir, phase, fp, total, timer.wall, per)
+    return table_dir
+
+
 def run_kg(
     pages_path: str,
     out_dir: str,
@@ -161,12 +180,13 @@ def run_kg(
         "n_buckets": n_buckets,
     }
 
-    mentions_dir = _run_partitioned_phase(
-        phase="mentions",
+    # P1: one tagging pass -> nested per-segment annotations (bucketed)
+    annotations_dir = _run_partitioned_phase(
+        phase="annotations",
         out_dir=out_dir,
         pages_path=pages_path,
-        fp=lineage.fingerprint({**base_fp, "phase": "mentions"}),
-        stage_cls=GazetteerTagger,
+        fp=lineage.fingerprint({**base_fp, "phase": "annotations"}),
+        stage_cls=Annotator,
         stage_kwargs={"gazetteer": gazetteer, "use_windows": False},
         n_buckets=n_buckets,
         concurrency=concurrency,
@@ -174,18 +194,15 @@ def run_kg(
         resume=resume,
         override_num_blocks=override_num_blocks,
     )
-    triples_dir = _run_partitioned_phase(
-        phase="triples",
-        out_dir=out_dir,
-        pages_path=pages_path,
-        fp=lineage.fingerprint({**base_fp, "phase": "triples"}),
-        stage_cls=RelationExtractor,
-        stage_kwargs={"gazetteer": gazetteer, "use_windows": False},
-        n_buckets=n_buckets,
-        concurrency=concurrency,
-        batch_size=batch_size,
-        resume=resume,
-        override_num_blocks=override_num_blocks,
+
+    # P2: flat mentions / triples tables = cheap explode projections
+    mentions_dir = _explode_phase(
+        out_dir, "mentions", annotations_dir, explode_mentions_batch,
+        lineage.fingerprint({**base_fp, "phase": "mentions"}), resume,
+    )
+    triples_dir = _explode_phase(
+        out_dir, "triples", annotations_dir, explode_triples_batch,
+        lineage.fingerprint({**base_fp, "phase": "triples"}), resume,
     )
 
     # P3: linking — the cluster map is itself a checkpointed Parquet artifact

@@ -254,6 +254,8 @@ def link_entities(mentions_ds, *, concurrency=None):
     universe: list[tuple[str, str]] = []
     for ref in distinct.to_arrow_refs():
         tbl = ray.get(ref)
+        if tbl.num_rows == 0 or "type" not in tbl.column_names:
+            continue  # empty shuffle partitions carry an empty schema
         universe.extend(zip(tbl.column("type").to_pylist(), tbl.column("surface").to_pylist()))
     universe = [(t, s) for t, s in universe if t in LINKED_TYPES]
 
@@ -264,6 +266,8 @@ def link_entities(mentions_ds, *, concurrency=None):
     )
     edges: list[tuple[str, str, str]] = []
     for batch in edges_tbl.iter_batches(batch_format="pyarrow"):
+        if batch.num_rows == 0 or "type" not in batch.column_names:
+            continue
         edges.extend(
             zip(
                 batch.column("type").to_pylist(),

@@ -168,10 +168,10 @@ def test_nodes_never_invent_surfaces(kg_result):
 def test_resume_recomputes_only_missing_bucket(kg_result):
     corpus, out, _ = kg_result
     before = pads.dataset(f"{out}/mentions", partitioning="hive").to_table()
-    os.remove(f"{out}/_lineage/mentions.json")
-    shutil.rmtree(f"{out}/mentions/bucket=1")
+    os.remove(f"{out}/_lineage/annotations.json")
+    shutil.rmtree(f"{out}/annotations/bucket=1")
     run_kg(f"{corpus}/pages", out, n_buckets=4, concurrency=2)
-    manifest = json.load(open(f"{out}/_lineage/mentions.json"))
+    manifest = json.load(open(f"{out}/_lineage/annotations.json"))
     assert manifest["recomputed_buckets"] == [1]
     after = pads.dataset(f"{out}/mentions", partitioning="hive").to_table()
     key = lambda t: sorted(

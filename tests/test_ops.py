@@ -1,0 +1,181 @@
+"""Tests for the training-data op family over the driver testdata tables
+(sf0.001) and the entities parallel-list table."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+def _read(table):
+    return ray.data.read_parquet(os.path.join(SF, f"{table}.parquet"))
+
+
+def _collect(ds) -> pa.Table:
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    return pa.concat_tables(batches) if batches else ds.schema().empty_table()
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+class TestTextOps:
+    def test_token_stats(self):
+        from pdf_entity_extraction_ray.ops.text import token_stats_batch
+
+        t = _collect(_read("documents").map_batches(token_stats_batch, batch_format="pyarrow"))
+        assert t.num_rows == _read("documents").count()
+        assert min(t.column("n_tokens").to_pylist()) >= 0
+
+    def test_fingerprint_matches_hashlib(self):
+        import hashlib
+
+        from pdf_entity_extraction_ray.ops.text import fingerprint_batch
+
+        docs = _collect(_read("documents"))
+        fp = _collect(_read("documents").map_batches(fingerprint_batch, batch_format="pyarrow"))
+        by_id = dict(zip(fp.column("doc_id").to_pylist(), fp.column("fingerprint").to_pylist()))
+        for doc_id, text in list(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))[:20]:
+            assert by_id[doc_id] == hashlib.md5(text.encode()).hexdigest()
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+class TestDedupOps:
+    def test_exact_dedup_keeps_min_doc_per_text(self):
+        from pdf_entity_extraction_ray.ops.dedup import exact_dedup
+
+        docs = _collect(_read("documents"))
+        out = _collect(exact_dedup(_read("documents")))
+        best: dict[str, int] = {}
+        for doc_id, text in zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()):
+            best[text] = min(best.get(text, doc_id), doc_id)
+        assert sorted(out.column("doc_id").to_pylist()) == sorted(best.values())
+
+    def test_minhash_pairs_match_exact_jaccard(self):
+        from pdf_entity_extraction_ray.ops.dedup import _word_shingles, minhash_lsh_pairs
+        from pdf_entity_extraction_ray.functions.similarity import jaccard
+
+        docs = _collect(_read("documents"))
+        texts = dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
+        expected = set()
+        ids = sorted(texts)
+        sh = {i: _word_shingles(texts[i]) for i in ids}
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if jaccard(sh[ids[i]], sh[ids[j]]) >= 0.7:
+                    expected.add((ids[i], ids[j]))
+        out = _collect(minhash_lsh_pairs(_read("documents"), 0.7))
+        got = set(zip(out.column("doc_a").to_pylist(), out.column("doc_b").to_pylist()))
+        assert got == expected and expected  # testdata plants near-dups
+
+    def test_simhash_pairs_complete_within_hamming3(self):
+        from pdf_entity_extraction_ray.functions.similarity import hamming64, simhash64
+        from pdf_entity_extraction_ray.ops.dedup import simhash_pairs
+        from pdf_entity_extraction_ray.ops.text import TOKEN_RE
+
+        docs = _collect(_read("documents"))
+        texts = dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
+        sims = {i: simhash64(TOKEN_RE.findall(t.lower())) for i, t in texts.items()}
+        ids = sorted(sims)
+        expected = {
+            (ids[i], ids[j])
+            for i in range(len(ids))
+            for j in range(i + 1, len(ids))
+            if hamming64(sims[ids[i]], sims[ids[j]]) <= 3
+        }
+        out = _collect(simhash_pairs(_read("documents"), 3))
+        got = set(zip(out.column("doc_a").to_pylist(), out.column("doc_b").to_pylist()))
+        assert got == expected  # pigeonhole blocking is lossless
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+class TestAnn:
+    def test_bruteforce_matches_numpy(self):
+        from pdf_entity_extraction_ray.ops.ann import knn_bruteforce
+
+        emb = _collect(_read("embeddings"))
+        ids = np.asarray(emb.column("vec_id").to_pylist())
+        M = np.asarray(emb.column("embedding").to_pylist(), dtype=np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        order = np.argsort(ids)
+        ids, M = ids[order], M[order]
+        out = _collect(knn_bruteforce(_read("embeddings"), [0, 1], k=5))
+        for q in (0, 1):
+            qv = M[ids == q][0]
+            sims = M @ qv
+            sims[ids == q] = -np.inf
+            expected = [int(ids[i]) for i in sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))[:5]]
+            mask = pa.compute.equal(out.column("query_id"), pa.scalar(q))
+            rows = out.filter(mask)
+            ranked = [n for _, n in sorted(zip(rows.column("rank").to_pylist(), rows.column("neighbor_id").to_pylist()))]
+            assert ranked == expected
+
+    def test_ivf_recall_reasonable(self):
+        from pdf_entity_extraction_ray.ops.ann import knn_bruteforce, knn_ivf
+
+        exact = _collect(knn_bruteforce(_read("embeddings"), [0, 1, 2], k=10))
+        approx = _collect(knn_ivf(_read("embeddings"), [0, 1, 2], k=10, n_probe=16))
+        e = set(zip(exact.column("query_id").to_pylist(), exact.column("neighbor_id").to_pylist()))
+        a = set(zip(approx.column("query_id").to_pylist(), approx.column("neighbor_id").to_pylist()))
+        assert len(e & a) / len(e) >= 0.3  # coarse quantizer, generous bound
+
+
+class TestEntitiesTable:
+    def test_parallel_lists_aligned(self, small_corpus):
+        from pdf_entity_extraction_ray.sources.corpus import make_catalog, catalog_gazetteer
+        from pdf_entity_extraction_ray.stages.entities import build_entities
+        from pdf_entity_extraction_ray.stages.extract import extract_segments_batch
+        from pdf_entity_extraction_ray.stages.tagger import GazetteerTagger
+
+        gaz = catalog_gazetteer(make_catalog(42, 25))
+        mentions = (
+            ray.data.read_parquet(f"{small_corpus}/pages")
+            .map_batches(extract_segments_batch, batch_format="pyarrow")
+            .map_batches(
+                GazetteerTagger,
+                fn_constructor_kwargs={"gazetteer": gaz, "use_windows": False},
+                concurrency=2,
+                batch_format="pyarrow",
+            )
+        )
+        ents = _collect(build_entities(mentions, max_per_entity=16))
+        assert ents.num_rows > 0
+        total = 0
+        for row in ents.to_pylist():
+            k = len(row["pages"])
+            assert k <= 16
+            assert len(row["mentions"]) == k == len(row["mention_starts"]) == len(row["mention_ends"]) == len(row["segment_numbers"])
+            assert row["n_mentions"] >= k
+            total += row["n_mentions"]
+        # total mention count is preserved exactly even when lists are capped
+        assert total == mentions.count()
+
+
+class TestMultimodal:
+    def test_image_features_deterministic(self):
+        from pdf_entity_extraction_ray.ops.multimodal import (
+            ImageFeatureExtractor,
+            synthesize_media_batch,
+        )
+
+        media = synthesize_media_batch(pa.table({"id": pa.array(range(30), pa.int64())}))
+        ext = ImageFeatureExtractor(fake=True)
+        out1, out2 = ext(media), ext(media)
+        assert out1.equals(out2)
+        assert out1.num_rows == 10  # every 3rd row is an image
+        assert all(len(f) == ImageFeatureExtractor.FEATURE_DIM for f in out1.column("features").to_pylist())
+
+    def test_real_decoder_is_stubbed(self):
+        from pdf_entity_extraction_ray.ops.multimodal import ImageFeatureExtractor
+
+        with pytest.raises(NotImplementedError):
+            ImageFeatureExtractor(fake=False)
+
+    def test_frame_sampler(self):
+        from pdf_entity_extraction_ray.ops.multimodal import FrameSampler, synthesize_media_batch
+
+        media = synthesize_media_batch(pa.table({"id": pa.array(range(30), pa.int64())}))
+        frames = FrameSampler(every_ms=250)(media)
+        assert set(frames.column("frame_ms").to_pylist()) == {0, 250, 500, 750}
