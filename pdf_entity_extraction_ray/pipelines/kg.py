@@ -114,6 +114,11 @@ def _run_partitioned_phase(
             ds = ds.map_batches(
                 _add_bucket, fn_kwargs={"n_buckets": n_buckets}, batch_format="pyarrow"
             )
+            # cluster blocks by the partition key before the hive write:
+            # without this every task writes a file per bucket it touches
+            # (blocks x buckets tiny files; re-reading them dominated wall
+            # time), with it file count ~ block count
+            ds = ds.sort("bucket")
             ds.write_parquet(table_dir, partition_cols=["bucket"])
 
     total, per = _bucket_rows(table_dir)
@@ -138,6 +143,7 @@ def _explode_phase(
     with lineage.PhaseTimer() as timer:
         ds = ray.data.read_parquet(annotations_dir)
         ds = ds.map_batches(explode_fn, batch_format="pyarrow")
+        ds = ds.sort("bucket")  # cluster by partition key (see annotate phase)
         ds.write_parquet(table_dir, partition_cols=["bucket"])
     total, per = _bucket_rows(table_dir)
     lineage.write_manifest(out_dir, phase, fp, total, timer.wall, per)

@@ -199,9 +199,17 @@ def block_pairs(group: pa.Table) -> pa.Table:
 def build_cluster_map(
     edges: list[tuple[str, str, str]],
     all_surfaces: list[tuple[str, str]],
+    consolidate=None,
 ) -> dict[tuple[str, str], tuple[int, str]]:
     """(type, a, b) edges + (type, surface) universe ->
     {(type, surface): (node_id, canonical)}.
+
+    ``consolidate(group: list[str]) -> str | None`` is the A9 interface
+    hook (the reference's per-group LLM judge, OllamaNERExtractor.py:
+    128-154): it must return one member of the group (never invent a
+    surface) or None to leave the group UNMERGED (the reference's behavior
+    when the LLM returns anything but exactly one name).  Default is the
+    deterministic most-complete-name rule.
 
     Deterministic: union-find roots are order-independent (smaller key
     wins), representatives are a pure function of the member set.
@@ -220,7 +228,18 @@ def build_cluster_map(
     cluster_map: dict[tuple[str, str], tuple[int, str]] = {}
     for root, group in members.items():
         typ = root[0]
-        canon = representative(group)
+        if consolidate is None or len(group) == 1:
+            canon = representative(group)
+        else:
+            canon = consolidate(sorted(group))
+            if canon is not None and canon not in group:
+                raise ValueError(
+                    f"consolidator invented surface {canon!r} not in group"
+                )
+        if canon is None:  # group left unmerged (reference A9 contract)
+            for surface in group:
+                cluster_map[(typ, surface)] = (node_id_of(typ, surface), surface)
+            continue
         nid = node_id_of(typ, canon)
         for surface in group:
             cluster_map[(typ, surface)] = (nid, canon)
@@ -236,7 +255,7 @@ def block_keys_batch(batch: pa.Table) -> pa.Table:
     return BlockKeyer()(batch)
 
 
-def link_entities(mentions_ds, *, concurrency=None):
+def link_entities(mentions_ds, *, concurrency=None, consolidate=None):
     """mentions Dataset -> (cluster_map dict, distinct surface count).
 
     The returned map is small (distinct linked surfaces only); callers
@@ -275,4 +294,4 @@ def link_entities(mentions_ds, *, concurrency=None):
                 batch.column("b").to_pylist(),
             )
         )
-    return build_cluster_map(sorted(set(edges)), universe), len(universe)
+    return build_cluster_map(sorted(set(edges)), universe, consolidate), len(universe)
