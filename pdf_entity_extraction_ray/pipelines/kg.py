@@ -22,6 +22,28 @@ import os
 
 import pyarrow as pa
 
+# Thread-safety shim: ray.data's path resolution tries
+# ``from fsspec.implementations.http import HTTPFileSystem`` on every
+# read/write.  In this environment that import always fails (no aiohttp) —
+# single-threaded the ModuleNotFoundError is caught, but CONCURRENT failing
+# imports race into a partially-initialized module that raises a plain
+# ImportError instead, crashing thread-overlapped phase executions.  Plant
+# a sentinel module so the import succeeds deterministically (the sentinel
+# class matches no real filesystem, so behavior is unchanged).
+try:  # pragma: no cover
+    from fsspec.implementations.http import HTTPFileSystem as _HTTPFS  # noqa: F401
+except Exception:  # pragma: no cover
+    import sys as _sys
+    import types as _types
+
+    _mod = _types.ModuleType("fsspec.implementations.http")
+
+    class _SentinelHTTPFileSystem:  # never instantiated
+        pass
+
+    _mod.HTTPFileSystem = _SentinelHTTPFileSystem
+    _sys.modules["fsspec.implementations.http"] = _mod
+
 from ..sources.corpus import cached_catalog, catalog_gazetteer
 from ..stages.annotate import Annotator, explode_mentions_batch, explode_triples_batch
 from ..stages.extract import extract_segments_batch
@@ -30,11 +52,6 @@ from ..stages.linking import link_entities
 from ..state import lineage
 
 CODE_VERSION = 2  # bump to invalidate all phase outputs
-
-
-def _add_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
-    buckets = [lineage.url_bucket(u, n_buckets) for u in batch.column("url").to_pylist()]
-    return batch.append_column("bucket", pa.array(buckets, pa.int32()))
 
 
 def _filter_buckets(batch: pa.Table, wanted: frozenset, n_buckets: int) -> pa.Table:
@@ -92,6 +109,17 @@ def _run_partitioned_phase(
 
     with lineage.PhaseTimer() as timer:
         if missing:
+            import ray
+
+            if override_num_blocks is None:
+                # local block sizing: Ray defaults to ~200 blocks regardless
+                # of data size; for a small local corpus that puts every
+                # stage in the task-overhead-bound regime (measured with
+                # ds.stats()).  2 blocks per CPU keeps the pool busy with
+                # far fewer tasks.  At real scale blocks are 128MB and this
+                # override is unnecessary — callers pass None, and a
+                # multi-node deployment would drop this branch.
+                override_num_blocks = 2 * int(ray.cluster_resources().get("CPU", 16))
             ds = ray.data.read_parquet(
                 pages_path,
                 columns=["url", "warc_ts", "html", "lang"],
@@ -106,13 +134,10 @@ def _run_partitioned_phase(
             ds = ds.map_batches(extract_segments_batch, batch_format="pyarrow")
             ds = ds.map_batches(
                 stage_cls,
-                fn_constructor_kwargs=stage_kwargs,
+                fn_constructor_kwargs={**stage_kwargs, "n_buckets": n_buckets},
                 concurrency=concurrency,
                 batch_size=batch_size,
                 batch_format="pyarrow",
-            )
-            ds = ds.map_batches(
-                _add_bucket, fn_kwargs={"n_buckets": n_buckets}, batch_format="pyarrow"
             )
             # cluster blocks by the partition key before the hive write:
             # without this every task writes a file per bucket it touches
@@ -159,7 +184,7 @@ def run_kg(
     n_per_type: int = 25,
     n_buckets: int = 16,
     concurrency=None,
-    batch_size: int = 128,
+    batch_size: int = 1024,
     resume: bool = True,
     override_num_blocks: int | None = None,
 ) -> dict:
@@ -201,15 +226,24 @@ def run_kg(
         override_num_blocks=override_num_blocks,
     )
 
-    # P2: flat mentions / triples tables = cheap explode projections
-    mentions_dir = _explode_phase(
-        out_dir, "mentions", annotations_dir, explode_mentions_batch,
-        lineage.fingerprint({**base_fp, "phase": "mentions"}), resume,
-    )
-    triples_dir = _explode_phase(
-        out_dir, "triples", annotations_dir, explode_triples_batch,
-        lineage.fingerprint({**base_fp, "phase": "triples"}), resume,
-    )
+    # P2: flat mentions / triples tables = cheap explode projections.
+    # The two datasets are independent -> submit from two driver threads so
+    # their Ray executions overlap (halves this phase's fixed latency).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        mentions_fut = pool.submit(
+            _explode_phase, out_dir, "mentions", annotations_dir,
+            explode_mentions_batch,
+            lineage.fingerprint({**base_fp, "phase": "mentions"}), resume,
+        )
+        triples_fut = pool.submit(
+            _explode_phase, out_dir, "triples", annotations_dir,
+            explode_triples_batch,
+            lineage.fingerprint({**base_fp, "phase": "triples"}), resume,
+        )
+        mentions_dir = mentions_fut.result()
+        triples_dir = triples_fut.result()
 
     # P3: linking — the cluster map is itself a checkpointed Parquet artifact
     fp_link = lineage.fingerprint({**base_fp, "phase": "linking"})
@@ -230,7 +264,8 @@ def run_kg(
             }
             n_surfaces = len(cluster_map)
         else:
-            mentions_ds = ray.data.read_parquet(mentions_dir)
+            # prune at the read: linking consumes only (type, surface)
+            mentions_ds = ray.data.read_parquet(mentions_dir, columns=["type", "surface"])
             cluster_map, n_surfaces = link_entities(mentions_ds)
             import pyarrow.parquet as pq
 
@@ -266,13 +301,24 @@ def run_kg(
 
             for d in (nodes_dir, edges_dir, canon_dir):
                 shutil.rmtree(d, ignore_errors=True)
-            mentions_ds = ray.data.read_parquet(mentions_dir)
-            triples_ds = ray.data.read_parquet(triples_dir)
-            build_nodes(mentions_ds, cluster_map_ref).write_parquet(nodes_dir)
-            build_edges(triples_ds, cluster_map_ref).write_parquet(edges_dir)
-            canonical_triples(
-                ray.data.read_parquet(triples_dir), cluster_map_ref
-            ).write_parquet(canon_dir)
+            # three independent output datasets -> build the (lazy) plans on
+            # the main thread (dataset construction is not thread-safe:
+            # fsspec lazy imports race), then overlap the executions
+            from concurrent.futures import ThreadPoolExecutor
+
+            plans = [
+                (build_nodes(ray.data.read_parquet(
+                    mentions_dir, columns=["type", "surface", "url"]), cluster_map_ref), nodes_dir),
+                (build_edges(ray.data.read_parquet(
+                    triples_dir,
+                    columns=["subj", "subj_type", "pred", "obj", "obj_type", "obj_norm", "url"],
+                ), cluster_map_ref), edges_dir),
+                (canonical_triples(ray.data.read_parquet(triples_dir), cluster_map_ref), canon_dir),
+            ]
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                futures = [pool.submit(ds.write_parquet, path) for ds, path in plans]
+                for f in futures:
+                    f.result()
     if recomputed_graph:
         import pyarrow.dataset as pads
 

@@ -58,10 +58,16 @@ ANNOTATIONS_SCHEMA = pa.schema(
 
 
 class Annotator:
-    """Actor-pool stage: one tagging pass per segment -> nested row."""
+    """Actor-pool stage: one tagging pass per segment -> nested row.
 
-    def __init__(self, gazetteer: list[tuple[str, str]], **tagger_kwargs):
+    When ``n_buckets`` is set, the url-hash ``bucket`` partition column is
+    computed inline (a separate trivial map operator costs more in task
+    overhead than its work, measured via ``ds.stats()``).
+    """
+
+    def __init__(self, gazetteer: list[tuple[str, str]], n_buckets: int = 0, **tagger_kwargs):
         self.tagger = GazetteerTagger(gazetteer, **tagger_kwargs)
+        self.n_buckets = n_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {name: [] for name in ANNOTATIONS_SCHEMA.names}
@@ -96,9 +102,17 @@ class Annotator:
             out["seg_offset"].append(seg_offset)
             out["mentions"].append(mentions)
             out["triples"].append(triples)
-        return pa.table(
+        tbl = pa.table(
             {n: pa.array(out[n], ANNOTATIONS_SCHEMA.field(n).type) for n in ANNOTATIONS_SCHEMA.names}
         )
+        if self.n_buckets:
+            from ..state.lineage import url_bucket
+
+            tbl = tbl.append_column(
+                "bucket",
+                pa.array([url_bucket(u, self.n_buckets) for u in out["url"]], pa.int32()),
+            )
+        return tbl
 
 
 def explode_mentions_batch(batch: pa.Table) -> pa.Table:
