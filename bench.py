@@ -37,7 +37,7 @@ def _sf_label(sf_dir: str) -> float:
 
 
 def bench_corpus_dir(sf: float) -> tuple[str, int]:
-    n_pages = max(2000, int(200_000 * sf))
+    n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "0")) or max(2000, int(200_000 * sf))
     return f"/tmp/graft_bench/pages_{n_pages}", n_pages
 
 
@@ -111,12 +111,29 @@ def main() -> None:
     sf = _sf_label(sf_dir)
 
     if "--scaling" in sys.argv:
-        # fresh process per parallelism level; same input
+        # fresh process per parallelism level; same input.  The small leg is
+        # pinned with taskset so Arrow/parquet internal thread pools can't
+        # borrow the other 24 host cores (they ignore ray.init(num_cpus=8),
+        # which would inflate the small leg and understate true scaling).
+        # corpus sized so per-row compute dominates fixed startup/shuffle
+        # latency (throughput scaling is meaningless in the overhead-bound
+        # regime); override with GRAFT_BENCH_PAGES
+        scale_pages = os.environ.get("GRAFT_BENCH_PAGES") or str(
+            max(100_000, int(200_000 * max(sf, 0)))
+        )
         results = {}
         for cpus in (8, 32):
+            cmd = [sys.executable, __file__, "--headline-child"]
+            if shutil.which("taskset"):
+                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
             out = subprocess.run(
-                [sys.executable, __file__, "--headline-child"],
-                env={**os.environ, "RAY_GRAFT_CPUS": str(cpus), "GRAFT_SF_DIR": sf_dir},
+                cmd,
+                env={
+                    **os.environ,
+                    "RAY_GRAFT_CPUS": str(cpus),
+                    "GRAFT_SF_DIR": sf_dir,
+                    "GRAFT_BENCH_PAGES": scale_pages,
+                },
                 capture_output=True,
                 text=True,
                 check=True,

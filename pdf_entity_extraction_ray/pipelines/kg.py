@@ -166,7 +166,10 @@ def _explode_phase(
         return table_dir
     lineage.invalidate(out_dir, phase, table_dir)
     with lineage.PhaseTimer() as timer:
-        ds = ray.data.read_parquet(annotations_dir)
+        import ray
+
+        nblocks = 2 * int(ray.cluster_resources().get("CPU", 16))
+        ds = ray.data.read_parquet(annotations_dir, override_num_blocks=nblocks)
         ds = ds.map_batches(explode_fn, batch_format="pyarrow")
         ds = ds.sort("bucket")  # cluster by partition key (see annotate phase)
         ds.write_parquet(table_dir, partition_cols=["bucket"])
@@ -265,7 +268,11 @@ def run_kg(
             n_surfaces = len(cluster_map)
         else:
             # prune at the read: linking consumes only (type, surface)
-            mentions_ds = ray.data.read_parquet(mentions_dir, columns=["type", "surface"])
+            mentions_ds = ray.data.read_parquet(
+                mentions_dir,
+                columns=["type", "surface"],
+                override_num_blocks=2 * int(ray.cluster_resources().get("CPU", 16)),
+            )
             cluster_map, n_surfaces = link_entities(mentions_ds)
             import pyarrow.parquet as pq
 
@@ -301,24 +308,50 @@ def run_kg(
 
             for d in (nodes_dir, edges_dir, canon_dir):
                 shutil.rmtree(d, ignore_errors=True)
-            # three independent output datasets -> build the (lazy) plans on
-            # the main thread (dataset construction is not thread-safe:
-            # fsspec lazy imports race), then overlap the executions
+            # nodes and the canonical-triples rewrite are independent ->
+            # overlap them (plans built on the main thread: dataset
+            # construction is not thread-safe, fsspec lazy imports race)
             from concurrent.futures import ThreadPoolExecutor
 
+            nblocks = 2 * int(ray.cluster_resources().get("CPU", 16))
             plans = [
-                (build_nodes(ray.data.read_parquet(
-                    mentions_dir, columns=["type", "surface", "url"]), cluster_map_ref), nodes_dir),
-                (build_edges(ray.data.read_parquet(
-                    triples_dir,
-                    columns=["subj", "subj_type", "pred", "obj", "obj_type", "obj_norm", "url"],
-                ), cluster_map_ref), edges_dir),
-                (canonical_triples(ray.data.read_parquet(triples_dir), cluster_map_ref), canon_dir),
+                (
+                    build_nodes(
+                        ray.data.read_parquet(
+                            mentions_dir,
+                            columns=["type", "surface", "url"],
+                            override_num_blocks=nblocks,
+                        ),
+                        cluster_map_ref,
+                    ),
+                    nodes_dir,
+                ),
+                (
+                    canonical_triples(
+                        ray.data.read_parquet(triples_dir, override_num_blocks=nblocks),
+                        cluster_map_ref,
+                    ),
+                    canon_dir,
+                ),
             ]
-            with ThreadPoolExecutor(max_workers=3) as pool:
+            with ThreadPoolExecutor(max_workers=2) as pool:
                 futures = [pool.submit(ds.write_parquet, path) for ds, path in plans]
                 for f in futures:
                     f.result()
+            # edges derive from the canonical table (node ids already
+            # resolved there) — no second broadcast-map pass over triples
+            from ..stages.graph import build_edges_from_canonical
+
+            build_edges_from_canonical(
+                ray.data.read_parquet(
+                    canon_dir,
+                    columns=[
+                        "src_id", "pred", "dst_id",
+                        "subj_canonical", "obj_canonical", "url",
+                    ],
+                    override_num_blocks=nblocks,
+                )
+            ).write_parquet(edges_dir)
     if recomputed_graph:
         import pyarrow.dataset as pads
 

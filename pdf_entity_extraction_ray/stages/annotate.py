@@ -115,70 +115,73 @@ class Annotator:
         return tbl
 
 
+def _explode(batch: pa.Table, list_col: str, carry: list[str]) -> tuple[pa.Table, pa.Table]:
+    """Vectorized list<struct> explode: returns (flat struct fields as a
+    table, carried parent columns repeated per child) via Arrow
+    ``list_flatten`` / ``list_parent_indices`` — no Python row loop."""
+    import pyarrow.compute as pc
+
+    col = batch.column(list_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = pc.list_flatten(col)
+    parents = pc.list_parent_indices(col)
+    fields = pa.table({f.name: flat.field(f.name) for f in flat.type})
+    carried = pa.table({name: pc.take(batch.column(name), parents) for name in carry})
+    return fields, carried
+
+
+def _mention_ids(urls, seg_ids, starts) -> pa.Array:
+    """Content-derived mention ids (the only per-row Python in the explode)."""
+    out = []
+    for url, seg_id, start in zip(urls.to_pylist(), seg_ids.to_pylist(), starts.to_pylist()):
+        key = f"{url}\x00{seg_id}\x00{start}".encode()
+        out.append(
+            int.from_bytes(hashlib.blake2b(key, digest_size=8).digest(), "little")
+            & 0x7FFFFFFFFFFFFFFF
+        )
+    return pa.array(out, pa.int64())
+
+
 def explode_mentions_batch(batch: pa.Table) -> pa.Table:
     """annotations -> flat MENTIONS_SCHEMA rows (+ passthrough ``bucket``)."""
-    cols: dict[str, list] = {name: [] for name in MENTIONS_SCHEMA.names}
-    buckets: list[int] = []
+    import pyarrow.compute as pc
+
     has_bucket = "bucket" in batch.column_names
-    bucket_vals = batch.column("bucket").to_pylist() if has_bucket else None
-    for i, (url, seg_id, lang, seg_offset, mentions) in enumerate(
-        zip(
-            batch.column("url").to_pylist(),
-            batch.column("seg_id").to_pylist(),
-            batch.column("lang").to_pylist(),
-            batch.column("seg_offset").to_pylist(),
-            batch.column("mentions").to_pylist(),
-        )
-    ):
-        for m in mentions:
-            key = f"{url}\x00{seg_id}\x00{m['start']}".encode()
-            cols["url"].append(url)
-            cols["seg_id"].append(seg_id)
-            cols["lang"].append(lang)
-            cols["mention_id"].append(
-                int.from_bytes(hashlib.blake2b(key, digest_size=8).digest(), "little")
-                & 0x7FFFFFFFFFFFFFFF
-            )
-            cols["text"].append(m["text"])
-            cols["surface"].append(m["surface"])
-            cols["type"].append(m["type"])
-            cols["start"].append(m["start"])
-            cols["end"].append(m["end"])
-            cols["page_start"].append(seg_offset + m["start"])
-            cols["page_end"].append(seg_offset + m["end"])
-            if has_bucket:
-                buckets.append(bucket_vals[i])
+    carry = ["url", "seg_id", "lang", "seg_offset"] + (["bucket"] if has_bucket else [])
+    fields, carried = _explode(batch, "mentions", carry)
+    seg_offset = carried.column("seg_offset").cast(pa.int32())
     tbl = pa.table(
-        {n: pa.array(cols[n], MENTIONS_SCHEMA.field(n).type) for n in MENTIONS_SCHEMA.names}
+        {
+            "url": carried.column("url"),
+            "seg_id": carried.column("seg_id"),
+            "lang": carried.column("lang"),
+            "mention_id": _mention_ids(
+                carried.column("url"), carried.column("seg_id"), fields.column("start")
+            ),
+            "text": fields.column("text"),
+            "surface": fields.column("surface"),
+            "type": fields.column("type"),
+            "start": fields.column("start"),
+            "end": fields.column("end"),
+            "page_start": pc.add(seg_offset, fields.column("start")).cast(pa.int32()),
+            "page_end": pc.add(seg_offset, fields.column("end")).cast(pa.int32()),
+        }
     )
     if has_bucket:
-        tbl = tbl.append_column("bucket", pa.array([str(b) for b in buckets], pa.string()))
+        tbl = tbl.append_column("bucket", carried.column("bucket").cast(pa.string()))
     return tbl
 
 
 def explode_triples_batch(batch: pa.Table) -> pa.Table:
     """annotations -> flat TRIPLES_SCHEMA rows (+ passthrough ``bucket``)."""
-    cols: dict[str, list] = {name: [] for name in TRIPLES_SCHEMA.names}
-    buckets: list[int] = []
     has_bucket = "bucket" in batch.column_names
-    bucket_vals = batch.column("bucket").to_pylist() if has_bucket else None
-    for i, (url, seg_id, triples) in enumerate(
-        zip(
-            batch.column("url").to_pylist(),
-            batch.column("seg_id").to_pylist(),
-            batch.column("triples").to_pylist(),
-        )
-    ):
-        for t in triples:
-            cols["url"].append(url)
-            cols["seg_id"].append(seg_id)
-            for k in _TRIPLE_FIELDS:
-                cols[k].append(t[k])
-            if has_bucket:
-                buckets.append(bucket_vals[i])
-    tbl = pa.table(
-        {n: pa.array(cols[n], TRIPLES_SCHEMA.field(n).type) for n in TRIPLES_SCHEMA.names}
-    )
+    carry = ["url", "seg_id"] + (["bucket"] if has_bucket else [])
+    fields, carried = _explode(batch, "triples", carry)
+    cols = {"url": carried.column("url"), "seg_id": carried.column("seg_id")}
+    for name in _TRIPLE_FIELDS:
+        cols[name] = fields.column(name)
+    tbl = pa.table(cols).select(TRIPLES_SCHEMA.names)
     if has_bucket:
-        tbl = tbl.append_column("bucket", pa.array([str(b) for b in buckets], pa.string()))
+        tbl = tbl.append_column("bucket", carried.column("bucket").cast(pa.string()))
     return tbl

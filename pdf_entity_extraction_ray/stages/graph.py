@@ -5,21 +5,22 @@ The Ray-native rendering of the reference's merged EntitiesDict
 mention lists folded under a representative surface) plus the new
 triples->edges rewrite the north_rule requires.
 
-Both rewrites read the broadcast cluster map (``ray.put`` once, zero-copy
-``ray.get`` inside each task via the object-ref-in-closure pattern) — a
-broadcast hash join, NOT a shuffle join: the map is the small side by
-construction (distinct linked surfaces).
+Rewrites read the broadcast cluster map (``ray.put`` once, zero-copy
+``ray.get`` inside each task) — a broadcast hash join, NOT a shuffle join:
+the map is the small side by construction (distinct linked surfaces).
 
-Aggregations are two-stage (per-batch partial combine inside
-``map_batches``, then a small ``groupby`` reduce) so the shuffle moves one
-row per (node) / (src, pred, dst) per block instead of one per mention —
-the head-entity-skew treatment from SURVEY §4.
+Hot paths are vectorized: per-batch combining uses Arrow ``group_by``
+(C++), so the Python dict-resolution loop runs over DISTINCT keys per
+batch, never raw rows; the canonical rewrite maps whole columns through
+pandas ``Series.map``.  Aggregations are two-stage (per-batch partial
+combine, then a small ``groupby`` reduce) so shuffles move one row per
+group per block — the head-entity-skew treatment from SURVEY §4.
 """
 
 from __future__ import annotations
 
-
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .linking import LINKED_TYPES, node_id_of
 
@@ -75,23 +76,31 @@ def resolve(cluster_map: dict, typ: str, surface: str, obj_norm: str = "") -> tu
 
 
 def node_partials_batch(batch: pa.Table, cluster_map: dict) -> pa.Table:
-    """mentions batch -> partial per-node aggregates (pure fn form)."""
+    """mentions batch -> partial per-node aggregates.
+
+    Arrow ``group_by`` (C++) reduces the batch to distinct (type, surface)
+    rows first; the Python resolution loop then touches only those."""
+    keep = pc.is_in(batch.column("type"), pa.array(LINKED_TYPES))
+    sub = batch.filter(keep)
+    g = sub.group_by(["type", "surface"]).aggregate(
+        [("url", "count"), ("url", "min"), ("url", "max")]
+    )
     acc: dict[int, dict] = {}
-    for typ, surface, url in zip(
-        batch.column("type").to_pylist(),
-        batch.column("surface").to_pylist(),
-        batch.column("url").to_pylist(),
+    for typ, surface, n, url_min, url_max in zip(
+        g.column("type").to_pylist(),
+        g.column("surface").to_pylist(),
+        g.column("url_count").to_pylist(),
+        g.column("url_min").to_pylist(),
+        g.column("url_max").to_pylist(),
     ):
-        if typ not in LINKED_TYPES:
-            continue
         nid, canon = resolve(cluster_map, typ, surface)
         a = acc.setdefault(
             nid, {"canonical": canon, "type": typ, "aliases": set(), "n": 0, "urls": set()}
         )
         a["aliases"].add(surface)
-        a["n"] += 1
+        a["n"] += n
         if len(a["urls"]) < MAX_URLS_PER_NODE:
-            a["urls"].add(url)
+            a["urls"].update((url_min, url_max))
     return pa.table(
         {
             "node_id": pa.array(list(acc), pa.int64()),
@@ -143,39 +152,103 @@ def build_nodes(mentions_ds, cluster_map_ref):
 
 
 # --------------------------------------------------------------------------
-# edges
+# canonical triples (carries node ids so edges need no further lookups)
 
 
-def edge_partials_batch(batch: pa.Table, cluster_map: dict) -> pa.Table:
-    """triples batch -> partial per-(src, pred, dst) aggregates."""
-    acc: dict[tuple[int, str, int], dict] = {}
-    for subj, subj_type, pred, obj, obj_type, obj_norm, url in zip(
-        batch.column("subj").to_pylist(),
-        batch.column("subj_type").to_pylist(),
-        batch.column("pred").to_pylist(),
-        batch.column("obj").to_pylist(),
-        batch.column("obj_type").to_pylist(),
-        batch.column("obj_norm").to_pylist(),
-        batch.column("url").to_pylist(),
-    ):
-        src_id, src_canon = resolve(cluster_map, subj_type, subj)
-        dst_id, dst_canon = resolve(cluster_map, obj_type, obj, obj_norm)
-        key = (src_id, pred, dst_id)
-        a = acc.setdefault(
-            key, {"src_canonical": src_canon, "dst_canonical": dst_canon, "w": 0, "urls": set()}
+def canonical_triples(triples_ds, cluster_map_ref):
+    """triples Dataset -> triples + (subj/obj canonical, src/dst node id)
+    columns — the table the P/R evaluation consumes AND the sole input to
+    the edges aggregation (no second broadcast-map pass over raw triples).
+
+    The rewrite is column-vectorized: one pandas ``Series.map`` against the
+    broadcast dict per side; only DATE objects take the per-row path."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        canon_map, id_map = _flat_maps(cluster_map_ref)
+
+        def map_side(types, surfaces, obj_norms=None):
+            keys = pd.Series(
+                [t + "\x00" + s for t, s in zip(types, surfaces)], dtype=object
+            )
+            canon = keys.map(canon_map)
+            ids = keys.map(id_map)
+            # fallbacks: DATE canonicalization + unresolved singleton nodes
+            missing = canon.isna().to_numpy().nonzero()[0]
+            if len(missing):
+                canon = canon.to_numpy(dtype=object)
+                ids = ids.to_numpy(dtype=object)
+                for i in missing:
+                    typ, surface = types[i], surfaces[i]
+                    obj_norm = obj_norms[i] if obj_norms is not None else ""
+                    nid, c = resolve({}, typ, surface, obj_norm)
+                    canon[i] = c
+                    ids[i] = nid
+            else:
+                canon = canon.to_numpy(dtype=object)
+                ids = ids.to_numpy(dtype=object)
+            return (
+                pa.array(canon.tolist(), pa.string()),
+                pa.array([int(x) for x in ids], pa.int64()),
+            )
+
+        subj_canon, src_id = map_side(
+            batch.column("subj_type").to_pylist(), batch.column("subj").to_pylist()
         )
-        a["w"] += 1
-        if len(a["urls"]) < MAX_URLS_PER_EDGE:
-            a["urls"].add(url)
+        obj_canon, dst_id = map_side(
+            batch.column("obj_type").to_pylist(),
+            batch.column("obj").to_pylist(),
+            batch.column("obj_norm").to_pylist(),
+        )
+        return (
+            batch.append_column("subj_canonical", subj_canon)
+            .append_column("obj_canonical", obj_canon)
+            .append_column("src_id", src_id)
+            .append_column("dst_id", dst_id)
+        )
+
+    return triples_ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _flat_maps(cluster_map_ref):
+    """Derive flat-key (canon_map, id_map) dicts from the broadcast cluster
+    map ONCE per worker process (ObjectRefs hash stably; ray.get of the
+    same ref is plasma-cached)."""
+    import ray
+
+    cluster_map = ray.get(cluster_map_ref)
+    canon_map = {t + "\x00" + s: c for (t, s), (_nid, c) in cluster_map.items()}
+    id_map = {t + "\x00" + s: nid for (t, s), (nid, _c) in cluster_map.items()}
+    return canon_map, id_map
+
+
+# --------------------------------------------------------------------------
+# edges (from the canonical table — ids already resolved)
+
+
+def edge_partials_batch(batch: pa.Table) -> pa.Table:
+    """canonical-triples batch -> partial per-(src, pred, dst) aggregates
+    (pure Arrow group_by; no dict lookups needed)."""
+    g = batch.group_by(["src_id", "pred", "dst_id", "subj_canonical", "obj_canonical"]).aggregate(
+        [("url", "count"), ("url", "min")]
+    )
     return pa.table(
         {
-            "src_id": pa.array([k[0] for k in acc], pa.int64()),
-            "pred": pa.array([k[1] for k in acc], pa.string()),
-            "dst_id": pa.array([k[2] for k in acc], pa.int64()),
-            "src_canonical": pa.array([a["src_canonical"] for a in acc.values()], pa.string()),
-            "dst_canonical": pa.array([a["dst_canonical"] for a in acc.values()], pa.string()),
-            "weight": pa.array([a["w"] for a in acc.values()], pa.int64()),
-            "urls": pa.array([sorted(a["urls"]) for a in acc.values()], pa.list_(pa.string())),
+            "src_id": g.column("src_id"),
+            "pred": g.column("pred"),
+            "dst_id": g.column("dst_id"),
+            "src_canonical": g.column("subj_canonical"),
+            "dst_canonical": g.column("obj_canonical"),
+            "weight": g.column("url_count").cast(pa.int64()),
+            "urls": pa.array(
+                [[u] for u in g.column("url_min").to_pylist()], pa.list_(pa.string())
+            ),
         }
     )
 
@@ -200,42 +273,15 @@ def edge_final_merge(group: pa.Table) -> pa.Table:
     )
 
 
-def build_edges(triples_ds, cluster_map_ref):
-    """triples Dataset + broadcast cluster map -> edges Dataset."""
-    import ray
-
-    def partial(batch: pa.Table) -> pa.Table:
-        return edge_partials_batch(batch, ray.get(cluster_map_ref))
-
+def build_edges_from_canonical(canonical_ds):
+    """canonical-triples Dataset -> edges Dataset (two-stage aggregate)."""
     return (
-        triples_ds.map_batches(partial, batch_format="pyarrow")
+        canonical_ds.map_batches(edge_partials_batch, batch_format="pyarrow")
         .groupby(["src_id", "pred", "dst_id"])
         .map_groups(edge_final_merge, batch_format="pyarrow")
     )
 
 
-def canonical_triples(triples_ds, cluster_map_ref):
-    """triples Dataset -> triples with canonical subj/obj columns added
-    (the table the P/R evaluation consumes)."""
-    import ray
-
-    def rewrite(batch: pa.Table) -> pa.Table:
-        cluster_map = ray.get(cluster_map_ref)
-        subj_canon: list[str] = []
-        obj_canon: list[str] = []
-        for subj, subj_type, obj, obj_type, obj_norm in zip(
-            batch.column("subj").to_pylist(),
-            batch.column("subj_type").to_pylist(),
-            batch.column("obj").to_pylist(),
-            batch.column("obj_type").to_pylist(),
-            batch.column("obj_norm").to_pylist(),
-        ):
-            _, sc = resolve(cluster_map, subj_type, subj)
-            _, oc = resolve(cluster_map, obj_type, obj, obj_norm)
-            subj_canon.append(sc)
-            obj_canon.append(oc)
-        return batch.append_column("subj_canonical", pa.array(subj_canon, pa.string())).append_column(
-            "obj_canonical", pa.array(obj_canon, pa.string())
-        )
-
-    return triples_ds.map_batches(rewrite, batch_format="pyarrow")
+def build_edges(triples_ds, cluster_map_ref):
+    """Back-compat: raw triples -> canonical rewrite -> edges."""
+    return build_edges_from_canonical(canonical_triples(triples_ds, cluster_map_ref))
