@@ -246,40 +246,47 @@ def edge_partials_batch(batch: pa.Table) -> pa.Table:
             "src_canonical": g.column("subj_canonical"),
             "dst_canonical": g.column("obj_canonical"),
             "weight": g.column("url_count").cast(pa.int64()),
-            "urls": pa.array(
-                [[u] for u in g.column("url_min").to_pylist()], pa.list_(pa.string())
+            "url_sample": g.column("url_min"),
+        }
+    )
+
+
+def _edge_finalize_batch(batch: pa.Table) -> pa.Table:
+    """Rename aggregate columns to EDGES_SCHEMA and wrap the sampled url."""
+    return pa.table(
+        {
+            "src_id": batch.column("src_id"),
+            "src_canonical": batch.column("src_canonical"),
+            "pred": batch.column("pred"),
+            "dst_id": batch.column("dst_id"),
+            "dst_canonical": batch.column("dst_canonical"),
+            "weight": batch.column("weight"),
+            "urls_sample": pa.array(
+                [[u] for u in batch.column("url_sample").to_pylist()], pa.list_(pa.string())
             ),
         }
     )
 
 
-def edge_final_merge(group: pa.Table) -> pa.Table:
-    urls: set[str] = set()
-    weight = 0
-    for row_urls in group.column("urls").to_pylist():
-        urls.update(row_urls)
-    for w in group.column("weight").to_pylist():
-        weight += w
-    return pa.table(
-        {
-            "src_id": pa.array([group.column("src_id")[0].as_py()], pa.int64()),
-            "src_canonical": pa.array([group.column("src_canonical")[0].as_py()], pa.string()),
-            "pred": pa.array([group.column("pred")[0].as_py()], pa.string()),
-            "dst_id": pa.array([group.column("dst_id")[0].as_py()], pa.int64()),
-            "dst_canonical": pa.array([group.column("dst_canonical")[0].as_py()], pa.string()),
-            "weight": pa.array([weight], pa.int64()),
-            "urls_sample": pa.array([sorted(urls)[:MAX_URLS_PER_EDGE]], pa.list_(pa.string())),
-        }
-    )
-
-
 def build_edges_from_canonical(canonical_ds):
-    """canonical-triples Dataset -> edges Dataset (two-stage aggregate)."""
-    return (
+    """canonical-triples Dataset -> edges Dataset.
+
+    Final reduce uses Ray's built-in vectorized aggregates (Sum/Min), NOT
+    ``map_groups``: with tens of thousands of edge groups, per-group Python
+    invocation dominates wall time (measured 28s of a 300k-page run)."""
+    from ray.data.aggregate import Min, Sum
+
+    agg = (
         canonical_ds.map_batches(edge_partials_batch, batch_format="pyarrow")
         .groupby(["src_id", "pred", "dst_id"])
-        .map_groups(edge_final_merge, batch_format="pyarrow")
+        .aggregate(
+            Sum("weight", alias_name="weight"),
+            Min("src_canonical", alias_name="src_canonical"),
+            Min("dst_canonical", alias_name="dst_canonical"),
+            Min("url_sample", alias_name="url_sample"),
+        )
     )
+    return agg.map_batches(_edge_finalize_batch, batch_format="pyarrow")
 
 
 def build_edges(triples_ds, cluster_map_ref):
