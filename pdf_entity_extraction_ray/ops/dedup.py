@@ -60,15 +60,28 @@ def exact_dedup(docs_ds):
         out = batch.take(pa.array(idx, pa.int64()))
         return out.append_column("dedup_key", pa.array(list(best.keys()), pa.string()))
 
-    def final(group: pa.Table) -> pa.Table:
-        i = int(pa.compute.index(group.column("doc_id"), pa.compute.min(group.column("doc_id"))).as_py())
-        return group.take(pa.array([i], pa.int64())).drop_columns(["dedup_key"])
+    from ray.data.aggregate import Min
 
-    return (
-        docs_ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("dedup_key")
-        .map_groups(final, batch_format="pyarrow")
-    )
+    partials = docs_ds.map_batches(partial, batch_format="pyarrow").materialize()
+    # vectorized final reduce (per-group map_groups would pay Python
+    # invocation per distinct text): min doc_id per key, then broadcast the
+    # winning id set and filter the partial rows — ids only, never text
+    winners = partials.groupby("dedup_key").aggregate(Min("doc_id", alias_name="doc_id"))
+    import numpy as np
+    import ray
+
+    ids: list[int] = []
+    for b in winners.iter_batches(batch_format="pyarrow"):
+        ids.extend(b.column("doc_id").to_pylist())
+    keep_ref = ray.put(np.array(sorted(ids), dtype=np.int64))
+
+    def keep_winners(batch: pa.Table) -> pa.Table:
+        keep = ray.get(keep_ref)
+        doc_ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        mask = np.isin(doc_ids, keep)
+        return batch.filter(pa.array(mask)).drop_columns(["dedup_key"])
+
+    return partials.map_batches(keep_winners, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -112,10 +125,6 @@ def _band_candidates(group: pa.Table) -> pa.Table:
     return pa.table({"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())})
 
 
-def _first_row(group: pa.Table) -> pa.Table:
-    return group.slice(0, 1)
-
-
 def minhash_lsh_pairs(docs_ds, threshold: float = 0.7):
     """Near-duplicate (doc_a, doc_b) pairs with word-3-gram Jaccard >=
     ``threshold``; doc_a < doc_b.
@@ -137,7 +146,8 @@ def minhash_lsh_pairs(docs_ds, threshold: float = 0.7):
         .groupby("band")
         .map_groups(_band_candidates, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
-        .map_groups(_first_row, batch_format="pyarrow")
+        .count()  # vectorized distinct (map_groups-per-pair would be slow)
+        .select_columns(["doc_a", "doc_b"])
     )
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -201,12 +211,14 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
             }
         )
 
+    from ray.data.aggregate import Min
+
     return (
         docs_ds.map_batches(simhash_rows_batch, batch_format="pyarrow")
         .groupby("chunk")
         .map_groups(chunk_candidates, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
-        .map_groups(_first_row, batch_format="pyarrow")
+        .aggregate(Min("hamming", alias_name="hamming"))  # vectorized distinct
     )
 
 

@@ -221,7 +221,7 @@ def run_kg(
         pages_path=pages_path,
         fp=lineage.fingerprint({**base_fp, "phase": "annotations"}),
         stage_cls=Annotator,
-        stage_kwargs={"gazetteer": gazetteer, "use_windows": False},
+        stage_kwargs={"gazetteer": gazetteer, "use_windows": True},
         n_buckets=n_buckets,
         concurrency=concurrency,
         batch_size=batch_size,

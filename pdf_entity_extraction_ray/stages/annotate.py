@@ -57,16 +57,41 @@ ANNOTATIONS_SCHEMA = pa.schema(
 )
 
 
+ENSEMBLE_SPLITS = (("PERSON", "DATE"), ("ORG", "LAW"), ("GPE",))
+
+
 class Annotator:
     """Actor-pool stage: one tagging pass per segment -> nested row.
+
+    ``ensemble=True`` (default) mirrors the reference's headline extractor
+    — the 3-model ensemble (A6, src/methods/MultipleEntityExtractor.py:
+    14-17): the gazetteer splits by type into three member taggers, each
+    scanning the full segment (the reference runs three full models per
+    segment); the union passes the shared M7+M6 chain.  Emitted spans are
+    identical to the single-tagger path (members partition the type space).
 
     When ``n_buckets`` is set, the url-hash ``bucket`` partition column is
     computed inline (a separate trivial map operator costs more in task
     overhead than its work, measured via ``ds.stats()``).
     """
 
-    def __init__(self, gazetteer: list[tuple[str, str]], n_buckets: int = 0, **tagger_kwargs):
-        self.tagger = GazetteerTagger(gazetteer, **tagger_kwargs)
+    def __init__(
+        self,
+        gazetteer: list[tuple[str, str]],
+        n_buckets: int = 0,
+        ensemble: bool = True,
+        **tagger_kwargs,
+    ):
+        if ensemble:
+            from .ensemble import EnsembleTagger
+
+            members = []
+            for types in ENSEMBLE_SPLITS:
+                sub = [(s, t) for s, t in gazetteer if t in types]
+                members.append(("gazetteer", {"gazetteer": sub, **tagger_kwargs}))
+            self.tagger = EnsembleTagger(members)
+        else:
+            self.tagger = GazetteerTagger(gazetteer, **tagger_kwargs)
         self.n_buckets = n_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
