@@ -117,10 +117,9 @@ def main() -> None:
         # which would inflate the small leg and understate true scaling).
         # corpus sized so per-row compute dominates fixed startup/shuffle
         # latency (throughput scaling is meaningless in the overhead-bound
-        # regime); override with GRAFT_BENCH_PAGES
-        scale_pages = os.environ.get("GRAFT_BENCH_PAGES") or str(
-            max(100_000, int(200_000 * max(sf, 0)))
-        )
+        # regime; ~30s of single-node framework latency needs ~10min of
+        # core-work to amortize to >=0.8); override with GRAFT_BENCH_PAGES
+        scale_pages = os.environ.get("GRAFT_BENCH_PAGES") or "1000000"
         results = {}
         for cpus in (8, 32):
             cmd = [sys.executable, __file__, "--headline-child"]

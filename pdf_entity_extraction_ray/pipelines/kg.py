@@ -54,6 +54,13 @@ from ..state import lineage
 CODE_VERSION = 2  # bump to invalidate all phase outputs
 
 
+def _add_bucket_col(batch: pa.Table, n_buckets: int) -> pa.Table:
+    """Sort key for pre-stage clustering (dropped by the extract stage; the
+    annotator recomputes the identical content-derived value per row)."""
+    buckets = [lineage.url_bucket(u, n_buckets) for u in batch.column("url").to_pylist()]
+    return batch.append_column("bucket", pa.array(buckets, pa.int32()))
+
+
 def _filter_buckets(batch: pa.Table, wanted: frozenset, n_buckets: int) -> pa.Table:
     mask = [lineage.url_bucket(u, n_buckets) in wanted for u in batch.column("url").to_pylist()]
     return batch.filter(pa.array(mask, pa.bool_()))
@@ -140,9 +147,11 @@ def _run_partitioned_phase(
                 batch_format="pyarrow",
             )
             # cluster blocks by the partition key before the hive write:
-            # without this every task writes a file per bucket it touches
-            # (blocks x buckets tiny files; re-reading them dominated wall
-            # time), with it file count ~ block count
+            # without it every task writes a file per bucket it touches
+            # (blocks x buckets tiny files — measured to poison EVERY
+            # downstream read, even with override_num_blocks); with it the
+            # file count is ~n_buckets and downstream explodes inherit the
+            # clustering (so they need no shuffle of their own)
             ds = ds.sort("bucket")
             ds.write_parquet(table_dir, partition_cols=["bucket"])
 
@@ -155,10 +164,20 @@ def _run_partitioned_phase(
 
 
 def _explode_phase(
-    out_dir: str, phase: str, annotations_dir: str, explode_fn, fp: str, resume: bool
+    out_dir: str,
+    phase: str,
+    annotations_dir: str,
+    explode_fn,
+    fp: str,
+    resume: bool,
+    columns: list[str] | None = None,
 ) -> str:
     """annotations -> flat table via a stateless explode (whole-phase
-    manifest; the artifact keeps the hive ``bucket`` partitioning)."""
+    manifest; the artifact keeps the hive ``bucket`` partitioning).
+
+    The annotations artifact is bucket-clustered on disk, and the explode
+    preserves block order, so the hive write needs no shuffle; ``columns``
+    prunes the read (each explode consumes only its own nested column)."""
     import ray.data
 
     table_dir = os.path.join(out_dir, phase)
@@ -169,9 +188,10 @@ def _explode_phase(
         import ray
 
         nblocks = 2 * int(ray.cluster_resources().get("CPU", 16))
-        ds = ray.data.read_parquet(annotations_dir, override_num_blocks=nblocks)
+        ds = ray.data.read_parquet(
+            annotations_dir, columns=columns, override_num_blocks=nblocks
+        )
         ds = ds.map_batches(explode_fn, batch_format="pyarrow")
-        ds = ds.sort("bucket")  # cluster by partition key (see annotate phase)
         ds.write_parquet(table_dir, partition_cols=["bucket"])
     total, per = _bucket_rows(table_dir)
     lineage.write_manifest(out_dir, phase, fp, total, timer.wall, per)
@@ -239,11 +259,13 @@ def run_kg(
             _explode_phase, out_dir, "mentions", annotations_dir,
             explode_mentions_batch,
             lineage.fingerprint({**base_fp, "phase": "mentions"}), resume,
+            ["url", "seg_id", "lang", "seg_offset", "mentions", "bucket"],
         )
         triples_fut = pool.submit(
             _explode_phase, out_dir, "triples", annotations_dir,
             explode_triples_batch,
             lineage.fingerprint({**base_fp, "phase": "triples"}), resume,
+            ["url", "seg_id", "triples", "bucket"],
         )
         mentions_dir = mentions_fut.result()
         triples_dir = triples_fut.result()
@@ -376,3 +398,36 @@ def run_kg(
         "distinct_surfaces": n_surfaces,
         "link_wall_sec": round(t_link.wall, 3),
     }
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI entry (``ray job submit -- python -m
+    pdf_entity_extraction_ray.pipelines.kg <pages_dir> <out_dir>``)."""
+    import argparse
+    import json
+
+    parser = argparse.ArgumentParser(description="Run the KG pipeline")
+    parser.add_argument("pages", help="pages Parquet dir")
+    parser.add_argument("out", help="output dir")
+    parser.add_argument("--n-buckets", type=int, default=16)
+    parser.add_argument("--batch-size", type=int, default=1024)
+    parser.add_argument("--no-resume", action="store_true")
+    args = parser.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():  # the job submitter may have initialised
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"), include_dashboard=False)
+    result = run_kg(
+        args.pages,
+        args.out,
+        n_buckets=args.n_buckets,
+        batch_size=args.batch_size,
+        resume=not args.no_resume,
+    )
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
