@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_langid": docs_op(text.langid_batch),
         # --- dedup family ---
         "docs_exact_dedup": lambda sf: dedup.exact_dedup(_read(sf, "documents")),
+        "docs_wordset_dedup": lambda sf: dedup.wordset_dedup(_read(sf, "documents")),
         "docs_minhash_dedup": lambda sf: dedup.minhash_lsh_pairs(_read(sf, "documents"), 0.7),
         "docs_simhash_dedup": lambda sf: dedup.simhash_pairs(_read(sf, "documents"), 3),
         "emb_cosine_dedup": lambda sf: dedup.embedding_cosine_pairs(_read(sf, "embeddings"), 0.5),
@@ -137,6 +138,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "event_sessions": lambda sf: relational.event_sessions(_read(sf, "events"), 30),
         "event_type_counts": lambda sf: relational.event_type_counts(_read(sf, "events")),
+        "events_daily_counts": lambda sf: relational.events_daily_counts(_read(sf, "events")),
+        "lineitem_recent_agg": lambda sf: relational.lineitem_recent_agg(sf, "1998-01-01"),
+        "parts_by_brand": lambda sf: relational.parts_by_brand(_read(sf, "part")),
         # --- multimodal plumbing (deterministic fake kernels) ---
         "multimodal_image_features": multimodal_features,
         "multimodal_frame_sample": multimodal_frames,
@@ -237,5 +241,29 @@ def oracle_sql() -> dict[str, str]:
             select event_type, count(*) as n_events,
                    min(value) as min_value, max(value) as max_value
             from events group by event_type
+        """,
+        "docs_wordset_dedup": """
+            with k as (select *, md5(list_aggregate(
+                           list_sort(list_distinct(
+                               regexp_extract_all(lower(text), '[a-z0-9_]+'))),
+                           'string_agg', ' ')) as wk
+                       from documents)
+            select doc_id, text, lang, source, n_chars from k
+            qualify row_number() over (partition by wk order by doc_id) = 1
+        """,
+        "events_daily_counts": """
+            select strftime(ts, '%Y-%m-%d') as day, event_type,
+                   count(*) as n_events
+            from events group by day, event_type
+        """,
+        "lineitem_recent_agg": """
+            select l_returnflag, sum(l_quantity) as sum_qty, count(*) as n_rows
+            from lineitem where l_shipdate >= timestamp '1998-01-01'
+            group by l_returnflag
+        """,
+        "parts_by_brand": """
+            select p_brand, count(*) as n_parts,
+                   max(p_retailprice) as max_price, min(p_size) as min_size
+            from part group by p_brand
         """,
     }

@@ -60,16 +60,21 @@ def exact_dedup(docs_ds):
         out = batch.take(pa.array(idx, pa.int64()))
         return out.append_column("dedup_key", pa.array(list(best.keys()), pa.string()))
 
+    return _keep_min_doc_per_key(docs_ds.map_batches(partial, batch_format="pyarrow"))
+
+
+def _keep_min_doc_per_key(keyed_ds):
+    """Rows with a ``dedup_key`` column -> keep the min-doc_id row per key.
+
+    Vectorized final reduce (per-group map_groups would pay Python
+    invocation per distinct key): Min aggregate over ids, then broadcast
+    the winning id set and filter — ids only travel, never text."""
     from ray.data.aggregate import Min
 
-    partials = docs_ds.map_batches(partial, batch_format="pyarrow").materialize()
-    # vectorized final reduce (per-group map_groups would pay Python
-    # invocation per distinct text): min doc_id per key, then broadcast the
-    # winning id set and filter the partial rows — ids only, never text
-    winners = partials.groupby("dedup_key").aggregate(Min("doc_id", alias_name="doc_id"))
-    import numpy as np
     import ray
 
+    partials = keyed_ds.materialize()
+    winners = partials.groupby("dedup_key").aggregate(Min("doc_id", alias_name="doc_id"))
     ids: list[int] = []
     for b in winners.iter_batches(batch_format="pyarrow"):
         ids.extend(b.column("doc_id").to_pylist())
@@ -82,6 +87,16 @@ def exact_dedup(docs_ds):
         return batch.filter(pa.array(mask)).drop_columns(["dedup_key"])
 
     return partials.map_batches(keep_winners, batch_format="pyarrow")
+
+
+def wordset_dedup(docs_ds):
+    """Bag-of-words dedup: keep the min-doc_id row per distinct word SET
+    (n-gram dedup with n=1 over sets; key from ops.text.wordset_key_batch)."""
+    from .text import wordset_key_batch
+
+    return _keep_min_doc_per_key(
+        docs_ds.map_batches(wordset_key_batch, batch_format="pyarrow")
+    )
 
 
 # --------------------------------------------------------------------------

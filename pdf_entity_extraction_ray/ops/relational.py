@@ -213,3 +213,111 @@ def event_type_counts(events_ds):
         .groupby("event_type")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def events_daily_counts(events_ds):
+    """Tumbling 1-day window counts per event_type (the windowed-aggregate
+    engine op; two-stage)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        days = pc.strftime(batch.column("ts"), format="%Y-%m-%d")
+        t = pa.table({"day": days, "event_type": batch.column("event_type")})
+        g = t.group_by(["day", "event_type"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "day": g.column("day"),
+                "event_type": g.column("event_type"),
+                "n_events": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": group.column("day").slice(0, 1),
+                "event_type": group.column("event_type").slice(0, 1),
+                "n_events": pa.array([pc.sum(group.column("n_events")).as_py()], pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.select_columns(["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def lineitem_recent_agg(sf_dir: str, cutoff: str = "1998-01-01"):
+    """Predicate pushdown at the read (rows never leave storage) + agg."""
+    import datetime
+
+    import pyarrow.dataset as pads
+    import ray.data
+
+    cut = datetime.datetime.fromisoformat(cutoff)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= cut),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("l_returnflag").aggregate(
+            [("l_quantity", "sum"), ("l_quantity", "count")]
+        )
+        return pa.table(
+            {
+                "l_returnflag": g.column("l_returnflag"),
+                "sum_qty": g.column("l_quantity_sum"),
+                "n_rows": g.column("l_quantity_count").cast(pa.int64()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": group.column("l_returnflag").slice(0, 1),
+                "sum_qty": pa.array([pc.sum(group.column("sum_qty")).as_py()], pa.float64()),
+                "n_rows": pa.array([pc.sum(group.column("n_rows")).as_py()], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def parts_by_brand(part_ds):
+    """Dimension-table profile: per-brand counts + extrema."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("p_brand").aggregate(
+            [("p_retailprice", "max"), ("p_size", "min"), ("p_partkey", "count")]
+        )
+        return pa.table(
+            {
+                "p_brand": g.column("p_brand"),
+                "n_parts": g.column("p_partkey_count").cast(pa.int64()),
+                "max_price": g.column("p_retailprice_max"),
+                "min_size": g.column("p_size_min").cast(pa.int32()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": group.column("p_brand").slice(0, 1),
+                "n_parts": pa.array([pc.sum(group.column("n_parts")).as_py()], pa.int64()),
+                "max_price": pa.array([pc.max(group.column("max_price")).as_py()], pa.float64()),
+                "min_size": pa.array([pc.min(group.column("min_size")).as_py()], pa.int32()),
+            }
+        )
+
+    return (
+        part_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -116,3 +116,14 @@ def langid_batch(batch: pa.Table) -> pa.Table:
             "lang_pred": pa.array(preds, pa.string()),
         }
     )
+
+
+def wordset_key_batch(batch: pa.Table) -> pa.Table:
+    """Bag-of-words dedup key: md5 of the space-joined sorted distinct
+    token set (ASCII tokens sort identically in Python and SQL, so the
+    DuckDB oracle reproduces the key byte-for-byte)."""
+    keys = []
+    for t in batch.column("text").to_pylist():
+        words = sorted(set(TOKEN_RE.findall(t.lower())))
+        keys.append(hashlib.md5(" ".join(words).encode("utf-8")).hexdigest())
+    return batch.append_column("dedup_key", pa.array(keys, pa.string()))
