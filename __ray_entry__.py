@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "orders"), _read(sf, "customer")
         ),
         "top_orders": lambda sf: relational.top_orders(_read(sf, "orders"), 10),
+        "top_orders_scalable": lambda sf: relational.top_orders_scalable(_read(sf, "orders"), 10),
         "supplier_counts_by_region": lambda sf: relational.supplier_counts_by_region(
             _read(sf, "supplier"), _read(sf, "nation"), _read(sf, "region")
         ),
@@ -217,6 +218,10 @@ def oracle_sql() -> dict[str, str]:
             group by c_mktsegment
         """,
         "top_orders": """
+            select o_orderkey from orders
+            order by o_totalprice desc, o_orderkey limit 10
+        """,
+        "top_orders_scalable": """
             select o_orderkey from orders
             order by o_totalprice desc, o_orderkey limit 10
         """,

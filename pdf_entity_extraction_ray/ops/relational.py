@@ -321,3 +321,31 @@ def parts_by_brand(part_ds):
         .groupby("p_brand")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def top_orders_scalable(orders_ds, k: int = 10):
+    """Top-k without a full sort (the scale path for O3): per-batch partial
+    top-k combiner, single-group final merge — moves num_blocks*k rows,
+    never the table."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            batch,
+            k=min(k, batch.num_rows),
+            sort_keys=[("o_totalprice", "descending"), ("o_orderkey", "ascending")],
+        )
+        return batch.take(idx).select(["o_orderkey", "o_totalprice"])
+
+    def final(batch: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            batch,
+            k=min(k, batch.num_rows),
+            sort_keys=[("o_totalprice", "descending"), ("o_orderkey", "ascending")],
+        )
+        return batch.take(idx).select(["o_orderkey"])
+
+    partials = orders_ds.select_columns(["o_orderkey", "o_totalprice"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    # the combined partials are tiny (blocks * k rows): one final batch
+    return partials.repartition(1).map_batches(final, batch_format="pyarrow")

@@ -51,7 +51,7 @@ from ..stages.graph import build_edges, build_nodes, canonical_triples
 from ..stages.linking import link_entities
 from ..state import lineage
 
-CODE_VERSION = 2  # bump to invalidate all phase outputs
+CODE_VERSION = 3  # bump to invalidate all phase outputs
 
 
 def _add_bucket_col(batch: pa.Table, n_buckets: int) -> pa.Table:

@@ -179,3 +179,25 @@ class TestMultimodal:
         media = synthesize_media_batch(pa.table({"id": pa.array(range(30), pa.int64())}))
         frames = FrameSampler(every_ms=250)(media)
         assert set(frames.column("frame_ms").to_pylist()) == {0, 250, 500, 750}
+
+
+class TestCatalogRobustness:
+    def test_catalog_valid_at_other_seeds_and_sizes(self):
+        from pdf_entity_extraction_ray.sources.corpus import make_catalog, validate_catalog
+
+        for seed, n in ((7, 40), (123, 60)):
+            cat = make_catalog(seed, n)
+            assert validate_catalog(cat) == []
+            assert len(cat) >= 3 * n  # rejection sampling keeps most clusters
+
+
+def test_top_orders_scalable_matches_sort_limit(ray_session):
+    import ray.data
+
+    from pdf_entity_extraction_ray.ops.relational import top_orders, top_orders_scalable
+
+    orders = ray.data.read_parquet(os.path.join(SF, "orders.parquet"))
+    a = _collect(top_orders(orders, 10)).column("o_orderkey").to_pylist()
+    orders = ray.data.read_parquet(os.path.join(SF, "orders.parquet"))
+    b = _collect(top_orders_scalable(orders, 10)).column("o_orderkey").to_pylist()
+    assert sorted(a) == sorted(b)
