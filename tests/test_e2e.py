@@ -210,3 +210,56 @@ def test_determinism_across_parallelism(small_corpus, tmp_path_factory):
         )
 
     assert node_key(out1) == node_key(out2)
+
+
+def test_pipeline_correct_at_other_seed(tmp_path_factory):
+    """Generator + tagger + linking coupling holds at a different seed and
+    catalog size (guards against seed-42-specific luck)."""
+    from pdf_entity_extraction_ray.sources.corpus import (
+        cached_catalog,
+        catalog_gazetteer,
+        write_corpus,
+    )
+
+    corpus = str(tmp_path_factory.mktemp("corpus7"))
+    write_corpus(corpus, n_pages=100, seed=7, n_per_type=40)
+    out = str(tmp_path_factory.mktemp("kg7"))
+    run_kg(
+        f"{corpus}/pages", out, seed=7, n_per_type=40, n_buckets=2, concurrency=2,
+        gazetteer=catalog_gazetteer(cached_catalog(7, 40)),
+    )
+
+    pred = pads.dataset(f"{out}/mentions", partitioning="hive").to_table()
+    gold = pq.read_table(f"{corpus}/gold_mentions")
+    key = lambda t: set(
+        zip(
+            t.column("url").to_pylist(),
+            t.column("seg_id").to_pylist(),
+            t.column("start").to_pylist(),
+            t.column("end").to_pylist(),
+            t.column("type").to_pylist(),
+        )
+    )
+    g, p = key(gold), key(pred)
+    assert len(g & p) / len(p) >= 0.95 and len(g & p) / len(g) >= 0.95
+
+    lookup = _gold_cluster_lookup(corpus)
+    sm = pq.read_table(f"{out}/surface_map/part-0.parquet")
+    ours = {}
+    for typ, s, nid in zip(
+        sm.column("type").to_pylist(),
+        sm.column("surface").to_pylist(),
+        sm.column("node_id").to_pylist(),
+    ):
+        if (typ, surface_norm(s)) in lookup:
+            ours[(typ, s)] = nid
+    bad = total = 0
+    by_type = {}
+    for k in ours:
+        by_type.setdefault(k[0], []).append(k)
+    for typ, keys in by_type.items():
+        for a, b in itertools.combinations(sorted(keys), 2):
+            same_gold = lookup[(typ, surface_norm(a[1]))] == lookup[(typ, surface_norm(b[1]))]
+            total += 1
+            bad += same_gold != (ours[a] == ours[b])
+    assert total > 0 and bad / total < 0.01, f"{bad}/{total}"
