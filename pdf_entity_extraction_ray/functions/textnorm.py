@@ -49,10 +49,15 @@ def normalize_ws(text: str) -> str:
 
 
 def ascii_fold(text: str) -> str:
-    """Fold accented characters to their ASCII base (M19, unidecode-style)."""
+    """Fold accented characters to their ASCII base (M19, unidecode-style).
+
+    The extra-fold table runs again AFTER decomposition: NFKD can surface
+    table characters that were not in the input (e.g. ``Ǣ`` -> ``Æ`` +
+    macron), and folding must be idempotent."""
     text = text.translate(_FOLD_EXTRA)
     decomposed = unicodedata.normalize("NFKD", text)
-    return "".join(c for c in decomposed if not unicodedata.combining(c))
+    stripped = "".join(c for c in decomposed if not unicodedata.combining(c))
+    return stripped.translate(_FOLD_EXTRA)
 
 
 def sorted_word_key(name: str) -> str:
