@@ -127,3 +127,48 @@ def wordset_key_batch(batch: pa.Table) -> pa.Table:
         words = sorted(set(TOKEN_RE.findall(t.lower())))
         keys.append(hashlib.md5(" ".join(words).encode("utf-8")).hexdigest())
     return batch.append_column("dedup_key", pa.array(keys, pa.string()))
+
+
+_ROLL_BASE = 1000003
+_ROLL_MOD = (1 << 61) - 1
+
+
+def rolling_fingerprint(text: str, window: int = 8) -> int:
+    """Rabin-Karp rolling-hash document fingerprint: the MINIMUM windowed
+    polynomial hash over token windows (a winnowing-style content
+    signature, stable under prefix/suffix edits outside the minimizing
+    window).  Deterministic, content-derived."""
+    tokens = TOKEN_RE.findall(text.lower())
+    if not tokens:
+        return 0
+    vals = [
+        int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+        % _ROLL_MOD
+        for t in tokens
+    ]
+    if len(vals) <= window:
+        h = 0
+        for v in vals:
+            h = (h * _ROLL_BASE + v) % _ROLL_MOD
+        return h
+    power = pow(_ROLL_BASE, window - 1, _ROLL_MOD)
+    h = 0
+    for v in vals[:window]:
+        h = (h * _ROLL_BASE + v) % _ROLL_MOD
+    best = h
+    for i in range(window, len(vals)):
+        h = ((h - vals[i - window] * power) * _ROLL_BASE + vals[i]) % _ROLL_MOD
+        best = min(best, h)
+    return best
+
+
+def rolling_fingerprint_batch(batch: pa.Table, window: int = 8) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "roll_fp": pa.array(
+                [rolling_fingerprint(t, window) for t in batch.column("text").to_pylist()],
+                pa.uint64(),
+            ),
+        }
+    )

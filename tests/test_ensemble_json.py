@@ -73,3 +73,56 @@ class TestA9ConsolidatorHook:
     def test_custom_choice_applies(self):
         cmap = build_cluster_map(self.EDGES, self.UNIVERSE, consolidate=lambda g: g[0])
         assert cmap[("PERSON", "Ana B Ruiz")][1] == "Ana B Ruiz"
+
+
+class TestRegistryExtensionSeam:
+    def test_custom_tagger_registration_and_use(self):
+        """The §2.10 extension contract: register a class by name, use it
+        in an ensemble via the registry."""
+        from pdf_entity_extraction_ray.stages.registry import (
+            available_taggers,
+            get_tagger,
+            register_tagger,
+        )
+
+        name = "upper-acronym-test"
+        if name not in available_taggers():
+
+            @register_tagger(name)
+            class AcronymTagger:
+                def __init__(self, min_len: int = 2):
+                    import re
+
+                    self.re = re.compile(r"\b[A-Z]{%d,}\b" % min_len)
+
+                def tag_segment(self, text):
+                    return [
+                        {
+                            "text": m.group(0),
+                            "entity_label": "ORG",
+                            "start_index": m.start(),
+                            "end_index": m.end(),
+                        }
+                        for m in self.re.finditer(text)
+                    ]
+
+        cls = get_tagger(name)
+        spans = cls(min_len=4).tag_segment("the NASA and ESA budget")
+        assert [s["text"] for s in spans] == ["NASA"]
+
+        from pdf_entity_extraction_ray.stages.ensemble import EnsembleTagger
+
+        ens = EnsembleTagger([(name, {"min_len": 2}), ("gazetteer", {"gazetteer": [("budget", "LAW")], "use_windows": False})])
+        got = {(s["text"], s["entity_label"]) for s in ens.tag_segment("the NASA and ESA budget")}
+        assert got == {("NASA", "ORG"), ("ESA", "ORG"), ("budget", "LAW")}
+
+
+def test_rolling_fingerprint_properties():
+    from pdf_entity_extraction_ray.ops.text import rolling_fingerprint
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    assert rolling_fingerprint(a) == rolling_fingerprint(a)
+    assert rolling_fingerprint("") == 0
+    # winnowing: unchanged when edits stay outside the minimizing window
+    assert rolling_fingerprint(a) != rolling_fingerprint(a.replace("gamma", "GAMMAX"))
+    assert rolling_fingerprint("one two") != rolling_fingerprint("two one")
