@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": docs_op(text.quality_batch),
         "docs_fingerprint": docs_op(text.fingerprint_batch),
         "docs_langid": docs_op(text.langid_batch),
+        "docs_rolling_fp": docs_op(text.rolling_fingerprint_batch),
         # --- dedup family ---
         "docs_exact_dedup": lambda sf: dedup.exact_dedup(_read(sf, "documents")),
         "docs_wordset_dedup": lambda sf: dedup.wordset_dedup(_read(sf, "documents")),
