@@ -120,13 +120,14 @@ def _run_partitioned_phase(
 
             if override_num_blocks is None:
                 # local block sizing: Ray defaults to ~200 blocks regardless
-                # of data size; for a small local corpus that puts every
-                # stage in the task-overhead-bound regime (measured with
-                # ds.stats()).  2 blocks per CPU keeps the pool busy with
-                # far fewer tasks.  At real scale blocks are 128MB and this
-                # override is unnecessary — callers pass None, and a
-                # multi-node deployment would drop this branch.
-                override_num_blocks = 2 * int(ray.cluster_resources().get("CPU", 16))
+                # of data size, which puts light stages in the
+                # task-overhead-bound regime; but THIS phase is the heavy
+                # one (~1.2 ms/page in the tagger), where finer tasks beat
+                # wave quantization across the actor pool (64 blocks on 30
+                # actors = 2.1 waves with straggler waste; measured 71.6s ->
+                # 60.7s at 6 blocks/CPU on 1M pages).  Light downstream
+                # reads use 2 blocks/CPU instead.
+                override_num_blocks = 6 * int(ray.cluster_resources().get("CPU", 16))
             ds = ray.data.read_parquet(
                 pages_path,
                 columns=["url", "warc_ts", "html", "lang"],
