@@ -141,6 +141,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_sessions": lambda sf: relational.event_sessions(_read(sf, "events"), 30),
         "event_type_counts": lambda sf: relational.event_type_counts(_read(sf, "events")),
         "events_daily_counts": lambda sf: relational.events_daily_counts(_read(sf, "events")),
+        "events_hourly_active_users": lambda sf: relational.events_hourly_active_users(
+            _read(sf, "events")
+        ),
+        "lineitems_by_priority": lambda sf: relational.lineitems_by_priority(
+            _read(sf, "lineitem"), _read(sf, "orders")
+        ),
+        "docs_tfidf_knn": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.tfidf", fromlist=["tfidf_knn"]
+        ).tfidf_knn(_read(sf, "documents"), [0, 1, 2], 5),
         "lineitem_recent_agg": lambda sf: relational.lineitem_recent_agg(sf, "1998-01-01"),
         "parts_by_brand": lambda sf: relational.parts_by_brand(_read(sf, "part")),
         # --- multimodal plumbing (deterministic fake kernels) ---
@@ -261,6 +270,17 @@ def oracle_sql() -> dict[str, str]:
             select strftime(ts, '%Y-%m-%d') as day, event_type,
                    count(*) as n_events
             from events group by day, event_type
+        """,
+        "events_hourly_active_users": """
+            select strftime(ts, '%Y-%m-%d %H') as hour,
+                   count(distinct user_id) as active_users
+            from events group by hour
+        """,
+        "lineitems_by_priority": """
+            select o_orderpriority, count(*) as n_items,
+                   sum(l_quantity) as sum_qty
+            from lineitem join orders on l_orderkey = o_orderkey
+            group by o_orderpriority
         """,
         "lineitem_recent_agg": """
             select l_returnflag, sum(l_quantity) as sum_qty, count(*) as n_rows

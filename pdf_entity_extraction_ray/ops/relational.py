@@ -349,3 +349,93 @@ def top_orders_scalable(orders_ds, k: int = 10):
     )
     # the combined partials are tiny (blocks * k rows): one final batch
     return partials.repartition(1).map_batches(final, batch_format="pyarrow")
+
+
+def events_hourly_active_users(events_ds):
+    """Exact distinct-count window: distinct users per hour.  Two-stage:
+    per-batch (hour -> user set) combiner, final set-union count — the
+    shuffle moves (hour, user) distinct pairs, not events."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hours = pc.strftime(batch.column("ts"), format="%Y-%m-%d %H").to_pylist()
+        users = batch.column("user_id").to_pylist()
+        acc: dict[str, set] = {}
+        for h, u in zip(hours, users):
+            acc.setdefault(h, set()).add(u)
+        out_h, out_u = [], []
+        for h, us in acc.items():
+            for u in us:
+                out_h.append(h)
+                out_u.append(u)
+        return pa.table(
+            {"hour": pa.array(out_h, pa.string()), "user_id": pa.array(out_u, pa.int64())}
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        n = len(set(group.column("user_id").to_pylist()))
+        return pa.table(
+            {
+                "hour": group.column("hour").slice(0, 1),
+                "active_users": pa.array([n], pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.select_columns(["ts", "user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("hour")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def lineitems_by_priority(lineitem_ds, orders_ds):
+    """lineitem ⋈ orders on orderkey -> per-priority counts + exact sums.
+
+    Broadcast hash join: the orderkey -> priority map ships once (the
+    orders side is the smaller table); lineitem streams."""
+    import ray
+
+    prio: dict[int, str] = {}
+    for batch in orders_ds.select_columns(["o_orderkey", "o_orderpriority"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        prio.update(
+            zip(batch.column("o_orderkey").to_pylist(), batch.column("o_orderpriority").to_pylist())
+        )
+    ref = ray.put(prio)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pmap = ray.get(ref)
+        acc: dict[str, list] = {}
+        for ok, qty in zip(
+            batch.column("l_orderkey").to_pylist(), batch.column("l_quantity").to_pylist()
+        ):
+            p = pmap.get(ok)
+            if p is None:
+                continue
+            a = acc.setdefault(p, [0, 0.0])
+            a[0] += 1
+            a[1] += qty
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(list(acc), pa.string()),
+                "n_items": pa.array([a[0] for a in acc.values()], pa.int64()),
+                "sum_qty": pa.array([a[1] for a in acc.values()], pa.float64()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": group.column("o_orderpriority").slice(0, 1),
+                "n_items": pa.array([pc.sum(group.column("n_items")).as_py()], pa.int64()),
+                "sum_qty": pa.array([pc.sum(group.column("sum_qty")).as_py()], pa.float64()),
+            }
+        )
+
+    return (
+        lineitem_ds.select_columns(["l_orderkey", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -201,3 +201,53 @@ def test_top_orders_scalable_matches_sort_limit(ray_session):
     orders = ray.data.read_parquet(os.path.join(SF, "orders.parquet"))
     b = _collect(top_orders_scalable(orders, 10)).column("o_orderkey").to_pylist()
     assert sorted(a) == sorted(b)
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+class TestTfidf:
+    def test_idf_matches_single_process(self):
+        import math
+
+        from pdf_entity_extraction_ray.ops.text import TOKEN_RE
+        from pdf_entity_extraction_ray.ops.tfidf import train_idf
+
+        docs = _collect(_read("documents"))
+        texts = docs.column("text").to_pylist()
+        df: dict[str, int] = {}
+        for t in texts:
+            for term in set(TOKEN_RE.findall(t.lower())):
+                df[term] = df.get(term, 0) + 1
+        expected = {t: math.log((1 + len(texts)) / (1 + c)) + 1.0 for t, c in df.items()}
+        idf, n = train_idf(_read("documents"))
+        assert n == len(texts)
+        assert set(idf) == set(expected)
+        for t in list(expected)[:50]:
+            assert abs(idf[t] - expected[t]) < 1e-12
+
+    def test_knn_matches_single_process(self):
+        from pdf_entity_extraction_ray.ops.tfidf import (
+            sparse_cosine,
+            tfidf_knn,
+            train_idf,
+            vectorize,
+        )
+
+        docs = _collect(_read("documents"))
+        texts = dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
+        idf, _ = train_idf(_read("documents"))
+        vecs = {i: vectorize(t, idf) for i, t in texts.items()}
+        out = _collect(tfidf_knn(_read("documents"), [0, 1], k=5))
+        for q in (0, 1):
+            scored = sorted(
+                ((sparse_cosine(vecs[q], v), i) for i, v in vecs.items() if i != q),
+                key=lambda t: (-t[0], t[1]),
+            )[:5]
+            expected = [i for _, i in scored]
+            rows = out.filter(pa.compute.equal(out.column("query_id"), pa.scalar(q)))
+            ranked = [
+                n
+                for _, n in sorted(
+                    zip(rows.column("rank").to_pylist(), rows.column("neighbor_id").to_pylist())
+                )
+            ]
+            assert ranked == expected
