@@ -57,6 +57,14 @@ def run_headline(num_cpus: int, sf: float) -> dict:
     from pdf_entity_extraction_ray.pipelines.kg import run_kg
 
     pages_path, n_pages = ensure_corpus(sf)
+    # warm the OS page cache with one untimed read so both scaling legs
+    # measure compute + shuffle, not first-disk-read
+    import ray.data
+
+    for _ in ray.data.read_parquet(pages_path, columns=["html"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        pass
     out = f"/tmp/graft_bench/kg_out_{num_cpus}"
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.perf_counter()
@@ -171,7 +179,15 @@ def main() -> None:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
 
     if "--headline-child" in sys.argv:
         result = run_headline(num_cpus, sf)
