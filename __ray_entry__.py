@@ -121,6 +121,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rolling_fp": docs_op(text.rolling_fingerprint_batch),
         # --- dedup family ---
         "docs_exact_dedup": lambda sf: dedup.exact_dedup(_read(sf, "documents")),
+        "docs_clean_corpus": lambda sf: __import__(
+            "pdf_entity_extraction_ray.pipelines.clean", fromlist=["clean_documents"]
+        ).clean_documents(_read(sf, "documents")),
         "docs_wordset_dedup": lambda sf: dedup.wordset_dedup(_read(sf, "documents")),
         "docs_minhash_dedup": lambda sf: dedup.minhash_lsh_pairs(_read(sf, "documents"), 0.7),
         "docs_simhash_dedup": lambda sf: dedup.simhash_pairs(_read(sf, "documents"), 3),
@@ -256,6 +259,30 @@ def oracle_sql() -> dict[str, str]:
             select event_type, count(*) as n_events,
                    min(value) as min_value, max(value) as max_value
             from events group by event_type
+        """,
+        "docs_clean_corpus": f"""
+            with gated as (
+                select * from documents
+                where (len(regexp_extract_all(text, '{token_re}')) between 5 and 100000)
+                  and not (len(regexp_extract_all(text, '{punct_re}')) * 10 > len(text))
+            ),
+            ded as (
+                select * from gated
+                qualify row_number() over (partition by text order by doc_id) = 1
+            ),
+            w as (select doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') as ws
+                  from ded),
+            t as (select doc_id,
+                         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                        for i in range(1, greatest(len(ws) - 1, 1))]) as sh
+                  from w),
+            losers as (
+                select distinct b.doc_id
+                from t a join t b on a.doc_id < b.doc_id
+                where len(list_intersect(a.sh, b.sh))::double
+                      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
+            )
+            select * from ded where doc_id not in (select doc_id from losers)
         """,
         "docs_wordset_dedup": """
             with k as (select *, md5(list_aggregate(

@@ -120,3 +120,80 @@ class FrameSampler:
                 "frame_ms": pa.array(out_off, pa.int32()),
             }
         )
+
+
+class ImageResizer:
+    """Actor-pool stage: image payload -> resized payload + new dims.
+
+    With ``fake=True`` (default; no image libs here) the "resize" is a
+    deterministic payload transform (content-derived bytes at the target
+    size) and the metadata update is real — the engine-side contract
+    (schema, dims, batch flow) a real PIL/opencv kernel would drop into.
+    """
+
+    def __init__(self, width: int = 32, height: int = 32, fake: bool = True):
+        if not fake:
+            raise NotImplementedError(
+                "real image resizing requires PIL/opencv (not in this environment)"
+            )
+        self.width = width
+        self.height = height
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keep = pa.compute.equal(batch.column("kind"), pa.scalar("image"))
+        images = batch.filter(keep)
+        target = self.width * self.height * 3
+        payloads = []
+        for p in images.column("payload").to_pylist():
+            digest = hashlib.blake2b(p, digest_size=32).digest()
+            payloads.append((digest * (target // len(digest) + 1))[:target])
+        n = images.num_rows
+        return pa.table(
+            {
+                "media_id": images.column("media_id"),
+                "payload": pa.array(payloads, pa.binary()),
+                "mime": images.column("mime"),
+                "width": pa.array([self.width] * n, pa.int32()),
+                "height": pa.array([self.height] * n, pa.int32()),
+            }
+        )
+
+
+class AudioFeatureExtractor:
+    """Actor-pool stage: audio payload -> frame-level feature rows
+    (exploded: one row per 100ms frame).  Deterministic fake kernel; the
+    exploded output layout and duration arithmetic are the real contract."""
+
+    FEATURE_DIM = 8
+
+    def __init__(self, frame_ms: int = 100, fake: bool = True):
+        if not fake:
+            raise NotImplementedError(
+                "real audio decoding requires soundfile/librosa (not in this environment)"
+            )
+        self.frame_ms = frame_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keep = pa.compute.equal(batch.column("kind"), pa.scalar("audio"))
+        audio = batch.filter(keep)
+        out_id, out_frame, out_feat = [], [], []
+        for mid, payload, dur in zip(
+            audio.column("media_id").to_pylist(),
+            audio.column("payload").to_pylist(),
+            audio.column("duration_ms").to_pylist(),
+        ):
+            for off in range(0, max(dur, 0), self.frame_ms):
+                seed = hashlib.blake2b(
+                    payload + off.to_bytes(4, "little"), digest_size=self.FEATURE_DIM * 4
+                ).digest()
+                feats = (np.frombuffer(seed, dtype=np.uint32) / np.float64(2**32)).tolist()
+                out_id.append(mid)
+                out_frame.append(off)
+                out_feat.append(feats)
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "frame_ms": pa.array(out_frame, pa.int32()),
+                "features": pa.array(out_feat, pa.list_(pa.float64())),
+            }
+        )

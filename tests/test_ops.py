@@ -251,3 +251,32 @@ class TestTfidf:
                 )
             ]
             assert ranked == expected
+
+
+class TestMultimodalResizeAudio:
+    def test_resizer_contract(self):
+        from pdf_entity_extraction_ray.ops.multimodal import ImageResizer, synthesize_media_batch
+
+        media = synthesize_media_batch(pa.table({"id": pa.array(range(30), pa.int64())}))
+        out = ImageResizer(width=16, height=16)(media)
+        assert out.num_rows == 10
+        assert set(out.column("width").to_pylist()) == {16}
+        assert all(len(p) == 16 * 16 * 3 for p in out.column("payload").to_pylist())
+        assert out.equals(ImageResizer(width=16, height=16)(media))  # deterministic
+        with pytest.raises(NotImplementedError):
+            ImageResizer(fake=False)
+
+    def test_audio_features_exploded(self):
+        from pdf_entity_extraction_ray.ops.multimodal import (
+            AudioFeatureExtractor,
+            synthesize_media_batch,
+        )
+
+        media = synthesize_media_batch(pa.table({"id": pa.array(range(30), pa.int64())}))
+        out = AudioFeatureExtractor(frame_ms=250)(media)
+        # 10 audio rows x 4 frames of 250ms over 1000ms
+        assert out.num_rows == 40
+        assert set(out.column("frame_ms").to_pylist()) == {0, 250, 500, 750}
+        assert all(len(f) == AudioFeatureExtractor.FEATURE_DIM for f in out.column("features").to_pylist())
+        with pytest.raises(NotImplementedError):
+            AudioFeatureExtractor(fake=False)
