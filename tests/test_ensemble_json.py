@@ -126,3 +126,14 @@ def test_rolling_fingerprint_properties():
     # winnowing: unchanged when edits stay outside the minimizing window
     assert rolling_fingerprint(a) != rolling_fingerprint(a.replace("gamma", "GAMMAX"))
     assert rolling_fingerprint("one two") != rolling_fingerprint("two one")
+
+
+def test_hf_adapter_contract():
+    """A1 adapter: registered, and raises the integration-contract error in
+    this model-less environment."""
+    import pdf_entity_extraction_ray.stages.hf_tagger  # noqa: F401  (registers)
+    from pdf_entity_extraction_ray.stages.registry import available_taggers, get_tagger
+
+    assert "hf-token-classifier" in available_taggers()
+    with pytest.raises(NotImplementedError, match="transformers"):
+        get_tagger("hf-token-classifier")()
