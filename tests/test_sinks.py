@@ -33,3 +33,35 @@ def test_surface_list(tmp_path):
     n = write_surface_list(ENTS, path)
     assert n == 2
     assert open(path).read() == "Ana\nZoe\n"
+
+
+def test_annotated_html_marks_at_offsets(tmp_path):
+    from pdf_entity_extraction_ray.sources.viz import render_annotated_html, write_annotated_page
+
+    text = "Ana Ruiz works for Acme Corp."
+    mentions = [
+        {"page_start": 0, "page_end": 8, "type": "PERSON"},
+        {"page_start": 19, "page_end": 28, "type": "ORG"},
+    ]
+    out = render_annotated_html(text, mentions)
+    assert ">Ana Ruiz</mark>" in out and ">Acme Corp</mark>" in out
+    assert out.count("<mark") >= 2 + 5  # spans + legend
+    # escaping: raw angle brackets in text never leak through
+    evil = render_annotated_html("x <script> y", [])
+    assert "<script>" not in evil
+
+    p = tmp_path / "page.html"
+    write_annotated_page(str(p), text, mentions)
+    assert p.read_text().startswith("<!doctype html>")
+
+
+def test_annotated_html_overlaps_resolved_like_m6(tmp_path):
+    from pdf_entity_extraction_ray.sources.viz import render_annotated_html
+
+    text = "abcdef"
+    mentions = [
+        {"page_start": 0, "page_end": 4, "type": "ORG"},
+        {"page_start": 2, "page_end": 6, "type": "GPE"},  # overlaps; dropped
+    ]
+    out = render_annotated_html(text, mentions)
+    assert ">abcd</mark>" in out and "cdef" not in out.replace("abcdef", "")
