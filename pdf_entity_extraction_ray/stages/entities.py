@@ -48,8 +48,13 @@ def _partial(batch: pa.Table, max_per_entity: int) -> pa.Table:
     ):
         a = acc.setdefault((surface, typ), {"n": 0, "rows": []})
         a["n"] += 1
-        if len(a["rows"]) < max_per_entity:
-            a["rows"].append((url, seg_id, start, end, text))
+        a["rows"].append((url, seg_id, start, end, text))
+    # emit the sorted smallest-``max_per_entity`` rows per key: the final
+    # merge's global cap is then exactly the globally-smallest rows — the
+    # capped lists are deterministic at ANY batch layout (an
+    # arrival-order cap would keep batch-dependent rows)
+    for a in acc.values():
+        a["rows"] = sorted(a["rows"])[:max_per_entity]
     keys = sorted(acc)
     return pa.table(
         {

@@ -137,18 +137,65 @@ def node_final_merge(group: pa.Table) -> pa.Table:
     )
 
 
-def build_nodes(mentions_ds, cluster_map_ref):
-    """mentions Dataset + broadcast cluster map -> nodes Dataset."""
+def date_node_partials_batch(batch: pa.Table) -> pa.Table:
+    """raw-triples batch -> partial DATE-node aggregates.
+
+    Edges assign DATE objects real ``dst_id`` values (born_on edges), so the
+    nodes table must contain matching rows or edge->node joins break
+    referential integrity.  DATE nodes key by parsed ISO value (``obj_norm``,
+    the deterministic analog of src/methods/DateParser.py:44-50); their
+    ``aliases`` are the observed date surfaces and — unlike linked types —
+    the ISO canonical itself need not be an observed surface."""
+    keep = pc.equal(batch.column("obj_type"), pa.scalar("DATE"))
+    sub = batch.filter(keep)
+    g = sub.group_by(["obj", "obj_norm"]).aggregate(
+        [("url", "count"), ("url", "min"), ("url", "max")]
+    )
+    acc: dict[int, dict] = {}
+    for obj, obj_norm, n, url_min, url_max in zip(
+        g.column("obj").to_pylist(),
+        g.column("obj_norm").to_pylist(),
+        g.column("url_count").to_pylist(),
+        g.column("url_min").to_pylist(),
+        g.column("url_max").to_pylist(),
+    ):
+        nid, canon = resolve({}, "DATE", obj, obj_norm)
+        a = acc.setdefault(
+            nid, {"canonical": canon, "type": "DATE", "aliases": set(), "n": 0, "urls": set()}
+        )
+        a["aliases"].add(obj)
+        a["n"] += n
+        if len(a["urls"]) < MAX_URLS_PER_NODE:
+            a["urls"].update((url_min, url_max))
+    return pa.table(
+        {
+            "node_id": pa.array(list(acc), pa.int64()),
+            "canonical": pa.array([a["canonical"] for a in acc.values()], pa.string()),
+            "type": pa.array([a["type"] for a in acc.values()], pa.string()),
+            "aliases": pa.array([sorted(a["aliases"]) for a in acc.values()], pa.list_(pa.string())),
+            "n_mentions": pa.array([a["n"] for a in acc.values()], pa.int64()),
+            "urls": pa.array([sorted(a["urls"]) for a in acc.values()], pa.list_(pa.string())),
+        }
+    )
+
+
+def build_nodes(mentions_ds, cluster_map_ref, triples_ds=None):
+    """mentions Dataset + broadcast cluster map -> nodes Dataset.
+
+    When ``triples_ds`` (the raw triples table, pruned to
+    ``obj/obj_type/obj_norm/url``) is given, DATE nodes are derived from its
+    DATE objects and unioned in, so every edge endpoint has a nodes row."""
     import ray
 
     def partial(batch: pa.Table) -> pa.Table:
         return node_partials_batch(batch, ray.get(cluster_map_ref))
 
-    return (
-        mentions_ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("node_id")
-        .map_groups(node_final_merge, batch_format="pyarrow")
-    )
+    partials = mentions_ds.map_batches(partial, batch_format="pyarrow")
+    if triples_ds is not None:
+        partials = partials.union(
+            triples_ds.map_batches(date_node_partials_batch, batch_format="pyarrow")
+        )
+    return partials.groupby("node_id").map_groups(node_final_merge, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -170,28 +217,24 @@ def canonical_triples(triples_ds, cluster_map_ref):
         canon_map, id_map = _flat_maps(cluster_map_ref)
 
         def map_side(types, surfaces, obj_norms=None):
-            keys = pd.Series(
-                [t + "\x00" + s for t, s in zip(types, surfaces)], dtype=object
-            )
-            canon = keys.map(canon_map)
-            ids = keys.map(id_map)
+            # canon resolves via vectorized Series.map (strings are NaN-safe);
+            # ids MUST stay int64 end-to-end: Series.map(id_map) would coerce
+            # the whole column to float64 whenever any key misses (DATE
+            # objects always miss), silently rounding 63-bit node ids — so
+            # ids take a dict-lookup loop instead (content ids > 2^53).
+            keys = [t + "\x00" + s for t, s in zip(types, surfaces)]
+            canon = pd.Series(keys, dtype=object).map(canon_map).to_numpy(dtype=object)
+            ids = [id_map.get(k, 0) for k in keys]
             # fallbacks: DATE canonicalization + unresolved singleton nodes
-            missing = canon.isna().to_numpy().nonzero()[0]
-            if len(missing):
-                canon = canon.to_numpy(dtype=object)
-                ids = ids.to_numpy(dtype=object)
-                for i in missing:
-                    typ, surface = types[i], surfaces[i]
-                    obj_norm = obj_norms[i] if obj_norms is not None else ""
-                    nid, c = resolve({}, typ, surface, obj_norm)
-                    canon[i] = c
-                    ids[i] = nid
-            else:
-                canon = canon.to_numpy(dtype=object)
-                ids = ids.to_numpy(dtype=object)
+            for i in np.nonzero(pd.isna(canon))[0]:
+                typ, surface = types[i], surfaces[i]
+                obj_norm = obj_norms[i] if obj_norms is not None else ""
+                nid, c = resolve({}, typ, surface, obj_norm)
+                canon[i] = c
+                ids[i] = nid
             return (
                 pa.array(canon.tolist(), pa.string()),
-                pa.array([int(x) for x in ids], pa.int64()),
+                pa.array(ids, pa.int64()),
             )
 
         subj_canon, src_id = map_side(

@@ -156,13 +156,28 @@ def test_cluster_agreement(kg_result):
 
 def test_nodes_never_invent_surfaces(kg_result):
     """The LLM-consolidation contract (OllamaNameExtractor.py:19-20):
-    representatives come from the observed alias set, never invented."""
+    representatives come from the observed alias set, never invented.
+    DATE nodes are exempt: they canonicalize by parsed ISO value
+    (DateParser.py:44-50), which need not be an observed surface."""
     _, out, _ = kg_result
     nodes = pads.dataset(f"{out}/nodes").to_table()
-    for canon, aliases in zip(
-        nodes.column("canonical").to_pylist(), nodes.column("aliases").to_pylist()
+    for canon, typ, aliases in zip(
+        nodes.column("canonical").to_pylist(),
+        nodes.column("type").to_pylist(),
+        nodes.column("aliases").to_pylist(),
     ):
-        assert canon in aliases
+        if typ != "DATE":
+            assert canon in aliases
+
+
+def test_edges_reference_existing_nodes(kg_result):
+    """Referential integrity: every edge endpoint (src_id, dst_id) has a
+    nodes row — including DATE objects of born_on edges."""
+    _, out, _ = kg_result
+    node_ids = set(pads.dataset(f"{out}/nodes").to_table().column("node_id").to_pylist())
+    edges = pads.dataset(f"{out}/edges").to_table()
+    endpoints = set(edges.column("src_id").to_pylist()) | set(edges.column("dst_id").to_pylist())
+    assert endpoints <= node_ids, f"{len(endpoints - node_ids)} dangling endpoints"
 
 
 def test_resume_recomputes_only_missing_bucket(kg_result):
