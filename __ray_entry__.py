@@ -152,7 +152,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_cosine_dedup": lambda sf: dedup.embedding_cosine_pairs(_read(sf, "embeddings"), 0.5),
         # --- similarity search ---
         "emb_knn": lambda sf: ann.knn_bruteforce(_read(sf, "embeddings"), [0, 1, 2, 3, 4], 10),
-        "emb_knn_ivf": lambda sf: ann.knn_ivf(_read(sf, "embeddings"), [0, 1, 2, 3, 4], 10),
+        "emb_knn_ivf": lambda sf: ann.knn_ivf(
+            _read(sf, "embeddings"), [0, 1, 2, 3, 4], 10,
+            index_dir=f"/tmp/graft_ivf/{os.path.basename(os.path.normpath(sf))}",
+        ),
         # --- relational core ---
         "lineitem_agg": lambda sf: relational.lineitem_agg(_read(sf, "lineitem")),
         "orders_by_segment": lambda sf: relational.orders_by_segment(
@@ -294,8 +297,11 @@ def oracle_sql() -> dict[str, str]:
             with w as (select doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') as ws
                        from documents),
                  t as (select doc_id,
-                              list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                                             for i in range(1, greatest(len(ws) - 1, 1))]) as sh
+                              case when len(ws) >= 3 then
+                                     list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                                    for i in range(1, len(ws) - 1)])
+                                   when len(ws) > 0 then [list_aggregate(ws, 'string_agg', ' ')]
+                                   else [] end as sh
                        from w)
             select a.doc_id as doc_a, b.doc_id as doc_b
             from t a join t b on a.doc_id < b.doc_id
@@ -306,6 +312,33 @@ def oracle_sql() -> dict[str, str]:
             select a.vec_id as vec_a, b.vec_id as vec_b
             from embeddings a join embeddings b on a.vec_id < b.vec_id
             where list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+        """,
+        "emb_knn_ivf": """
+            with q as (select vec_id as query_id, embedding as qe
+                       from embeddings where vec_id < 5),
+            pd as (select query_id, unnest(qe) as v, generate_subscripts(qe, 1) as i
+                   from q),
+            probe as (select query_id, i - 1 as dim
+                      from (select query_id, i,
+                                   row_number() over (partition by query_id
+                                                      order by abs(v) desc, i) as rn
+                            from pd)
+                      where rn <= 8),
+            cand as (select vec_id, embedding,
+                            list_position(list_transform(embedding, x -> abs(x)),
+                                          list_max(list_transform(embedding, x -> abs(x))))
+                                - 1 as bucket
+                     from embeddings)
+            select query_id, neighbor_id, rank from (
+                select q.query_id, e.vec_id as neighbor_id,
+                       row_number() over (partition by q.query_id
+                                          order by list_cosine_similarity(qe, e.embedding)
+                                                       desc,
+                                                   e.vec_id) as rank
+                from q join cand e on e.vec_id != q.query_id
+                where exists (select 1 from probe p
+                              where p.query_id = q.query_id and p.dim = e.bucket))
+            where rank <= 10
         """,
         "emb_knn": """
             with q as (select vec_id as query_id, embedding as qe from embeddings
@@ -372,8 +405,11 @@ def oracle_sql() -> dict[str, str]:
             w as (select doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') as ws
                   from ded),
             t as (select doc_id,
-                         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                                        for i in range(1, greatest(len(ws) - 1, 1))]) as sh
+                         case when len(ws) >= 3 then
+                                list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                               for i in range(1, len(ws) - 1)])
+                              when len(ws) > 0 then [list_aggregate(ws, 'string_agg', ' ')]
+                              else [] end as sh
                   from w),
             losers as (
                 select distinct b.doc_id

@@ -4,9 +4,11 @@
   broadcast once (``ray.put``), every batch does one vectorized matmul and
   emits only its LOCAL top-k per query (the combiner), so the final
   groupby-reduce sees ``num_blocks * k`` rows per query, never the corpus.
-* :func:`knn_ivf` — the scale path: embeddings are bucketed by their
-  dominant dimension (a trivially deterministic coarse quantizer); queries
-  probe their top-``n_probe`` dominant dimensions' buckets only.
+* :func:`knn_ivf` — the scale path: :func:`build_ivf_index` writes the
+  embeddings ONCE as hive Parquet partitioned by dominant dimension (a
+  trivially deterministic coarse quantizer); each probe then reads only
+  the union of the queries' top-``n_probe`` bucket partitions, so I/O and
+  compute scale with the probed fraction of the corpus, not its size.
 """
 
 from __future__ import annotations
@@ -50,8 +52,12 @@ def knn_bruteforce(emb_ds, query_ids: list[int], k: int = 10):
             mask = bids != qids_[qi]
             cand_ids, cand_sims = bids[mask], sims[mask]
             if len(cand_ids) > k:
-                # partial top-k inside the batch (the combiner step)
-                idx = np.argpartition(-cand_sims, k)[:k]
+                # partial top-k inside the batch (the combiner step) with
+                # the SAME deterministic tie-break as the final reduce
+                # (cosine desc, neighbor_id asc) — plain argpartition could
+                # drop the lower-id member of an exact cosine tie, making
+                # the result vary with block boundaries
+                idx = np.lexsort((cand_ids, -cand_sims))[:k]
                 cand_ids, cand_sims = cand_ids[idx], cand_sims[idx]
             out_q.extend([int(qids_[qi])] * len(cand_ids))
             out_n.extend(int(x) for x in cand_ids)
@@ -85,28 +91,94 @@ def knn_bruteforce(emb_ds, query_ids: list[int], k: int = 10):
     )
 
 
-def knn_ivf(emb_ds, query_ids: list[int], k: int = 10, n_probe: int = 8):
-    """Approximate top-k: coarse-quantize by dominant dimension, probe only
-    the query's ``n_probe`` strongest dimensions' buckets."""
+def ivf_bucket_batch(batch: pa.Table) -> pa.Table:
+    """(vec_id, embedding) batch + ``bucket`` = argmax |v_d| — the
+    deterministic coarse quantizer (no trained centroids needed)."""
+    M = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+    buckets = np.argmax(np.abs(M), axis=1) if M.size else np.array([], dtype=np.int64)
+    return batch.append_column("bucket", pa.array(buckets.astype(np.int32), pa.int32()))
+
+
+def build_ivf_index(emb_ds, index_dir: str) -> str:
+    """Materialize the bucket-partitioned inverted file: embeddings written
+    as hive Parquet ``bucket=<dominant dim>/...`` — the one-time shuffle
+    that lets every probe read a strict subset of partitions."""
+    (
+        emb_ds.select_columns(["vec_id", "embedding"])
+        .map_batches(ivf_bucket_batch, batch_format="pyarrow")
+        .write_parquet(index_dir, partition_cols=["bucket"])
+    )
+    return index_dir
+
+
+def ivf_probe_buckets(Q: np.ndarray, n_probe: int) -> dict[int, set[int]]:
+    """Per-query-row set of the ``n_probe`` strongest dimensions' buckets."""
+    return {i: set(np.argsort(-np.abs(Q[i]))[:n_probe].tolist()) for i in range(len(Q))}
+
+
+def knn_ivf(
+    emb_ds,
+    query_ids: list[int],
+    k: int = 10,
+    n_probe: int = 8,
+    index_dir: str | None = None,
+):
+    """Approximate top-k via a REAL inverted-file layout: vectors are
+    bucket-partitioned on disk by dominant dimension
+    (:func:`build_ivf_index`), and the probe reads ONLY the union of the
+    queries' ``n_probe`` bucket partitions — both I/O and compute scale
+    with the probed fraction, not the corpus.
+
+    ``index_dir``: reuse an existing index (skips the build when its
+    directory already has bucket partitions); defaults to a fresh temp dir.
+    """
+    import os
+    import tempfile
+
     import ray
+    import ray.data
 
     qids, Q = _collect_queries(emb_ds, query_ids)
-    probe_sets = {int(q): set(np.argsort(-np.abs(Q[i]))[:n_probe].tolist()) for i, q in enumerate(qids)}
-    qref = ray.put((qids, Q, probe_sets))
+    probe_sets = ivf_probe_buckets(Q, n_probe)
+
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="ivf_", dir="/tmp")
+    have_index = os.path.isdir(index_dir) and any(
+        name.startswith("bucket=") for name in os.listdir(index_dir)
+    )
+    if not have_index:
+        build_ivf_index(emb_ds, index_dir)
+
+    union: set[int] = set()
+    for s in probe_sets.values():
+        union |= s
+    # read_parquet with an explicit list expects files, not dirs — expand
+    # each probed bucket partition to its data files
+    probe_paths = []
+    for b in sorted(union):
+        part = os.path.join(index_dir, f"bucket={b}")
+        if os.path.isdir(part):
+            probe_paths.extend(
+                os.path.join(part, f) for f in sorted(os.listdir(part)) if f.endswith(".parquet")
+            )
+    probes_by_qid = {int(q): probe_sets[i] for i, q in enumerate(qids)}
+    qref = ray.put((qids, Q, probes_by_qid))
 
     def local_topk(batch: pa.Table) -> pa.Table:
         qids_, Q_, probes = ray.get(qref)
         bids = np.asarray(batch.column("vec_id").to_pylist())
         B = _normalized(batch.column("embedding").to_pylist())
+        # recomputing argmax per row is cheaper than shipping the partition
+        # column through the probe read; it exactly matches the index key
         buckets = np.argmax(np.abs(B), axis=1)
         S = Q_ @ B.T
         out_q, out_n, out_s = [], [], []
         for qi in range(len(qids_)):
             probe = probes[int(qids_[qi])]
-            mask = np.array([b in probe for b in buckets]) & (bids != qids_[qi])
+            mask = np.isin(buckets, np.fromiter(probe, dtype=np.int64)) & (bids != qids_[qi])
             cand_ids, cand_sims = bids[mask], S[qi][mask]
             if len(cand_ids) > k:
-                idx = np.argpartition(-cand_sims, k)[:k]
+                idx = np.lexsort((cand_ids, -cand_sims))[:k]  # deterministic ties
                 cand_ids, cand_sims = cand_ids[idx], cand_sims[idx]
             out_q.extend([int(qids_[qi])] * len(cand_ids))
             out_n.extend(int(x) for x in cand_ids)
@@ -133,8 +205,9 @@ def knn_ivf(emb_ds, query_ids: list[int], k: int = 10, n_probe: int = 8):
             }
         )
 
+    probed = ray.data.read_parquet(probe_paths)
     return (
-        emb_ds.map_batches(local_topk, batch_format="pyarrow")
+        probed.map_batches(local_topk, batch_format="pyarrow")
         .groupby("query_id")
         .map_groups(final_topk, batch_format="pyarrow")
     )

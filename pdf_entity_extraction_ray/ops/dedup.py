@@ -63,30 +63,35 @@ def exact_dedup(docs_ds):
     return _keep_min_doc_per_key(docs_ds.map_batches(partial, batch_format="pyarrow"))
 
 
+def _join_partitions() -> int:
+    """Hash-join partition count sized to the session (2/CPU)."""
+    import ray
+
+    return max(8, 2 * int(ray.cluster_resources().get("CPU", 4)))
+
+
 def _keep_min_doc_per_key(keyed_ds):
     """Rows with a ``dedup_key`` column -> keep the min-doc_id row per key.
 
-    Vectorized final reduce (per-group map_groups would pay Python
-    invocation per distinct key): Min aggregate over ids, then broadcast
-    the winning id set and filter — ids only travel, never text."""
+    Fully distributed: a vectorized Min aggregate finds the winning
+    (key, doc_id) per distinct key, then a hash-shuffle ``Dataset.join``
+    filters the candidate rows — keys and ids travel the shuffle; nothing
+    is collected to the driver or broadcast (the driver-side winner-id set
+    of the previous design was O(distinct docs) driver memory)."""
     from ray.data.aggregate import Min
-
-    import ray
 
     partials = keyed_ds.materialize()
     winners = partials.groupby("dedup_key").aggregate(Min("doc_id", alias_name="doc_id"))
-    ids: list[int] = []
-    for b in winners.iter_batches(batch_format="pyarrow"):
-        ids.extend(b.column("doc_id").to_pylist())
-    keep_ref = ray.put(np.array(sorted(ids), dtype=np.int64))
-
-    def keep_winners(batch: pa.Table) -> pa.Table:
-        keep = ray.get(keep_ref)
-        doc_ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
-        mask = np.isin(doc_ids, keep)
-        return batch.filter(pa.array(mask)).drop_columns(["dedup_key"])
-
-    return partials.map_batches(keep_winners, batch_format="pyarrow")
+    # (dedup_key, doc_id) is unique across partial rows (one candidate per
+    # key per batch; doc ids are globally unique), so the inner join keeps
+    # exactly one row per distinct key.
+    kept = partials.join(
+        winners,
+        join_type="inner",
+        num_partitions=_join_partitions(),
+        on=("dedup_key", "doc_id"),
+    )
+    return kept.drop_columns(["dedup_key"])
 
 
 def wordset_dedup(docs_ds):
@@ -144,18 +149,12 @@ def minhash_lsh_pairs(docs_ds, threshold: float = 0.7):
     """Near-duplicate (doc_a, doc_b) pairs with word-3-gram Jaccard >=
     ``threshold``; doc_a < doc_b.
 
-    Shuffle #1: band-key groupby (candidates only). Shuffle #2: pair dedup.
-    Verify reads both texts from a broadcast id->text map (small corpus
-    side; at 10^12 scale replace with a bucket-partitioned self-join on
-    doc_a's hash bucket — the band machinery is unchanged).
-    """
-    import ray
-
-    texts: dict[int, str] = {}
-    for batch in docs_ds.select_columns(["doc_id", "text"]).iter_batches(batch_format="pyarrow"):
-        texts.update(zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()))
-    texts_ref = ray.put(texts)
-
+    Shuffle #1: band-key groupby (candidates only).  Shuffle #2: pair
+    dedup.  The EXACT-Jaccard verify fetches both texts through two
+    hash-shuffle ``Dataset.join``s against the (doc_id, text) projection —
+    texts travel the shuffle keyed by the candidate ids; the corpus is
+    never collected to the driver or broadcast (the previous design
+    ``ray.put`` an id->text dict of the whole corpus)."""
     candidates = (
         docs_ds.map_batches(band_rows_batch, batch_format="pyarrow")
         .groupby("band")
@@ -165,18 +164,33 @@ def minhash_lsh_pairs(docs_ds, threshold: float = 0.7):
         .select_columns(["doc_a", "doc_b"])
     )
 
-    def verify(batch: pa.Table) -> pa.Table:
-        tmap = ray.get(texts_ref)
-        keep = []
-        for i, (a, b) in enumerate(
-            zip(batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist())
-        ):
-            j = jaccard(_word_shingles(tmap[a]), _word_shingles(tmap[b]))
-            if j >= threshold:
-                keep.append(i)
-        return batch.take(pa.array(keep, pa.int64()))
+    texts = docs_ds.select_columns(["doc_id", "text"])
+    n_part = _join_partitions()
+    # the join folds the right key column into the left key, so each join
+    # adds exactly one column ("text"), renamed before the next join
+    paired = (
+        candidates.join(
+            texts, join_type="inner", num_partitions=n_part,
+            on=("doc_a",), right_on=("doc_id",),
+        )
+        .rename_columns({"text": "text_a"})
+        .join(
+            texts, join_type="inner", num_partitions=n_part,
+            on=("doc_b",), right_on=("doc_id",),
+        )
+        .rename_columns({"text": "text_b"})
+    )
 
-    return candidates.map_batches(verify, batch_format="pyarrow")
+    def verify(batch: pa.Table) -> pa.Table:
+        keep = []
+        for i, (ta, tb) in enumerate(
+            zip(batch.column("text_a").to_pylist(), batch.column("text_b").to_pylist())
+        ):
+            if jaccard(_word_shingles(ta), _word_shingles(tb)) >= threshold:
+                keep.append(i)
+        return batch.take(pa.array(keep, pa.int64())).select(["doc_a", "doc_b"])
+
+    return paired.map_batches(verify, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -241,39 +255,48 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
 # embedding-cosine near-dup
 
 
-def embedding_cosine_pairs(emb_ds, threshold: float = 0.99):
-    """(vec_a, vec_b) with cosine >= threshold; vec_a < vec_b.
+def _vec_matrix(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_id array, row-normalized float64 matrix) from an Arrow batch."""
+    ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    M = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    if M.size:
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    return ids, M
 
-    The full matrix is broadcast once (``ray.put``) and each batch does one
-    numpy matmul against it — brute force as the exact baseline; the
-    LSH-bucketed variant for scale is ops/ann.py.
+
+def embedding_cosine_pairs(emb_ds, threshold: float = 0.99):
+    """(vec_a, vec_b) with cosine >= threshold; vec_a < vec_b.  Exact.
+
+    Distributed block-nested-loop self-join: the (vec_id, embedding)
+    projection is materialized ONCE into object-store blocks; each map task
+    compares its own batch against every block by fetching block refs
+    (zero-copy on co-located workers) and doing one vectorized matmul per
+    (batch, block) pair.  The driver never holds the matrix and nothing is
+    re-broadcast per batch — memory per task is one batch + one block.
+    Compute is inherently O(n^2/p); the sub-quadratic scale paths are
+    :func:`simhash_pairs`-style banding and :mod:`.ann`'s IVF buckets.
     """
     import ray
 
-    ids: list[int] = []
-    vecs: list[list[float]] = []
-    for batch in emb_ds.select_columns(["vec_id", "embedding"]).iter_batches(batch_format="pyarrow"):
-        ids.extend(batch.column("vec_id").to_pylist())
-        vecs.extend(batch.column("embedding").to_pylist())
-    order = np.argsort(ids)
-    all_ids = np.asarray(ids)[order]
-    M = np.asarray(vecs, dtype=np.float64)[order]
-    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-    ref = ray.put((all_ids, M))
+    norm = emb_ds.select_columns(["vec_id", "embedding"]).materialize()
+    block_refs = list(norm.to_arrow_refs())  # small: one ref per block
 
     def pairs(batch: pa.Table) -> pa.Table:
-        all_ids_, M_ = ray.get(ref)
-        bids = np.asarray(batch.column("vec_id").to_pylist())
-        B = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-        B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
-        S = B @ M_.T
-        rows_a, rows_b = [], []
-        for r in range(S.shape[0]):
-            hits = np.where(S[r] >= threshold)[0]
-            for c in hits:
-                if bids[r] < all_ids_[c]:
-                    rows_a.append(int(bids[r]))
-                    rows_b.append(int(all_ids_[c]))
+        bids, B = _vec_matrix(batch)
+        rows_a: list[int] = []
+        rows_b: list[int] = []
+        for ref in block_refs:
+            tbl = ray.get(ref)
+            if tbl.num_rows == 0 or "vec_id" not in tbl.column_names:
+                continue
+            oids, M = _vec_matrix(tbl)
+            S = B @ M.T
+            # vectorized pair filter; vec_a < vec_b halves the work and
+            # dedups the symmetric block pairing
+            mask = (S >= threshold) & (bids[:, None] < oids[None, :])
+            r, c = np.nonzero(mask)
+            rows_a.extend(int(x) for x in bids[r])
+            rows_b.extend(int(x) for x in oids[c])
         # ids only: a float similarity column would hash differently across
         # engines (numpy vs SQL arithmetic differ in the last ulps)
         return pa.table(
@@ -283,4 +306,4 @@ def embedding_cosine_pairs(emb_ds, threshold: float = 0.99):
             }
         )
 
-    return emb_ds.map_batches(pairs, batch_format="pyarrow")
+    return norm.map_batches(pairs, batch_format="pyarrow")

@@ -251,7 +251,18 @@ def build_cluster_map(
 
 
 def block_keys_batch(batch: pa.Table) -> pa.Table:
-    """Task-pool form of :class:`BlockKeyer` (process-cached hasher)."""
+    """Task-pool form of :class:`BlockKeyer` (process-cached hasher).
+
+    Empty shuffle partitions carry an EMPTY schema (Ray groupby quirk) —
+    guard before touching columns, like the universe loop does."""
+    if batch.num_rows == 0 or "type" not in batch.column_names:
+        return pa.table(
+            {
+                "block": pa.array([], pa.string()),
+                "type": pa.array([], pa.string()),
+                "surface": pa.array([], pa.string()),
+            }
+        )
     return BlockKeyer()(batch)
 
 

@@ -121,6 +121,38 @@ class TestAnn:
         a = set(zip(approx.column("query_id").to_pylist(), approx.column("neighbor_id").to_pylist()))
         assert len(e & a) / len(e) >= 0.3  # coarse quantizer, generous bound
 
+    def test_ivf_reads_strict_partition_subset(self, tmp_path):
+        """The probe must read only the queries' probed bucket partitions —
+        the property that makes the IVF an IVF rather than brute force."""
+        import numpy as np
+
+        from pdf_entity_extraction_ray.ops.ann import (
+            build_ivf_index,
+            ivf_probe_buckets,
+            knn_ivf,
+        )
+
+        index_dir = str(tmp_path / "ivf")
+        emb = _read("embeddings")
+        build_ivf_index(emb, index_dir)
+        all_buckets = {d for d in os.listdir(index_dir) if d.startswith("bucket=")}
+        assert len(all_buckets) > 8  # quantizer actually spreads the data
+
+        out = _collect(knn_ivf(emb, [0, 1], k=5, n_probe=2, index_dir=index_dir))
+        # recompute the probe union independently and check every returned
+        # neighbor lives in a probed bucket (nothing outside was read)
+        qvecs = {}
+        for b in emb.iter_batches(batch_format="pyarrow"):
+            for vid, vec in zip(b.column("vec_id").to_pylist(), b.column("embedding").to_pylist()):
+                qvecs[vid] = vec
+        Q = np.asarray([qvecs[0], qvecs[1]], dtype=np.float64)
+        probes = ivf_probe_buckets(Q, 2)
+        union = probes[0] | probes[1]
+        assert len(union) < len(all_buckets)  # strict subset of partitions
+        for nid in out.column("neighbor_id").to_pylist():
+            b = int(np.argmax(np.abs(np.asarray(qvecs[nid]))))
+            assert b in union
+
 
 class TestEntitiesTable:
     def test_parallel_lists_aligned(self, small_corpus):
