@@ -211,12 +211,22 @@ def run_kg(
     batch_size: int = 1024,
     resume: bool = True,
     override_num_blocks: int | None = None,
+    linking_mode: str = "driver",
 ) -> dict:
     """Run the full pipeline; returns artifact paths + stats.
 
     ``gazetteer`` defaults to the synthetic catalog's (the deterministic
     stand-in for model weights — at real scale this argument is a model
-    name and the tagger stage loads it per actor)."""
+    name and the tagger stage loads it per actor).
+
+    ``linking_mode``: ``"driver"`` closes connected components on the
+    driver (exact, right up to ~10^7 distinct surfaces); ``"distributed"``
+    runs the label-propagation path (stages/linking.py
+    ``link_entities_distributed``) whose surface map never touches the
+    driver until the P4 broadcast — identical output by construction
+    (tests assert row equality).  P4's broadcast of the finished map is
+    the remaining small-side assumption; at 10^8+ surfaces the rewrite
+    stages would switch to shuffle joins against the surface-map Dataset."""
     import ray
     import ray.data
 
@@ -272,13 +282,13 @@ def run_kg(
         triples_dir = triples_fut.result()
 
     # P3: linking — the cluster map is itself a checkpointed Parquet artifact
-    fp_link = lineage.fingerprint({**base_fp, "phase": "linking"})
-    surface_map_path = os.path.join(out_dir, "surface_map", "part-0.parquet")
+    fp_link = lineage.fingerprint({**base_fp, "phase": "linking", "mode": linking_mode})
+    surface_map_dir = os.path.join(out_dir, "surface_map")
     with lineage.PhaseTimer() as t_link:
         if resume and lineage.phase_complete(out_dir, "linking", fp_link):
             import pyarrow.parquet as pq
 
-            smt = pq.read_table(surface_map_path)
+            smt = pq.read_table(surface_map_dir)
             cluster_map = {
                 (t, s): (nid, canon)
                 for t, s, nid, canon in zip(
@@ -290,28 +300,50 @@ def run_kg(
             }
             n_surfaces = len(cluster_map)
         else:
+            import shutil
+
+            import pyarrow.parquet as pq
+
+            shutil.rmtree(surface_map_dir, ignore_errors=True)
             # prune at the read: linking consumes only (type, surface)
             mentions_ds = ray.data.read_parquet(
                 mentions_dir,
                 columns=["type", "surface"],
                 override_num_blocks=2 * int(ray.cluster_resources().get("CPU", 16)),
             )
-            cluster_map, n_surfaces = link_entities(mentions_ds)
-            import pyarrow.parquet as pq
+            if linking_mode == "distributed":
+                from ..stages.linking import link_entities_distributed
 
-            os.makedirs(os.path.dirname(surface_map_path), exist_ok=True)
-            keys = sorted(cluster_map)
-            pq.write_table(
-                pa.table(
-                    {
-                        "type": pa.array([k[0] for k in keys], pa.string()),
-                        "surface": pa.array([k[1] for k in keys], pa.string()),
-                        "node_id": pa.array([cluster_map[k][0] for k in keys], pa.int64()),
-                        "canonical": pa.array([cluster_map[k][1] for k in keys], pa.string()),
-                    }
-                ),
-                surface_map_path,
-            )
+                # surface map written straight from the Dataset; the dict
+                # below is only the P4 broadcast side (small by definition
+                # of "broadcastable"; beyond that P4 shuffle-joins instead)
+                link_entities_distributed(mentions_ds).write_parquet(surface_map_dir)
+                smt = pq.read_table(surface_map_dir)
+                cluster_map = {
+                    (t, s): (nid, canon)
+                    for t, s, nid, canon in zip(
+                        smt.column("type").to_pylist(),
+                        smt.column("surface").to_pylist(),
+                        smt.column("node_id").to_pylist(),
+                        smt.column("canonical").to_pylist(),
+                    )
+                }
+                n_surfaces = len(cluster_map)
+            else:
+                cluster_map, n_surfaces = link_entities(mentions_ds)
+                os.makedirs(surface_map_dir, exist_ok=True)
+                keys = sorted(cluster_map)
+                pq.write_table(
+                    pa.table(
+                        {
+                            "type": pa.array([k[0] for k in keys], pa.string()),
+                            "surface": pa.array([k[1] for k in keys], pa.string()),
+                            "node_id": pa.array([cluster_map[k][0] for k in keys], pa.int64()),
+                            "canonical": pa.array([cluster_map[k][1] for k in keys], pa.string()),
+                        }
+                    ),
+                    os.path.join(surface_map_dir, "part-0.parquet"),
+                )
     if not (resume and lineage.phase_complete(out_dir, "linking", fp_link)):
         lineage.write_manifest(
             out_dir, "linking", fp_link, n_surfaces, t_link.wall,

@@ -21,12 +21,12 @@ surface forms and consolidates each group with an LLM call.  Here:
    (check_heuristics.py:175-226).  Oversized blocks (stop-word-like keys)
    are skipped, mirroring LSH banding's intent; the words that matter for
    recall also appear in smaller, rarer blocks.
-4. **union-find** — the edge list is tiny relative to the corpus (edges ≤
-   a few per distinct surface), so connected components close on the
-   driver; the resulting ``(type, surface) -> (node_id, canonical)`` map is
-   broadcast once with ``ray.put`` and read zero-copy by every rewrite
-   task.  At 10^12-document scale this becomes iterative label propagation
-   over the edge Dataset — the blocking/edge machinery is unchanged.
+4. **components** — two interchangeable paths with identical output:
+   the driver path (``link_entities``) closes the tiny edge list with
+   union-find and broadcasts the resulting map; the distributed path
+   (``link_entities_distributed``) runs BSP min-label propagation
+   (``label_propagation_components``) so neither the surface universe nor
+   the edges ever land on the driver — the 10^8+-distinct-surface route.
 
 Representative selection replaces the LLM judge (A9) with the
 deterministic "most complete name" contract the prompts encode
@@ -306,3 +306,301 @@ def link_entities(mentions_ds, *, concurrency=None, consolidate=None):
             )
         )
     return build_cluster_map(sorted(set(edges)), universe, consolidate), len(universe)
+
+
+# --------------------------------------------------------------------------
+# distributed linking: label-propagation connected components (the 10^8+-
+# distinct-surface path the driver-side union-find cannot serve)
+
+
+def _join_parts() -> int:
+    import ray
+
+    return max(8, 2 * int(ray.cluster_resources().get("CPU", 4)))
+
+
+def _sym_edges_batch(batch: pa.Table) -> pa.Table:
+    """(type, a, b) edge batch -> symmetric int-keyed (u, v) rows."""
+    if batch.num_rows == 0 or "type" not in batch.column_names:
+        return pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    ka = [
+        node_id_of(t, s)
+        for t, s in zip(batch.column("type").to_pylist(), batch.column("a").to_pylist())
+    ]
+    kb = [
+        node_id_of(t, s)
+        for t, s in zip(batch.column("type").to_pylist(), batch.column("b").to_pylist())
+    ]
+    return pa.table(
+        {"u": pa.array(ka + kb, pa.int64()), "v": pa.array(kb + ka, pa.int64())}
+    )
+
+
+def _edge_member_rows(batch: pa.Table) -> pa.Table:
+    """(type, a, b) edge batch -> (node, type, surface) rows for both ends."""
+    if batch.num_rows == 0 or "type" not in batch.column_names:
+        return pa.table(
+            {
+                "node": pa.array([], pa.int64()),
+                "type": pa.array([], pa.string()),
+                "surface": pa.array([], pa.string()),
+            }
+        )
+    types = batch.column("type").to_pylist()
+    surfaces = batch.column("a").to_pylist() + batch.column("b").to_pylist()
+    types2 = types + types
+    keys = [node_id_of(t, s) for t, s in zip(types2, surfaces)]
+    return pa.table(
+        {
+            "node": pa.array(keys, pa.int64()),
+            "type": pa.array(types2, pa.string()),
+            "surface": pa.array(surfaces, pa.string()),
+        }
+    )
+
+
+def _uv_arrays(tbl: pa.Table):
+    import numpy as np
+
+    if tbl.num_rows == 0 or "u" not in tbl.column_names:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    u = np.asarray(tbl.column("u").to_pylist(), dtype=np.int64)
+    v = np.asarray(tbl.column("v").to_pylist(), dtype=np.int64)
+    return u, v
+
+
+def _lp_remotes():
+    """BSP worker tasks for label propagation (built lazily so importing
+    this module never touches Ray)."""
+    import numpy as np
+
+    import ray
+
+    @ray.remote
+    def split_edges(tbl: pa.Table, P: int):
+        """One sym-edge block -> P (u, v) shards by hash(u) partition."""
+        u, v = _uv_arrays(tbl)
+        dest = u % P
+        order = np.argsort(dest, kind="stable")
+        us, vs, ds = u[order], v[order], dest[order]
+        bounds = np.searchsorted(ds, np.arange(P + 1))
+        return [(us[bounds[p] : bounds[p + 1]], vs[bounds[p] : bounds[p + 1]]) for p in range(P)]
+
+    @ray.remote
+    def concat_part(*shards):
+        """Assemble one partition: edges sorted by u + its node/label state.
+        Nodes are the unique u values (u is the partition key, and sym
+        edges contain every node as a source)."""
+        u = np.concatenate([s[0] for s in shards]) if shards else np.empty(0, np.int64)
+        v = np.concatenate([s[1] for s in shards]) if shards else np.empty(0, np.int64)
+        order = np.argsort(u, kind="stable")
+        u, v = u[order], v[order]
+        nodes = np.unique(u)
+        return u, v, nodes, nodes.copy()  # initial label = own key
+
+    @ray.remote
+    def msgs(part, P: int):
+        """One partition's round messages: (v, label(u)) shards by hash(v)."""
+        u, v, nodes, labels = part
+        lbl = labels[np.searchsorted(nodes, u)]
+        dest = v % P
+        order = np.argsort(dest, kind="stable")
+        vs, ls, ds = v[order], lbl[order], dest[order]
+        bounds = np.searchsorted(ds, np.arange(P + 1))
+        return [(vs[bounds[p] : bounds[p + 1]], ls[bounds[p] : bounds[p + 1]]) for p in range(P)]
+
+    @ray.remote
+    def reduce_part(part, *incoming):
+        """Fold incoming min-label messages into one partition's state."""
+        u, v, nodes, labels = part
+        new = labels.copy()
+        for mv, ml in incoming:
+            if len(mv):
+                idx = np.searchsorted(nodes, mv)
+                np.minimum.at(new, idx, ml)
+        changed = not np.array_equal(new, labels)
+        return (u, v, nodes, new), changed
+
+    @ray.remote
+    def to_table(part) -> pa.Table:
+        _, _, nodes, labels = part
+        return pa.table(
+            {"node": pa.array(nodes, pa.int64()), "label": pa.array(labels, pa.int64())}
+        )
+
+    return split_edges, concat_part, msgs, reduce_part, to_table
+
+
+def label_propagation_components(edges_ds, *, max_iters: int = 25, num_partitions: int | None = None):
+    """Similar-pair edges (type, a, b) -> (node, label) component Dataset.
+
+    Iterative min-label propagation as a raw-Ray-task BSP loop — the one
+    place the Dataset API genuinely can't express the semantics: re-invoking
+    shuffle-join operators per round pays seconds of fixed operator setup
+    per iteration, while components need only diameter-many rounds of tiny
+    co-partitioned exchanges.  Edges are hash-partitioned by source node
+    ONCE (``node_key % P``; keys are blake2b-uniform, so modulo is an even
+    partitioner); each round every partition sends vectorized
+    (dst, min-label) messages to its peer partitions and folds incoming
+    minima with ``np.minimum.at`` — O(P^2) small objects per round, no
+    sort, no driver-side state beyond P changed-flags.  Rounds needed =
+    component diameter (alias clusters are shallow; ``max_iters`` guards
+    pathological chains — on hitting it labels are a valid refinement,
+    just possibly unmerged).  Duplicate edges from overlapping LSH blocks
+    are harmless (min is idempotent).  At petabyte scale the per-round
+    partition states checkpoint through lineage Parquet; here they live in
+    the object store.
+    """
+    import ray
+
+    P = num_partitions or max(4, int(ray.cluster_resources().get("CPU", 4)))
+    split_edges, concat_part, msgs, reduce_part, to_table = _lp_remotes()
+
+    sym = edges_ds.map_batches(_sym_edges_batch, batch_format="pyarrow").materialize()
+    block_refs = list(sym.to_arrow_refs())
+    shard_lists = [
+        split_edges.options(num_returns=P).remote(ref, P) for ref in block_refs
+    ]
+    if P == 1:  # num_returns=1 unwraps the list
+        shard_lists = [[s] for s in shard_lists]
+    parts = [
+        concat_part.remote(*[shard_lists[i][p] for i in range(len(block_refs))])
+        for p in range(P)
+    ]
+
+    for _ in range(max_iters):
+        msg_lists = [msgs.options(num_returns=P).remote(parts[p], P) for p in range(P)]
+        if P == 1:
+            msg_lists = [[m] for m in msg_lists]
+        results = [
+            reduce_part.options(num_returns=2).remote(
+                parts[q], *[msg_lists[p][q] for p in range(P)]
+            )
+            for q in range(P)
+        ]
+        parts = [r[0] for r in results]
+        if not any(ray.get([r[1] for r in results])):
+            break
+
+    import ray.data
+
+    return ray.data.from_arrow_refs([to_table.remote(p) for p in parts])
+
+
+def _cluster_assign(group: pa.Table, consolidate=None) -> pa.Table:
+    """One component's member rows -> (type, surface, node_id, canonical)."""
+    types = group.column("type").to_pylist()
+    surfaces = sorted(set(group.column("surface").to_pylist()))
+    typ = types[0] if types else ""
+    if consolidate is None or len(surfaces) == 1:
+        canon = representative(surfaces)
+    else:
+        canon = consolidate(surfaces)
+        if canon is not None and canon not in surfaces:
+            raise ValueError(f"consolidator invented surface {canon!r} not in group")
+    if canon is None:  # group left unmerged (reference A9 contract)
+        return pa.table(
+            {
+                "type": pa.array([typ] * len(surfaces), pa.string()),
+                "surface": pa.array(surfaces, pa.string()),
+                "node_id": pa.array(
+                    [node_id_of(typ, s) for s in surfaces], pa.int64()
+                ),
+                "canonical": pa.array(surfaces, pa.string()),
+            }
+        )
+    nid = node_id_of(typ, canon)
+    return pa.table(
+        {
+            "type": pa.array([typ] * len(surfaces), pa.string()),
+            "surface": pa.array(surfaces, pa.string()),
+            "node_id": pa.array([nid] * len(surfaces), pa.int64()),
+            "canonical": pa.array([canon] * len(surfaces), pa.string()),
+        }
+    )
+
+
+def _singleton_rows(batch: pa.Table) -> pa.Table:
+    if batch.num_rows == 0 or "type" not in batch.column_names:
+        return pa.table(
+            {
+                "type": pa.array([], pa.string()),
+                "surface": pa.array([], pa.string()),
+                "node_id": pa.array([], pa.int64()),
+                "canonical": pa.array([], pa.string()),
+            }
+        )
+    types = batch.column("type").to_pylist()
+    surfaces = batch.column("surface").to_pylist()
+    return pa.table(
+        {
+            "type": pa.array(types, pa.string()),
+            "surface": pa.array(surfaces, pa.string()),
+            "node_id": pa.array(
+                [node_id_of(t, s) for t, s in zip(types, surfaces)], pa.int64()
+            ),
+            "canonical": pa.array(surfaces, pa.string()),
+        }
+    )
+
+
+def link_entities_distributed(mentions_ds, *, consolidate=None):
+    """mentions Dataset -> surface-map Dataset (type, surface, node_id,
+    canonical) with NO driver-side universe: the documented scale path of
+    :func:`link_entities` (same blocking + pair predicates; union-find
+    replaced by :func:`label_propagation_components`; singleton surfaces
+    bypass propagation through a left-anti join).
+
+    Identical output to the driver path — a test asserts row-for-row
+    equality — so the pipeline can switch on universe size without
+    changing results.
+    """
+    from ray.data.aggregate import Min
+
+    n_part = _join_parts()
+    distinct = (
+        mentions_ds.map_batches(partial_surface_counts, batch_format="pyarrow")
+        .groupby(["type", "surface"])
+        .sum("n")
+        .map_batches(
+            lambda b: (
+                b.filter(pc.is_in(b.column("type"), pa.array(LINKED_TYPES)))
+                if b.num_rows and "type" in b.column_names
+                else pa.table(
+                    {"type": pa.array([], pa.string()), "surface": pa.array([], pa.string())}
+                )
+            ).select(["type", "surface"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    edges = (
+        distinct.map_batches(block_keys_batch, batch_format="pyarrow")
+        .groupby("block")
+        .map_groups(block_pairs, batch_format="pyarrow")
+        .materialize()
+    )
+
+    comp = label_propagation_components(edges)
+    members = (
+        edges.map_batches(_edge_member_rows, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("type", alias_name="type"), Min("surface", alias_name="surface"))
+    )  # (node, type, surface) dedup — node key determines both
+    clustered = (
+        members.join(comp, join_type="inner", num_partitions=n_part, on=("node",))
+        .groupby("label")
+        .map_groups(
+            lambda g: _cluster_assign(g, consolidate), batch_format="pyarrow"
+        )
+    )
+
+    singles = distinct.join(
+        members.select_columns(["type", "surface"]),
+        join_type="left_anti",
+        num_partitions=n_part,
+        on=("type", "surface"),
+    ).map_batches(_singleton_rows, batch_format="pyarrow")
+
+    return clustered.union(singles)

@@ -227,6 +227,24 @@ def test_determinism_across_parallelism(small_corpus, tmp_path_factory):
     assert node_key(out1) == node_key(out2)
 
 
+def test_pipeline_distributed_linking_identical(kg_result, tmp_path_factory):
+    """run_kg(linking_mode='distributed') must produce the same graph as
+    the driver union-find path (the paths are interchangeable by size)."""
+    corpus, out_driver, _ = kg_result
+    out2 = str(tmp_path_factory.mktemp("kg_dist"))
+    run_kg(f"{corpus}/pages", out2, n_buckets=4, concurrency=2, linking_mode="distributed")
+
+    def table_key(out, name, cols):
+        t = pads.dataset(f"{out}/{name}", partitioning="hive").to_table()
+        return sorted(zip(*[t.column(c).to_pylist() for c in cols]))
+
+    for name, cols in [
+        ("nodes", ["node_id", "canonical", "type", "n_mentions"]),
+        ("edges", ["src_id", "pred", "dst_id", "weight"]),
+    ]:
+        assert table_key(out_driver, name, cols) == table_key(out2, name, cols), name
+
+
 def test_pipeline_correct_at_other_seed(tmp_path_factory):
     """Generator + tagger + linking coupling holds at a different seed and
     catalog size (guards against seed-42-specific luck)."""
