@@ -21,9 +21,15 @@ _KG_PAGES = {"sf0.001": 300, "sf0.01": 1000, "sf0.1": 4000}
 
 
 def _read(sf_dir: str, table: str):
+    """Read a testdata table, stripping the pandas schema metadata the
+    driver-generated parquet carries — unhashable (dict-valued) schema
+    metadata makes every downstream shuffle's schema-unify log a
+    'Failed to hash the schemas' warning per block."""
+    import pyarrow.parquet as pq
     import ray.data
 
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    return ray.data.read_parquet(path, schema=pq.read_schema(path).remove_metadata())
 
 
 def _kg_artifacts(sf_dir: str) -> dict:
@@ -173,6 +179,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "events")
         ),
         "lineitems_by_priority": lambda sf: relational.lineitems_by_priority(
+            _read(sf, "lineitem"), _read(sf, "orders")
+        ),
+        "lineitems_join_shuffle": lambda sf: relational.lineitems_join_shuffle(
             _read(sf, "lineitem"), _read(sf, "orders")
         ),
         "docs_tfidf_knn": lambda sf: __import__(
@@ -439,6 +448,12 @@ def oracle_sql() -> dict[str, str]:
             from events group by hour
         """,
         "lineitems_by_priority": """
+            select o_orderpriority, count(*) as n_items,
+                   sum(l_quantity) as sum_qty
+            from lineitem join orders on l_orderkey = o_orderkey
+            group by o_orderpriority
+        """,
+        "lineitems_join_shuffle": """
             select o_orderpriority, count(*) as n_items,
                    sum(l_quantity) as sum_qty
             from lineitem join orders on l_orderkey = o_orderkey

@@ -89,7 +89,12 @@ def run_ops(sf_dir: str) -> dict[str, float]:
     from pdf_entity_extraction_ray.ops import ann, dedup, relational, text
 
     def read(table):
-        return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+        # strip the pandas schema metadata (unhashable in schema-unify —
+        # it triggers a 'Failed to hash the schemas' warning per block)
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        return ray.data.read_parquet(path, schema=pq.read_schema(path).remove_metadata())
 
     ops = {
         "docs_token_stats": lambda: read("documents").map_batches(

@@ -439,3 +439,51 @@ def lineitems_by_priority(lineitem_ds, orders_ds):
         .groupby("o_orderpriority")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def lineitems_join_shuffle(lineitem_ds, orders_ds):
+    """lineitem ⋈ orders on orderkey -> per-priority counts + sums, via a
+    hash-SHUFFLE ``Dataset.join`` — the large-large path where neither side
+    is broadcastable (the 100-TB complement of
+    :func:`lineitems_by_priority`'s dimension-table broadcast).
+
+    Columns are pruned to the join key + payloads before the shuffle, and
+    the aggregation is two-stage after the join (per-batch Arrow combiner,
+    then a tiny groupby), so the exchanges move only what they must."""
+    import ray
+
+    n_part = max(8, 2 * int(ray.cluster_resources().get("CPU", 4)))
+    joined = lineitem_ds.select_columns(["l_orderkey", "l_quantity"]).join(
+        orders_ds.select_columns(["o_orderkey", "o_orderpriority"]),
+        join_type="inner",
+        num_partitions=n_part,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "o_orderpriority" not in batch.column_names:
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "n_items": pa.array([], pa.int64()),
+                    "sum_qty": pa.array([], pa.float64()),
+                }
+            )
+        g = batch.group_by(["o_orderpriority"]).aggregate(
+            [("l_quantity", "count"), ("l_quantity", "sum")]
+        )
+        return pa.table(
+            {
+                "o_orderpriority": g.column("o_orderpriority"),
+                "n_items": g.column("l_quantity_count").cast(pa.int64()),
+                "sum_qty": g.column("l_quantity_sum"),
+            }
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .sum(["n_items", "sum_qty"])
+        .rename_columns({"sum(n_items)": "n_items", "sum(sum_qty)": "sum_qty"})
+    )

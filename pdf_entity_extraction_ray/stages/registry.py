@@ -47,3 +47,7 @@ def available_taggers() -> list[str]:
 from .tagger import GazetteerTagger  # noqa: E402
 
 register_tagger("gazetteer")(GazetteerTagger)
+
+# model-zoo adapters register themselves on import (A1 + A2-A5)
+from . import adapters  # noqa: E402,F401
+from . import hf_tagger  # noqa: E402,F401
