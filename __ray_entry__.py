@@ -298,6 +298,42 @@ def oracle_sql() -> dict[str, str]:
             from s
         """,
         "docs_fingerprint": "select doc_id, md5(text) as fingerprint from documents",
+        # token value = md5_number_upper (little-endian first 8 md5 bytes),
+        # windowed polynomial roll mod 2^61-1 with precomputed power list —
+        # exactly ops/text.rolling_fingerprint
+        "docs_rolling_fp": """
+    with toks as (
+        select doc_id,
+               list_transform(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                              t -> md5_number_upper(t)::hugeint % 2305843009213693951) as vals
+        from documents),
+    p as (select [1::hugeint, 1000003::hugeint, 1000006000009::hugeint, 1000009000027000027::hugeint, 168760150033166695::hugeint, 618155284961614297::hugeint, 2133831443680070909::hugeint, 1501076012712181523::hugeint] as pw)
+    select doc_id,
+           case when len(vals) = 0 then 0
+                when len(vals) <= 8 then
+                  list_sum([(vals[j] * pw[len(vals) - j + 1]) % 2305843009213693951
+                            for j in range(1, len(vals) + 1)]) % 2305843009213693951
+                else
+                  list_min([list_sum([(vals[i + j - 1] * pw[8 - j + 1]) % 2305843009213693951
+                                      for j in range(1, 9)]) % 2305843009213693951
+                            for i in range(1, len(vals) - 6)])
+           end::ubigint as roll_fp
+    from toks, p
+        """,
+        # charset gate + stopword-profile argmax with the engine's exact
+        # tie-break (struct sort by (-n, lang) == first-in-sorted-order)
+        "docs_langid": """
+    with w as (select doc_id,
+                      len(regexp_extract_all(substr(text, 1, 400), '[一-鿿]')) as cjk,
+                      least(len(text), 400) as head_len,
+                      list_distinct(regexp_extract_all(lower(substr(text, 1, 2000)),
+                                                       '[a-z0-9_]+')) as ws
+               from documents)
+    select doc_id,
+           case when cjk * 5 > head_len then 'zh'
+                else list_sort([{'negn': -len(list_intersect(ws, ['der', 'die', 'das', 'und', 'ist', 'ein', 'eine', 'mit', 'für', 'von'])), 'lang': 'de'}, {'negn': -len(list_intersect(ws, ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that', 'for', 'with'])), 'lang': 'en'}, {'negn': -len(list_intersect(ws, ['el', 'la', 'de', 'y', 'que', 'en', 'un', 'una', 'los', 'para'])), 'lang': 'es'}, {'negn': -len(list_intersect(ws, ['le', 'la', 'les', 'et', 'de', 'un', 'une', 'est', 'pour', 'dans'])), 'lang': 'fr'}])[1].lang end as lang_pred
+    from w
+        """,
         "docs_exact_dedup": """
             select doc_id, text, lang, source, n_chars from documents
             qualify row_number() over (partition by text order by doc_id) = 1

@@ -141,9 +141,10 @@ def rolling_fingerprint(text: str, window: int = 8) -> int:
     tokens = TOKEN_RE.findall(text.lower())
     if not tokens:
         return 0
+    # token value = little-endian first 8 bytes of md5 — exactly DuckDB's
+    # ``md5_number_upper``, so the op has a full SQL oracle
     vals = [
-        int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
-        % _ROLL_MOD
+        int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little") % _ROLL_MOD
         for t in tokens
     ]
     if len(vals) <= window:

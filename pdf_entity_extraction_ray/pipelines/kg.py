@@ -108,11 +108,14 @@ def _run_partitioned_phase(
     if manifest is not None and manifest.get("fingerprint") != fp:
         lineage.invalidate(out_dir, phase, table_dir)  # stale config/code
 
-    done = lineage.existing_buckets(table_dir) if resume else set()
+    done = lineage.existing_buckets(table_dir, fp) if resume else set()
     missing = frozenset(range(n_buckets)) - done
     if not resume and os.path.isdir(table_dir):
         lineage.invalidate(out_dir, phase, table_dir)
         missing = frozenset(range(n_buckets))
+    # partial writes from a mid-phase crash and stale-fingerprint orphans
+    # must go before recompute — appending into them would duplicate rows
+    lineage.drop_incomplete_buckets(table_dir, keep=done)
 
     with lineage.PhaseTimer() as timer:
         if missing:
@@ -155,6 +158,7 @@ def _run_partitioned_phase(
             # clustering (so they need no shuffle of their own)
             ds = ds.sort("bucket")
             ds.write_parquet(table_dir, partition_cols=["bucket"])
+            lineage.mark_buckets_complete(table_dir, fp)
 
     total, per = _bucket_rows(table_dir)
     lineage.write_manifest(

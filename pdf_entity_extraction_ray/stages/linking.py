@@ -604,3 +604,74 @@ def link_entities_distributed(mentions_ds, *, consolidate=None):
     ).map_batches(_singleton_rows, batch_format="pyarrow")
 
     return clustered.union(singles)
+
+
+# --------------------------------------------------------------------------
+# D2 alternate blocking: sequential-window grouping over sorted surfaces
+# (src/ollama_ner_extract_names.py:294-326)
+
+
+def sequential_window_groups(
+    names: list[str], window: int = 15
+) -> list[list[str]]:
+    """The reference's second grouping strategy, exactly: scan the SORTED
+    name list; a group grows freely to ``window`` names; past that, the
+    next name joins only while similar to the group's LAST name (D2
+    thresholds); otherwise the group closes and a new one starts."""
+    if not names:
+        return []
+    groups: list[list[str]] = []
+    group = [names[0]]
+    for current in names[1:]:
+        if len(group) < window:
+            group.append(current)
+            continue
+        if surfaces_similar(group[-1], current):
+            group.append(current)
+            continue
+        groups.append(group)
+        group = [current]
+    groups.append(group)
+    return groups
+
+
+def sequential_window_pairs(distinct_ds, window: int = 15):
+    """(type, surface) distinct rows -> similar-pair edges via sequential
+    windows instead of LSH blocks: ``sort`` range-partitions the surfaces
+    globally in order; each sorted block is scanned with the reference's
+    run-capped grouping and every within-group pair is tested with the
+    full merge rule.  Groups may split at block boundaries — the same
+    arbitrary split the reference's own every-``window``-names cut makes,
+    so recall semantics match in kind; the primary LSH blocking remains
+    the default path."""
+
+    def block_edges(batch: pa.Table) -> pa.Table:
+        out_t: list[str] = []
+        out_a: list[str] = []
+        out_b: list[str] = []
+        if batch.num_rows and "type" in batch.column_names:
+            by_type: dict[str, list[str]] = {}
+            for t, s in sorted(
+                zip(batch.column("type").to_pylist(), batch.column("surface").to_pylist())
+            ):
+                if t in LINKED_TYPES:
+                    by_type.setdefault(t, []).append(s)
+            for t, names in by_type.items():
+                for group in sequential_window_groups(names, window):
+                    for i in range(len(group)):
+                        for j in range(i + 1, len(group)):
+                            if surfaces_match(group[i], group[j]):
+                                out_t.append(t)
+                                out_a.append(min(group[i], group[j]))
+                                out_b.append(max(group[i], group[j]))
+        return pa.table(
+            {
+                "type": pa.array(out_t, pa.string()),
+                "a": pa.array(out_a, pa.string()),
+                "b": pa.array(out_b, pa.string()),
+            }
+        )
+
+    return distinct_ds.sort(["type", "surface"]).map_batches(
+        block_edges, batch_format="pyarrow"
+    )

@@ -9,8 +9,11 @@ manifest recording the input fingerprint, per-bucket row counts, stage
 config and wall time.  Resume logic:
 
 * manifest present + fingerprint matches  -> phase is complete, skip.
-* manifest absent, some bucket dirs exist -> recompute ONLY missing buckets
-  (input filtered by bucket before the heavy stages), then re-manifest.
+* manifest absent, some bucket dirs exist -> keep ONLY buckets whose
+  per-bucket ``_COMPLETE`` marker carries the current fingerprint (a dir
+  without a marker is a mid-phase partial write; a marker with another
+  fingerprint is a stale-config orphan — both are deleted), recompute the
+  rest, then re-manifest.
 * fingerprint mismatch                    -> stale output, recompute all.
 
 Wall-clock timestamps appear in manifests as *metrics*, never as inputs to
@@ -80,20 +83,64 @@ def write_manifest(
     os.replace(tmp, _manifest_file(out_dir, phase))
 
 
-def existing_buckets(table_dir: str) -> set[int]:
-    """Bucket ids with on-disk output (hive-partitioned ``bucket=N`` dirs
-    that contain at least one data file)."""
+MARKER = "_COMPLETE"  # underscore prefix: ignored by pyarrow/Ray dataset reads
+
+
+def mark_buckets_complete(table_dir: str, fp: str) -> None:
+    """Stamp every unmarked ``bucket=N`` dir with the phase fingerprint.
+
+    Called only AFTER the phase's write returns: a bucket dir without a
+    marker is by definition partially written (mid-phase crash) and a
+    marker with a different fingerprint is an orphan from an older
+    config — resume must trust neither."""
+    if not os.path.isdir(table_dir):
+        return
+    for name in os.listdir(table_dir):
+        if not name.startswith("bucket="):
+            continue
+        marker = os.path.join(table_dir, name, MARKER)
+        if not os.path.exists(marker):
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(fp)
+            os.replace(tmp, marker)
+
+
+def existing_buckets(table_dir: str, fp: str | None = None) -> set[int]:
+    """Bucket ids safe to SKIP on resume: hive ``bucket=N`` dirs holding
+    data AND a completion marker whose fingerprint matches ``fp``.
+
+    With ``fp=None`` any marker is accepted (back-compat listing)."""
     found: set[int] = set()
     if not os.path.isdir(table_dir):
         return found
     for name in os.listdir(table_dir):
         if name.startswith("bucket="):
             sub = os.path.join(table_dir, name)
-            if os.path.isdir(sub) and any(
-                f.endswith(".parquet") for f in os.listdir(sub)
+            marker = os.path.join(sub, MARKER)
+            if not (
+                os.path.isdir(sub)
+                and any(f.endswith(".parquet") for f in os.listdir(sub))
+                and os.path.exists(marker)
             ):
-                found.add(int(name.split("=", 1)[1]))
+                continue
+            if fp is not None:
+                with open(marker) as fh:
+                    if fh.read().strip() != fp:
+                        continue
+            found.add(int(name.split("=", 1)[1]))
     return found
+
+
+def drop_incomplete_buckets(table_dir: str, keep: set[int]) -> None:
+    """Delete every ``bucket=N`` dir not in ``keep`` — partial writes and
+    stale-config orphans.  Without this, recomputation would APPEND files
+    into half-written dirs, duplicating rows."""
+    if not os.path.isdir(table_dir):
+        return
+    for name in os.listdir(table_dir):
+        if name.startswith("bucket=") and int(name.split("=", 1)[1]) not in keep:
+            shutil.rmtree(os.path.join(table_dir, name), ignore_errors=True)
 
 
 def invalidate(out_dir: str, phase: str, table_dir: str | None = None) -> None:

@@ -195,6 +195,28 @@ def test_resume_recomputes_only_missing_bucket(kg_result):
     assert key(before) == key(after)
 
 
+def test_resume_discards_partial_and_stale_buckets(kg_result):
+    """A bucket dir without a completion marker (mid-phase crash) or with a
+    stale-fingerprint marker (older config) must be recomputed, not
+    silently trusted — and recompute must not append-duplicate rows."""
+    corpus, out, _ = kg_result
+    before = pads.dataset(f"{out}/mentions", partitioning="hive").to_table()
+    os.remove(f"{out}/_lineage/annotations.json")
+    # simulate a crash mid-write of bucket 2: data present, no marker
+    os.remove(f"{out}/annotations/bucket=2/_COMPLETE")
+    # simulate an orphan from an older config in bucket 3
+    with open(f"{out}/annotations/bucket=3/_COMPLETE", "w") as f:
+        f.write("stale-fingerprint")
+    run_kg(f"{corpus}/pages", out, n_buckets=4, concurrency=2)
+    manifest = json.load(open(f"{out}/_lineage/annotations.json"))
+    assert sorted(manifest["recomputed_buckets"]) == [2, 3]
+    after = pads.dataset(f"{out}/mentions", partitioning="hive").to_table()
+    key = lambda t: sorted(
+        zip(t.column("mention_id").to_pylist(), t.column("url").to_pylist())
+    )
+    assert key(before) == key(after)  # no loss, no duplication
+
+
 def test_determinism_across_parallelism(small_corpus, tmp_path_factory):
     """Same input, different parallelism/buckets -> identical logical output."""
     out1 = str(tmp_path_factory.mktemp("kg_p1"))
