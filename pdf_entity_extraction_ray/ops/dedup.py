@@ -9,10 +9,11 @@ for training-data pipelines:
 * :func:`simhash_pairs`      — 64-bit SimHash, 4x16-bit band blocking,
   Hamming<=k verify
 * :func:`embedding_cosine_pairs` — near-dup by cosine over an embedding
-  column (brute force per batch against a broadcast matrix)
+  column (distributed block-nested-loop over object-store block refs)
 
-Partitioning assumptions are stated per function; each is the documented
-small-side broadcast or a band-key shuffle — never an all-pairs join.
+Partitioning assumptions are stated per function; each is a hash-shuffle
+join, a band-key shuffle, or a block-ref exchange — never a driver-side
+materialization of the corpus.
 """
 
 from __future__ import annotations
@@ -21,6 +22,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.similarity import MinHasher, hamming64, jaccard, simhash64_batch
 from .text import TOKEN_RE
@@ -41,7 +43,7 @@ def _word_shingles(text: str, k: int = SHINGLE_K) -> set[str]:
 # exact dedup
 
 
-def exact_dedup(docs_ds):
+def exact_dedup(docs_ds, num_partitions: int | None = None):
     """Keep the lowest-doc_id row per distinct text.
 
     Two-stage: per-batch combiner reduces each batch to one candidate row
@@ -60,17 +62,26 @@ def exact_dedup(docs_ds):
         out = batch.take(pa.array(idx, pa.int64()))
         return out.append_column("dedup_key", pa.array(list(best.keys()), pa.string()))
 
-    return _keep_min_doc_per_key(docs_ds.map_batches(partial, batch_format="pyarrow"))
+    return _keep_min_doc_per_key(
+        docs_ds.map_batches(partial, batch_format="pyarrow"), num_partitions
+    )
 
 
 def _join_partitions() -> int:
-    """Hash-join partition count sized to the session (2/CPU)."""
+    """Hash-join partition count for LOCAL sessions: capped at 8.
+
+    Each ``Dataset.join`` spins up ``num_partitions`` aggregator actors
+    with fixed startup cost; measured at sf0.1/32cpu, 4-16 partitions all
+    land at ~5-7 s while 64 partitions (2/CPU) oversubscribes the node —
+    two chained joins spawned 128+ aggregators and wedged.  On a real
+    cluster pass ``num_partitions ~ input_bytes / 500 MB`` explicitly via
+    the ops' ``num_partitions`` argument instead."""
     import ray
 
-    return max(8, 2 * int(ray.cluster_resources().get("CPU", 4)))
+    return min(8, max(4, int(ray.cluster_resources().get("CPU", 4)) // 2))
 
 
-def _keep_min_doc_per_key(keyed_ds):
+def _keep_min_doc_per_key(keyed_ds, num_partitions: int | None = None):
     """Rows with a ``dedup_key`` column -> keep the min-doc_id row per key.
 
     Fully distributed: a vectorized Min aggregate finds the winning
@@ -88,19 +99,19 @@ def _keep_min_doc_per_key(keyed_ds):
     kept = partials.join(
         winners,
         join_type="inner",
-        num_partitions=_join_partitions(),
+        num_partitions=num_partitions or _join_partitions(),
         on=("dedup_key", "doc_id"),
     )
     return kept.drop_columns(["dedup_key"])
 
 
-def wordset_dedup(docs_ds):
+def wordset_dedup(docs_ds, num_partitions: int | None = None):
     """Bag-of-words dedup: keep the min-doc_id row per distinct word SET
     (n-gram dedup with n=1 over sets; key from ops.text.wordset_key_batch)."""
     from .text import wordset_key_batch
 
     return _keep_min_doc_per_key(
-        docs_ds.map_batches(wordset_key_batch, batch_format="pyarrow")
+        docs_ds.map_batches(wordset_key_batch, batch_format="pyarrow"), num_partitions
     )
 
 
@@ -120,68 +131,146 @@ class _ShingleSigner:
         return cls._hasher
 
 
+# coarse shard count for band-bucket pairing: one ``map_groups`` call per
+# BAND would pay per-group Python overhead across ~32 bands/doc; sharding
+# by crc32(band) batches ~n_bands/256 buckets per call (same co-location:
+# every row of a band lands in its band's shard)
+BAND_SHARDS = 256
+
+
 def band_rows_batch(batch: pa.Table) -> pa.Table:
-    """documents batch -> exploded (band_key, doc_id) rows."""
+    """documents batch -> exploded (shard, band_key, doc_id) rows."""
+    import zlib
+
     h = _ShingleSigner.hasher()
+    out_shard: list[int] = []
     out_band: list[str] = []
     out_doc: list[int] = []
     for doc_id, text in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
         sig = h.signature(_word_shingles(text))
         for bk in h.band_keys(sig, MINHASH_BANDS):
+            out_shard.append(zlib.crc32(bk.encode()) % BAND_SHARDS)
             out_band.append(bk)
             out_doc.append(doc_id)
     return pa.table(
-        {"band": pa.array(out_band, pa.string()), "doc_id": pa.array(out_doc, pa.int64())}
+        {
+            "shard": pa.array(out_shard, pa.int32()),
+            "band": pa.array(out_band, pa.string()),
+            "doc_id": pa.array(out_doc, pa.int64()),
+        }
     )
 
 
-def _band_candidates(group: pa.Table) -> pa.Table:
-    ids = sorted(set(group.column("doc_id").to_pylist()))
+def _shard_candidates(group: pa.Table) -> pa.Table:
+    """One SHARD of band rows -> candidate pairs from every band in it.
+    Pairs may repeat across bands/shards — the downstream pair groupby is
+    the dedup, so no extra shuffle is spent on it here."""
+    if group.num_rows == 0 or "band" not in group.column_names:
+        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
+    by_band: dict[str, set[int]] = {}
+    for band, doc in zip(group.column("band").to_pylist(), group.column("doc_id").to_pylist()):
+        by_band.setdefault(band, set()).add(doc)
     a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
+    seen: set[tuple[int, int]] = set()  # shard-local dedup shrinks the join input
+    for ids_set in by_band.values():
+        ids = sorted(ids_set)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                p = (ids[i], ids[j])
+                if p not in seen:
+                    seen.add(p)
+                    a.append(p[0])
+                    b.append(p[1])
     return pa.table({"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())})
 
 
-def minhash_lsh_pairs(docs_ds, threshold: float = 0.7):
+def minhash_lsh_pairs(docs_ds, threshold: float = 0.7, num_partitions: int | None = None):
     """Near-duplicate (doc_a, doc_b) pairs with word-3-gram Jaccard >=
     ``threshold``; doc_a < doc_b.
 
     Shuffle #1: band-key groupby (candidates only).  Shuffle #2: pair
-    dedup.  The EXACT-Jaccard verify fetches both texts through two
-    hash-shuffle ``Dataset.join``s against the (doc_id, text) projection —
-    texts travel the shuffle keyed by the candidate ids; the corpus is
-    never collected to the driver or broadcast (the previous design
-    ``ray.put`` an id->text dict of the whole corpus)."""
+    dedup.  The EXACT-Jaccard verify fetches both texts through ONE
+    hash-shuffle ``Dataset.join`` against the (doc_id, text) projection
+    (pairs exploded into side-tagged rows keyed by doc id, reassembled
+    with a vectorized Max groupby) — texts travel the shuffle keyed by
+    the candidate ids; the corpus is never collected to the driver or
+    broadcast (the previous design ``ray.put`` an id->text dict of the
+    whole corpus)."""
+    # candidates are NOT pair-deduped here: cross-shard duplicates survive
+    # the join and collapse in the reassembly groupby below, saving a whole
+    # shuffle; near-dup pairs repeat in at most MINHASH_BANDS shards
     candidates = (
         docs_ds.map_batches(band_rows_batch, batch_format="pyarrow")
-        .groupby("band")
-        .map_groups(_band_candidates, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .count()  # vectorized distinct (map_groups-per-pair would be slow)
-        .select_columns(["doc_a", "doc_b"])
+        .groupby("shard")
+        .map_groups(_shard_candidates, batch_format="pyarrow")
     )
 
     texts = docs_ds.select_columns(["doc_id", "text"])
-    n_part = _join_partitions()
-    # the join folds the right key column into the left key, so each join
-    # adds exactly one column ("text"), renamed before the next join
+    n_part = num_partitions or _join_partitions()
+
+    # each pair explodes to two side-tagged rows so ONE hash join fetches
+    # both texts (a second join would pay another aggregator fleet); the
+    # pair is then reassembled with a vectorized Max groupby — the empty
+    # string never wins because zero-shingle (empty-text) docs can't band
+    def explode_sides(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_a" not in batch.column_names:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int32()),
+                    "key": pa.array([], pa.int64()),
+                }
+            )
+        a = batch.column("doc_a")
+        b = batch.column("doc_b")
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_a": pa.concat_arrays([a.combine_chunks(), a.combine_chunks()]),
+                "doc_b": pa.concat_arrays([b.combine_chunks(), b.combine_chunks()]),
+                "side": pa.array([0] * n + [1] * n, pa.int32()),
+                "key": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+            }
+        )
+
+    def split_sides(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "side" not in batch.column_names:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "text_a": pa.array([], pa.string()),
+                    "text_b": pa.array([], pa.string()),
+                }
+            )
+        is_a = pc.equal(batch.column("side"), pa.scalar(0, pa.int32()))
+        empty = pa.scalar("", pa.string())
+        return pa.table(
+            {
+                "doc_a": batch.column("doc_a"),
+                "doc_b": batch.column("doc_b"),
+                "text_a": pc.if_else(is_a, batch.column("text"), empty),
+                "text_b": pc.if_else(is_a, empty, batch.column("text")),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
     paired = (
-        candidates.join(
-            texts, join_type="inner", num_partitions=n_part,
-            on=("doc_a",), right_on=("doc_id",),
-        )
-        .rename_columns({"text": "text_a"})
-        .join(
-            texts, join_type="inner", num_partitions=n_part,
-            on=("doc_b",), right_on=("doc_id",),
-        )
-        .rename_columns({"text": "text_b"})
+        candidates.map_batches(explode_sides, batch_format="pyarrow")
+        .join(texts, join_type="inner", num_partitions=n_part,
+              on=("key",), right_on=("doc_id",))
+        .map_batches(split_sides, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Max("text_a", alias_name="text_a"), Max("text_b", alias_name="text_b"))
     )
 
     def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "text_a" not in batch.column_names:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+            )
         keep = []
         for i, (ta, tb) in enumerate(
             zip(batch.column("text_a").to_pylist(), batch.column("text_b").to_pylist())
@@ -198,19 +287,26 @@ def minhash_lsh_pairs(docs_ds, threshold: float = 0.7):
 
 
 def simhash_rows_batch(batch: pa.Table) -> pa.Table:
-    """documents batch -> (doc_id, simhash, 4 x 16-bit chunk keys exploded)."""
+    """documents batch -> (shard, chunk, doc_id, simhash) rows, one per
+    16-bit chunk; ``shard`` coarsens the chunk key so the pairing step
+    batches many chunk buckets per ``map_groups`` call (same trick as
+    :data:`BAND_SHARDS` — per-chunk grouping paid per-group Python
+    overhead across ~4*2^16 possible keys)."""
     token_lists = [TOKEN_RE.findall(t.lower()) for t in batch.column("text").to_pylist()]
     sims = simhash64_batch(token_lists)
     doc_ids = batch.column("doc_id").to_pylist()
-    out_chunk, out_doc, out_sim = [], [], []
+    out_shard, out_chunk, out_doc, out_sim = [], [], [], []
     for doc_id, s in zip(doc_ids, sims.tolist()):
         for c in range(4):
-            out_chunk.append(f"{c}:{(s >> (16 * c)) & 0xFFFF}")
+            key = (c << 16) | ((s >> (16 * c)) & 0xFFFF)
+            out_shard.append(key % BAND_SHARDS)
+            out_chunk.append(key)
             out_doc.append(doc_id)
             out_sim.append(s)
     return pa.table(
         {
-            "chunk": pa.array(out_chunk, pa.string()),
+            "shard": pa.array(out_shard, pa.int32()),
+            "chunk": pa.array(out_chunk, pa.int64()),
             "doc_id": pa.array(out_doc, pa.int64()),
             "simhash": pa.array(out_sim, pa.uint64()),
         }
@@ -222,16 +318,32 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
     By pigeonhole, any pair within 3 bits shares at least one of the four
     16-bit chunks, so chunk-blocking loses nothing."""
 
-    def chunk_candidates(group: pa.Table) -> pa.Table:
-        rows = sorted(set(zip(group.column("doc_id").to_pylist(), group.column("simhash").to_pylist())))
+    def shard_chunk_candidates(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "chunk" not in group.column_names:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        by_chunk: dict[int, set[tuple[int, int]]] = {}
+        for chunk, doc, sim in zip(
+            group.column("chunk").to_pylist(),
+            group.column("doc_id").to_pylist(),
+            group.column("simhash").to_pylist(),
+        ):
+            by_chunk.setdefault(chunk, set()).add((doc, sim))
         a, b, h = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                d = hamming64(rows[i][1], rows[j][1])
-                if d <= max_hamming:
-                    a.append(rows[i][0])
-                    b.append(rows[j][0])
-                    h.append(d)
+        for members in by_chunk.values():
+            rows = sorted(members)
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    d = hamming64(rows[i][1], rows[j][1])
+                    if d <= max_hamming:
+                        a.append(rows[i][0])
+                        b.append(rows[j][0])
+                        h.append(d)
         return pa.table(
             {
                 "doc_a": pa.array(a, pa.int64()),
@@ -244,8 +356,8 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
 
     return (
         docs_ds.map_batches(simhash_rows_batch, batch_format="pyarrow")
-        .groupby("chunk")
-        .map_groups(chunk_candidates, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_chunk_candidates, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Min("hamming", alias_name="hamming"))  # vectorized distinct
     )

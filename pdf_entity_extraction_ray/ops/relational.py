@@ -452,7 +452,9 @@ def lineitems_join_shuffle(lineitem_ds, orders_ds):
     then a tiny groupby), so the exchanges move only what they must."""
     import ray
 
-    n_part = max(8, 2 * int(ray.cluster_resources().get("CPU", 4)))
+    # capped: join aggregator actors have fixed startup cost and 2/CPU
+    # oversubscribes a single node (see ops/dedup._join_partitions)
+    n_part = min(8, max(4, int(ray.cluster_resources().get("CPU", 4)) // 2))
     joined = lineitem_ds.select_columns(["l_orderkey", "l_quantity"]).join(
         orders_ds.select_columns(["o_orderkey", "o_orderpriority"]),
         join_type="inner",

@@ -51,7 +51,7 @@ from ..stages.graph import build_edges, build_nodes, canonical_triples
 from ..stages.linking import link_entities
 from ..state import lineage
 
-CODE_VERSION = 4  # bump to invalidate all phase outputs
+CODE_VERSION = 5  # bump to invalidate all phase outputs
 
 
 def _add_bucket_col(batch: pa.Table, n_buckets: int) -> pa.Table:
@@ -382,13 +382,6 @@ def run_kg(
                             override_num_blocks=nblocks,
                         ),
                         cluster_map_ref,
-                        # DATE nodes derive from the raw triples' DATE objects
-                        # (referential integrity: every edge dst_id resolves)
-                        triples_ds=ray.data.read_parquet(
-                            triples_dir,
-                            columns=["obj", "obj_type", "obj_norm", "url"],
-                            override_num_blocks=nblocks,
-                        ),
                     ),
                     nodes_dir,
                 ),

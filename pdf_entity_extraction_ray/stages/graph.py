@@ -22,6 +22,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.dates import parse_date
 from .linking import LINKED_TYPES, node_id_of
 
 # urls/aliases per node are capped in the materialized table (a country
@@ -79,8 +80,15 @@ def node_partials_batch(batch: pa.Table, cluster_map: dict) -> pa.Table:
     """mentions batch -> partial per-node aggregates.
 
     Arrow ``group_by`` (C++) reduces the batch to distinct (type, surface)
-    rows first; the Python resolution loop then touches only those."""
-    keep = pc.is_in(batch.column("type"), pa.array(LINKED_TYPES))
+    rows first; the Python resolution loop then touches only those.
+
+    DATE mentions become nodes here too, keyed by their parsed ISO value
+    (every tagged DATE passed the M9 parseability gate) — edges assign
+    DATE objects real ``dst_id`` values, so the nodes table must contain
+    matching rows or edge->node joins break referential integrity.
+    Deriving them from the SAME mentions read (rather than a second pass
+    over triples) keeps the phase at one input scan."""
+    keep = pc.is_in(batch.column("type"), pa.array(LINKED_TYPES + ("DATE",)))
     sub = batch.filter(keep)
     g = sub.group_by(["type", "surface"]).aggregate(
         [("url", "count"), ("url", "min"), ("url", "max")]
@@ -93,7 +101,11 @@ def node_partials_batch(batch: pa.Table, cluster_map: dict) -> pa.Table:
         g.column("url_min").to_pylist(),
         g.column("url_max").to_pylist(),
     ):
-        nid, canon = resolve(cluster_map, typ, surface)
+        if typ == "DATE":
+            parsed = parse_date(surface)
+            nid, canon = resolve({}, "DATE", surface, parsed.isoformat() if parsed else "")
+        else:
+            nid, canon = resolve(cluster_map, typ, surface)
         a = acc.setdefault(
             nid, {"canonical": canon, "type": typ, "aliases": set(), "n": 0, "urls": set()}
         )
@@ -113,89 +125,75 @@ def node_partials_batch(batch: pa.Table, cluster_map: dict) -> pa.Table:
     )
 
 
-def node_final_merge(group: pa.Table) -> pa.Table:
-    """Reduce partial node rows for one node_id -> one NODES_SCHEMA row."""
-    aliases: set[str] = set()
-    urls: set[str] = set()
-    n = 0
-    for row_aliases in group.column("aliases").to_pylist():
-        aliases.update(row_aliases)
-    for row_urls in group.column("urls").to_pylist():
-        urls.update(row_urls)
-    for row_n in group.column("n_mentions").to_pylist():
-        n += row_n
-    return pa.table(
-        {
-            "node_id": pa.array([group.column("node_id")[0].as_py()], pa.int64()),
-            "canonical": pa.array([group.column("canonical")[0].as_py()], pa.string()),
-            "type": pa.array([group.column("type")[0].as_py()], pa.string()),
-            "aliases": pa.array([sorted(aliases)[:MAX_ALIASES_PER_NODE]], pa.list_(pa.string())),
-            "n_mentions": pa.array([n], pa.int64()),
-            "n_urls": pa.array([len(urls)], pa.int64()),
-            "urls_sample": pa.array([sorted(urls)[:MAX_URLS_PER_NODE]], pa.list_(pa.string())),
-        }
-    )
+# coarse shard count for the final node merge: ``map_groups`` pays a
+# Python call + table construction PER GROUP, which at one-group-per-node
+# (every distinct DATE is a node) dominated the graph phase; sharding by
+# ``node_id % NODE_SHARDS`` keeps same-node rows co-located while batching
+# ~n_nodes/256 merges per call.  Scale by raising shards with the cluster.
+NODE_SHARDS = 256
 
 
-def date_node_partials_batch(batch: pa.Table) -> pa.Table:
-    """raw-triples batch -> partial DATE-node aggregates.
-
-    Edges assign DATE objects real ``dst_id`` values (born_on edges), so the
-    nodes table must contain matching rows or edge->node joins break
-    referential integrity.  DATE nodes key by parsed ISO value (``obj_norm``,
-    the deterministic analog of src/methods/DateParser.py:44-50); their
-    ``aliases`` are the observed date surfaces and — unlike linked types —
-    the ISO canonical itself need not be an observed surface."""
-    keep = pc.equal(batch.column("obj_type"), pa.scalar("DATE"))
-    sub = batch.filter(keep)
-    g = sub.group_by(["obj", "obj_norm"]).aggregate(
-        [("url", "count"), ("url", "min"), ("url", "max")]
-    )
+def node_shard_merge(group: pa.Table) -> pa.Table:
+    """Reduce one SHARD of partial node rows -> NODES_SCHEMA rows (one per
+    node_id in the shard, sorted by node_id — deterministic)."""
     acc: dict[int, dict] = {}
-    for obj, obj_norm, n, url_min, url_max in zip(
-        g.column("obj").to_pylist(),
-        g.column("obj_norm").to_pylist(),
-        g.column("url_count").to_pylist(),
-        g.column("url_min").to_pylist(),
-        g.column("url_max").to_pylist(),
+    for nid, canon, typ, aliases, n, urls in zip(
+        group.column("node_id").to_pylist(),
+        group.column("canonical").to_pylist(),
+        group.column("type").to_pylist(),
+        group.column("aliases").to_pylist(),
+        group.column("n_mentions").to_pylist(),
+        group.column("urls").to_pylist(),
     ):
-        nid, canon = resolve({}, "DATE", obj, obj_norm)
         a = acc.setdefault(
-            nid, {"canonical": canon, "type": "DATE", "aliases": set(), "n": 0, "urls": set()}
+            nid, {"canonical": canon, "type": typ, "aliases": set(), "n": 0, "urls": set()}
         )
-        a["aliases"].add(obj)
+        a["aliases"].update(aliases)
         a["n"] += n
-        if len(a["urls"]) < MAX_URLS_PER_NODE:
-            a["urls"].update((url_min, url_max))
+        a["urls"].update(urls)
+    nids = sorted(acc)
     return pa.table(
         {
-            "node_id": pa.array(list(acc), pa.int64()),
-            "canonical": pa.array([a["canonical"] for a in acc.values()], pa.string()),
-            "type": pa.array([a["type"] for a in acc.values()], pa.string()),
-            "aliases": pa.array([sorted(a["aliases"]) for a in acc.values()], pa.list_(pa.string())),
-            "n_mentions": pa.array([a["n"] for a in acc.values()], pa.int64()),
-            "urls": pa.array([sorted(a["urls"]) for a in acc.values()], pa.list_(pa.string())),
+            "node_id": pa.array(nids, pa.int64()),
+            "canonical": pa.array([acc[k]["canonical"] for k in nids], pa.string()),
+            "type": pa.array([acc[k]["type"] for k in nids], pa.string()),
+            "aliases": pa.array(
+                [sorted(acc[k]["aliases"])[:MAX_ALIASES_PER_NODE] for k in nids],
+                pa.list_(pa.string()),
+            ),
+            "n_mentions": pa.array([acc[k]["n"] for k in nids], pa.int64()),
+            "n_urls": pa.array([len(acc[k]["urls"]) for k in nids], pa.int64()),
+            "urls_sample": pa.array(
+                [sorted(acc[k]["urls"])[:MAX_URLS_PER_NODE] for k in nids],
+                pa.list_(pa.string()),
+            ),
         }
     )
 
 
-def build_nodes(mentions_ds, cluster_map_ref, triples_ds=None):
-    """mentions Dataset + broadcast cluster map -> nodes Dataset.
-
-    When ``triples_ds`` (the raw triples table, pruned to
-    ``obj/obj_type/obj_norm/url``) is given, DATE nodes are derived from its
-    DATE objects and unioned in, so every edge endpoint has a nodes row."""
+def build_nodes(mentions_ds, cluster_map_ref):
+    """mentions Dataset + broadcast cluster map -> nodes Dataset (linked
+    types + DATE, so every edge endpoint has a nodes row)."""
     import ray
 
     def partial(batch: pa.Table) -> pa.Table:
         return node_partials_batch(batch, ray.get(cluster_map_ref))
 
     partials = mentions_ds.map_batches(partial, batch_format="pyarrow")
-    if triples_ds is not None:
-        partials = partials.union(
-            triples_ds.map_batches(date_node_partials_batch, batch_format="pyarrow")
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "node_id" not in batch.column_names:
+            return batch
+        shard = pc.bit_wise_and(batch.column("node_id"), pa.scalar(NODE_SHARDS - 1))
+        return batch.append_column("shard", shard.cast(pa.int32()))
+
+    return (
+        partials.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: node_shard_merge(g.drop_columns(["shard"])), batch_format="pyarrow"
         )
-    return partials.groupby("node_id").map_groups(node_final_merge, batch_format="pyarrow")
+    )
 
 
 # --------------------------------------------------------------------------
