@@ -353,6 +353,27 @@ def oracle_sql() -> dict[str, str]:
             where len(list_intersect(a.sh, b.sh))::double
                   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
         """,
+        # token hash = md5_number_upper; bit-majority vote per 64 bits;
+        # chunk blocking is pigeonhole-lossless at <=3 bits so the SQL
+        # all-pairs form is the exact same answer
+        "docs_simhash_dedup": """
+            with h as (select doc_id,
+                              list_transform(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                                             t -> md5_number_upper(t)) as hs
+                       from documents),
+            s as (select doc_id,
+                         case when len(hs) = 0 then 0::ubigint
+                              else list_sum([case when list_sum([(((x >> b) & 1)::bigint) * 2 - 1
+                                                                 for x in hs]) > 0
+                                                  then (1::ubigint << b) else 0::ubigint end
+                                             for b in range(0, 64)])::ubigint
+                         end as simhash
+                  from h)
+            select a.doc_id as doc_a, b.doc_id as doc_b,
+                   bit_count(xor(a.simhash, b.simhash))::bigint as hamming
+            from s a join s b on a.doc_id < b.doc_id
+            where bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
         "emb_cosine_dedup": """
             select a.vec_id as vec_a, b.vec_id as vec_b
             from embeddings a join embeddings b on a.vec_id < b.vec_id

@@ -25,6 +25,12 @@ def _stable_hash64(data: bytes) -> int:
     return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
 
 
+def _md5_hash64(data: bytes) -> int:
+    """Little-endian first 8 md5 bytes — DuckDB ``md5_number_upper``, so
+    simhash values are exactly reproducible in SQL."""
+    return int.from_bytes(hashlib.md5(data).digest()[:8], "little")
+
+
 def char_shingles(text: str, k: int = 3) -> set[str]:
     """Character k-shingles of ``text`` (padded when shorter than k)."""
     if len(text) < k:
@@ -94,7 +100,7 @@ def simhash64(tokens: list[str]) -> int:
         return 0
     bits = np.zeros(64, dtype=np.int64)
     for token in tokens:
-        h = _stable_hash64(token.encode("utf-8"))
+        h = _md5_hash64(token.encode("utf-8"))
         for bit in range(64):
             bits[bit] += 1 if (h >> bit) & 1 else -1
     value = 0
@@ -112,7 +118,7 @@ def simhash64_batch(token_lists: list[list[str]]) -> np.ndarray:
             out[i] = 0
             continue
         hashes = np.fromiter(
-            (_stable_hash64(t.encode("utf-8")) for t in tokens),
+            (_md5_hash64(t.encode("utf-8")) for t in tokens),
             dtype=np.uint64,
             count=len(tokens),
         )
