@@ -216,6 +216,7 @@ def run_kg(
     resume: bool = True,
     override_num_blocks: int | None = None,
     linking_mode: str = "driver",
+    rewrite_mode: str = "broadcast",
 ) -> dict:
     """Run the full pipeline; returns artifact paths + stats.
 
@@ -228,9 +229,15 @@ def run_kg(
     runs the label-propagation path (stages/linking.py
     ``link_entities_distributed``) whose surface map never touches the
     driver until the P4 broadcast — identical output by construction
-    (tests assert row equality).  P4's broadcast of the finished map is
-    the remaining small-side assumption; at 10^8+ surfaces the rewrite
-    stages would switch to shuffle joins against the surface-map Dataset."""
+    (tests assert row equality).
+
+    ``rewrite_mode``: ``"broadcast"`` ships the finished surface map once
+    via ``ray.put`` and rewrites with dict lookups (the small-side
+    assumption — right up to maps of ~10^7 entries); ``"join"`` rewrites
+    mentions and triples through hash-shuffle ``Dataset.join``s against
+    the surface-map PARQUET (stages/graph.py ``canonical_triples_join`` /
+    ``build_nodes_join``) — with ``linking_mode="distributed"`` the map
+    then never exists on the driver at all.  Identical outputs (tested)."""
     import ray
     import ray.data
 
@@ -290,19 +297,25 @@ def run_kg(
     surface_map_dir = os.path.join(out_dir, "surface_map")
     with lineage.PhaseTimer() as t_link:
         if resume and lineage.phase_complete(out_dir, "linking", fp_link):
-            import pyarrow.parquet as pq
+            if rewrite_mode == "join":
+                import pyarrow.dataset as pads
 
-            smt = pq.read_table(surface_map_dir)
-            cluster_map = {
-                (t, s): (nid, canon)
-                for t, s, nid, canon in zip(
-                    smt.column("type").to_pylist(),
-                    smt.column("surface").to_pylist(),
-                    smt.column("node_id").to_pylist(),
-                    smt.column("canonical").to_pylist(),
-                )
-            }
-            n_surfaces = len(cluster_map)
+                cluster_map = None
+                n_surfaces = pads.dataset(surface_map_dir).count_rows()
+            else:
+                import pyarrow.parquet as pq
+
+                smt = pq.read_table(surface_map_dir)
+                cluster_map = {
+                    (t, s): (nid, canon)
+                    for t, s, nid, canon in zip(
+                        smt.column("type").to_pylist(),
+                        smt.column("surface").to_pylist(),
+                        smt.column("node_id").to_pylist(),
+                        smt.column("canonical").to_pylist(),
+                    )
+                }
+                n_surfaces = len(cluster_map)
         else:
             import shutil
 
@@ -322,17 +335,25 @@ def run_kg(
                 # below is only the P4 broadcast side (small by definition
                 # of "broadcastable"; beyond that P4 shuffle-joins instead)
                 link_entities_distributed(mentions_ds).write_parquet(surface_map_dir)
-                smt = pq.read_table(surface_map_dir)
-                cluster_map = {
-                    (t, s): (nid, canon)
-                    for t, s, nid, canon in zip(
-                        smt.column("type").to_pylist(),
-                        smt.column("surface").to_pylist(),
-                        smt.column("node_id").to_pylist(),
-                        smt.column("canonical").to_pylist(),
-                    )
-                }
-                n_surfaces = len(cluster_map)
+                if rewrite_mode == "join":
+                    # the map never lands on the driver: P4 joins read the
+                    # parquet; count is metadata-only
+                    import pyarrow.dataset as pads
+
+                    cluster_map = None
+                    n_surfaces = pads.dataset(surface_map_dir).count_rows()
+                else:
+                    smt = pq.read_table(surface_map_dir)
+                    cluster_map = {
+                        (t, s): (nid, canon)
+                        for t, s, nid, canon in zip(
+                            smt.column("type").to_pylist(),
+                            smt.column("surface").to_pylist(),
+                            smt.column("node_id").to_pylist(),
+                            smt.column("canonical").to_pylist(),
+                        )
+                    }
+                    n_surfaces = len(cluster_map)
             else:
                 cluster_map, n_surfaces = link_entities(mentions_ds)
                 os.makedirs(surface_map_dir, exist_ok=True)
@@ -349,14 +370,18 @@ def run_kg(
                     os.path.join(surface_map_dir, "part-0.parquet"),
                 )
     if not (resume and lineage.phase_complete(out_dir, "linking", fp_link)):
-        lineage.write_manifest(
-            out_dir, "linking", fp_link, n_surfaces, t_link.wall,
-            extra={"clusters": len({v[0] for v in cluster_map.values()})},
+        extra = (
+            {"clusters": len({v[0] for v in cluster_map.values()})}
+            if cluster_map is not None
+            else {}
         )
-    cluster_map_ref = ray.put(cluster_map)
+        lineage.write_manifest(out_dir, "linking", fp_link, n_surfaces, t_link.wall, extra=extra)
+    cluster_map_ref = ray.put(cluster_map) if cluster_map is not None else None
 
     # P4: graph materialize
-    fp_graph = lineage.fingerprint({**base_fp, "phase": "graph"})
+    fp_graph = lineage.fingerprint(
+        {**base_fp, "phase": "graph", "rewrite": rewrite_mode, "linking": linking_mode}
+    )
     nodes_dir = os.path.join(out_dir, "nodes")
     edges_dir = os.path.join(out_dir, "edges")
     canon_dir = os.path.join(out_dir, "triples_canonical")
@@ -373,26 +398,27 @@ def run_kg(
             from concurrent.futures import ThreadPoolExecutor
 
             nblocks = 2 * int(ray.cluster_resources().get("CPU", 16))
-            plans = [
-                (
-                    build_nodes(
-                        ray.data.read_parquet(
-                            mentions_dir,
-                            columns=["type", "surface", "url"],
-                            override_num_blocks=nblocks,
-                        ),
-                        cluster_map_ref,
-                    ),
-                    nodes_dir,
-                ),
-                (
-                    canonical_triples(
-                        ray.data.read_parquet(triples_dir, override_num_blocks=nblocks),
-                        cluster_map_ref,
-                    ),
-                    canon_dir,
-                ),
-            ]
+            mentions_read = ray.data.read_parquet(
+                mentions_dir,
+                columns=["type", "surface", "url"],
+                override_num_blocks=nblocks,
+            )
+            triples_read = ray.data.read_parquet(triples_dir, override_num_blocks=nblocks)
+            if rewrite_mode == "join":
+                from ..stages.graph import build_nodes_join, canonical_triples_join
+
+                def sm_read():
+                    return ray.data.read_parquet(surface_map_dir)
+
+                plans = [
+                    (build_nodes_join(mentions_read, sm_read()), nodes_dir),
+                    (canonical_triples_join(triples_read, sm_read()), canon_dir),
+                ]
+            else:
+                plans = [
+                    (build_nodes(mentions_read, cluster_map_ref), nodes_dir),
+                    (canonical_triples(triples_read, cluster_map_ref), canon_dir),
+                ]
             with ThreadPoolExecutor(max_workers=2) as pool:
                 futures = [pool.submit(ds.write_parquet, path) for ds, path in plans]
                 for f in futures:
@@ -416,11 +442,11 @@ def run_kg(
 
         n_nodes = pads.dataset(nodes_dir).count_rows()
         n_edges = pads.dataset(edges_dir).count_rows()
+        extra = {"nodes": n_nodes, "edges": n_edges, "distinct_surfaces": n_surfaces}
+        if cluster_map is not None:
+            extra["clusters"] = len({v[0] for v in cluster_map.values()})
         lineage.write_manifest(
-            out_dir, "graph", fp_graph, n_nodes + n_edges, t_graph.wall,
-            extra={"nodes": n_nodes, "edges": n_edges,
-                   "distinct_surfaces": n_surfaces,
-                   "clusters": len({v[0] for v in cluster_map.values()})},
+            out_dir, "graph", fp_graph, n_nodes + n_edges, t_graph.wall, extra=extra
         )
 
     m = lineage.load_manifest(out_dir, "graph") or {}

@@ -333,3 +333,157 @@ def build_edges_from_canonical(canonical_ds):
 def build_edges(triples_ds, cluster_map_ref):
     """Back-compat: raw triples -> canonical rewrite -> edges."""
     return build_edges_from_canonical(canonical_triples(triples_ds, cluster_map_ref))
+
+
+# --------------------------------------------------------------------------
+# join-based rewrites (the 10^8+-distinct-surface P4: the surface map is a
+# DATASET side of a hash-shuffle join, never broadcast)
+
+
+def _sm_renamed(surface_map_ds, type_col: str, surface_col: str, id_col: str, canon_col: str):
+    return surface_map_ds.select_columns(["type", "surface", "node_id", "canonical"]).rename_columns(
+        {"type": type_col, "surface": surface_col, "node_id": id_col, "canonical": canon_col}
+    )
+
+
+def _join_parts() -> int:
+    import ray
+
+    return min(8, max(4, int(ray.cluster_resources().get("CPU", 4)) // 2))
+
+
+def canonical_triples_join(triples_ds, surface_map_ds, num_partitions: int | None = None):
+    """triples ⋈ surface map on (type, surface) for both sides — the
+    shuffle alternative to :func:`canonical_triples`'s broadcast-map
+    rewrite, for surface universes too large to ``ray.put``.
+
+    Subjects inner-join (every subject is an observed linked surface, so
+    the map covers it); objects LEFT-join and the misses — DATE objects
+    (canonicalized by parsed ISO value) and unresolved singletons — are
+    filled per batch with the same :func:`resolve` fallback the broadcast
+    path uses.  Output rows are identical to the broadcast path (tested).
+    """
+    n_part = num_partitions or _join_parts()
+    j = triples_ds.join(
+        _sm_renamed(surface_map_ds, "subj_type", "subj", "src_id", "subj_canonical"),
+        join_type="inner",
+        num_partitions=n_part,
+        on=("subj_type", "subj"),
+    ).join(
+        _sm_renamed(surface_map_ds, "obj_type", "obj", "dst_id", "obj_canonical"),
+        join_type="left_outer",
+        num_partitions=n_part,
+        on=("obj_type", "obj"),
+    )
+
+    def fill_misses(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "obj_canonical" not in batch.column_names:
+            return batch
+        canon = batch.column("obj_canonical").to_pylist()
+        ids = batch.column("dst_id").to_pylist()
+        if any(c is None for c in canon):
+            types = batch.column("obj_type").to_pylist()
+            objs = batch.column("obj").to_pylist()
+            norms = batch.column("obj_norm").to_pylist()
+            for i, c in enumerate(canon):
+                if c is None:
+                    nid, cc = resolve({}, types[i], objs[i], norms[i] or "")
+                    canon[i] = cc
+                    ids[i] = nid
+        batch = batch.drop_columns(["obj_canonical", "dst_id"])
+        return batch.append_column(
+            "obj_canonical", pa.array(canon, pa.string())
+        ).append_column("dst_id", pa.array(ids, pa.int64()))
+
+    return j.map_batches(fill_misses, batch_format="pyarrow")
+
+
+def build_nodes_join(mentions_ds, surface_map_ds, num_partitions: int | None = None):
+    """mentions ⋈ surface map -> nodes Dataset, no broadcast: the shuffle
+    alternative to :func:`build_nodes`.  DATE mentions miss the left join
+    and resolve by parsed ISO value, exactly like the broadcast path."""
+    n_part = num_partitions or _join_parts()
+    keep_types = LINKED_TYPES + ("DATE",)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "type" not in batch.column_names:
+            return batch
+        return batch.filter(pc.is_in(batch.column("type"), pa.array(keep_types)))
+
+    joined = mentions_ds.map_batches(prefilter, batch_format="pyarrow").join(
+        _sm_renamed(surface_map_ds, "type", "surface", "node_id", "canonical"),
+        join_type="left_outer",
+        num_partitions=n_part,
+        on=("type", "surface"),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        """Per-batch combiner over joined rows (node id/canonical already
+        columns; misses = DATE / unresolved, filled via resolve)."""
+        if batch.num_rows == 0 or "type" not in batch.column_names:
+            return pa.table(
+                {
+                    "node_id": pa.array([], pa.int64()),
+                    "canonical": pa.array([], pa.string()),
+                    "type": pa.array([], pa.string()),
+                    "aliases": pa.array([], pa.list_(pa.string())),
+                    "n_mentions": pa.array([], pa.int64()),
+                    "urls": pa.array([], pa.list_(pa.string())),
+                }
+            )
+        g = batch.group_by(["type", "surface", "node_id", "canonical"]).aggregate(
+            [("url", "count"), ("url", "min"), ("url", "max")]
+        )
+        acc: dict[int, dict] = {}
+        for typ, surface, nid, canon, n, url_min, url_max in zip(
+            g.column("type").to_pylist(),
+            g.column("surface").to_pylist(),
+            g.column("node_id").to_pylist(),
+            g.column("canonical").to_pylist(),
+            g.column("url_count").to_pylist(),
+            g.column("url_min").to_pylist(),
+            g.column("url_max").to_pylist(),
+        ):
+            if canon is None:
+                if typ == "DATE":
+                    parsed = parse_date(surface)
+                    nid, canon = resolve(
+                        {}, "DATE", surface, parsed.isoformat() if parsed else ""
+                    )
+                else:
+                    nid, canon = resolve({}, typ, surface)
+            a = acc.setdefault(
+                nid, {"canonical": canon, "type": typ, "aliases": set(), "n": 0, "urls": set()}
+            )
+            a["aliases"].add(surface)
+            a["n"] += n
+            if len(a["urls"]) < MAX_URLS_PER_NODE:
+                a["urls"].update((url_min, url_max))
+        return pa.table(
+            {
+                "node_id": pa.array(list(acc), pa.int64()),
+                "canonical": pa.array([a["canonical"] for a in acc.values()], pa.string()),
+                "type": pa.array([a["type"] for a in acc.values()], pa.string()),
+                "aliases": pa.array(
+                    [sorted(a["aliases"]) for a in acc.values()], pa.list_(pa.string())
+                ),
+                "n_mentions": pa.array([a["n"] for a in acc.values()], pa.int64()),
+                "urls": pa.array([sorted(a["urls"]) for a in acc.values()], pa.list_(pa.string())),
+            }
+        )
+
+    partials = joined.map_batches(partial, batch_format="pyarrow")
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "node_id" not in batch.column_names:
+            return batch
+        shard = pc.bit_wise_and(batch.column("node_id"), pa.scalar(NODE_SHARDS - 1))
+        return batch.append_column("shard", shard.cast(pa.int32()))
+
+    return (
+        partials.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: node_shard_merge(g.drop_columns(["shard"])), batch_format="pyarrow"
+        )
+    )

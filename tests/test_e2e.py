@@ -250,19 +250,26 @@ def test_determinism_across_parallelism(small_corpus, tmp_path_factory):
 
 
 def test_pipeline_distributed_linking_identical(kg_result, tmp_path_factory):
-    """run_kg(linking_mode='distributed') must produce the same graph as
-    the driver union-find path (the paths are interchangeable by size)."""
+    """run_kg(linking_mode='distributed', rewrite_mode='join') — the fully
+    driverless path (BSP components + shuffle-join rewrites, the surface
+    map never on the driver) — must produce the same graph as the default
+    union-find + broadcast path."""
     corpus, out_driver, _ = kg_result
     out2 = str(tmp_path_factory.mktemp("kg_dist"))
-    run_kg(f"{corpus}/pages", out2, n_buckets=4, concurrency=2, linking_mode="distributed")
+    run_kg(
+        f"{corpus}/pages", out2, n_buckets=4, concurrency=2,
+        linking_mode="distributed", rewrite_mode="join",
+    )
 
     def table_key(out, name, cols):
         t = pads.dataset(f"{out}/{name}", partitioning="hive").to_table()
         return sorted(zip(*[t.column(c).to_pylist() for c in cols]))
 
     for name, cols in [
-        ("nodes", ["node_id", "canonical", "type", "n_mentions"]),
+        ("nodes", ["node_id", "canonical", "type", "n_mentions", "aliases"]),
         ("edges", ["src_id", "pred", "dst_id", "weight"]),
+        ("triples_canonical",
+         ["url", "seg_id", "src_id", "pred", "dst_id", "subj_canonical", "obj_canonical"]),
     ]:
         assert table_key(out_driver, name, cols) == table_key(out2, name, cols), name
 
