@@ -107,7 +107,13 @@ def run_ops(sf_dir: str) -> dict[str, float]:
         "docs_minhash_dedup": lambda: dedup.minhash_lsh_pairs(read("documents"), 0.7),
         "docs_simhash_dedup": lambda: dedup.simhash_pairs(read("documents"), 3),
         "emb_knn": lambda: ann.knn_bruteforce(read("embeddings"), [0, 1, 2, 3, 4], 10),
+        "emb_knn_ivf": lambda: ann.knn_ivf(
+            read("embeddings"), [0, 1, 2, 3, 4], 10, index_dir="/tmp/graft_ivf_bench"
+        ),
         "lineitem_agg": lambda: relational.lineitem_agg(read("lineitem")),
+        "lineitems_join_shuffle": lambda: relational.lineitems_join_shuffle(
+            read("lineitem"), read("orders")
+        ),
         "event_sessions": lambda: relational.event_sessions(read("events"), 30),
     }
     times: dict[str, float] = {}

@@ -153,32 +153,62 @@ def supplier_counts_by_region(supplier_ds, nation_ds, region_ds):
     )
 
 
-def event_sessions(events_ds, gap_minutes: int = 30):
+def event_sessions(events_ds, gap_minutes: int = 30, shards: int = 256):
     """Per-user sessionization: a session breaks when the gap between
-    consecutive events exceeds ``gap_minutes``.  groupby(user) +
-    ``map_groups`` sorted by ts — the windowed-aggregate shape the
-    reference lacks (SURVEY §2.9)."""
+    consecutive events exceeds ``gap_minutes`` — the windowed-aggregate
+    shape the reference lacks (SURVEY §2.9).
+
+    Users are grouped through a COARSE shard (``hash(user) % shards``) so
+    ``map_groups`` batches ~n_users/shards users per Python call instead
+    of paying per-user overhead; inside a shard the whole computation is
+    vectorized numpy (lexsort by (user, ts), one diff, one boundary sum
+    per user via ``reduceat``)."""
+    import numpy as np
+
     gap_us = gap_minutes * 60 * 1_000_000
 
-    def sessions(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group.column("ts"))
-        ordered = group.column("ts").take(order).cast(pa.int64()).to_pylist()
-        n_sessions = 1 if ordered else 0
-        for prev, cur in zip(ordered, ordered[1:]):
-            if cur - prev > gap_us:
-                n_sessions += 1
+    def add_shard(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return batch
+        shard = pc.bit_wise_and(batch.column("user_id"), pa.scalar(shards - 1))
+        return batch.append_column("shard", shard.cast(pa.int32()))
+
+    def shard_sessions(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "user_id" not in group.column_names:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_sessions": pa.array([], pa.int64()),
+                }
+            )
+        users = np.asarray(group.column("user_id").to_pylist(), dtype=np.int64)
+        ts = np.asarray(group.column("ts").cast(pa.int64()).to_pylist(), dtype=np.int64)
+        order = np.lexsort((ts, users))
+        users, ts = users[order], ts[order]
+        # boundaries of each user's run in the sorted arrays
+        starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        # a new session wherever the gap to the previous event (same user)
+        # exceeds the threshold; user-run starts always begin a session
+        new_session = np.r_[True, np.diff(ts) > gap_us]
+        new_session[starts] = True
+        counts = np.diff(np.r_[starts, len(users)])
+        n_sessions = np.add.reduceat(new_session.astype(np.int64), starts)
         return pa.table(
             {
-                "user_id": group.column("user_id").slice(0, 1),
-                "n_events": pa.array([group.num_rows], pa.int64()),
-                "n_sessions": pa.array([n_sessions], pa.int64()),
+                "user_id": pa.array(users[starts], pa.int64()),
+                "n_events": pa.array(counts, pa.int64()),
+                "n_sessions": pa.array(n_sessions, pa.int64()),
             }
         )
 
     return (
         events_ds.select_columns(["user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(sessions, batch_format="pyarrow")
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_sessions(g.drop_columns(["shard"])), batch_format="pyarrow"
+        )
     )
 
 
