@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_wordset_dedup": lambda sf: dedup.wordset_dedup(_read(sf, "documents")),
         "docs_minhash_dedup": lambda sf: dedup.minhash_lsh_pairs(_read(sf, "documents"), 0.7),
         "docs_simhash_dedup": lambda sf: dedup.simhash_pairs(_read(sf, "documents"), 3),
+        "docs_neardup_keep": lambda sf: dedup.near_dedup_keep(_read(sf, "documents"), 0.7),
         "emb_cosine_dedup": lambda sf: dedup.embedding_cosine_pairs(_read(sf, "embeddings"), 0.5),
         # --- similarity search ---
         "emb_knn": lambda sf: ann.knn_bruteforce(_read(sf, "embeddings"), [0, 1, 2, 3, 4], 10),
@@ -374,6 +375,33 @@ def oracle_sql() -> dict[str, str]:
             from s a join s b on a.doc_id < b.doc_id
             where bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
+        # transitive near-dup removal: recursive CTE closes the clusters;
+        # a doc is a loser iff a SMALLER doc is reachable through the
+        # Jaccard>=0.7 pair graph
+        "docs_neardup_keep": """
+            with recursive w as (select doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') as ws
+                       from documents),
+                 t as (select doc_id,
+                              case when len(ws) >= 3 then
+                                     list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                                    for i in range(1, len(ws) - 1)])
+                                   when len(ws) > 0 then [list_aggregate(ws, 'string_agg', ' ')]
+                                   else [] end as sh
+                       from w),
+            pairs as (select a.doc_id as u, b.doc_id as v
+                      from t a join t b on a.doc_id < b.doc_id
+                      where len(list_intersect(a.sh, b.sh))::double
+                            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7),
+            edges as (select u, v from pairs union all select v as u, u as v from pairs),
+            reach(a, b) as (
+                select u, v from edges
+                union
+                select r.a, e.v from reach r join edges e on r.b = e.u where r.a != e.v
+            ),
+            losers as (select distinct a as doc_id from reach where b < a)
+            select doc_id, text, lang, source, n_chars from documents
+            where doc_id not in (select doc_id from losers)
+        """,
         "emb_cosine_dedup": """
             select a.vec_id as vec_a, b.vec_id as vec_b
             from embeddings a join embeddings b on a.vec_id < b.vec_id
@@ -493,6 +521,28 @@ def oracle_sql() -> dict[str, str]:
                        from documents)
             select doc_id, text, lang, source, n_chars from k
             qualify row_number() over (partition by wk order by doc_id) = 1
+        """,
+        # full TF-IDF pipeline in SQL (idf/weights/norms/cosine); safe to
+        # hash-compare because adjacent top-5 cosines differ by >=1e-4 in
+        # this data while cross-engine float noise is ~1e-15
+        "docs_tfidf_knn": """
+with tok as (select doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) as term
+             from documents),
+tf as (select doc_id, term, count(*) as tf from tok group by doc_id, term),
+df as (select term, count(*) as df from tf group by term),
+n as (select count(*) as n_docs from documents),
+idf as (select term, ln((1 + n_docs) / (1 + df)) + 1.0 as idf from df, n),
+w as (select tf.doc_id, tf.term, tf.tf * idf.idf as w from tf join idf using (term)),
+nrm as (select doc_id, sqrt(sum(w * w)) as nrm from w group by doc_id),
+wn as (select w.doc_id, term, w.w / nrm.nrm as w from w join nrm using (doc_id)),
+q as (select doc_id as query_id, term, w as qw from wn where doc_id in (0, 1, 2)),
+sim as (select q.query_id, wn.doc_id as neighbor_id, sum(qw * w) as cos
+        from q join wn on q.term = wn.term and wn.doc_id != q.query_id
+        group by q.query_id, wn.doc_id)
+select query_id, neighbor_id,
+       row_number() over (partition by query_id order by cos desc, neighbor_id) as rank
+from sim
+qualify rank <= 5
         """,
         "events_daily_counts": """
             select strftime(ts, '%Y-%m-%d') as day, event_type,

@@ -419,3 +419,38 @@ def embedding_cosine_pairs(emb_ds, threshold: float = 0.99):
         )
 
     return norm.map_batches(pairs, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# near-dup removal (the production policy: transitive clusters, keep one)
+
+
+def near_dedup_keep(docs_ds, threshold: float = 0.7, num_partitions: int | None = None):
+    """Remove near-duplicate documents TRANSITIVELY, keeping the lowest
+    doc_id of every near-dup cluster: minhash pairs -> distributed
+    connected components (BSP min-label; ids are the node keys, so each
+    cluster's label IS its keeper) -> left-anti join of the losers.
+
+    This is a genuinely different policy from the pair-side filter in
+    pipelines/clean.py: with pairs (a,c) and (b,c) only (a !~ b), the
+    pair-side filter keeps both a and b while the transitive policy keeps
+    only a — the behavior large-scale training-data dedup pipelines standardize on.
+    Everything shuffles; nothing corpus-sized touches the driver.
+    """
+    from ..stages.linking import components_from_int_edges
+
+    pairs = minhash_lsh_pairs(docs_ds, threshold, num_partitions)
+    comp = components_from_int_edges(pairs, "doc_a", "doc_b", num_partitions=num_partitions)
+
+    def losers(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "node" not in batch.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        keep = pc.not_equal(batch.column("node"), batch.column("label"))
+        return pa.table({"doc_id": batch.filter(keep).column("node")})
+
+    return docs_ds.join(
+        comp.map_batches(losers, batch_format="pyarrow"),
+        join_type="left_anti",
+        num_partitions=num_partitions or _join_partitions(),
+        on=("doc_id",),
+    )

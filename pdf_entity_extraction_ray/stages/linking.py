@@ -451,12 +451,47 @@ def label_propagation_components(edges_ds, *, max_iters: int = 25, num_partition
     partition states checkpoint through lineage Parquet; here they live in
     the object store.
     """
+    sym = edges_ds.map_batches(_sym_edges_batch, batch_format="pyarrow")
+    return _propagate_components(sym, max_iters=max_iters, num_partitions=num_partitions)
+
+
+def components_from_int_edges(
+    edges_ds, col_a: str = "a", col_b: str = "b",
+    *, max_iters: int = 25, num_partitions: int | None = None,
+):
+    """Int-keyed variant of :func:`label_propagation_components`: edge rows
+    carry two int64 id columns; the ids ARE the node keys (no hashing), so
+    each component's final label is its minimum member id — e.g. the
+    kept document of a near-duplicate cluster."""
+    import numpy as np
+
+    def sym(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or col_a not in batch.column_names:
+            return pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+        a = np.asarray(batch.column(col_a).to_pylist(), dtype=np.int64)
+        b = np.asarray(batch.column(col_b).to_pylist(), dtype=np.int64)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([a, b]), pa.int64()),
+                "v": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    return _propagate_components(
+        edges_ds.map_batches(sym, batch_format="pyarrow"),
+        max_iters=max_iters,
+        num_partitions=num_partitions,
+    )
+
+
+def _propagate_components(sym_ds, *, max_iters: int, num_partitions: int | None):
+    """Shared BSP min-label loop over a symmetric (u, v) int-edge Dataset."""
     import ray
 
     P = num_partitions or max(4, int(ray.cluster_resources().get("CPU", 4)))
     split_edges, concat_part, msgs, reduce_part, to_table = _lp_remotes()
 
-    sym = edges_ds.map_batches(_sym_edges_batch, batch_format="pyarrow").materialize()
+    sym = sym_ds.materialize()
     block_refs = list(sym.to_arrow_refs())
     shard_lists = [
         split_edges.options(num_returns=P).remote(ref, P) for ref in block_refs

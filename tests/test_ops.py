@@ -312,3 +312,34 @@ class TestMultimodalResizeAudio:
         assert all(len(f) == AudioFeatureExtractor.FEATURE_DIM for f in out.column("features").to_pylist())
         with pytest.raises(NotImplementedError):
             AudioFeatureExtractor(fake=False)
+
+
+class TestNearDedupKeep:
+    def test_transitive_cluster_keeps_only_min(self):
+        """Star cluster a~c, b~c (a !~ b directly): the transitive policy
+        keeps ONLY the minimum member — a pair-side filter would keep two."""
+        from pdf_entity_extraction_ray.ops.dedup import near_dedup_keep
+
+        base = "alpha beta gamma delta epsilon theta lambda sigma omega kappa"
+        mid = base + " river stone cloud"
+        docs = pa.table(
+            {
+                "doc_id": [10, 20, 30, 40],
+                "text": [base + " river stone", mid, mid + " extra", "totally different words here entirely now ok fine yes"],
+                "lang": ["en"] * 4,
+                "source": ["s"] * 4,
+                "n_chars": pa.array([1, 1, 1, 1], pa.int32()),
+            }
+        )
+        kept = _collect(near_dedup_keep(ray.data.from_arrow(docs), 0.7))
+        assert sorted(kept.column("doc_id").to_pylist()) == [10, 40]
+
+    def test_components_from_int_edges_chain(self):
+        from pdf_entity_extraction_ray.stages.linking import components_from_int_edges
+
+        edges = pa.table({"doc_a": [5, 7, 100], "doc_b": [7, 9, 101]})
+        labels = _collect(
+            components_from_int_edges(ray.data.from_arrow(edges), "doc_a", "doc_b")
+        )
+        got = dict(zip(labels.column("node").to_pylist(), labels.column("label").to_pylist()))
+        assert got == {5: 5, 7: 5, 9: 5, 100: 100, 101: 100}
