@@ -179,6 +179,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_active_users": lambda sf: relational.events_hourly_active_users(
             _read(sf, "events")
         ),
+        "events_sliding_active_users": lambda sf: relational.events_sliding_active_users(
+            _read(sf, "events"), 3
+        ),
         "lineitems_by_priority": lambda sf: relational.lineitems_by_priority(
             _read(sf, "lineitem"), _read(sf, "orders")
         ),
@@ -553,6 +556,12 @@ qualify rank <= 5
             select strftime(ts, '%Y-%m-%d %H') as hour,
                    count(distinct user_id) as active_users
             from events group by hour
+        """,
+        "events_sliding_active_users": """
+            with x as (select user_id, strftime(ts + to_days(o), '%Y-%m-%d') as day
+                       from events, (values (0), (1), (2)) as t(o))
+            select day, count(distinct user_id) as active_users
+            from x group by day
         """,
         "lineitems_by_priority": """
             select o_orderpriority, count(*) as n_items,

@@ -519,3 +519,62 @@ def lineitems_join_shuffle(lineitem_ds, orders_ds):
         .sum(["n_items", "sum_qty"])
         .rename_columns({"sum(n_items)": "n_items", "sum(sum_qty)": "sum_qty"})
     )
+
+
+def events_sliding_active_users(events_ds, window_days: int = 3):
+    """SLIDING-window distinct users: for each day D, users active in the
+    ``window_days``-day window ending at D — the overlapping-window
+    complement of :func:`events_daily_counts`'s tumbling day.
+
+    Scale shape: each event explodes to the ``window_days`` window-end
+    days it contributes to (bounded fan-out), then the same
+    distinct-pair combiner + groupby as the hourly-active-users op — the
+    shuffle moves one (day, user) row per distinct pair per block."""
+    import datetime as _dt
+
+    def explode_days(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "ts" not in batch.column_names:
+            return pa.table(
+                {"day": pa.array([], pa.string()), "user_id": pa.array([], pa.int64())}
+            )
+        days, users = [], []
+        for ts, uid in zip(batch.column("ts").to_pylist(), batch.column("user_id").to_pylist()):
+            d = ts.date()
+            for off in range(window_days):
+                days.append((d + _dt.timedelta(days=off)).strftime("%Y-%m-%d"))
+                users.append(uid)
+        # per-batch distinct (day, user) pairs — the combiner
+        return (
+            pa.table({"day": pa.array(days, pa.string()), "user_id": pa.array(users, pa.int64())})
+            .group_by(["day", "user_id"])
+            .aggregate([])
+        )
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "day" not in batch.column_names:
+            return pa.table(
+                {"day": pa.array([], pa.string()), "active_users": pa.array([], pa.int64())}
+            )
+        g = batch.group_by("day").aggregate([("user_id", "count_distinct")])
+        return pa.table(
+            {
+                "day": g.column("day"),
+                "active_users": g.column("user_id_count_distinct").cast(pa.int64()),
+            }
+        )
+
+    # groupby the PAIRS first so each (day, user) is globally unique, then
+    # count per day within the sorted output via a final partial+sum
+    distinct_pairs = (
+        events_ds.select_columns(["user_id", "ts"])
+        .map_batches(explode_days, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .count()
+        .select_columns(["day", "user_id"])
+    )
+    return (
+        distinct_pairs.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("day")
+        .sum("active_users")
+        .rename_columns({"sum(active_users)": "active_users"})
+    )
