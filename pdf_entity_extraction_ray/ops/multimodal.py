@@ -1,16 +1,22 @@
-"""Multimodal-column plumbing: opaque ``binary`` payloads + typed metadata,
+"""Multimodal columns: opaque ``binary`` payloads + typed metadata,
 processed by actor-pool ``map_batches`` stages.
 
-The decode kernels themselves are STUBBED (no image/audio libraries in this
-environment): :class:`ImageFeatureExtractor` raises ``NotImplementedError``
-unless ``fake=True``, in which case a deterministic content-derived fake
-(blake2b of the bytes -> pseudo-features) stands in.  Everything around the
-kernel — schema, batch sizing, actor lifecycle, output layout — is real and
-tested, so swapping in a real decoder is a one-function change.
+Two payload classes:
+
+* RAW formats — ``image/x-raw-rgb8`` (H*W*3 uint8), ``audio/x-raw-pcm16``
+  (mono int16 PCM), ``video/x-raw-rgb8-seq`` (concatenated raw frames) —
+  get REAL numpy kernels: channel statistics + luminance histogram,
+  nearest-neighbor resize, per-frame RMS / zero-crossing rate, true frame
+  slicing.  No external libraries needed; fully tested against
+  hand-computed values.
+* COMPRESSED formats (jpeg/wav/mp4) — the decode step is import-gated
+  (``NotImplementedError`` naming the library a real cluster would load in
+  ``__init__``), optionally replaced by a deterministic content-derived
+  fake so the Ray-side plumbing stays exercised end-to-end.
 
 Batch-size guidance: payload columns dominate memory; callers should pass
-``batch_size`` such that ``batch_size * max_payload * concurrency`` fits the
-worker heap (SURVEY §4 memory-aware sizing).
+``batch_size`` such that ``batch_size * max_payload * concurrency`` fits
+the worker heap (SURVEY §4 memory-aware sizing).
 """
 
 from __future__ import annotations
@@ -32,53 +38,109 @@ MEDIA_SCHEMA = pa.schema(
     ]
 )
 
+RAW_IMAGE = "image/x-raw-rgb8"
+RAW_AUDIO = "audio/x-raw-pcm16"
+RAW_VIDEO = "video/x-raw-rgb8-seq"
 
-def synthesize_media_batch(batch: pa.Table, payload_bytes: int = 4096) -> pa.Table:
-    """Deterministic fake media rows from an ``id`` column (for tests/bench:
-    the Ray-side plumbing is real; the payloads are content-derived noise)."""
+AUDIO_SAMPLE_RATE = 8000  # samples/s for raw PCM payloads
+
+_RAW_W, _RAW_H = 16, 12   # synthesized raw image dims
+_RAW_FRAMES = 8           # synthesized raw video frame count
+
+
+def _raw_image_payload(i: int, w: int = _RAW_W, h: int = _RAW_H) -> bytes:
+    """Deterministic raw RGB8 array: per-id gradient + channel offsets."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (xx * 255 // max(w - 1, 1) + i * 7) % 256
+    g = (yy * 255 // max(h - 1, 1) + i * 13) % 256
+    b = ((xx + yy) * 11 + i) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8).tobytes()
+
+
+def _raw_audio_payload(i: int, duration_ms: int = 1000) -> bytes:
+    """Deterministic mono PCM16: a sine whose frequency depends on the id."""
+    n = AUDIO_SAMPLE_RATE * duration_ms // 1000
+    t = np.arange(n, dtype=np.float64) / AUDIO_SAMPLE_RATE
+    freq = 110.0 + 13.0 * (i % 17)
+    wave = np.sin(2 * np.pi * freq * t) * 0.5
+    return (wave * 32767).astype(np.int16).tobytes()
+
+
+def _raw_video_payload(i: int, frames: int = _RAW_FRAMES) -> bytes:
+    return b"".join(_raw_image_payload(i * 31 + f) for f in range(frames))
+
+
+def synthesize_media_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic RAW media rows from an ``id`` column: the kernels that
+    consume these are REAL (numpy over raw arrays), so the whole media path
+    is exercised end-to-end without any decode library."""
     ids = batch.column("id").to_pylist()
-    payloads = []
-    for i in ids:
-        seed = hashlib.blake2b(f"media:{i}".encode(), digest_size=32).digest()
-        reps = payload_bytes // len(seed) + 1
-        payloads.append((seed * reps)[:payload_bytes])
     kinds = ["image", "audio", "video"]
+    payloads, mimes, widths, heights, durs = [], [], [], [], []
+    for i in ids:
+        kind = kinds[i % 3]
+        if kind == "image":
+            payloads.append(_raw_image_payload(i))
+            mimes.append(RAW_IMAGE)
+            widths.append(_RAW_W)
+            heights.append(_RAW_H)
+            durs.append(-1)
+        elif kind == "audio":
+            payloads.append(_raw_audio_payload(i))
+            mimes.append(RAW_AUDIO)
+            widths.append(-1)
+            heights.append(-1)
+            durs.append(1000)
+        else:
+            payloads.append(_raw_video_payload(i))
+            mimes.append(RAW_VIDEO)
+            widths.append(_RAW_W)
+            heights.append(_RAW_H)
+            durs.append(1000)
     return pa.table(
         {
             "media_id": pa.array(ids, pa.int64()),
             "kind": pa.array([kinds[i % 3] for i in ids], pa.string()),
             "payload": pa.array(payloads, pa.binary()),
-            "mime": pa.array(
-                [{"image": "image/jpeg", "audio": "audio/wav", "video": "video/mp4"}[kinds[i % 3]] for i in ids],
-                pa.string(),
-            ),
-            "width": pa.array([64 if i % 3 == 0 else -1 for i in ids], pa.int32()),
-            "height": pa.array([64 if i % 3 == 0 else -1 for i in ids], pa.int32()),
-            "duration_ms": pa.array([-1 if i % 3 == 0 else 1000 for i in ids], pa.int32()),
+            "mime": pa.array(mimes, pa.string()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "duration_ms": pa.array(durs, pa.int32()),
         }
     )
 
 
-class ImageFeatureExtractor:
-    """Actor-pool stage: image payload -> feature vector.
+def decode_raw_rgb8(payload: bytes, width: int, height: int) -> np.ndarray:
+    """raw RGB8 payload -> (H, W, 3) uint8 array (zero-copy view + reshape)."""
+    return np.frombuffer(payload, dtype=np.uint8).reshape(height, width, 3)
 
-    ``__init__`` is where a real model would load (once per actor);
-    ``__call__`` handles one Arrow batch.  With ``fake=True`` the features
-    are a deterministic function of the payload bytes (testable plumbing);
-    with ``fake=False`` it raises — no image library is available here.
-    """
+
+def rgb8_features(img: np.ndarray) -> list[float]:
+    """REAL image features: per-channel mean + std (scaled to [0,1]) and a
+    10-bin luminance histogram (mass-normalized) — 16 dims."""
+    f = img.astype(np.float64)
+    means = f.mean(axis=(0, 1)) / 255.0
+    stds = f.std(axis=(0, 1)) / 255.0
+    lum = f @ np.array([0.299, 0.587, 0.114])
+    hist, _ = np.histogram(lum, bins=10, range=(0.0, 255.0))
+    hist = hist / lum.size
+    return [*means.tolist(), *stds.tolist(), *hist.tolist()]
+
+
+class ImageFeatureExtractor:
+    """Actor-pool stage: image payload -> 16-dim feature vector.
+
+    Raw RGB8 payloads take the REAL numpy kernel; compressed mimes need a
+    decoder loaded once per actor in ``__init__`` — import-gated, with
+    ``fake=True`` substituting a content-derived stand-in so mixed-format
+    corpora still flow."""
 
     FEATURE_DIM = 16
 
     def __init__(self, fake: bool = True):
         self.fake = fake
-        if not fake:
-            raise NotImplementedError(
-                "real image decoding requires PIL/torchvision (not in this environment); "
-                "construct with fake=True for the deterministic stand-in"
-            )
 
-    def _features(self, payload: bytes) -> list[float]:
+    def _fake_features(self, payload: bytes) -> list[float]:
         digest = hashlib.blake2b(payload, digest_size=self.FEATURE_DIM * 4).digest()
         arr = np.frombuffer(digest, dtype=np.uint32).astype(np.float64)
         return (arr / np.float64(2**32)).tolist()
@@ -86,7 +148,22 @@ class ImageFeatureExtractor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         keep = pa.compute.equal(batch.column("kind"), pa.scalar("image"))
         images = batch.filter(keep)
-        feats = [self._features(p) for p in images.column("payload").to_pylist()]
+        feats = []
+        for payload, mime, w, h in zip(
+            images.column("payload").to_pylist(),
+            images.column("mime").to_pylist(),
+            images.column("width").to_pylist(),
+            images.column("height").to_pylist(),
+        ):
+            if mime == RAW_IMAGE:
+                feats.append(rgb8_features(decode_raw_rgb8(payload, w, h)))
+            elif self.fake:
+                feats.append(self._fake_features(payload))
+            else:
+                raise NotImplementedError(
+                    f"decoding {mime} requires PIL/torchvision (absent here); "
+                    "load the decoder in __init__ on a real cluster or pass fake=True"
+                )
         return pa.table(
             {
                 "media_id": images.column("media_id"),
@@ -96,63 +173,54 @@ class ImageFeatureExtractor:
         )
 
 
-class FrameSampler:
-    """Actor-pool stage: video payload -> deterministic frame-offset rows
-    (the real sampler would decode; the offset arithmetic and exploded
-    output layout are the engine-side contract)."""
-
-    def __init__(self, every_ms: int = 250):
-        self.every_ms = every_ms
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        keep = pa.compute.equal(batch.column("kind"), pa.scalar("video"))
-        videos = batch.filter(keep)
-        out_id, out_off = [], []
-        for mid, dur in zip(
-            videos.column("media_id").to_pylist(), videos.column("duration_ms").to_pylist()
-        ):
-            for off in range(0, max(dur, 0), self.every_ms):
-                out_id.append(mid)
-                out_off.append(off)
-        return pa.table(
-            {
-                "media_id": pa.array(out_id, pa.int64()),
-                "frame_ms": pa.array(out_off, pa.int32()),
-            }
-        )
-
-
 class ImageResizer:
     """Actor-pool stage: image payload -> resized payload + new dims.
 
-    With ``fake=True`` (default; no image libs here) the "resize" is a
-    deterministic payload transform (content-derived bytes at the target
-    size) and the metadata update is real — the engine-side contract
-    (schema, dims, batch flow) a real PIL/opencv kernel would drop into.
-    """
+    Raw RGB8 images are resized for REAL (nearest-neighbor via numpy index
+    maps — exact and deterministic); compressed mimes are import-gated."""
 
     def __init__(self, width: int = 32, height: int = 32, fake: bool = True):
-        if not fake:
-            raise NotImplementedError(
-                "real image resizing requires PIL/opencv (not in this environment)"
-            )
         self.width = width
         self.height = height
+        self.fake = fake
+
+    def _resize_raw(self, payload: bytes, w: int, h: int) -> bytes:
+        img = decode_raw_rgb8(payload, w, h)
+        ys = (np.arange(self.height) * h) // self.height
+        xs = (np.arange(self.width) * w) // self.width
+        return img[ys[:, None], xs[None, :], :].tobytes()
+
+    def _fake_resize(self, payload: bytes) -> bytes:
+        target = self.width * self.height * 3
+        digest = hashlib.blake2b(payload, digest_size=32).digest()
+        return (digest * (target // len(digest) + 1))[:target]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keep = pa.compute.equal(batch.column("kind"), pa.scalar("image"))
         images = batch.filter(keep)
-        target = self.width * self.height * 3
-        payloads = []
-        for p in images.column("payload").to_pylist():
-            digest = hashlib.blake2b(p, digest_size=32).digest()
-            payloads.append((digest * (target // len(digest) + 1))[:target])
+        payloads, mimes = [], []
+        for payload, mime, w, h in zip(
+            images.column("payload").to_pylist(),
+            images.column("mime").to_pylist(),
+            images.column("width").to_pylist(),
+            images.column("height").to_pylist(),
+        ):
+            if mime == RAW_IMAGE:
+                payloads.append(self._resize_raw(payload, w, h))
+                mimes.append(RAW_IMAGE)
+            elif self.fake:
+                payloads.append(self._fake_resize(payload))
+                mimes.append(mime)
+            else:
+                raise NotImplementedError(
+                    f"resizing {mime} requires PIL/opencv (absent here)"
+                )
         n = images.num_rows
         return pa.table(
             {
                 "media_id": images.column("media_id"),
                 "payload": pa.array(payloads, pa.binary()),
-                "mime": images.column("mime"),
+                "mime": pa.array(mimes, pa.string()),
                 "width": pa.array([self.width] * n, pa.int32()),
                 "height": pa.array([self.height] * n, pa.int32()),
             }
@@ -160,40 +228,105 @@ class ImageResizer:
 
 
 class AudioFeatureExtractor:
-    """Actor-pool stage: audio payload -> frame-level feature rows
-    (exploded: one row per 100ms frame).  Deterministic fake kernel; the
-    exploded output layout and duration arithmetic are the real contract."""
+    """Actor-pool stage: audio payload -> frame-level feature rows (one row
+    per ``frame_ms`` window).
 
-    FEATURE_DIM = 8
+    Raw PCM16 gets the REAL kernel: per-frame RMS (normalized) and
+    zero-crossing rate — the standard energy/voicing pair.  Compressed
+    audio is import-gated / fakeable."""
 
     def __init__(self, frame_ms: int = 100, fake: bool = True):
-        if not fake:
-            raise NotImplementedError(
-                "real audio decoding requires soundfile/librosa (not in this environment)"
-            )
         self.frame_ms = frame_ms
+        self.fake = fake
+
+    def _pcm16_frames(self, payload: bytes) -> list[tuple[int, float, float]]:
+        pcm = np.frombuffer(payload, dtype=np.int16).astype(np.float64) / 32768.0
+        spf = AUDIO_SAMPLE_RATE * self.frame_ms // 1000
+        out = []
+        for k in range(0, len(pcm) - spf + 1, spf):
+            frame = pcm[k : k + spf]
+            rms = float(np.sqrt(np.mean(frame * frame)))
+            zcr = float(np.mean(np.abs(np.diff(np.signbit(frame).astype(np.int8)))))
+            out.append((k * 1000 // AUDIO_SAMPLE_RATE, rms, zcr))
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keep = pa.compute.equal(batch.column("kind"), pa.scalar("audio"))
         audio = batch.filter(keep)
         out_id, out_frame, out_feat = [], [], []
-        for mid, payload, dur in zip(
+        for mid, payload, mime, dur in zip(
             audio.column("media_id").to_pylist(),
             audio.column("payload").to_pylist(),
+            audio.column("mime").to_pylist(),
             audio.column("duration_ms").to_pylist(),
         ):
-            for off in range(0, max(dur, 0), self.frame_ms):
-                seed = hashlib.blake2b(
-                    payload + off.to_bytes(4, "little"), digest_size=self.FEATURE_DIM * 4
-                ).digest()
-                feats = (np.frombuffer(seed, dtype=np.uint32) / np.float64(2**32)).tolist()
-                out_id.append(mid)
-                out_frame.append(off)
-                out_feat.append(feats)
+            if mime == RAW_AUDIO:
+                for off, rms, zcr in self._pcm16_frames(payload):
+                    out_id.append(mid)
+                    out_frame.append(off)
+                    out_feat.append([rms, zcr])
+            elif self.fake:
+                for off in range(0, max(dur, 0), self.frame_ms):
+                    seed = hashlib.blake2b(
+                        payload + off.to_bytes(4, "little"), digest_size=8
+                    ).digest()
+                    vals = (np.frombuffer(seed, dtype=np.uint32) / np.float64(2**32)).tolist()
+                    out_id.append(mid)
+                    out_frame.append(off)
+                    out_feat.append(vals)
+            else:
+                raise NotImplementedError(
+                    f"decoding {mime} requires soundfile/librosa (absent here)"
+                )
         return pa.table(
             {
                 "media_id": pa.array(out_id, pa.int64()),
                 "frame_ms": pa.array(out_frame, pa.int32()),
                 "features": pa.array(out_feat, pa.list_(pa.float64())),
+            }
+        )
+
+
+class FrameSampler:
+    """Actor-pool stage: video payload -> sampled frame rows.
+
+    Raw frame sequences are sliced for REAL (every ``every_ms`` worth of
+    frames, each emitted as its raw RGB8 payload); compressed video keeps
+    the offset-arithmetic contract (frame_ms rows, no payload)."""
+
+    def __init__(self, every_ms: int = 250):
+        self.every_ms = every_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keep = pa.compute.equal(batch.column("kind"), pa.scalar("video"))
+        videos = batch.filter(keep)
+        out_id, out_off, out_frame = [], [], []
+        for mid, payload, mime, w, h, dur in zip(
+            videos.column("media_id").to_pylist(),
+            videos.column("payload").to_pylist(),
+            videos.column("mime").to_pylist(),
+            videos.column("width").to_pylist(),
+            videos.column("height").to_pylist(),
+            videos.column("duration_ms").to_pylist(),
+        ):
+            if mime == RAW_VIDEO and w > 0 and h > 0:
+                frame_bytes = w * h * 3
+                n_frames = len(payload) // frame_bytes
+                frame_dur = max(dur, 1) / max(n_frames, 1)
+                step = max(1, int(round(self.every_ms / frame_dur)))
+                for f in range(0, n_frames, step):
+                    out_id.append(mid)
+                    out_off.append(int(f * frame_dur))
+                    out_frame.append(payload[f * frame_bytes : (f + 1) * frame_bytes])
+            else:
+                for off in range(0, max(dur, 0), self.every_ms):
+                    out_id.append(mid)
+                    out_off.append(off)
+                    out_frame.append(b"")
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "frame_ms": pa.array(out_off, pa.int32()),
+                "frame_payload": pa.array(out_frame, pa.binary()),
             }
         )

@@ -185,6 +185,20 @@ class TestEntitiesTable:
         assert total == mentions.count()
 
 
+def _media_row(mime: str, kind: str, payload: bytes = b"xx", **kw):
+    return pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "kind": pa.array([kind], pa.string()),
+            "payload": pa.array([payload], pa.binary()),
+            "mime": pa.array([mime], pa.string()),
+            "width": pa.array([kw.get("width", -1)], pa.int32()),
+            "height": pa.array([kw.get("height", -1)], pa.int32()),
+            "duration_ms": pa.array([kw.get("duration_ms", -1)], pa.int32()),
+        }
+    )
+
+
 class TestMultimodal:
     def test_image_features_deterministic(self):
         from pdf_entity_extraction_ray.ops.multimodal import (
@@ -199,18 +213,45 @@ class TestMultimodal:
         assert out1.num_rows == 10  # every 3rd row is an image
         assert all(len(f) == ImageFeatureExtractor.FEATURE_DIM for f in out1.column("features").to_pylist())
 
-    def test_real_decoder_is_stubbed(self):
+    def test_raw_image_features_exact(self):
+        """REAL kernel on a raw RGB8 payload: a constant-color image gives
+        exact channel means, zero stds and a single-bin histogram."""
+        import numpy as np
+
+        from pdf_entity_extraction_ray.ops.multimodal import RAW_IMAGE, ImageFeatureExtractor
+
+        img = np.full((4, 5, 3), [51, 102, 204], dtype=np.uint8)
+        row = _media_row(RAW_IMAGE, "image", img.tobytes(), width=5, height=4)
+        (feats,) = ImageFeatureExtractor()(row).column("features").to_pylist()
+        assert feats[0] == pytest.approx(51 / 255)
+        assert feats[1] == pytest.approx(102 / 255)
+        assert feats[2] == pytest.approx(204 / 255)
+        assert feats[3] == feats[4] == feats[5] == 0.0
+        hist = feats[6:]
+        assert sum(hist) == pytest.approx(1.0) and max(hist) == 1.0
+
+    def test_compressed_decode_is_import_gated(self):
         from pdf_entity_extraction_ray.ops.multimodal import ImageFeatureExtractor
 
+        row = _media_row("image/jpeg", "image")
         with pytest.raises(NotImplementedError):
-            ImageFeatureExtractor(fake=False)
+            ImageFeatureExtractor(fake=False)(row)
 
-    def test_frame_sampler(self):
-        from pdf_entity_extraction_ray.ops.multimodal import FrameSampler, synthesize_media_batch
+    def test_frame_sampler_slices_raw_frames(self):
+        from pdf_entity_extraction_ray.ops.multimodal import (
+            _RAW_H,
+            _RAW_W,
+            FrameSampler,
+            synthesize_media_batch,
+        )
 
         media = synthesize_media_batch(pa.table({"id": pa.array(range(30), pa.int64())}))
         frames = FrameSampler(every_ms=250)(media)
         assert set(frames.column("frame_ms").to_pylist()) == {0, 250, 500, 750}
+        # raw sampling carries the actual frame bytes
+        assert all(
+            len(p) == _RAW_W * _RAW_H * 3 for p in frames.column("frame_payload").to_pylist()
+        )
 
 
 class TestCatalogRobustness:
@@ -295,11 +336,31 @@ class TestMultimodalResizeAudio:
         assert set(out.column("width").to_pylist()) == {16}
         assert all(len(p) == 16 * 16 * 3 for p in out.column("payload").to_pylist())
         assert out.equals(ImageResizer(width=16, height=16)(media))  # deterministic
-        with pytest.raises(NotImplementedError):
-            ImageResizer(fake=False)
 
-    def test_audio_features_exploded(self):
+    def test_raw_resize_nearest_exact(self):
+        """REAL nearest-neighbor resize: 2x2 -> 4x4 must replicate each
+        source pixel into a 2x2 block."""
+        import numpy as np
+
+        from pdf_entity_extraction_ray.ops.multimodal import RAW_IMAGE, ImageResizer
+
+        src_img = np.array(
+            [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 0]]], dtype=np.uint8
+        )
+        row = _media_row(RAW_IMAGE, "image", src_img.tobytes(), width=2, height=2)
+        out = ImageResizer(width=4, height=4)(row)
+        got = np.frombuffer(out.column("payload")[0].as_py(), dtype=np.uint8).reshape(4, 4, 3)
+        expected = np.kron(src_img, np.ones((2, 2, 1), dtype=np.uint8))
+        assert np.array_equal(got, expected)
+        with pytest.raises(NotImplementedError):
+            ImageResizer(fake=False)(_media_row("image/jpeg", "image"))
+
+    def test_audio_features_exploded_and_exact(self):
+        import numpy as np
+
         from pdf_entity_extraction_ray.ops.multimodal import (
+            AUDIO_SAMPLE_RATE,
+            RAW_AUDIO,
             AudioFeatureExtractor,
             synthesize_media_batch,
         )
@@ -309,9 +370,18 @@ class TestMultimodalResizeAudio:
         # 10 audio rows x 4 frames of 250ms over 1000ms
         assert out.num_rows == 40
         assert set(out.column("frame_ms").to_pylist()) == {0, 250, 500, 750}
-        assert all(len(f) == AudioFeatureExtractor.FEATURE_DIM for f in out.column("features").to_pylist())
+
+        # REAL kernel on a known signal: a full-scale square wave has
+        # RMS ~ 1.0 and a zero-crossing on every other sample transition
+        n = AUDIO_SAMPLE_RATE // 4
+        square = (np.tile([1, -1], n // 2) * 32767).astype(np.int16)
+        row = _media_row(RAW_AUDIO, "audio", square.tobytes(), duration_ms=250)
+        (feats,) = AudioFeatureExtractor(frame_ms=250)(row).column("features").to_pylist()
+        rms, zcr = feats
+        assert rms == pytest.approx(32767 / 32768, rel=1e-6)
+        assert zcr == pytest.approx(1.0, rel=1e-3)  # alternating signs
         with pytest.raises(NotImplementedError):
-            AudioFeatureExtractor(fake=False)
+            AudioFeatureExtractor(fake=False)(_media_row("audio/wav", "audio", duration_ms=100))
 
 
 class TestNearDedupKeep:
