@@ -141,6 +141,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["url", "seg_id", "text", "type", "start", "end", "page_start", "page_end"],
         ),
         "kg_entities": kg_entities,
+        "kg_degrees": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["node_degrees"]
+        ).node_degrees(
+            __import__("ray.data", fromlist=["read_parquet"]).read_parquet(
+                _kg_artifacts(sf)["edges"]
+            )
+        ),
+        "kg_pagerank": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["pagerank"]
+        ).pagerank(
+            __import__("ray.data", fromlist=["read_parquet"]).read_parquet(
+                _kg_artifacts(sf)["edges"], columns=["src_id", "dst_id"]
+            ),
+            iterations=20,
+        ),
         # --- text analysis over documents ---
         "docs_token_stats": docs_op(text.token_stats_batch),
         "docs_quality": docs_op(text.quality_batch),
@@ -173,6 +188,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "top_orders": lambda sf: relational.top_orders(_read(sf, "orders"), 10),
         "top_orders_scalable": lambda sf: relational.top_orders_scalable(_read(sf, "orders"), 10),
+        "top_orders_per_customer": lambda sf: relational.top_orders_per_customer(
+            _read(sf, "orders"), 3
+        ),
         "supplier_counts_by_region": lambda sf: relational.supplier_counts_by_region(
             _read(sf, "supplier"), _read(sf, "nation"), _read(sf, "region")
         ),
@@ -269,6 +287,22 @@ def oracle_sql() -> dict[str, str]:
                    list_slice(list_sort(list(distinct t.obj)), 1, 64) as aliases,
                    count(*) as n_mentions
             from gt t where t.obj_type = 'DATE' group by t.obj_canonical
+        """,
+        "kg_degrees": f"""
+            with {kg_cte},
+            tri as ({tri_canon}),
+            e as (select subj_canonical as s, pred, obj_canonical as d, count(*) as w
+                  from tri group by s, pred, d),
+            o as (select s as canonical, count(*) as out_edges,
+                         sum(w)::bigint as out_weight from e group by s),
+            i as (select d as canonical, count(*) as in_edges,
+                         sum(w)::bigint as in_weight from e group by d)
+            select coalesce(o.canonical, i.canonical) as canonical,
+                   coalesce(out_edges, 0) as out_edges,
+                   coalesce(out_weight, 0) as out_weight,
+                   coalesce(in_edges, 0) as in_edges,
+                   coalesce(in_weight, 0) as in_weight
+            from o full outer join i on o.canonical = i.canonical
         """,
         "kg_entities": f"""
             with {kg_cte}
@@ -477,6 +511,13 @@ def oracle_sql() -> dict[str, str]:
         "top_orders_scalable": """
             select o_orderkey from orders
             order by o_totalprice desc, o_orderkey limit 10
+        """,
+        "top_orders_per_customer": """
+            select o_custkey, o_orderkey,
+                   row_number() over (partition by o_custkey
+                                      order by o_totalprice desc, o_orderkey) as rank
+            from orders
+            qualify rank <= 3
         """,
         "supplier_counts_by_region": """
             select r_name, count(*) as n_suppliers

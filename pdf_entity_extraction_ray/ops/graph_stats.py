@@ -1,0 +1,255 @@
+"""Graph analytics over the materialized KG edges table — the consumer-side
+ops a knowledge graph exists for.
+
+* :func:`node_degrees` — per-node in/out edge counts and weight sums, a
+  two-stage aggregation (per-batch Arrow combiners emit one row per
+  distinct endpoint per block; a small groupby-sum reduces) — degree of a
+  celebrity node never concentrates raw rows anywhere.
+* :func:`pagerank` — damped PageRank via the same BSP hash-co-partitioned
+  machinery as connected components (stages/linking.py): edges are
+  partitioned by source ONCE; each round every partition sends vectorized
+  rank/out_degree contributions to its peers and folds incoming sums; the
+  driver sees only the per-round dangling-mass scalar.  Iterative
+  algorithms the Dataset API can't express are exactly where raw Ray
+  tasks are warranted (same argument as label propagation).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def node_degrees(edges_ds):
+    """edges Dataset -> (canonical, out_edges, out_weight, in_edges,
+    in_weight) — one row per node appearing on either side."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {
+            "canonical": pa.array([], pa.string()),
+            "out_edges": pa.array([], pa.int64()),
+            "out_weight": pa.array([], pa.int64()),
+            "in_edges": pa.array([], pa.int64()),
+            "in_weight": pa.array([], pa.int64()),
+        }
+        if batch.num_rows == 0 or "src_canonical" not in batch.column_names:
+            return pa.table(cols)
+        out = batch.group_by("src_canonical").aggregate(
+            [("weight", "count"), ("weight", "sum")]
+        )
+        inn = batch.group_by("dst_canonical").aggregate(
+            [("weight", "count"), ("weight", "sum")]
+        )
+        n_out, n_in = out.num_rows, inn.num_rows
+        return pa.table(
+            {
+                "canonical": pa.concat_arrays(
+                    [
+                        out.column("src_canonical").combine_chunks(),
+                        inn.column("dst_canonical").combine_chunks(),
+                    ]
+                ),
+                "out_edges": pa.concat_arrays(
+                    [
+                        out.column("weight_count").cast(pa.int64()).combine_chunks(),
+                        pa.array([0] * n_in, pa.int64()),
+                    ]
+                ),
+                "out_weight": pa.concat_arrays(
+                    [
+                        out.column("weight_sum").cast(pa.int64()).combine_chunks(),
+                        pa.array([0] * n_in, pa.int64()),
+                    ]
+                ),
+                "in_edges": pa.concat_arrays(
+                    [
+                        pa.array([0] * n_out, pa.int64()),
+                        inn.column("weight_count").cast(pa.int64()).combine_chunks(),
+                    ]
+                ),
+                "in_weight": pa.concat_arrays(
+                    [
+                        pa.array([0] * n_out, pa.int64()),
+                        inn.column("weight_sum").cast(pa.int64()).combine_chunks(),
+                    ]
+                ),
+            }
+        )
+
+    return (
+        edges_ds.select_columns(["src_canonical", "dst_canonical", "weight"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("canonical")
+        .sum(["out_edges", "out_weight", "in_edges", "in_weight"])
+        .rename_columns(
+            {
+                "sum(out_edges)": "out_edges",
+                "sum(out_weight)": "out_weight",
+                "sum(in_edges)": "in_edges",
+                "sum(in_weight)": "in_weight",
+            }
+        )
+    )
+
+
+def _pr_remotes():
+    """BSP worker tasks for PageRank (lazy so import never touches Ray)."""
+    import numpy as np
+
+    import ray
+
+    @ray.remote
+    def split_edges(tbl: pa.Table, P: int):
+        if tbl.num_rows == 0 or "u" not in tbl.column_names:
+            empty = np.empty(0, np.int64)
+            return [(empty, empty)] * P
+        u = np.asarray(tbl.column("u").to_pylist(), dtype=np.int64)
+        v = np.asarray(tbl.column("v").to_pylist(), dtype=np.int64)
+        dest = u % P
+        order = np.argsort(dest, kind="stable")
+        u, v, dest = u[order], v[order], dest[order]
+        bounds = np.searchsorted(dest, np.arange(P + 1))
+        return [(u[bounds[p] : bounds[p + 1]], v[bounds[p] : bounds[p + 1]]) for p in range(P)]
+
+    @ray.remote
+    def node_shards(tbl: pa.Table, P: int):
+        """Every endpoint, sharded by its OWN hash — nodes live where
+        their incoming messages land."""
+        if tbl.num_rows == 0 or "u" not in tbl.column_names:
+            return [np.empty(0, np.int64)] * P
+        both = np.concatenate(
+            [
+                np.asarray(tbl.column("u").to_pylist(), dtype=np.int64),
+                np.asarray(tbl.column("v").to_pylist(), dtype=np.int64),
+            ]
+        )
+        dest = both % P
+        order = np.argsort(dest, kind="stable")
+        both, dest = both[order], dest[order]
+        bounds = np.searchsorted(dest, np.arange(P + 1))
+        return [np.unique(both[bounds[p] : bounds[p + 1]]) for p in range(P)]
+
+    @ray.remote
+    def concat_part(n_node_shards: int, *shards):
+        """Partition state from flat varargs (first ``n_node_shards`` are
+        node-id shards, the rest (u, v) edge shards): sorted node array,
+        out-edges sorted by u, per-node out-degree, initial uniform rank
+        filled in later."""
+        node_parts = shards[:n_node_shards]
+        edge_parts = shards[n_node_shards:]
+        nodes = (
+            np.unique(np.concatenate(list(node_parts)))
+            if node_parts
+            else np.empty(0, np.int64)
+        )
+        u = np.concatenate([s[0] for s in edge_parts]) if edge_parts else np.empty(0, np.int64)
+        v = np.concatenate([s[1] for s in edge_parts]) if edge_parts else np.empty(0, np.int64)
+        order = np.argsort(u, kind="stable")
+        u, v = u[order], v[order]
+        deg = np.zeros(len(nodes), dtype=np.int64)
+        if len(u):
+            np.add.at(deg, np.searchsorted(nodes, u), 1)
+        return u, v, nodes, deg
+
+    @ray.remote
+    def part_size(part) -> int:
+        return len(part[2])
+
+    @ray.remote
+    def init_ranks(part, n_total: int):
+        return np.full(len(part[2]), 1.0 / max(n_total, 1), dtype=np.float64)
+
+    @ray.remote
+    def msgs(part, ranks, P: int):
+        """One round's outgoing contributions: P (v, contribution) shards
+        plus the partition's dangling rank mass (num_returns = P + 1)."""
+        u, v, nodes, deg = part
+        contrib = ranks / np.maximum(deg, 1)
+        dangling = float(ranks[deg == 0].sum())
+        if len(u):
+            per_edge = contrib[np.searchsorted(nodes, u)]
+            dest = v % P
+            order = np.argsort(dest, kind="stable")
+            vs, cs, ds = v[order], per_edge[order], dest[order]
+            bounds = np.searchsorted(ds, np.arange(P + 1))
+            shards = [
+                (vs[bounds[p] : bounds[p + 1]], cs[bounds[p] : bounds[p + 1]])
+                for p in range(P)
+            ]
+        else:
+            ei, ef = np.empty(0, np.int64), np.empty(0, np.float64)
+            shards = [(ei, ef)] * P
+        return (*shards, dangling)
+
+    @ray.remote
+    def reduce_part(part, n_total: int, damping: float, dangling_total: float, *incoming):
+        u, v, nodes, deg = part
+        sums = np.zeros(len(nodes), dtype=np.float64)
+        for mv, mc in incoming:
+            if len(mv):
+                np.add.at(sums, np.searchsorted(nodes, mv), mc)
+        base = (1.0 - damping) / n_total + damping * dangling_total / n_total
+        return base + damping * sums
+
+    @ray.remote
+    def to_table(part, ranks) -> pa.Table:
+        _, _, nodes, _ = part
+        return pa.table(
+            {"node": pa.array(nodes, pa.int64()), "rank": pa.array(ranks, pa.float64())}
+        )
+
+    return split_edges, node_shards, concat_part, part_size, init_ranks, msgs, reduce_part, to_table
+
+
+def pagerank(edges_ds, *, iterations: int = 20, damping: float = 0.85, num_partitions: int | None = None):
+    """Directed edges (src_id, dst_id) -> (node, rank) Dataset after
+    ``iterations`` damped power-iteration rounds (dangling mass
+    redistributed uniformly — the standard formulation).  Per round the
+    driver touches only P dangling scalars; every rank/message array moves
+    worker-to-worker through the object store."""
+    import ray
+    import ray.data
+
+    P = num_partitions or max(4, int(ray.cluster_resources().get("CPU", 4)))
+    (split_edges, node_shards, concat_part, part_size, init_ranks,
+     msgs, reduce_part, to_table) = _pr_remotes()
+
+    def to_uv(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src_id" not in batch.column_names:
+            return pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+        return pa.table({"u": batch.column("src_id"), "v": batch.column("dst_id")})
+
+    uv = edges_ds.map_batches(to_uv, batch_format="pyarrow").materialize()
+    block_refs = list(uv.to_arrow_refs())
+    nb = len(block_refs)
+
+    edge_shards = [split_edges.options(num_returns=P).remote(r, P) for r in block_refs]
+    nshards = [node_shards.options(num_returns=P).remote(r, P) for r in block_refs]
+    if P == 1:
+        edge_shards = [[s] for s in edge_shards]
+        nshards = [[s] for s in nshards]
+    parts = [
+        concat_part.remote(
+            nb,
+            *[nshards[i][p] for i in range(nb)],
+            *[edge_shards[i][p] for i in range(nb)],
+        )
+        for p in range(P)
+    ]
+
+    n_total = int(sum(ray.get([part_size.remote(p) for p in parts])))
+    ranks = [init_ranks.remote(parts[p], n_total) for p in range(P)]
+
+    for _ in range(iterations):
+        outs = [
+            msgs.options(num_returns=P + 1).remote(parts[p], ranks[p], P) for p in range(P)
+        ]
+        dangling_total = float(sum(ray.get([o[P] for o in outs])))
+        ranks = [
+            reduce_part.remote(
+                parts[q], n_total, damping, dangling_total,
+                *[outs[p][q] for p in range(P)],
+            )
+            for q in range(P)
+        ]
+
+    return ray.data.from_arrow_refs([to_table.remote(parts[p], ranks[p]) for p in range(P)])

@@ -578,3 +578,81 @@ def events_sliding_active_users(events_ds, window_days: int = 3):
         .sum("active_users")
         .rename_columns({"sum(active_users)": "active_users"})
     )
+
+
+def top_orders_per_customer(orders_ds, k: int = 3, shards: int = 256):
+    """Per-group top-k: each customer's ``k`` highest-value orders with
+    dense ranks — the grouped complement of :func:`top_orders`'s global
+    sort+limit.
+
+    Scale shape: a per-batch combiner keeps at most ``k`` candidate rows
+    per customer per block (so the shuffle moves ~k rows per (customer,
+    block), never the order history of a hot customer), then customers
+    group through a coarse shard and each shard emits its final ranks
+    vectorized."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "o_custkey" not in batch.column_names:
+            return pa.table(
+                {
+                    "o_custkey": pa.array([], pa.int64()),
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_totalprice": pa.array([], pa.float64()),
+                }
+            )
+        cust = np.asarray(batch.column("o_custkey").to_pylist(), dtype=np.int64)
+        key = np.asarray(batch.column("o_orderkey").to_pylist(), dtype=np.int64)
+        price = np.asarray(batch.column("o_totalprice").to_pylist(), dtype=np.float64)
+        # sort by (cust, -price, key) then keep first k of each cust run
+        order = np.lexsort((key, -price, cust))
+        cust, key, price = cust[order], key[order], price[order]
+        starts = np.r_[True, cust[1:] != cust[:-1]]
+        pos = np.arange(len(cust)) - np.maximum.accumulate(np.where(starts, np.arange(len(cust)), 0))
+        keep = pos < k
+        return pa.table(
+            {
+                "o_custkey": pa.array(cust[keep], pa.int64()),
+                "o_orderkey": pa.array(key[keep], pa.int64()),
+                "o_totalprice": pa.array(price[keep], pa.float64()),
+            }
+        )
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "o_custkey" not in batch.column_names:
+            return batch
+        shard = pc.bit_wise_and(batch.column("o_custkey"), pa.scalar(shards - 1))
+        return batch.append_column("shard", shard.cast(pa.int32()))
+
+    def shard_topk(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "o_custkey" not in group.column_names:
+            return pa.table(
+                {
+                    "o_custkey": pa.array([], pa.int64()),
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        cust = np.asarray(group.column("o_custkey").to_pylist(), dtype=np.int64)
+        key = np.asarray(group.column("o_orderkey").to_pylist(), dtype=np.int64)
+        price = np.asarray(group.column("o_totalprice").to_pylist(), dtype=np.float64)
+        order = np.lexsort((key, -price, cust))
+        cust, key = cust[order], key[order]
+        starts = np.r_[True, cust[1:] != cust[:-1]]
+        pos = np.arange(len(cust)) - np.maximum.accumulate(np.where(starts, np.arange(len(cust)), 0))
+        keep = pos < k
+        return pa.table(
+            {
+                "o_custkey": pa.array(cust[keep], pa.int64()),
+                "o_orderkey": pa.array(key[keep], pa.int64()),
+                "rank": pa.array(pos[keep] + 1, pa.int64()),
+            }
+        )
+
+    return (
+        orders_ds.select_columns(["o_custkey", "o_orderkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(lambda g: shard_topk(g.drop_columns(["shard"])), batch_format="pyarrow")
+    )
