@@ -138,7 +138,7 @@ class _ShingleSigner:
 BAND_SHARDS = 256
 
 
-def band_rows_batch(batch: pa.Table) -> pa.Table:
+def band_rows_batch(batch: pa.Table, bands: int = MINHASH_BANDS) -> pa.Table:
     """documents batch -> exploded (shard, band_key, doc_id) rows."""
     import zlib
 
@@ -148,7 +148,7 @@ def band_rows_batch(batch: pa.Table) -> pa.Table:
     out_doc: list[int] = []
     for doc_id, text in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
         sig = h.signature(_word_shingles(text))
-        for bk in h.band_keys(sig, MINHASH_BANDS):
+        for bk in h.band_keys(sig, bands):
             out_shard.append(zlib.crc32(bk.encode()) % BAND_SHARDS)
             out_band.append(bk)
             out_doc.append(doc_id)
@@ -184,7 +184,12 @@ def _shard_candidates(group: pa.Table) -> pa.Table:
     return pa.table({"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())})
 
 
-def minhash_lsh_pairs(docs_ds, threshold: float = 0.7, num_partitions: int | None = None):
+def minhash_lsh_pairs(
+    docs_ds,
+    threshold: float = 0.7,
+    num_partitions: int | None = None,
+    bands: int = MINHASH_BANDS,
+):
     """Near-duplicate (doc_a, doc_b) pairs with word-3-gram Jaccard >=
     ``threshold``; doc_a < doc_b.
 
@@ -195,12 +200,25 @@ def minhash_lsh_pairs(docs_ds, threshold: float = 0.7, num_partitions: int | Non
     with a vectorized Max groupby) — texts travel the shuffle keyed by
     the candidate ids; the corpus is never collected to the driver or
     broadcast (the previous design ``ray.put`` an id->text dict of the
-    whole corpus)."""
+    whole corpus).
+
+    ``bands`` trades candidate volume against recall: with r = num_perm /
+    bands rows per band, a J-similar pair bands together with probability
+    1-(1-J^r)^bands.  The default (r=2, b=32) misses a J=0.7 pair with
+    probability ~4e-10 — effectively exact, which the SQL oracle relies
+    on — but over-generates candidates when the corpus has a heavy low-J
+    background (measured: a 200k-doc corpus drawn from a 36-word
+    vocabulary produced 5.2M candidates for 60k true pairs).  At web
+    scale pass bands=16 (r=4, miss ~1.2% at J=0.7) or bands=8 (r=8) —
+    candidates then scale with the near-dup population, not the corpus
+    pair count."""
     # candidates are NOT pair-deduped here: cross-shard duplicates survive
     # the join and collapse in the reassembly groupby below, saving a whole
     # shuffle; near-dup pairs repeat in at most MINHASH_BANDS shards
     candidates = (
-        docs_ds.map_batches(band_rows_batch, batch_format="pyarrow")
+        docs_ds.map_batches(
+            band_rows_batch, fn_kwargs={"bands": bands}, batch_format="pyarrow"
+        )
         .groupby("shard")
         .map_groups(_shard_candidates, batch_format="pyarrow")
     )
