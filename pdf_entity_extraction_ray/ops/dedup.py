@@ -443,7 +443,12 @@ def embedding_cosine_pairs(emb_ds, threshold: float = 0.99):
 # near-dup removal (the production policy: transitive clusters, keep one)
 
 
-def near_dedup_keep(docs_ds, threshold: float = 0.7, num_partitions: int | None = None):
+def near_dedup_keep(
+    docs_ds,
+    threshold: float = 0.7,
+    num_partitions: int | None = None,
+    bands: int = MINHASH_BANDS,
+):
     """Remove near-duplicate documents TRANSITIVELY, keeping the lowest
     doc_id of every near-dup cluster: minhash pairs -> distributed
     connected components (BSP min-label; ids are the node keys, so each
@@ -457,7 +462,7 @@ def near_dedup_keep(docs_ds, threshold: float = 0.7, num_partitions: int | None 
     """
     from ..stages.linking import components_from_int_edges
 
-    pairs = minhash_lsh_pairs(docs_ds, threshold, num_partitions)
+    pairs = minhash_lsh_pairs(docs_ds, threshold, num_partitions, bands=bands)
     comp = components_from_int_edges(pairs, "doc_a", "doc_b", num_partitions=num_partitions)
 
     def losers(batch: pa.Table) -> pa.Table:
