@@ -4,8 +4,11 @@
 corpus (the BASELINE.json input_hint table); returns the nodes Dataset.
 ``queries()`` — one entry per implemented operator/pipeline (SURVEY.md §2 +
 the training-data op family); each takes ``sf_dir`` and returns a Dataset.
-``oracle_sql()`` — DuckDB equivalents where SQL-expressible; KG pipeline,
-LSH/simhash internals, lang-ID and multimodal stages get rows-only checks.
+``oracle_sql()`` — DuckDB equivalents for every SQL-expressible query
+(37 of 40, including the gold-table-backed kg_* flagship tables, simhash,
+rolling fingerprint, lang-ID, TF-IDF knn and transitive near-dup removal);
+only PageRank (iterative) and the two compressed-format multimodal stubs
+are rows-only.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ``ray.init()`` / ``ray.shutdown()``.
