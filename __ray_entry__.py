@@ -5,10 +5,10 @@ corpus (the BASELINE.json input_hint table); returns the nodes Dataset.
 ``queries()`` — one entry per implemented operator/pipeline (SURVEY.md §2 +
 the training-data op family); each takes ``sf_dir`` and returns a Dataset.
 ``oracle_sql()`` — DuckDB equivalents for every SQL-expressible query
-(37 of 40, including the gold-table-backed kg_* flagship tables, simhash,
-rolling fingerprint, lang-ID, TF-IDF knn and transitive near-dup removal);
-only PageRank (iterative) and the two compressed-format multimodal stubs
-are rows-only.
+(including the gold-table-backed kg_* flagship tables, PageRank against a
+synthesizer-written gold table in integer ppm, simhash, rolling
+fingerprint, lang-ID, TF-IDF knn and transitive near-dup removal); only
+the two compressed-format multimodal stubs are rows-only.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ``ray.init()`` / ``ray.shutdown()``.
@@ -51,7 +51,11 @@ def _kg_artifacts(sf_dir: str) -> dict:
     n_pages = _KG_PAGES.get(name, 500)
     base = f"/tmp/graft_kg/{name}"
     pages = f"{base}/pages"
-    if not (os.path.isdir(pages) and os.path.isdir(f"{base}/gold_clusters")):
+    if not (
+        os.path.isdir(pages)
+        and os.path.isdir(f"{base}/gold_clusters")
+        and os.path.isdir(f"{base}/gold_pagerank")
+    ):
         shutil.rmtree(base, ignore_errors=True)
         write_corpus(base, n_pages=n_pages, seed=42, n_per_type=25, write_gold=True)
     return run_kg(pages, f"{base}/out", n_buckets=8)
@@ -96,6 +100,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         res = _kg_artifacts(sf_dir)
         return build_entities(ray.data.read_parquet(res["mentions"]))
+
+    def _kg_pagerank_ppm(sf_dir):
+        """Engine PageRank over the KG edges, ranks scaled to integer ppm
+        (the repo's float-hash trick: cross-engine float noise ~1e-15 vs
+        the 1e-6 grid) — hash-comparable against the synthesizer's
+        single-process gold_pagerank table."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import pagerank
+
+        pr = pagerank(
+            ray.data.read_parquet(
+                _kg_artifacts(sf_dir)["edges"], columns=["src_id", "dst_id"]
+            ),
+            iterations=20,
+        )
+
+        def to_ppm(batch: pa.Table) -> pa.Table:
+            ppm = np.round(
+                np.asarray(batch.column("rank").to_pylist(), dtype=np.float64) * 1e6
+            ).astype(np.int64)
+            return pa.table(
+                {"node": batch.column("node"), "rank_ppm": pa.array(ppm, pa.int64())}
+            )
+
+        return pr.map_batches(to_ppm, batch_format="pyarrow")
 
     def multimodal_features(sf_dir):
         import ray.data
@@ -151,14 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _kg_artifacts(sf)["edges"]
             )
         ),
-        "kg_pagerank": lambda sf: __import__(
-            "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["pagerank"]
-        ).pagerank(
-            __import__("ray.data", fromlist=["read_parquet"]).read_parquet(
-                _kg_artifacts(sf)["edges"], columns=["src_id", "dst_id"]
-            ),
-            iterations=20,
-        ),
+        "kg_pagerank": _kg_pagerank_ppm,
         # --- text analysis over documents ---
         "docs_token_stats": docs_op(text.token_stats_batch),
         "docs_quality": docs_op(text.quality_batch),
@@ -178,11 +203,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_cosine_dedup_lsh": lambda sf: dedup.embedding_cosine_pairs_lsh(
             _read(sf, "embeddings"), 0.5
         ),
-        # --- similarity search ---
-        "emb_knn": lambda sf: ann.knn_bruteforce(_read(sf, "embeddings"), [0, 1, 2, 3, 4], 10),
+        # --- similarity search (query vectors fetched via a filtered,
+        # row-group-pruned read of the backing parquet — never a corpus
+        # stream through the driver) ---
+        "emb_knn": lambda sf: ann.knn_bruteforce(
+            _read(sf, "embeddings"), [0, 1, 2, 3, 4], 10,
+            source_path=os.path.join(sf, "embeddings.parquet"),
+        ),
         "emb_knn_ivf": lambda sf: ann.knn_ivf(
             _read(sf, "embeddings"), [0, 1, 2, 3, 4], 10,
             index_dir=f"/tmp/graft_ivf/{os.path.basename(os.path.normpath(sf))}",
+            source_path=os.path.join(sf, "embeddings.parquet"),
         ),
         # --- relational core ---
         "lineitem_agg": lambda sf: relational.lineitem_agg(_read(sf, "lineitem")),
@@ -214,7 +245,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "docs_tfidf_knn": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.tfidf", fromlist=["tfidf_knn"]
-        ).tfidf_knn(_read(sf, "documents"), [0, 1, 2], 5),
+        ).tfidf_knn(
+            _read(sf, "documents"), [0, 1, 2], 5,
+            source_path=os.path.join(sf, "documents.parquet"),
+        ),
         "lineitem_recent_agg": lambda sf: relational.lineitem_recent_agg(sf, "1998-01-01"),
         "parts_by_brand": lambda sf: relational.parts_by_brand(_read(sf, "part")),
         # --- multimodal plumbing (deterministic fake kernels) ---
@@ -290,6 +324,14 @@ def oracle_sql() -> dict[str, str]:
                    list_slice(list_sort(list(distinct t.obj)), 1, 64) as aliases,
                    count(*) as n_mentions
             from gt t where t.obj_type = 'DATE' group by t.obj_canonical
+        """,
+        # gold_pagerank is written by the corpus synthesizer (a
+        # single-process numpy power iteration over the SAME canonical edge
+        # derivation as the kg_* CTEs; ranks pre-scaled to integer ppm) —
+        # the engine side scales its BSP ranks identically
+        "kg_pagerank": f"""
+            select node, rank_ppm
+            from read_parquet('{gold}/gold_pagerank/*.parquet')
         """,
         "kg_degrees": f"""
             with {kg_cte},

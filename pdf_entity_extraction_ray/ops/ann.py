@@ -22,23 +22,53 @@ def _normalized(vectors) -> np.ndarray:
     return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
 
 
-def _collect_queries(emb_ds, query_ids: list[int]):
-    wanted = set(query_ids)
+def _collect_queries(emb_ds, query_ids: list[int], source_path=None):
+    """Fetch the query vectors WITHOUT streaming the corpus through the
+    driver.  With ``source_path`` (the backing Parquet file/dir) the fetch
+    is a filtered read — ``vec_id in (...)`` prunes row groups via column
+    statistics, so only matching row groups are decoded.  Otherwise a
+    distributed semi-join filter whose ``take_all`` moves O(queries) rows."""
+    wanted = sorted(set(query_ids))
     got: dict[int, list[float]] = {}
-    for batch in emb_ds.select_columns(["vec_id", "embedding"]).iter_batches(batch_format="pyarrow"):
-        for vid, vec in zip(batch.column("vec_id").to_pylist(), batch.column("embedding").to_pylist()):
-            if vid in wanted:
-                got[vid] = vec
+    if source_path is not None:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            source_path, columns=["vec_id", "embedding"],
+            filters=[("vec_id", "in", wanted)],
+        )
+        got = dict(zip(tbl.column("vec_id").to_pylist(), tbl.column("embedding").to_pylist()))
+    else:
+        import pyarrow.compute as pc
+
+        def only_queries(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "vec_id" not in batch.column_names:
+                return pa.table(
+                    {
+                        "vec_id": pa.array([], pa.int64()),
+                        "embedding": pa.array([], pa.list_(pa.float64())),
+                    }
+                )
+            return batch.filter(pc.is_in(batch.column("vec_id"), pa.array(wanted)))
+
+        for batch in (
+            emb_ds.select_columns(["vec_id", "embedding"])
+            .map_batches(only_queries, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        ):
+            got.update(
+                zip(batch.column("vec_id").to_pylist(), batch.column("embedding").to_pylist())
+            )
     qids = sorted(got)
     return np.asarray(qids), _normalized([got[q] for q in qids])
 
 
-def knn_bruteforce(emb_ds, query_ids: list[int], k: int = 10):
+def knn_bruteforce(emb_ds, query_ids: list[int], k: int = 10, *, source_path=None):
     """(query_id, neighbor_id, rank) — exact top-k by cosine, self excluded.
     Ties break by ascending neighbor_id (deterministic)."""
     import ray
 
-    qids, Q = _collect_queries(emb_ds, query_ids)
+    qids, Q = _collect_queries(emb_ds, query_ids, source_path)
     qref = ray.put((qids, Q))
 
     def local_topk(batch: pa.Table) -> pa.Table:
@@ -99,15 +129,40 @@ def ivf_bucket_batch(batch: pa.Table) -> pa.Table:
     return batch.append_column("bucket", pa.array(buckets.astype(np.int32), pa.int32()))
 
 
-def build_ivf_index(emb_ds, index_dir: str) -> str:
+def dataset_fingerprint(emb_ds) -> str:
+    """Cheap identity stamp for the dataset an index was built from: row
+    count + the sorted backing file list (both metadata-only for Parquet
+    sources).  Guards index reuse against a stale ``index_dir`` left over
+    from a different corpus — same dir + different data would otherwise
+    silently return neighbors from the wrong corpus."""
+    import hashlib
+    import json
+
+    try:
+        files = sorted(emb_ds.input_files())
+    except Exception:
+        files = []
+    key = json.dumps([emb_ds.count(), files])
+    return hashlib.sha1(key.encode()).hexdigest()
+
+
+def build_ivf_index(emb_ds, index_dir: str, fingerprint: str | None = None) -> str:
     """Materialize the bucket-partitioned inverted file: embeddings written
     as hive Parquet ``bucket=<dominant dim>/...`` — the one-time shuffle
-    that lets every probe read a strict subset of partitions."""
+    that lets every probe read a strict subset of partitions.  The index
+    dir is stamped with the source-dataset fingerprint so a later
+    ``knn_ivf`` can detect (and rebuild on) a corpus mismatch."""
+    import os
+
     (
         emb_ds.select_columns(["vec_id", "embedding"])
         .map_batches(ivf_bucket_batch, batch_format="pyarrow")
         .write_parquet(index_dir, partition_cols=["bucket"])
     )
+    if fingerprint is None:
+        fingerprint = dataset_fingerprint(emb_ds)
+    with open(os.path.join(index_dir, "_FINGERPRINT"), "w") as f:
+        f.write(fingerprint)
     return index_dir
 
 
@@ -122,6 +177,8 @@ def knn_ivf(
     k: int = 10,
     n_probe: int = 8,
     index_dir: str | None = None,
+    *,
+    source_path=None,
 ):
     """Approximate top-k via a REAL inverted-file layout: vectors are
     bucket-partitioned on disk by dominant dimension
@@ -129,25 +186,36 @@ def knn_ivf(
     queries' ``n_probe`` bucket partitions — both I/O and compute scale
     with the probed fraction, not the corpus.
 
-    ``index_dir``: reuse an existing index (skips the build when its
-    directory already has bucket partitions); defaults to a fresh temp dir.
+    ``index_dir``: reuse an existing index — but ONLY when its
+    ``_FINGERPRINT`` stamp matches the current dataset
+    (:func:`dataset_fingerprint`); a stale or foreign index is rebuilt.
+    Defaults to a fresh temp dir.  ``source_path``: backing Parquet path
+    for the pushed-down query-vector fetch.
     """
     import os
+    import shutil
     import tempfile
 
     import ray
     import ray.data
 
-    qids, Q = _collect_queries(emb_ds, query_ids)
+    qids, Q = _collect_queries(emb_ds, query_ids, source_path)
     probe_sets = ivf_probe_buckets(Q, n_probe)
 
     if index_dir is None:
         index_dir = tempfile.mkdtemp(prefix="ivf_", dir="/tmp")
-    have_index = os.path.isdir(index_dir) and any(
-        name.startswith("bucket=") for name in os.listdir(index_dir)
+    fp = dataset_fingerprint(emb_ds)
+    fp_file = os.path.join(index_dir, "_FINGERPRINT")
+    have_index = (
+        os.path.isdir(index_dir)
+        and any(name.startswith("bucket=") for name in os.listdir(index_dir))
+        and os.path.isfile(fp_file)
+        and open(fp_file).read().strip() == fp
     )
     if not have_index:
-        build_ivf_index(emb_ds, index_dir)
+        if os.path.isdir(index_dir):
+            shutil.rmtree(index_dir, ignore_errors=True)
+        build_ivf_index(emb_ds, index_dir, fingerprint=fp)
 
     union: set[int] = set()
     for s in probe_sets.values():

@@ -119,6 +119,50 @@ def wordset_dedup(docs_ds, num_partitions: int | None = None):
 # MinHash + LSH near-dup pairs
 
 
+def auto_minhash_bands(
+    docs_ds,
+    sample: int = 256,
+    candidate_budget_per_doc: float = 10.0,
+    n_docs: int | None = None,
+) -> int:
+    """Derive the LSH band count from a cheap corpus probe instead of a
+    fixed default: sample the first ``sample`` documents, measure the
+    BACKGROUND pairwise Jaccard distribution, and pick the widest band
+    shape (highest recall) whose expected candidate volume stays linear
+    in the corpus (``<= candidate_budget_per_doc * n_docs`` pairs).
+
+    With r = num_perm / bands rows per band, a J-similar pair collides
+    with probability fb(J) = 1-(1-J^r)^bands; the expected candidate
+    count is C(n,2) * E[fb(J_background)] — evaluated directly on the
+    sampled pair Jaccards (no convexity error from plugging in a mean).
+    On diverse corpora this returns the exact-recall default (bands=32,
+    r=2: miss ~4e-10 at J=0.7 — what the SQL oracles rely on); on
+    low-diversity corpora (heavy J~0.3-0.5 background) it drops to
+    bands=16 (r=4: miss ~1.2% at J=0.7), keeping candidates from scaling
+    with the corpus PAIR count.  Opt in via ``bands="auto"`` on
+    :func:`minhash_lsh_pairs` / :func:`near_dedup_keep`; oracle-checked
+    runs keep the exact default."""
+    rows = docs_ds.select_columns(["text"]).limit(sample).take_all()
+    shingle_sets = [_word_shingles(r["text"]) for r in rows]
+    if n_docs is None:
+        n_docs = docs_ds.count()
+    if len(shingle_sets) < 2 or n_docs < 2:
+        return MINHASH_BANDS
+    js = [
+        jaccard(shingle_sets[i], shingle_sets[j])
+        for i in range(len(shingle_sets))
+        for j in range(i + 1, len(shingle_sets))
+    ]
+    budget = candidate_budget_per_doc * n_docs
+    n_pairs = n_docs * (n_docs - 1) / 2.0
+    for bands in (32, 16):
+        r = MINHASH_PERMS // bands
+        fb = sum(1.0 - (1.0 - j**r) ** bands for j in js) / len(js)
+        if n_pairs * fb <= budget:
+            return bands
+    return 16
+
+
 class _ShingleSigner:
     """Per-process MinHasher (built once, reused across batches)."""
 
@@ -188,7 +232,7 @@ def minhash_lsh_pairs(
     docs_ds,
     threshold: float = 0.7,
     num_partitions: int | None = None,
-    bands: int = MINHASH_BANDS,
+    bands: int | str = MINHASH_BANDS,
 ):
     """Near-duplicate (doc_a, doc_b) pairs with word-3-gram Jaccard >=
     ``threshold``; doc_a < doc_b.
@@ -209,9 +253,12 @@ def minhash_lsh_pairs(
     on — but over-generates candidates when the corpus has a heavy low-J
     background (measured: a 200k-doc corpus drawn from a 36-word
     vocabulary produced 5.2M candidates for 60k true pairs).  At web
-    scale pass bands=16 (r=4, miss ~1.2% at J=0.7) or bands=8 (r=8) —
-    candidates then scale with the near-dup population, not the corpus
-    pair count."""
+    scale pass bands=16 (r=4, miss ~1.2% at J=0.7) or ``bands="auto"``
+    (:func:`auto_minhash_bands` probes the background Jaccard and picks
+    the widest shape with linear expected candidates) — candidates then
+    scale with the near-dup population, not the corpus pair count."""
+    if bands == "auto":
+        bands = auto_minhash_bands(docs_ds)
     # candidates are NOT pair-deduped here: cross-shard duplicates survive
     # the join and collapse in the reassembly groupby below, saving a whole
     # shuffle; near-dup pairs repeat in at most MINHASH_BANDS shards
@@ -447,7 +494,7 @@ def near_dedup_keep(
     docs_ds,
     threshold: float = 0.7,
     num_partitions: int | None = None,
-    bands: int = MINHASH_BANDS,
+    bands: int | str = MINHASH_BANDS,
 ):
     """Remove near-duplicate documents TRANSITIVELY, keeping the lowest
     doc_id of every near-dup cluster: minhash pairs -> distributed

@@ -19,9 +19,21 @@ from __future__ import annotations
 import pyarrow as pa
 
 
-def node_degrees(edges_ds):
-    """edges Dataset -> (canonical, out_edges, out_weight, in_edges,
-    in_weight) — one row per node appearing on either side."""
+def node_degrees(edges_ds, by: str = "canonical"):
+    """edges Dataset -> per-node in/out edge counts and weight sums, one
+    row per node appearing on either side.
+
+    ``by="canonical"`` (default) keys nodes by canonical STRING — distinct
+    nodes of different types that share a canonical (e.g. a DATE node
+    ``2020`` and a surface ``2020``) merge into one degree row.  This is
+    the intended human-facing report view (and what the SQL oracle
+    checks); for the graph-faithful keying use ``by="node_id"``
+    (:func:`node_degrees_by_id`), which keys by the content-derived id and
+    keeps such nodes separate."""
+    if by == "node_id":
+        return node_degrees_by_id(edges_ds)
+    if by != "canonical":
+        raise ValueError(f"by must be 'canonical' or 'node_id', got {by!r}")
 
     def partial(batch: pa.Table) -> pa.Table:
         cols = {
@@ -87,6 +99,89 @@ def node_degrees(edges_ds):
                 "sum(in_edges)": "in_edges",
                 "sum(in_weight)": "in_weight",
             }
+        )
+    )
+
+
+def node_degrees_by_id(edges_ds):
+    """Graph-faithful degrees: keyed by the content-derived ``node_id``
+    (src_id/dst_id), so nodes of different types sharing a canonical stay
+    separate.  The canonical string rides along (node_id determines it
+    1:1 — the id IS blake2b(type, canonical) — so Min is an exact carry,
+    not a choice)."""
+    from ray.data.aggregate import Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {
+            "node_id": pa.array([], pa.int64()),
+            "canonical": pa.array([], pa.string()),
+            "out_edges": pa.array([], pa.int64()),
+            "out_weight": pa.array([], pa.int64()),
+            "in_edges": pa.array([], pa.int64()),
+            "in_weight": pa.array([], pa.int64()),
+        }
+        if batch.num_rows == 0 or "src_id" not in batch.column_names:
+            return pa.table(cols)
+        out = batch.group_by(["src_id", "src_canonical"]).aggregate(
+            [("weight", "count"), ("weight", "sum")]
+        )
+        inn = batch.group_by(["dst_id", "dst_canonical"]).aggregate(
+            [("weight", "count"), ("weight", "sum")]
+        )
+        n_out, n_in = out.num_rows, inn.num_rows
+        return pa.table(
+            {
+                "node_id": pa.concat_arrays(
+                    [
+                        out.column("src_id").combine_chunks(),
+                        inn.column("dst_id").combine_chunks(),
+                    ]
+                ),
+                "canonical": pa.concat_arrays(
+                    [
+                        out.column("src_canonical").combine_chunks(),
+                        inn.column("dst_canonical").combine_chunks(),
+                    ]
+                ),
+                "out_edges": pa.concat_arrays(
+                    [
+                        out.column("weight_count").cast(pa.int64()).combine_chunks(),
+                        pa.array([0] * n_in, pa.int64()),
+                    ]
+                ),
+                "out_weight": pa.concat_arrays(
+                    [
+                        out.column("weight_sum").cast(pa.int64()).combine_chunks(),
+                        pa.array([0] * n_in, pa.int64()),
+                    ]
+                ),
+                "in_edges": pa.concat_arrays(
+                    [
+                        pa.array([0] * n_out, pa.int64()),
+                        inn.column("weight_count").cast(pa.int64()).combine_chunks(),
+                    ]
+                ),
+                "in_weight": pa.concat_arrays(
+                    [
+                        pa.array([0] * n_out, pa.int64()),
+                        inn.column("weight_sum").cast(pa.int64()).combine_chunks(),
+                    ]
+                ),
+            }
+        )
+
+    return (
+        edges_ds.select_columns(
+            ["src_id", "src_canonical", "dst_id", "dst_canonical", "weight"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("node_id")
+        .aggregate(
+            Min("canonical", alias_name="canonical"),
+            Sum("out_edges", alias_name="out_edges"),
+            Sum("out_weight", alias_name="out_weight"),
+            Sum("in_edges", alias_name="in_edges"),
+            Sum("in_weight", alias_name="in_weight"),
         )
     )
 

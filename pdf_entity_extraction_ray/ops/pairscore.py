@@ -40,10 +40,19 @@ def char_wb_ngrams(text: str, min_n: int = 2, max_n: int = 4) -> list[str]:
     return out
 
 
-def train_char_idf(docs_ds) -> tuple[dict[str, float], int]:
+def train_char_idf(
+    docs_ds, *, min_df: int = 1, max_terms: int | None = None
+) -> tuple[dict[str, float], int]:
     """(ngram -> smooth idf, n_docs) over a text Dataset — the same
     two-stage distributed DF aggregation as ops.tfidf.train_idf, with the
-    char_wb analyzer."""
+    char_wb analyzer.  The collected dict is pruned inside the distributed
+    plan (ops.tfidf.collect_pruned_df): ``max_terms`` defaults to the
+    shared DEFAULT_MAX_TERMS bound so the char-ngram vocabulary can never
+    grow the driver dict unboundedly."""
+    from .tfidf import DEFAULT_MAX_TERMS, collect_pruned_df
+
+    if max_terms is None:
+        max_terms = DEFAULT_MAX_TERMS
 
     def partial(batch: pa.Table) -> pa.Table:
         df: dict[str, int] = {}
@@ -66,12 +75,10 @@ def train_char_idf(docs_ds) -> tuple[dict[str, float], int]:
         .aggregate(Sum("df", alias_name="df"))
     )
     n_docs = docs_ds.count()
-    idf: dict[str, float] = {}
-    for b in agg.iter_batches(batch_format="pyarrow"):
-        if "term" not in b.column_names:
-            continue
-        for term, df in zip(b.column("term").to_pylist(), b.column("df").to_pylist()):
-            idf[term] = math.log((1 + n_docs) / (1 + df)) + 1.0
+    idf = {
+        term: math.log((1 + n_docs) / (1 + df)) + 1.0
+        for term, df in collect_pruned_df(agg, min_df=min_df, max_terms=max_terms)
+    }
     return idf, n_docs
 
 

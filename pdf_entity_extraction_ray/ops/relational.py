@@ -52,12 +52,47 @@ def lineitem_agg(lineitem_ds):
     )
 
 
-def orders_by_segment(orders_ds, customer_ds):
+# Build sides at or under this estimated in-memory size broadcast via
+# ``ray.put``; larger ones dispatch to the hash-shuffle ``Dataset.join``
+# path.  ~256 MB of (int64 key -> short string) dict fits every worker
+# heap comfortably; beyond it the per-worker copy cost and driver build
+# time favor the shuffle.
+BROADCAST_LIMIT_BYTES = 256 * 1024 * 1024
+
+
+def _join_parts() -> int:
+    """Join partition count, capped for local sessions (aggregator actors
+    have fixed startup; 2/CPU oversubscribes one node — see
+    ops/dedup._join_partitions).  Pass ``num_partitions`` explicitly on a
+    real cluster."""
+    import ray
+
+    return min(8, max(4, int(ray.cluster_resources().get("CPU", 4)) // 2))
+
+
+def _build_side_bytes(ds) -> int:
+    """Estimated in-memory bytes of a Dataset (metadata-based for Parquet
+    sources — no execution); 0 when unknown (treated as broadcastable)."""
+    try:
+        return int(ds.size_bytes() or 0)
+    except Exception:
+        return 0
+
+
+def orders_by_segment(
+    orders_ds, customer_ds, *, broadcast_limit_bytes: int = BROADCAST_LIMIT_BYTES,
+    num_partitions: int | None = None,
+):
     """orders ⋈ customer on custkey -> per-mktsegment order counts.
 
-    Broadcast hash join: the customer->segment map ships once via
-    ``ray.put`` (small side), orders stream through ``map_batches`` — no
-    shuffle join."""
+    Size-dispatched join strategy: when the customer (build) side's
+    estimated size fits ``broadcast_limit_bytes``, the custkey->segment
+    map ships once via ``ray.put`` and orders stream through
+    ``map_batches`` (no shuffle); a larger build side dispatches to the
+    hash-shuffle ``Dataset.join`` path (:func:`orders_by_segment_join`)
+    automatically.  Both paths produce identical rows (tested)."""
+    if _build_side_bytes(customer_ds) > broadcast_limit_bytes:
+        return orders_by_segment_join(orders_ds, customer_ds, num_partitions=num_partitions)
     import ray
 
     seg_of: dict[int, str] = {}
@@ -96,6 +131,42 @@ def orders_by_segment(orders_ds, customer_ds):
         .map_batches(partial, batch_format="pyarrow")
         .groupby("c_mktsegment")
         .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def orders_by_segment_join(orders_ds, customer_ds, num_partitions: int | None = None):
+    """The large-build-side complement of :func:`orders_by_segment`: a
+    pruned hash-shuffle ``Dataset.join`` + two-stage aggregation (same
+    shape as :func:`lineitems_join_shuffle`)."""
+    joined = orders_ds.select_columns(["o_custkey"]).join(
+        customer_ds.select_columns(["c_custkey", "c_mktsegment"]),
+        join_type="inner",
+        num_partitions=num_partitions or _join_parts(),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "c_mktsegment" not in batch.column_names:
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array([], pa.string()),
+                    "n_orders": pa.array([], pa.int64()),
+                }
+            )
+        g = batch.group_by("c_mktsegment").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "c_mktsegment": g.column("c_mktsegment"),
+                "n_orders": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .sum("n_orders")
+        .rename_columns({"sum(n_orders)": "n_orders"})
     )
 
 
@@ -418,11 +489,19 @@ def events_hourly_active_users(events_ds):
     )
 
 
-def lineitems_by_priority(lineitem_ds, orders_ds):
+def lineitems_by_priority(
+    lineitem_ds, orders_ds, *, broadcast_limit_bytes: int = BROADCAST_LIMIT_BYTES,
+    num_partitions: int | None = None,
+):
     """lineitem ⋈ orders on orderkey -> per-priority counts + exact sums.
 
-    Broadcast hash join: the orderkey -> priority map ships once (the
-    orders side is the smaller table); lineitem streams."""
+    Size-dispatched: an orders (build) side within
+    ``broadcast_limit_bytes`` ships as a broadcast orderkey->priority map
+    (lineitem streams, no shuffle); a larger one dispatches to the
+    hash-shuffle path (:func:`lineitems_join_shuffle` — identical output,
+    tested)."""
+    if _build_side_bytes(orders_ds) > broadcast_limit_bytes:
+        return lineitems_join_shuffle(lineitem_ds, orders_ds, num_partitions=num_partitions)
     import ray
 
     prio: dict[int, str] = {}
@@ -471,7 +550,7 @@ def lineitems_by_priority(lineitem_ds, orders_ds):
     )
 
 
-def lineitems_join_shuffle(lineitem_ds, orders_ds):
+def lineitems_join_shuffle(lineitem_ds, orders_ds, num_partitions: int | None = None):
     """lineitem ⋈ orders on orderkey -> per-priority counts + sums, via a
     hash-SHUFFLE ``Dataset.join`` — the large-large path where neither side
     is broadcastable (the 100-TB complement of
@@ -480,11 +559,7 @@ def lineitems_join_shuffle(lineitem_ds, orders_ds):
     Columns are pruned to the join key + payloads before the shuffle, and
     the aggregation is two-stage after the join (per-batch Arrow combiner,
     then a tiny groupby), so the exchanges move only what they must."""
-    import ray
-
-    # capped: join aggregator actors have fixed startup cost and 2/CPU
-    # oversubscribes a single node (see ops/dedup._join_partitions)
-    n_part = min(8, max(4, int(ray.cluster_resources().get("CPU", 4)) // 2))
+    n_part = num_partitions or _join_parts()
     joined = lineitem_ds.select_columns(["l_orderkey", "l_quantity"]).join(
         orders_ds.select_columns(["o_orderkey", "o_orderpriority"]),
         join_type="inner",
@@ -530,25 +605,29 @@ def events_sliding_active_users(events_ds, window_days: int = 3):
     days it contributes to (bounded fan-out), then the same
     distinct-pair combiner + groupby as the hourly-active-users op — the
     shuffle moves one (day, user) row per distinct pair per block."""
-    import datetime as _dt
-
     def explode_days(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "ts" not in batch.column_names:
             return pa.table(
                 {"day": pa.array([], pa.string()), "user_id": pa.array([], pa.int64())}
             )
-        days, users = [], []
-        for ts, uid in zip(batch.column("ts").to_pylist(), batch.column("user_id").to_pylist()):
-            d = ts.date()
-            for off in range(window_days):
-                days.append((d + _dt.timedelta(days=off)).strftime("%Y-%m-%d"))
-                users.append(uid)
+        # fully vectorized: floor to day once, then one duration-add +
+        # strftime per window offset (bounded fan-out), no per-row Python
+        day0 = pc.floor_temporal(batch.column("ts"), unit="day")
+        uid = batch.column("user_id")
+        parts = [
+            pa.table(
+                {
+                    "day": pc.strftime(
+                        pc.add(day0, pa.scalar(off * 86_400_000_000, pa.duration("us"))),
+                        format="%Y-%m-%d",
+                    ),
+                    "user_id": uid,
+                }
+            )
+            for off in range(window_days)
+        ]
         # per-batch distinct (day, user) pairs — the combiner
-        return (
-            pa.table({"day": pa.array(days, pa.string()), "user_id": pa.array(users, pa.int64())})
-            .group_by(["day", "user_id"])
-            .aggregate([])
-        )
+        return pa.concat_tables(parts).group_by(["day", "user_id"]).aggregate([])
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "day" not in batch.column_names:

@@ -24,24 +24,85 @@ def _terms(text: str) -> list[str]:
     return TOKEN_RE.findall(text.lower())
 
 
-def train_idf(docs_ds) -> tuple[dict[str, float], int]:
-    """(term -> idf, n_docs).  Smooth idf = ln((1+N)/(1+df)) + 1."""
+# Default vocabulary bound for the broadcast IDF table.  The sf corpora
+# have a few-thousand-term vocabulary, so this bound provably changes
+# nothing there (the oracle's full-vocab SQL stays hash-exact); at web
+# scale it caps the driver dict / broadcast at O(DEFAULT_MAX_TERMS) no
+# matter how large the corpus vocabulary grows.
+DEFAULT_MAX_TERMS = 1_000_000
+
+
+def collect_pruned_df(df_agg_ds, *, min_df: int = 1, max_terms: int | None = DEFAULT_MAX_TERMS):
+    """Aggregated (term, df) Dataset -> driver list[(term, df)], pruned
+    INSIDE the distributed plan so the driver never holds the full
+    vocabulary:
+
+    * ``min_df`` filters inside each reduce-output block (vectorized);
+    * ``max_terms`` keeps the global top-N by (df desc, term asc) via a
+      per-block top-N combiner, then one final top-N over the combined
+      candidates (``repartition(1)``) — the driver collects at most
+      ``max_terms`` rows, and the intermediate exchange moves at most
+      ``num_blocks * max_terms``.
+
+    Tie-break is deterministic (higher df wins; equal df -> lexicographic
+    term) so the pruned vocabulary is stable across runs and partitionings.
+    """
+    import pyarrow.compute as pc
+
+    def prune_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "term" not in batch.column_names:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+            )
+        t = batch.select(["term", "df"])
+        if min_df > 1:
+            t = t.filter(pc.greater_equal(t.column("df"), pa.scalar(min_df)))
+        if max_terms is not None and t.num_rows > max_terms:
+            idx = pc.select_k_unstable(
+                t, k=max_terms, sort_keys=[("df", "descending"), ("term", "ascending")]
+            )
+            t = t.take(idx)
+        return t
+
+    pruned = df_agg_ds.map_batches(prune_block, batch_format="pyarrow")
+    if max_terms is not None:
+        # final global top-N over the (<= blocks * max_terms) candidates;
+        # batch_size=None feeds the single repartitioned block as ONE batch
+        # (the default batch size would chunk it and break the global top-N)
+        pruned = pruned.repartition(1).map_batches(
+            prune_block, batch_format="pyarrow", batch_size=None
+        )
+    out: list[tuple[str, int]] = []
+    for b in pruned.iter_batches(batch_format="pyarrow"):
+        if "term" not in b.column_names:
+            continue
+        out.extend(zip(b.column("term").to_pylist(), b.column("df").to_pylist()))
+    return out
+
+
+def train_idf(
+    docs_ds, *, min_df: int = 1, max_terms: int | None = DEFAULT_MAX_TERMS
+) -> tuple[dict[str, float], int]:
+    """(term -> idf, n_docs).  Smooth idf = ln((1+N)/(1+df)) + 1.
+
+    The driver-side dict is bounded: document frequencies are pruned in
+    the distributed aggregation (:func:`collect_pruned_df`) before the
+    collect, so the broadcast is O(min(vocab, max_terms)) — never the raw
+    corpus vocabulary (unbounded at web scale)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         df: dict[str, int] = {}
-        n = batch.num_rows
         for t in batch.column("text").to_pylist():
             for term in set(_terms(t)):
                 df[term] = df.get(term, 0) + 1
-        tbl = pa.table(
+        return pa.table(
             {
                 "term": pa.array(list(df), pa.string()),
                 "df": pa.array(list(df.values()), pa.int64()),
             }
         )
-        return tbl.append_column("n_docs", pa.array([n] * tbl.num_rows, pa.int64()))
 
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import Sum
 
     agg = (
         docs_ds.select_columns(["text"])
@@ -51,12 +112,10 @@ def train_idf(docs_ds) -> tuple[dict[str, float], int]:
     )
     # n_docs: cheap exact count (metadata-only for parquet sources)
     n_docs = docs_ds.count()
-    idf: dict[str, float] = {}
-    for b in agg.iter_batches(batch_format="pyarrow"):
-        if "term" not in b.column_names:
-            continue
-        for term, df in zip(b.column("term").to_pylist(), b.column("df").to_pylist()):
-            idf[term] = math.log((1 + n_docs) / (1 + df)) + 1.0
+    idf = {
+        term: math.log((1 + n_docs) / (1 + df)) + 1.0
+        for term, df in collect_pruned_df(agg, min_df=min_df, max_terms=max_terms)
+    }
     return idf, n_docs
 
 
@@ -78,21 +137,61 @@ def sparse_cosine(a: dict[str, float], b: dict[str, float]) -> float:
     return sum(v * b[t] for t, v in a.items() if t in b)
 
 
-def tfidf_knn(docs_ds, query_doc_ids: list[int], k: int = 5):
+def _collect_query_texts(docs_ds, query_doc_ids: list[int], source_path=None) -> dict[int, str]:
+    """Fetch a handful of query rows WITHOUT streaming the corpus through
+    the driver: with ``source_path`` the fetch is a filtered Parquet read
+    (``doc_id in (...)`` prunes row groups via column statistics — only
+    matching row groups are decoded); otherwise a distributed semi-join
+    filter (``map_batches`` isin) whose ``take_all`` moves O(queries) rows
+    to the driver."""
+    wanted = set(query_doc_ids)
+    if source_path is not None:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            source_path, columns=["doc_id", "text"],
+            filters=[("doc_id", "in", sorted(wanted))],
+        )
+        return dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+
+    def only_queries(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+            )
+        return batch.filter(pc.is_in(batch.column("doc_id"), pa.array(sorted(wanted))))
+
+    rows = (
+        docs_ds.select_columns(["doc_id", "text"])
+        .map_batches(only_queries, batch_format="pyarrow")
+        .take_all()
+    )
+    return {r["doc_id"]: r["text"] for r in rows}
+
+
+def tfidf_knn(
+    docs_ds,
+    query_doc_ids: list[int],
+    k: int = 5,
+    *,
+    source_path=None,
+    min_df: int = 1,
+    max_terms: int | None = DEFAULT_MAX_TERMS,
+):
     """(query_id, neighbor_id, rank): exact top-k by TF-IDF cosine.
 
-    IDF + query vectors broadcast once; per-batch local top-k combiner ->
-    tiny groupby final (same shape as ops/ann.knn_bruteforce).
-    """
+    IDF + query vectors broadcast once (both pruned/bounded); per-batch
+    local top-k combiner -> tiny groupby final (same shape as
+    ops/ann.knn_bruteforce).  ``source_path``: the backing Parquet
+    file/dir, letting the query-text fetch push its filter down to the
+    read instead of streaming the corpus anywhere."""
     import ray
 
-    idf, _ = train_idf(docs_ds)
-    wanted = set(query_doc_ids)
-    queries: dict[int, dict[str, float]] = {}
-    for b in docs_ds.select_columns(["doc_id", "text"]).iter_batches(batch_format="pyarrow"):
-        for doc_id, text in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
-            if doc_id in wanted:
-                queries[doc_id] = vectorize(text, idf)
+    idf, _ = train_idf(docs_ds, min_df=min_df, max_terms=max_terms)
+    texts = _collect_query_texts(docs_ds, query_doc_ids, source_path)
+    queries = {doc_id: vectorize(text, idf) for doc_id, text in texts.items()}
     ref = ray.put((idf, queries))
 
     def local_topk(batch: pa.Table) -> pa.Table:

@@ -53,6 +53,16 @@ from ..state import lineage
 
 CODE_VERSION = 5  # bump to invalidate all phase outputs
 
+# ``linking_mode="auto"`` / ``rewrite_mode="auto"`` pick the scale paths
+# (distributed label propagation / shuffle-join rewrites) when the distinct
+# (type, surface) universe exceeds this, else the faster broadcast paths.
+# Rationale: a CPython dict entry of (type, surface) -> (node_id, canonical)
+# costs ~400-500 B, so 10^6 entries is ~0.5 GB on the driver AND in every
+# worker that ray.gets the broadcast — the practical ceiling for "the map is
+# the small side".  Outputs are identical across modes (tested), so the
+# switch is purely an execution-strategy decision.
+AUTO_DISTRIBUTED_THRESHOLD = 1_000_000
+
 
 def _add_bucket_col(batch: pa.Table, n_buckets: int) -> pa.Table:
     """Sort key for pre-stage clustering (dropped by the extract stage; the
@@ -215,8 +225,9 @@ def run_kg(
     batch_size: int = 1024,
     resume: bool = True,
     override_num_blocks: int | None = None,
-    linking_mode: str = "driver",
-    rewrite_mode: str = "broadcast",
+    linking_mode: str = "auto",
+    rewrite_mode: str = "auto",
+    auto_threshold: int = AUTO_DISTRIBUTED_THRESHOLD,
 ) -> dict:
     """Run the full pipeline; returns artifact paths + stats.
 
@@ -237,7 +248,14 @@ def run_kg(
     mentions and triples through hash-shuffle ``Dataset.join``s against
     the surface-map PARQUET (stages/graph.py ``canonical_triples_join`` /
     ``build_nodes_join``) — with ``linking_mode="distributed"`` the map
-    then never exists on the driver at all.  Identical outputs (tested)."""
+    then never exists on the driver at all.  Identical outputs (tested).
+
+    Both default to ``"auto"``: the pipeline counts the distinct
+    (type, surface) universe (the cheap first shuffle linking needs
+    anyway, computed once and reused) and picks the scale paths when it
+    exceeds ``auto_threshold`` (:data:`AUTO_DISTRIBUTED_THRESHOLD`), else
+    the broadcast fast paths — so a 100x-scale run gets the right plan
+    without flag knowledge, and small corpora keep the low-latency path."""
     import ray
     import ray.data
 
@@ -292,30 +310,37 @@ def run_kg(
         mentions_dir = mentions_fut.result()
         triples_dir = triples_fut.result()
 
-    # P3: linking — the cluster map is itself a checkpointed Parquet artifact
+    # P3: linking — the cluster map is itself a checkpointed Parquet artifact.
+    # Fingerprints use the REQUESTED mode strings (incl. "auto"): the modes
+    # are execution strategies with identical outputs (tested), so an auto
+    # resolution flip never silently invalidates a sound artifact.
     fp_link = lineage.fingerprint({**base_fp, "phase": "linking", "mode": linking_mode})
     surface_map_dir = os.path.join(out_dir, "surface_map")
+
+    def _load_map():
+        import pyarrow.parquet as pq
+
+        smt = pq.read_table(surface_map_dir)
+        return {
+            (t, s): (nid, canon)
+            for t, s, nid, canon in zip(
+                smt.column("type").to_pylist(),
+                smt.column("surface").to_pylist(),
+                smt.column("node_id").to_pylist(),
+                smt.column("canonical").to_pylist(),
+            )
+        }
+
+    resolved_rewrite = rewrite_mode
+    resolved_linking = linking_mode
     with lineage.PhaseTimer() as t_link:
         if resume and lineage.phase_complete(out_dir, "linking", fp_link):
-            if rewrite_mode == "join":
-                import pyarrow.dataset as pads
+            import pyarrow.dataset as pads
 
-                cluster_map = None
-                n_surfaces = pads.dataset(surface_map_dir).count_rows()
-            else:
-                import pyarrow.parquet as pq
-
-                smt = pq.read_table(surface_map_dir)
-                cluster_map = {
-                    (t, s): (nid, canon)
-                    for t, s, nid, canon in zip(
-                        smt.column("type").to_pylist(),
-                        smt.column("surface").to_pylist(),
-                        smt.column("node_id").to_pylist(),
-                        smt.column("canonical").to_pylist(),
-                    )
-                }
-                n_surfaces = len(cluster_map)
+            n_surfaces = pads.dataset(surface_map_dir).count_rows()
+            if resolved_rewrite == "auto":
+                resolved_rewrite = "join" if n_surfaces > auto_threshold else "broadcast"
+            cluster_map = None if resolved_rewrite == "join" else _load_map()
         else:
             import shutil
 
@@ -328,14 +353,31 @@ def run_kg(
                 columns=["type", "surface"],
                 override_num_blocks=2 * int(ray.cluster_resources().get("CPU", 16)),
             )
-            if linking_mode == "distributed":
+            distinct = None
+            if linking_mode == "auto" or rewrite_mode == "auto":
+                from ..stages.linking import distinct_surfaces
+
+                # the distinct agg is linking's own first shuffle — compute
+                # it once, read its count, and hand the materialized result
+                # to whichever path wins (no duplicated work)
+                distinct = distinct_surfaces(mentions_ds)
+                n_distinct = distinct.count()
+                if linking_mode == "auto":
+                    resolved_linking = (
+                        "distributed" if n_distinct > auto_threshold else "driver"
+                    )
+                if rewrite_mode == "auto":
+                    resolved_rewrite = "join" if n_distinct > auto_threshold else "broadcast"
+            if resolved_linking == "distributed":
                 from ..stages.linking import link_entities_distributed
 
                 # surface map written straight from the Dataset; the dict
                 # below is only the P4 broadcast side (small by definition
                 # of "broadcastable"; beyond that P4 shuffle-joins instead)
-                link_entities_distributed(mentions_ds).write_parquet(surface_map_dir)
-                if rewrite_mode == "join":
+                link_entities_distributed(mentions_ds, distinct=distinct).write_parquet(
+                    surface_map_dir
+                )
+                if resolved_rewrite == "join":
                     # the map never lands on the driver: P4 joins read the
                     # parquet; count is metadata-only
                     import pyarrow.dataset as pads
@@ -343,19 +385,10 @@ def run_kg(
                     cluster_map = None
                     n_surfaces = pads.dataset(surface_map_dir).count_rows()
                 else:
-                    smt = pq.read_table(surface_map_dir)
-                    cluster_map = {
-                        (t, s): (nid, canon)
-                        for t, s, nid, canon in zip(
-                            smt.column("type").to_pylist(),
-                            smt.column("surface").to_pylist(),
-                            smt.column("node_id").to_pylist(),
-                            smt.column("canonical").to_pylist(),
-                        )
-                    }
+                    cluster_map = _load_map()
                     n_surfaces = len(cluster_map)
             else:
-                cluster_map, n_surfaces = link_entities(mentions_ds)
+                cluster_map, n_surfaces = link_entities(mentions_ds, distinct=distinct)
                 os.makedirs(surface_map_dir, exist_ok=True)
                 keys = sorted(cluster_map)
                 pq.write_table(
@@ -404,7 +437,7 @@ def run_kg(
                 override_num_blocks=nblocks,
             )
             triples_read = ray.data.read_parquet(triples_dir, override_num_blocks=nblocks)
-            if rewrite_mode == "join":
+            if resolved_rewrite == "join":
                 from ..stages.graph import build_nodes_join, canonical_triples_join
 
                 def sm_read():
@@ -460,6 +493,8 @@ def run_kg(
         "n_edges": m.get("edges"),
         "distinct_surfaces": n_surfaces,
         "link_wall_sec": round(t_link.wall, 3),
+        "resolved_linking_mode": resolved_linking,
+        "resolved_rewrite_mode": resolved_rewrite,
     }
 
 

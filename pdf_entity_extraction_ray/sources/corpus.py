@@ -625,6 +625,109 @@ def write_corpus(
 
         os.makedirs(f"{out_dir}/gold_clusters", exist_ok=True)
         pq.write_table(clusters_table, f"{out_dir}/gold_clusters/part-0.parquet")
+        write_gold_pagerank(out_dir)
+
+
+def pagerank_reference(uv: list, iterations: int = 20, damping: float = 0.85):
+    """Single-process numpy PageRank over (u, v) edge pairs — the engine's
+    exact formulation (ops/graph_stats.pagerank: damped power iteration,
+    dangling mass redistributed uniformly).  Returns (sorted nodes, ranks)."""
+    import numpy as np
+
+    nodes = sorted({u for u, _ in uv} | {v for _, v in uv})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n_total = max(len(nodes), 1)
+    u_idx = np.array([idx[u] for u, _ in uv], dtype=np.int64)
+    v_idx = np.array([idx[v] for _, v in uv], dtype=np.int64)
+    deg = np.zeros(len(nodes), dtype=np.int64)
+    np.add.at(deg, u_idx, 1)
+    rank = np.full(len(nodes), 1.0 / n_total, dtype=np.float64)
+    for _ in range(iterations):
+        contrib = rank / np.maximum(deg, 1)
+        dangling = float(rank[deg == 0].sum())
+        sums = np.zeros(len(nodes), dtype=np.float64)
+        np.add.at(sums, v_idx, contrib[u_idx])
+        rank = (1.0 - damping) / n_total + damping * dangling / n_total + damping * sums
+    return nodes, rank
+
+
+def write_gold_pagerank(
+    out_dir: str, iterations: int = 20, damping: float = 0.85
+) -> None:
+    """Single-process reference PageRank over the gold graph -> a
+    ``gold_pagerank`` table (node, rank_ppm) next to the other gold tables,
+    so ``kg_pagerank`` gets a driver-visible SQL oracle.
+
+    The edge derivation mirrors the kg_* oracle SQL exactly: observed
+    mention surfaces -> alias clusters -> per-cluster representative
+    (the engine's most-complete-name rule) -> canonical triples ->
+    distinct (src_id, pred, dst_id) rows — i.e. the engine's edges table,
+    which is hash-checked against the same derivation.  Ranks are the
+    standard damped power iteration with uniform dangling redistribution
+    (the engine's ops/graph_stats.pagerank formulation), scaled to
+    integer parts-per-million: cross-engine float noise is ~1e-15 while
+    the ppm grid is 1e-6, so the rounded values are hash-stable."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import os
+
+    from ..stages.linking import node_id_of, representative
+
+    gm = pads.dataset(f"{out_dir}/gold_mentions").to_table(columns=["type", "text"])
+    gt = pads.dataset(f"{out_dir}/gold_triples").to_table(
+        columns=["subj", "subj_type", "pred", "obj", "obj_type", "obj_canonical"]
+    )
+    gc = pads.dataset(f"{out_dir}/gold_clusters").to_table()
+
+    alias_cluster: dict[tuple[str, str], int] = {}
+    for cid, typ, aliases in zip(
+        gc.column("cluster_id").to_pylist(),
+        gc.column("type").to_pylist(),
+        gc.column("aliases").to_pylist(),
+    ):
+        for a in aliases:
+            alias_cluster[(typ, a)] = cid
+
+    observed: dict[int, set[str]] = {}
+    for typ, text in zip(gm.column("type").to_pylist(), gm.column("text").to_pylist()):
+        cid = alias_cluster.get((typ, text))
+        if cid is not None:
+            observed.setdefault(cid, set()).add(text)
+    rep = {cid: representative(sorted(texts)) for cid, texts in observed.items()}
+
+    edge_rows: set[tuple[int, str, int]] = set()
+    for subj, styp, pred, obj, otyp, ocanon in zip(
+        gt.column("subj").to_pylist(),
+        gt.column("subj_type").to_pylist(),
+        gt.column("pred").to_pylist(),
+        gt.column("obj").to_pylist(),
+        gt.column("obj_type").to_pylist(),
+        gt.column("obj_canonical").to_pylist(),
+    ):
+        src = node_id_of(styp, rep[alias_cluster[(styp, subj)]])
+        oc = ocanon if otyp == "DATE" else rep[alias_cluster[(otyp, obj)]]
+        edge_rows.add((src, pred, node_id_of(otyp, oc)))
+
+    # multigraph semantics match the engine: one (u, v) edge per distinct
+    # (src, pred, dst) row, so two predicates between a pair count twice
+    nodes, rank = pagerank_reference(
+        [(u, v) for u, _p, v in edge_rows], iterations=iterations, damping=damping
+    )
+
+    os.makedirs(f"{out_dir}/gold_pagerank", exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "rank_ppm": pa.array(
+                    np.round(rank * 1e6).astype(np.int64), pa.int64()
+                ),
+            }
+        ),
+        f"{out_dir}/gold_pagerank/part-0.parquet",
+    )
 
 
 def _render_html(title: str, para_blocks: list[str], rng: random.Random) -> str:

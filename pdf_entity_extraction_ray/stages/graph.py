@@ -357,16 +357,19 @@ def canonical_triples_join(triples_ds, surface_map_ds, num_partitions: int | Non
     shuffle alternative to :func:`canonical_triples`'s broadcast-map
     rewrite, for surface universes too large to ``ray.put``.
 
-    Subjects inner-join (every subject is an observed linked surface, so
-    the map covers it); objects LEFT-join and the misses — DATE objects
-    (canonicalized by parsed ISO value) and unresolved singletons — are
-    filled per batch with the same :func:`resolve` fallback the broadcast
-    path uses.  Output rows are identical to the broadcast path (tested).
+    BOTH sides LEFT-join and the misses route through the same
+    :func:`resolve` fallback the broadcast path uses ("never invent,
+    never drop"): object misses are DATE objects (canonicalized by parsed
+    ISO value) and unresolved singletons; subject misses should not occur
+    (every subject is an observed linked surface) but if the invariant is
+    ever violated the row resolves to a singleton node instead of being
+    silently dropped — exactly what :func:`canonical_triples` does.
+    Output rows are identical to the broadcast path (tested).
     """
     n_part = num_partitions or _join_parts()
     j = triples_ds.join(
         _sm_renamed(surface_map_ds, "subj_type", "subj", "src_id", "subj_canonical"),
-        join_type="inner",
+        join_type="left_outer",
         num_partitions=n_part,
         on=("subj_type", "subj"),
     ).join(
@@ -379,21 +382,34 @@ def canonical_triples_join(triples_ds, surface_map_ds, num_partitions: int | Non
     def fill_misses(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "obj_canonical" not in batch.column_names:
             return batch
-        canon = batch.column("obj_canonical").to_pylist()
-        ids = batch.column("dst_id").to_pylist()
-        if any(c is None for c in canon):
-            types = batch.column("obj_type").to_pylist()
-            objs = batch.column("obj").to_pylist()
-            norms = batch.column("obj_norm").to_pylist()
-            for i, c in enumerate(canon):
-                if c is None:
-                    nid, cc = resolve({}, types[i], objs[i], norms[i] or "")
-                    canon[i] = cc
-                    ids[i] = nid
-        batch = batch.drop_columns(["obj_canonical", "dst_id"])
-        return batch.append_column(
-            "obj_canonical", pa.array(canon, pa.string())
-        ).append_column("dst_id", pa.array(ids, pa.int64()))
+
+        def fill_side(canon_col, id_col, type_col, surface_col, norm_col):
+            canon = batch.column(canon_col).to_pylist()
+            ids = batch.column(id_col).to_pylist()
+            if any(c is None for c in canon):
+                types = batch.column(type_col).to_pylist()
+                surfaces = batch.column(surface_col).to_pylist()
+                norms = (
+                    batch.column(norm_col).to_pylist()
+                    if norm_col is not None
+                    else [""] * batch.num_rows
+                )
+                for i, c in enumerate(canon):
+                    if c is None:
+                        nid, cc = resolve({}, types[i], surfaces[i], norms[i] or "")
+                        canon[i] = cc
+                        ids[i] = nid
+            return canon, ids
+
+        subj_canon, src_ids = fill_side("subj_canonical", "src_id", "subj_type", "subj", None)
+        obj_canon, dst_ids = fill_side("obj_canonical", "dst_id", "obj_type", "obj", "obj_norm")
+        batch = batch.drop_columns(["subj_canonical", "src_id", "obj_canonical", "dst_id"])
+        return (
+            batch.append_column("subj_canonical", pa.array(subj_canon, pa.string()))
+            .append_column("src_id", pa.array(src_ids, pa.int64()))
+            .append_column("obj_canonical", pa.array(obj_canon, pa.string()))
+            .append_column("dst_id", pa.array(dst_ids, pa.int64()))
+        )
 
     return j.map_batches(fill_misses, batch_format="pyarrow")
 

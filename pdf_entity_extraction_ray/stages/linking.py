@@ -266,20 +266,31 @@ def block_keys_batch(batch: pa.Table) -> pa.Table:
     return BlockKeyer()(batch)
 
 
-def link_entities(mentions_ds, *, concurrency=None, consolidate=None):
-    """mentions Dataset -> (cluster_map dict, distinct surface count).
-
-    The returned map is small (distinct linked surfaces only); callers
-    broadcast it with ``ray.put`` for the rewrite stages.
-    """
-    import ray
-
-    distinct = (
+def distinct_surfaces(mentions_ds):
+    """mentions Dataset -> materialized distinct (type, surface, n)
+    Dataset — the shared first shuffle of both linking paths (exposed so
+    callers that need the distinct COUNT first, e.g. the pipeline's
+    auto mode selection, compute it once and pass the result back in)."""
+    return (
         mentions_ds.map_batches(partial_surface_counts, batch_format="pyarrow")
         .groupby(["type", "surface"])
         .sum("n")
-        .materialize()  # small by design; consumed twice below
+        .materialize()
     )
+
+
+def link_entities(mentions_ds, *, concurrency=None, consolidate=None, distinct=None):
+    """mentions Dataset -> (cluster_map dict, distinct surface count).
+
+    The returned map is small (distinct linked surfaces only); callers
+    broadcast it with ``ray.put`` for the rewrite stages.  ``distinct``:
+    optionally a precomputed :func:`distinct_surfaces` result (skips the
+    first shuffle).
+    """
+    import ray
+
+    if distinct is None:
+        distinct = distinct_surfaces(mentions_ds)
     # collect the (type, surface) universe for union-find
     universe: list[tuple[str, str]] = []
     for ref in distinct.to_arrow_refs():
@@ -314,9 +325,15 @@ def link_entities(mentions_ds, *, concurrency=None, consolidate=None):
 
 
 def _join_parts() -> int:
+    """Join partition count, capped at 8 for LOCAL sessions: each
+    ``Dataset.join`` spins up ``num_partitions`` aggregator actors with
+    fixed startup cost, and 2/CPU oversubscribes one node (two chained
+    joins at 64 partitions wedged a 32-CPU box — see
+    ops/dedup._join_partitions).  On a real cluster pass
+    ``num_partitions`` explicitly to :func:`link_entities_distributed`."""
     import ray
 
-    return max(8, 2 * int(ray.cluster_resources().get("CPU", 4)))
+    return min(8, max(4, int(ray.cluster_resources().get("CPU", 4)) // 2))
 
 
 def _sym_edges_batch(batch: pa.Table) -> pa.Table:
@@ -579,7 +596,9 @@ def _singleton_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def link_entities_distributed(mentions_ds, *, consolidate=None):
+def link_entities_distributed(
+    mentions_ds, *, consolidate=None, distinct=None, num_partitions: int | None = None
+):
     """mentions Dataset -> surface-map Dataset (type, surface, node_id,
     canonical) with NO driver-side universe: the documented scale path of
     :func:`link_entities` (same blocking + pair predicates; union-find
@@ -588,16 +607,18 @@ def link_entities_distributed(mentions_ds, *, consolidate=None):
 
     Identical output to the driver path — a test asserts row-for-row
     equality — so the pipeline can switch on universe size without
-    changing results.
+    changing results.  ``distinct``: optionally a precomputed
+    :func:`distinct_surfaces` result (skips the first shuffle);
+    ``num_partitions`` overrides the locally-capped join partition count
+    on a real cluster.
     """
     from ray.data.aggregate import Min
 
-    n_part = _join_parts()
+    n_part = num_partitions or _join_parts()
+    if distinct is None:
+        distinct = distinct_surfaces(mentions_ds)
     distinct = (
-        mentions_ds.map_batches(partial_surface_counts, batch_format="pyarrow")
-        .groupby(["type", "surface"])
-        .sum("n")
-        .map_batches(
+        distinct.map_batches(
             lambda b: (
                 b.filter(pc.is_in(b.column("type"), pa.array(LINKED_TYPES)))
                 if b.num_rows and "type" in b.column_names

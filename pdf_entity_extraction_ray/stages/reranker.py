@@ -34,22 +34,37 @@ class CrossEncoderReranker:
     ):
         if _model is None:
             try:
-                from transformers import (  # noqa: F401
+                import torch
+                from transformers import (
                     AutoModelForSequenceClassification,
                     AutoTokenizer,
                 )
             except ImportError as exc:
                 raise NotImplementedError(
-                    "transformers is not available in this environment; on a "
-                    "real cluster this constructor runs once per actor: "
-                    "tok = AutoTokenizer.from_pretrained(model_name); "
-                    "mdl = AutoModelForSequenceClassification.from_pretrained("
-                    "model_name, trust_remote_code=True).eval(); scores = "
-                    "mdl(**tok(pairs, padding=True, truncation=True, "
-                    f"max_length={max_length}, return_tensors='pt')"
-                    ").logits.view(-1)"
+                    "transformers/torch are not available in this environment; "
+                    "on a real cluster this constructor runs once per actor "
+                    "and loads the HF checkpoint (see the real path below)"
                 ) from exc
-            raise NotImplementedError("wire the HF model here")  # pragma: no cover
+            # the real path: load once per actor (map_batches actor-pool
+            # contract), batched forward per __call__
+            tokenizer = AutoTokenizer.from_pretrained(model_name)
+            hf_model = AutoModelForSequenceClassification.from_pretrained(
+                model_name, trust_remote_code=True
+            ).eval()
+
+            def _hf_score(pairs: list[tuple[str, str]]) -> list[float]:
+                with torch.no_grad():
+                    enc = tokenizer(
+                        [a for a, _ in pairs],
+                        [b for _, b in pairs],
+                        padding=True,
+                        truncation=True,
+                        max_length=max_length,
+                        return_tensors="pt",
+                    )
+                    return hf_model(**enc).logits.view(-1).tolist()
+
+            _model = _hf_score
         self.model = _model
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -180,6 +180,50 @@ def test_edges_reference_existing_nodes(kg_result):
     assert endpoints <= node_ids, f"{len(endpoints - node_ids)} dangling endpoints"
 
 
+def test_pagerank_ppm_matches_reference_formulation(kg_result):
+    """The kg_pagerank oracle contract: engine BSP PageRank scaled to
+    integer ppm must equal the single-process reference formulation
+    (sources/corpus.pagerank_reference — the same code that writes
+    gold_pagerank) over the SAME edge set.  Cross-engine float noise is
+    ~1e-15 vs the 1e-6 ppm grid, so the rounded values are hash-stable.
+
+    The gold_pagerank TABLE is derived from the gold alias clusters; it
+    coincides with the engine edges wherever kg_edges is oracle-exact
+    (the sf0.01 driver gate) — at this tiny 200-page corpus the engine's
+    similarity-based linking legitimately misses one typo-alias merge, so
+    the table itself isn't row-comparable here (the thresholded P/R tests
+    above cover that); the ppm contract is what this test pins."""
+    import numpy as np
+
+    from pdf_entity_extraction_ray.ops.graph_stats import pagerank
+    from pdf_entity_extraction_ray.sources.corpus import pagerank_reference
+
+    corpus, out, _ = kg_result
+    edges = pq.read_table(f"{out}/edges", columns=["src_id", "dst_id"])
+    pr = pa.concat_tables(
+        list(
+            pagerank(
+                ray.data.read_parquet(f"{out}/edges", columns=["src_id", "dst_id"]),
+                iterations=20,
+            ).iter_batches(batch_format="pyarrow")
+        )
+    )
+    got = {
+        int(n): int(np.round(r * 1e6))
+        for n, r in zip(pr.column("node").to_pylist(), pr.column("rank").to_pylist())
+    }
+    nodes, ranks = pagerank_reference(
+        list(zip(edges.column("src_id").to_pylist(), edges.column("dst_id").to_pylist()))
+    )
+    expected = {int(n): int(np.round(r * 1e6)) for n, r in zip(nodes, ranks)}
+    assert got == expected and expected
+
+    # the gold table exists with the oracle schema (sf0.01 row-parity is
+    # the driver gate's job, via the hash-exact kg_edges derivation)
+    gold = pq.read_table(f"{corpus}/gold_pagerank")
+    assert gold.column_names == ["node", "rank_ppm"] and gold.num_rows > 0
+
+
 def test_resume_recomputes_only_missing_bucket(kg_result):
     corpus, out, _ = kg_result
     before = pads.dataset(f"{out}/mentions", partitioning="hive").to_table()

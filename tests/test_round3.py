@@ -1,0 +1,444 @@
+"""Round-3 hardening tests: DF-pruned IDF broadcasts, pushed-down query
+fetches, IVF index fingerprinting, size-dispatched joins, the vectorized
+sliding window, id-keyed degrees, minhash band auto-tuning, subject-miss
+resilience in the join rewrite, and the pipeline's auto scale-path switch.
+"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+def _collect(ds) -> pa.Table:
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    if batches:
+        return pa.concat_tables(batches)
+    s = ds.schema()
+    return pa.table({n: pa.array([], t) for n, t in zip(s.names, s.types)})
+
+
+def _docs_ds():
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "the bird flew over the mat",
+        "a cat and a dog and a bird",
+        "unique zebra quagga okapi",
+    ]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+class TestPrunedIdf:
+    def test_max_terms_keeps_top_df_and_bounds_vocab(self):
+        from pdf_entity_extraction_ray.ops.tfidf import train_idf
+
+        full, n = train_idf(_docs_ds(), max_terms=None)
+        pruned, _ = train_idf(_docs_ds(), max_terms=3)
+        assert len(pruned) <= 3
+        # the kept terms are exactly the global top-3 by (df desc, term asc)
+        df_order = sorted(full.items(), key=lambda kv: (kv[1], kv[0]))[:3]
+        assert set(pruned) == {t for t, _ in df_order}
+        for t, v in pruned.items():
+            assert v == full[t]
+
+    def test_min_df_filters_singletons(self):
+        from pdf_entity_extraction_ray.ops.tfidf import _terms, train_idf
+
+        docs = _docs_ds()
+        texts = [r["text"] for r in docs.take_all()]
+        df: dict[str, int] = {}
+        for t in texts:
+            for term in set(_terms(t)):
+                df[term] = df.get(term, 0) + 1
+        pruned, _ = train_idf(_docs_ds(), min_df=2, max_terms=None)
+        assert set(pruned) == {t for t, d in df.items() if d >= 2}
+
+    def test_default_bound_is_identity_at_small_vocab(self):
+        from pdf_entity_extraction_ray.ops.tfidf import train_idf
+
+        assert train_idf(_docs_ds())[0] == train_idf(_docs_ds(), max_terms=None)[0]
+
+    def test_char_idf_respects_bound(self):
+        from pdf_entity_extraction_ray.ops.pairscore import train_char_idf
+
+        full, _ = train_char_idf(_docs_ds())
+        bounded, _ = train_char_idf(_docs_ds(), max_terms=10)
+        assert len(bounded) == 10 < len(full)
+        assert all(bounded[g] == full[g] for g in bounded)
+
+
+class TestQueryPushdown:
+    def _emb_parquet(self, tmp_path, seed=0, n=40, dim=8):
+        rng = np.random.RandomState(seed)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    rng.standard_normal((n, dim)).tolist(), pa.list_(pa.float64())
+                ),
+            }
+        )
+        path = str(tmp_path / f"emb_{seed}.parquet")
+        pq.write_table(tbl, path, row_group_size=8)
+        return path, tbl
+
+    def test_filtered_read_returns_exact_queries(self, tmp_path):
+        from pdf_entity_extraction_ray.ops.ann import _collect_queries
+
+        path, tbl = self._emb_parquet(tmp_path)
+        ds = ray.data.read_parquet(path)
+        qids, Q = _collect_queries(ds, [3, 17, 35], source_path=path)
+        assert list(qids) == [3, 17, 35]
+        raw = {v: e for v, e in zip(tbl.column("vec_id").to_pylist(), tbl.column("embedding").to_pylist())}
+        for row, qid in zip(Q, qids):
+            expect = np.asarray(raw[qid])
+            expect = expect / np.linalg.norm(expect)
+            assert np.allclose(row, expect)
+
+    def test_distributed_fallback_matches_filtered_read(self, tmp_path):
+        from pdf_entity_extraction_ray.ops.ann import _collect_queries
+
+        path, _ = self._emb_parquet(tmp_path)
+        ds = ray.data.read_parquet(path)
+        qids_a, Q_a = _collect_queries(ds, [1, 9], source_path=path)
+        qids_b, Q_b = _collect_queries(ds, [1, 9])
+        assert list(qids_a) == list(qids_b) and np.allclose(Q_a, Q_b)
+
+    def test_tfidf_knn_source_path_identical(self, tmp_path):
+        from pdf_entity_extraction_ray.ops.tfidf import tfidf_knn
+
+        docs = _collect(_docs_ds())
+        path = str(tmp_path / "docs.parquet")
+        pq.write_table(docs, path, row_group_size=2)
+        ds = ray.data.read_parquet(path)
+
+        def rows(out):
+            t = _collect(out)
+            return sorted(
+                zip(
+                    t.column("query_id").to_pylist(),
+                    t.column("neighbor_id").to_pylist(),
+                    t.column("rank").to_pylist(),
+                )
+            )
+
+        assert rows(tfidf_knn(ds, [0, 1], 3, source_path=path)) == rows(
+            tfidf_knn(ds, [0, 1], 3)
+        )
+
+
+class TestIvfFingerprint:
+    def test_stale_index_for_other_corpus_is_rebuilt(self, tmp_path):
+        """Reusing an index_dir across corpora must rebuild, not silently
+        return neighbors from the wrong corpus (round-2 ADVICE)."""
+        from pdf_entity_extraction_ray.ops.ann import knn_ivf
+
+        def emb(seed):
+            rng = np.random.RandomState(seed)
+            tbl = pa.table(
+                {
+                    "vec_id": pa.array(range(40), pa.int64()),
+                    "embedding": pa.array(
+                        rng.standard_normal((40, 8)).tolist(), pa.list_(pa.float64())
+                    ),
+                }
+            )
+            path = str(tmp_path / f"corpus_{seed}.parquet")
+            pq.write_table(tbl, path)
+            return ray.data.read_parquet(path)
+
+        def rows(out):
+            t = _collect(out)
+            return sorted(
+                zip(
+                    t.column("query_id").to_pylist(),
+                    t.column("neighbor_id").to_pylist(),
+                    t.column("rank").to_pylist(),
+                )
+            )
+
+        shared = str(tmp_path / "ivf_shared")
+        ds_a, ds_b = emb(1), emb(2)
+        rows(knn_ivf(ds_a, [0, 1], k=3, n_probe=4, index_dir=shared))
+        fp_a = open(os.path.join(shared, "_FINGERPRINT")).read()
+        # same dir, different corpus (same row count!) -> must rebuild
+        got_b = rows(knn_ivf(ds_b, [0, 1], k=3, n_probe=4, index_dir=shared))
+        fp_b = open(os.path.join(shared, "_FINGERPRINT")).read()
+        assert fp_a != fp_b
+        fresh = rows(
+            knn_ivf(ds_b, [0, 1], k=3, n_probe=4, index_dir=str(tmp_path / "ivf_fresh"))
+        )
+        assert got_b == fresh
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+class TestJoinDispatch:
+    def _read(self, table):
+        return ray.data.read_parquet(os.path.join(SF, f"{table}.parquet"))
+
+    def test_orders_by_segment_both_paths_identical(self):
+        from pdf_entity_extraction_ray.ops.relational import orders_by_segment
+
+        def rows(out):
+            t = _collect(out)
+            return sorted(
+                zip(t.column("c_mktsegment").to_pylist(), t.column("n_orders").to_pylist())
+            )
+
+        broadcast = rows(orders_by_segment(self._read("orders"), self._read("customer")))
+        # broadcast_limit_bytes=0 forces the shuffle-join dispatch
+        joined = rows(
+            orders_by_segment(
+                self._read("orders"), self._read("customer"), broadcast_limit_bytes=0
+            )
+        )
+        assert broadcast == joined and broadcast
+
+    def test_lineitems_by_priority_both_paths_identical(self):
+        from pdf_entity_extraction_ray.ops.relational import lineitems_by_priority
+
+        def rows(out):
+            t = _collect(out)
+            return sorted(
+                zip(
+                    t.column("o_orderpriority").to_pylist(),
+                    t.column("n_items").to_pylist(),
+                    t.column("sum_qty").to_pylist(),
+                )
+            )
+
+        broadcast = rows(lineitems_by_priority(self._read("lineitem"), self._read("orders")))
+        joined = rows(
+            lineitems_by_priority(
+                self._read("lineitem"), self._read("orders"), broadcast_limit_bytes=0
+            )
+        )
+        assert broadcast == joined and broadcast
+
+
+class TestSlidingWindowVectorized:
+    def test_matches_python_reference(self):
+        import datetime
+
+        rng = np.random.RandomState(7)
+        base = datetime.datetime(2024, 3, 1)
+        ts = [
+            base + datetime.timedelta(hours=int(h)) for h in rng.randint(0, 24 * 12, 300)
+        ]
+        users = rng.randint(0, 20, 300).tolist()
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array(users, pa.int64()),
+                    "ts": pa.array(ts, pa.timestamp("us")),
+                }
+            )
+        )
+        from pdf_entity_extraction_ray.ops.relational import events_sliding_active_users
+
+        out = _collect(events_sliding_active_users(ds, 3))
+        got = dict(zip(out.column("day").to_pylist(), out.column("active_users").to_pylist()))
+
+        expected: dict[str, set] = {}
+        for t, u in zip(ts, users):
+            for off in range(3):
+                expected.setdefault(
+                    (t.date() + datetime.timedelta(days=off)).strftime("%Y-%m-%d"), set()
+                ).add(u)
+        assert got == {d: len(s) for d, s in expected.items()}
+
+
+class TestDegreesById:
+    def test_shared_canonical_across_types_stays_separate(self):
+        from pdf_entity_extraction_ray.ops.graph_stats import node_degrees, node_degrees_by_id
+        from pdf_entity_extraction_ray.stages.linking import node_id_of
+
+        gpe_2020 = node_id_of("GPE", "2020")
+        date_2020 = node_id_of("DATE", "2020")
+        tgt = node_id_of("PERSON", "Alice")
+        edges = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src_id": pa.array([gpe_2020, date_2020], pa.int64()),
+                    "src_canonical": pa.array(["2020", "2020"], pa.string()),
+                    "pred": pa.array(["p", "p"], pa.string()),
+                    "dst_id": pa.array([tgt, tgt], pa.int64()),
+                    "dst_canonical": pa.array(["Alice", "Alice"], pa.string()),
+                    "weight": pa.array([3, 4], pa.int64()),
+                }
+            )
+        )
+        merged = _collect(node_degrees(edges))
+        row_2020 = merged.filter(pa.compute.equal(merged.column("canonical"), "2020"))
+        assert row_2020.num_rows == 1  # documented canonical-keyed merge
+        assert row_2020.column("out_weight").to_pylist() == [7]
+
+        by_id = _collect(node_degrees_by_id(edges))
+        rows_2020 = by_id.filter(pa.compute.equal(by_id.column("canonical"), "2020"))
+        assert rows_2020.num_rows == 2  # graph-faithful: distinct node ids
+        assert sorted(rows_2020.column("out_weight").to_pylist()) == [3, 4]
+        alice = by_id.filter(pa.compute.equal(by_id.column("canonical"), "Alice"))
+        assert alice.column("in_edges").to_pylist() == [2]
+        assert alice.column("in_weight").to_pylist() == [7]
+
+
+class TestAutoBands:
+    @pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+    def test_diverse_corpus_keeps_exact_default(self):
+        from pdf_entity_extraction_ray.ops.dedup import auto_minhash_bands
+
+        docs = ray.data.read_parquet(os.path.join(SF, "documents.parquet"))
+        assert auto_minhash_bands(docs) == 32
+
+    def test_low_diversity_corpus_drops_to_16(self):
+        from pdf_entity_extraction_ray.ops.dedup import auto_minhash_bands
+
+        rng = np.random.RandomState(3)
+        vocab = [f"w{i}" for i in range(10)]
+        texts = [
+            " ".join(rng.choice(vocab, 30).tolist()) for _ in range(400)
+        ]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        )
+        # simulate web scale: at n=200k the r=2 background collision rate
+        # makes candidates quadratic, so the probe must choose bands=16
+        assert auto_minhash_bands(ds, n_docs=200_000) == 16
+
+    def test_auto_passthrough_matches_explicit(self):
+        from pdf_entity_extraction_ray.ops.dedup import minhash_lsh_pairs
+
+        texts = [
+            "alpha beta gamma delta epsilon zeta iota kappa lambda mu",
+            "alpha beta gamma delta epsilon zeta iota kappa lambda nu",
+            "completely different words in this other document here",
+        ]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(3), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        )
+
+        def rows(out):
+            t = _collect(out)
+            return sorted(zip(t.column("doc_a").to_pylist(), t.column("doc_b").to_pylist()))
+
+        assert rows(minhash_lsh_pairs(ds, 0.7, bands="auto")) == rows(
+            minhash_lsh_pairs(ds, 0.7)
+        )
+
+
+class TestSubjectMissResilience:
+    def test_join_rewrite_resolves_unknown_subject_as_singleton(self):
+        """canonical_triples_join must never silently drop a triple whose
+        subject is absent from the surface map — it resolves to a
+        singleton node, exactly like the broadcast path (round-2 ADVICE)."""
+        from pdf_entity_extraction_ray.stages.graph import canonical_triples_join
+        from pdf_entity_extraction_ray.stages.linking import node_id_of
+
+        surface_map = ray.data.from_arrow(
+            pa.table(
+                {
+                    "type": pa.array(["PERSON"], pa.string()),
+                    "surface": pa.array(["Alice"], pa.string()),
+                    "node_id": pa.array([node_id_of("PERSON", "Alice Smith")], pa.int64()),
+                    "canonical": pa.array(["Alice Smith"], pa.string()),
+                }
+            )
+        )
+        triples = ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array(["u1", "u2"], pa.string()),
+                    "seg_id": pa.array([0, 0], pa.int32()),
+                    "subj": pa.array(["Alice", "Ghost"], pa.string()),
+                    "subj_type": pa.array(["PERSON", "PERSON"], pa.string()),
+                    "pred": pa.array(["born_on", "born_on"], pa.string()),
+                    "obj": pa.array(["July 2020", "July 2020"], pa.string()),
+                    "obj_type": pa.array(["DATE", "DATE"], pa.string()),
+                    "obj_norm": pa.array(["2020-07-01", "2020-07-01"], pa.string()),
+                }
+            )
+        )
+        # num_partitions=1: Ray's chained hash joins crash on EMPTY shuffle
+        # partitions (pre-existing small-data quirk, independent of join
+        # type — 2 rows over 4 partitions leaves some empty); one partition
+        # keeps every partition non-empty at this size
+        out = _collect(canonical_triples_join(triples, surface_map, num_partitions=1))
+        assert out.num_rows == 2  # nothing dropped
+        by_subj = {
+            s: (c, i)
+            for s, c, i in zip(
+                out.column("subj").to_pylist(),
+                out.column("subj_canonical").to_pylist(),
+                out.column("src_id").to_pylist(),
+            )
+        }
+        assert by_subj["Alice"] == ("Alice Smith", node_id_of("PERSON", "Alice Smith"))
+        assert by_subj["Ghost"] == ("Ghost", node_id_of("PERSON", "Ghost"))
+        assert set(out.column("obj_canonical").to_pylist()) == {"2020-07-01"}
+
+
+class TestLinkingJoinParts:
+    def test_local_cap(self):
+        from pdf_entity_extraction_ray.stages.linking import _join_parts
+
+        assert _join_parts() <= 8
+
+
+class TestAutoScalePathSwitch:
+    def test_auto_resolves_both_ways_with_identical_outputs(
+        self, small_corpus, tmp_path_factory
+    ):
+        """run_kg's auto mode must pick the broadcast fast path for a small
+        surface universe and the distributed/join scale path past the
+        threshold — with row-identical graph outputs either way."""
+        import pyarrow.dataset as pads
+
+        from pdf_entity_extraction_ray.pipelines.kg import run_kg
+
+        out_small = str(tmp_path_factory.mktemp("kg_auto_small"))
+        res_small = run_kg(
+            f"{small_corpus}/pages", out_small, n_buckets=2, concurrency=2
+        )
+        assert res_small["resolved_linking_mode"] == "driver"
+        assert res_small["resolved_rewrite_mode"] == "broadcast"
+
+        out_scale = str(tmp_path_factory.mktemp("kg_auto_scale"))
+        res_scale = run_kg(
+            f"{small_corpus}/pages", out_scale, n_buckets=2, concurrency=2,
+            auto_threshold=0,
+        )
+        assert res_scale["resolved_linking_mode"] == "distributed"
+        assert res_scale["resolved_rewrite_mode"] == "join"
+
+        def table_key(out, name, cols):
+            t = pads.dataset(f"{out}/{name}", partitioning="hive").to_table()
+            return sorted(zip(*[t.column(c).to_pylist() for c in cols]))
+
+        for name, cols in [
+            ("nodes", ["node_id", "canonical", "type", "n_mentions"]),
+            ("edges", ["src_id", "pred", "dst_id", "weight"]),
+        ]:
+            assert table_key(out_small, name, cols) == table_key(out_scale, name, cols), name
