@@ -237,6 +237,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_active_users": lambda sf: relational.events_sliding_active_users(
             _read(sf, "events"), 3
         ),
+        "events_asof_prev": lambda sf: relational.events_asof_prev(_read(sf, "events")),
+        "events_pairs_within": lambda sf: relational.events_pairs_within(
+            _read(sf, "events"), 60
+        ),
         "lineitems_by_priority": lambda sf: relational.lineitems_by_priority(
             _read(sf, "lineitem"), _read(sf, "orders")
         ),
@@ -659,6 +663,23 @@ qualify rank <= 5
                        from events, (values (0), (1), (2)) as t(o))
             select day, count(distinct user_id) as active_users
             from x group by day
+        """,
+        # AS-OF self-join: DuckDB's native ASOF picks the row with the
+        # greatest p.ts strictly below e.ts per user; emitting the
+        # timestamp (not an id) keeps equal-ts ties deterministic
+        "events_asof_prev": """
+            select e.event_id, p.ts as prev_ts
+            from events e asof left join events p
+              on e.user_id = p.user_id and e.ts > p.ts
+        """,
+        # range self-join: unordered same-user event pairs within 60 min
+        "events_pairs_within": """
+            select a.user_id, count(*) as n_pairs
+            from events a join events b
+              on a.user_id = b.user_id
+             and a.event_id < b.event_id
+             and abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 3600000000
+            group by a.user_id
         """,
         "lineitems_by_priority": """
             select o_orderpriority, count(*) as n_items,

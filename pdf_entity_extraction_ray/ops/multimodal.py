@@ -9,10 +9,16 @@ Two payload classes:
   nearest-neighbor resize, per-frame RMS / zero-crossing rate, true frame
   slicing.  No external libraries needed; fully tested against
   hand-computed values.
-* COMPRESSED formats (jpeg/wav/mp4) — the decode step is import-gated
-  (``NotImplementedError`` naming the library a real cluster would load in
-  ``__init__``), optionally replaced by a deterministic content-derived
-  fake so the Ray-side plumbing stays exercised end-to-end.
+* CONTAINER formats decodable with the STDLIB — ``image/bmp``
+  (uncompressed 24-bit, struct-parsed) and ``audio/wav`` (PCM16 via the
+  ``wave`` module) — are decoded for REAL and feed the same numpy
+  kernels as the raw formats (round-trip tested: encode raw -> container
+  -> identical features).
+* TRULY COMPRESSED formats (jpeg/png/mp4) — the decode step is
+  import-gated (``NotImplementedError`` naming the library a real cluster
+  would load in ``__init__``), optionally replaced by a deterministic
+  content-derived fake so the Ray-side plumbing stays exercised
+  end-to-end.
 
 Batch-size guidance: payload columns dominate memory; callers should pass
 ``batch_size`` such that ``batch_size * max_payload * concurrency`` fits
@@ -41,6 +47,8 @@ MEDIA_SCHEMA = pa.schema(
 RAW_IMAGE = "image/x-raw-rgb8"
 RAW_AUDIO = "audio/x-raw-pcm16"
 RAW_VIDEO = "video/x-raw-rgb8-seq"
+BMP_IMAGE = "image/bmp"
+WAV_AUDIO = "audio/wav"
 
 AUDIO_SAMPLE_RATE = 8000  # samples/s for raw PCM payloads
 
@@ -115,6 +123,82 @@ def decode_raw_rgb8(payload: bytes, width: int, height: int) -> np.ndarray:
     return np.frombuffer(payload, dtype=np.uint8).reshape(height, width, 3)
 
 
+# --------------------------------------------------------------------------
+# stdlib container codecs: BMP (struct) and WAV (wave module) — REAL decode
+# paths with no external dependency; jpeg/png/mp4 stay import-gated
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> uncompressed 24-bit bottom-up BMP bytes."""
+    import struct
+
+    h, w, _ = img.shape
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    stride = row + pad
+    data_size = stride * h
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + data_size, 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0)
+    bgr = img[:, :, ::-1]
+    rows = [bgr[y].tobytes() + b"\x00" * pad for y in range(h - 1, -1, -1)]
+    return header + dib + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP -> (H, W, 3) uint8 RGB (handles row padding
+    and bottom-up layout).  Raises NotImplementedError for compressed or
+    non-24-bit BMPs (those would need a real image library)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w = struct.unpack_from("<i", payload, 18)[0]
+    h = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only uncompressed 24-bit BMP (got bpp={bpp}, comp={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    arr = (
+        np.frombuffer(payload, np.uint8, stride * h, off)
+        .reshape(h, stride)[:, : w * 3]
+        .reshape(h, w, 3)
+    )
+    if bottom_up:
+        arr = arr[::-1]
+    return arr[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_wav(pcm16: bytes, rate: int = AUDIO_SAMPLE_RATE) -> bytes:
+    """Mono PCM16 bytes -> RIFF/WAV bytes (stdlib ``wave``)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(pcm16)
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[bytes, int]:
+    """RIFF/WAV bytes -> (mono PCM16 bytes, sample rate).  Stereo or
+    non-16-bit WAVs raise NotImplementedError."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        if f.getnchannels() != 1 or f.getsampwidth() != 2:
+            raise NotImplementedError("only mono PCM16 WAV")
+        return f.readframes(f.getnframes()), f.getframerate()
+
+
 def rgb8_features(img: np.ndarray) -> list[float]:
     """REAL image features: per-channel mean + std (scaled to [0,1]) and a
     10-bin luminance histogram (mass-normalized) — 16 dims."""
@@ -157,6 +241,8 @@ class ImageFeatureExtractor:
         ):
             if mime == RAW_IMAGE:
                 feats.append(rgb8_features(decode_raw_rgb8(payload, w, h)))
+            elif mime == BMP_IMAGE:
+                feats.append(rgb8_features(decode_bmp(payload)))  # real stdlib decode
             elif self.fake:
                 feats.append(self._fake_features(payload))
             else:
@@ -208,6 +294,10 @@ class ImageResizer:
             if mime == RAW_IMAGE:
                 payloads.append(self._resize_raw(payload, w, h))
                 mimes.append(RAW_IMAGE)
+            elif mime == BMP_IMAGE:
+                img = decode_bmp(payload)
+                payloads.append(self._resize_raw(img.tobytes(), img.shape[1], img.shape[0]))
+                mimes.append(RAW_IMAGE)
             elif self.fake:
                 payloads.append(self._fake_resize(payload))
                 mimes.append(mime)
@@ -239,15 +329,17 @@ class AudioFeatureExtractor:
         self.frame_ms = frame_ms
         self.fake = fake
 
-    def _pcm16_frames(self, payload: bytes) -> list[tuple[int, float, float]]:
+    def _pcm16_frames(
+        self, payload: bytes, rate: int = AUDIO_SAMPLE_RATE
+    ) -> list[tuple[int, float, float]]:
         pcm = np.frombuffer(payload, dtype=np.int16).astype(np.float64) / 32768.0
-        spf = AUDIO_SAMPLE_RATE * self.frame_ms // 1000
+        spf = rate * self.frame_ms // 1000
         out = []
         for k in range(0, len(pcm) - spf + 1, spf):
             frame = pcm[k : k + spf]
             rms = float(np.sqrt(np.mean(frame * frame)))
             zcr = float(np.mean(np.abs(np.diff(np.signbit(frame).astype(np.int8)))))
-            out.append((k * 1000 // AUDIO_SAMPLE_RATE, rms, zcr))
+            out.append((k * 1000 // rate, rms, zcr))
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -262,6 +354,12 @@ class AudioFeatureExtractor:
         ):
             if mime == RAW_AUDIO:
                 for off, rms, zcr in self._pcm16_frames(payload):
+                    out_id.append(mid)
+                    out_frame.append(off)
+                    out_feat.append([rms, zcr])
+            elif mime == WAV_AUDIO:
+                pcm, rate = decode_wav(payload)  # real stdlib decode
+                for off, rms, zcr in self._pcm16_frames(pcm, rate):
                     out_id.append(mid)
                     out_frame.append(off)
                     out_feat.append([rms, zcr])

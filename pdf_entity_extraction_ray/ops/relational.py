@@ -659,6 +659,132 @@ def events_sliding_active_users(events_ds, window_days: int = 3):
     )
 
 
+def events_asof_prev(events_ds, shards: int = 256):
+    """AS-OF self-join: for each event, the timestamp of the same user's
+    most recent STRICTLY-earlier event (NULL for a user's first event) —
+    the point-in-time lookup Ray Data has no built-in for, expressed as a
+    composition the brief's custom-operator ladder prescribes:
+    hash-co-partition by user (coarse shard), then a fully vectorized
+    sorted scan per shard (lexsort + run/block boundary masks — no Python
+    row loop).
+
+    Partitioning assumption (documented per the custom-op contract): one
+    user's full history fits a shard — the same per-key-locality
+    assumption as sessionization; shard count scales with the cluster.
+    Equal-timestamp ties are handled exactly like SQL ASOF (the previous
+    DISTINCT timestamp), so the output is deterministic even with
+    duplicate (user, ts) rows."""
+    import numpy as np
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return batch
+        shard = pc.bit_wise_and(batch.column("user_id"), pa.scalar(shards - 1))
+        return batch.append_column("shard", shard.cast(pa.int32()))
+
+    def shard_asof(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "user_id" not in group.column_names:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "prev_ts": pa.array([], pa.timestamp("us")),
+                }
+            )
+        user = np.asarray(group.column("user_id").to_pylist(), dtype=np.int64)
+        ts = np.asarray(group.column("ts").cast(pa.int64()).to_pylist(), dtype=np.int64)
+        eid = np.asarray(group.column("event_id").to_pylist(), dtype=np.int64)
+        order = np.lexsort((ts, user))
+        u, t, e = user[order], ts[order], eid[order]
+        n = len(u)
+        idx = np.arange(n)
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        # a "block" is a run of equal (user, ts); every row of a block has
+        # the same as-of predecessor: the last row of the previous block
+        new_block = new_user | np.r_[True, t[1:] != t[:-1]]
+        block_first = np.maximum.accumulate(np.where(new_block, idx, 0))
+        run_first = np.maximum.accumulate(np.where(new_user, idx, 0))
+        has_prev = block_first > run_first
+        prev = t[np.maximum(block_first - 1, 0)].astype(object)
+        prev[~has_prev] = None
+        return pa.table(
+            {
+                "event_id": pa.array(e, pa.int64()),
+                "prev_ts": pa.array(prev.tolist(), pa.timestamp("us")),
+            }
+        )
+
+    return (
+        events_ds.select_columns(["event_id", "user_id", "ts"])
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_asof(g.drop_columns(["shard"])), batch_format="pyarrow"
+        )
+    )
+
+
+def events_pairs_within(events_ds, window_minutes: int = 5, shards: int = 256):
+    """RANGE self-join: per user, the number of (unordered) event pairs
+    whose timestamps lie within ``window_minutes`` of each other — the
+    non-equi interval join Ray Data lacks, expressed per the custom-op
+    ladder as hash-co-partition by user + a per-user vectorized sorted
+    sweep (``searchsorted`` of each user's sorted times against their
+    shifted selves — no Python pair loop, O(n log n) per user instead of
+    the oracle's O(n^2) join).
+
+    Users with zero qualifying pairs emit no row (matching the SQL inner
+    join).  Partitioning assumption: one user's history fits a shard."""
+    import numpy as np
+
+    window_us = window_minutes * 60 * 1_000_000
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return batch
+        shard = pc.bit_wise_and(batch.column("user_id"), pa.scalar(shards - 1))
+        return batch.append_column("shard", shard.cast(pa.int32()))
+
+    def shard_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "user_id" not in group.column_names:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_pairs": pa.array([], pa.int64()),
+                }
+            )
+        user = np.asarray(group.column("user_id").to_pylist(), dtype=np.int64)
+        ts = np.asarray(group.column("ts").cast(pa.int64()).to_pylist(), dtype=np.int64)
+        order = np.lexsort((ts, user))
+        u, t = user[order], ts[order]
+        n = len(u)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], n]
+        out_user, out_pairs = [], []
+        for s, e in zip(starts, ends):
+            seg = t[s:e]  # this user's times, sorted
+            # for each event: later same-user events within the window
+            reach = np.searchsorted(seg, seg + window_us, side="right")
+            n_pairs = int((reach - np.arange(len(seg)) - 1).sum())
+            if n_pairs > 0:
+                out_user.append(int(u[s]))
+                out_pairs.append(n_pairs)
+        return pa.table(
+            {
+                "user_id": pa.array(out_user, pa.int64()),
+                "n_pairs": pa.array(out_pairs, pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.select_columns(["user_id", "ts"])
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_pairs(g.drop_columns(["shard"])), batch_format="pyarrow"
+        )
+    )
+
+
 def top_orders_per_customer(orders_ds, k: int = 3, shards: int = 256):
     """Per-group top-k: each customer's ``k`` highest-value orders with
     dense ranks — the grouped complement of :func:`top_orders`'s global

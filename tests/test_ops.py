@@ -380,8 +380,10 @@ class TestMultimodalResizeAudio:
         rms, zcr = feats
         assert rms == pytest.approx(32767 / 32768, rel=1e-6)
         assert zcr == pytest.approx(1.0, rel=1e-3)  # alternating signs
+        # audio/wav now takes the REAL stdlib decode path (round-3); the
+        # import gate remains for truly-compressed formats
         with pytest.raises(NotImplementedError):
-            AudioFeatureExtractor(fake=False)(_media_row("audio/wav", "audio", duration_ms=100))
+            AudioFeatureExtractor(fake=False)(_media_row("audio/mp3", "audio", duration_ms=100))
 
 
 class TestNearDedupKeep:

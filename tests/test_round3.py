@@ -261,6 +261,70 @@ class TestSlidingWindowVectorized:
         assert got == {d: len(s) for d, s in expected.items()}
 
 
+class TestAsofJoin:
+    def test_matches_python_reference_with_ties(self):
+        import datetime
+
+        base = datetime.datetime(2024, 5, 1)
+        # interleaved users, including duplicate timestamps within a user
+        rows = [
+            (0, 1, 0), (1, 1, 60), (2, 2, 30), (3, 1, 60), (4, 2, 30),
+            (5, 2, 90), (6, 1, 120), (7, 3, 10),
+        ]
+        ts = [base + datetime.timedelta(seconds=s) for _, _, s in rows]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                    "ts": pa.array(ts, pa.timestamp("us")),
+                }
+            )
+        )
+        from pdf_entity_extraction_ray.ops.relational import events_asof_prev
+
+        out = _collect(events_asof_prev(ds))
+        got = dict(zip(out.column("event_id").to_pylist(), out.column("prev_ts").to_pylist()))
+
+        expected = {}
+        for eid, uid, s in rows:
+            earlier = [t for e2, u2, s2 in rows if u2 == uid and s2 < s
+                       for t in [base + datetime.timedelta(seconds=s2)]]
+            expected[eid] = max(earlier) if earlier else None
+        assert got == expected
+
+
+class TestRangeJoin:
+    def test_pairs_within_matches_python_reference(self):
+        import datetime
+
+        rng = np.random.RandomState(11)
+        base = datetime.datetime(2024, 6, 1)
+        users = rng.randint(0, 8, 200).tolist()
+        secs = rng.randint(0, 3600 * 24, 200).tolist()
+        ts = [base + datetime.timedelta(seconds=int(s)) for s in secs]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array(users, pa.int64()),
+                    "ts": pa.array(ts, pa.timestamp("us")),
+                }
+            )
+        )
+        from pdf_entity_extraction_ray.ops.relational import events_pairs_within
+
+        out = _collect(events_pairs_within(ds, 30))
+        got = dict(zip(out.column("user_id").to_pylist(), out.column("n_pairs").to_pylist()))
+
+        expected: dict[int, int] = {}
+        rows = list(zip(users, secs))
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                if rows[i][0] == rows[j][0] and abs(rows[i][1] - rows[j][1]) <= 30 * 60:
+                    expected[rows[i][0]] = expected.get(rows[i][0], 0) + 1
+        assert got == expected and expected
+
+
 class TestDegreesById:
     def test_shared_canonical_across_types_stays_separate(self):
         from pdf_entity_extraction_ray.ops.graph_stats import node_degrees, node_degrees_by_id
@@ -398,6 +462,95 @@ class TestSubjectMissResilience:
         assert by_subj["Alice"] == ("Alice Smith", node_id_of("PERSON", "Alice Smith"))
         assert by_subj["Ghost"] == ("Ghost", node_id_of("PERSON", "Ghost"))
         assert set(out.column("obj_canonical").to_pylist()) == {"2020-07-01"}
+
+
+class TestStdlibContainerCodecs:
+    def test_bmp_roundtrip_features_identical(self):
+        from pdf_entity_extraction_ray.ops.multimodal import (
+            _raw_image_payload,
+            decode_bmp,
+            decode_raw_rgb8,
+            encode_bmp,
+            rgb8_features,
+        )
+
+        raw = _raw_image_payload(5, w=13, h=7)  # odd width exercises row padding
+        img = decode_raw_rgb8(raw, 13, 7)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+        assert rgb8_features(decode_bmp(encode_bmp(img))) == rgb8_features(img)
+
+    def test_wav_roundtrip_frames_identical(self):
+        from pdf_entity_extraction_ray.ops.multimodal import (
+            AudioFeatureExtractor,
+            _raw_audio_payload,
+            decode_wav,
+            encode_wav,
+        )
+
+        pcm = _raw_audio_payload(3)
+        wav = encode_wav(pcm)
+        back, rate = decode_wav(wav)
+        assert back == pcm and rate == 8000
+        fx = AudioFeatureExtractor()
+        assert fx._pcm16_frames(back, rate) == fx._pcm16_frames(pcm)
+
+    def test_container_stage_paths_match_raw(self):
+        """BMP/WAV rows flow through the actor-pool stages via the REAL
+        stdlib decode and produce byte-identical outputs to the raw rows."""
+        from pdf_entity_extraction_ray.ops.multimodal import (
+            _RAW_H,
+            _RAW_W,
+            AudioFeatureExtractor,
+            BMP_IMAGE,
+            ImageFeatureExtractor,
+            RAW_AUDIO,
+            RAW_IMAGE,
+            WAV_AUDIO,
+            _raw_audio_payload,
+            _raw_image_payload,
+            decode_raw_rgb8,
+            encode_bmp,
+            encode_wav,
+        )
+
+        raw_img = _raw_image_payload(9)
+        bmp = encode_bmp(decode_raw_rgb8(raw_img, _RAW_W, _RAW_H))
+        imgs = pa.table(
+            {
+                "media_id": pa.array([1, 2], pa.int64()),
+                "kind": pa.array(["image", "image"], pa.string()),
+                "payload": pa.array([raw_img, bmp], pa.binary()),
+                "mime": pa.array([RAW_IMAGE, BMP_IMAGE], pa.string()),
+                "width": pa.array([_RAW_W, -1], pa.int32()),
+                "height": pa.array([_RAW_H, -1], pa.int32()),
+                "duration_ms": pa.array([-1, -1], pa.int32()),
+            }
+        )
+        out = ImageFeatureExtractor(fake=False)(imgs)
+        f = out.column("features").to_pylist()
+        assert f[0] == f[1]
+
+        raw_audio = _raw_audio_payload(4)
+        auds = pa.table(
+            {
+                "media_id": pa.array([1, 2], pa.int64()),
+                "kind": pa.array(["audio", "audio"], pa.string()),
+                "payload": pa.array([raw_audio, encode_wav(raw_audio)], pa.binary()),
+                "mime": pa.array([RAW_AUDIO, WAV_AUDIO], pa.string()),
+                "width": pa.array([-1, -1], pa.int32()),
+                "height": pa.array([-1, -1], pa.int32()),
+                "duration_ms": pa.array([1000, 1000], pa.int32()),
+            }
+        )
+        out = AudioFeatureExtractor(fake=False)(auds)
+        by_id: dict[int, list] = {}
+        for mid, off, feat in zip(
+            out.column("media_id").to_pylist(),
+            out.column("frame_ms").to_pylist(),
+            out.column("features").to_pylist(),
+        ):
+            by_id.setdefault(mid, []).append((off, feat))
+        assert by_id[1] == by_id[2] and by_id[1]
 
 
 class TestLinkingJoinParts:
