@@ -190,6 +190,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": docs_op(text.fingerprint_batch),
         "docs_langid": docs_op(text.langid_batch),
         "docs_rolling_fp": docs_op(text.rolling_fingerprint_batch),
+        # --- curation: deterministic split + stratified per-group sample ---
+        "docs_train_split": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.sample", fromlist=["hash_split"]
+        ).hash_split(_read(sf, "documents")),
+        "docs_lang_sample": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.sample", fromlist=["stratified_sample"]
+        ).stratified_sample(_read(sf, "documents"), "lang", 10),
         # --- dedup family ---
         "docs_exact_dedup": lambda sf: dedup.exact_dedup(_read(sf, "documents")),
         "docs_clean_corpus": lambda sf: __import__(
@@ -427,6 +434,15 @@ def oracle_sql() -> dict[str, str]:
         "docs_exact_dedup": """
             select doc_id, text, lang, source, n_chars from documents
             qualify row_number() over (partition by text order by doc_id) = 1
+        """,
+        # integer u64 cutoffs computed Python-side and inlined, so float
+        # rounding cannot diverge between engines (ops/sample.py)
+        "docs_train_split": __import__(
+            "pdf_entity_extraction_ray.ops.sample", fromlist=["split_oracle_sql"]
+        ).split_oracle_sql(),
+        "docs_lang_sample": """
+            select doc_id, lang as "group" from documents
+            qualify row_number() over (partition by lang order by doc_id) <= 10
         """,
         "docs_minhash_dedup": """
             with w as (select doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') as ws

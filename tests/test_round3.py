@@ -553,6 +553,52 @@ class TestStdlibContainerCodecs:
         assert by_id[1] == by_id[2] and by_id[1]
 
 
+class TestCurationOps:
+    def test_hash_split_matches_reference_and_proportions(self):
+        import hashlib
+
+        from pdf_entity_extraction_ray.ops.sample import hash_split
+
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(range(2000), pa.int64())})
+        )
+        out = _collect(hash_split(ds))
+        got = dict(zip(out.column("doc_id").to_pylist(), out.column("split").to_pylist()))
+
+        def ref(i):
+            h = int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "little")
+            u = h / 2**64
+            return "train" if u < 0.9 else ("val" if u < 0.95 else "test")
+
+        assert got == {i: ref(i) for i in range(2000)}
+        counts = {s: list(got.values()).count(s) for s in ("train", "val", "test")}
+        assert 0.85 < counts["train"] / 2000 < 0.95  # proportions roughly honored
+
+    def test_stratified_sample_smallest_ids_per_group(self):
+        from pdf_entity_extraction_ray.ops.sample import stratified_sample
+
+        rng = np.random.RandomState(5)
+        langs = [f"l{int(x)}" for x in rng.randint(0, 6, 500)]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(500), pa.int64()),
+                    "lang": pa.array(langs, pa.string()),
+                }
+            )
+        )
+        out = _collect(stratified_sample(ds, "lang", 7))
+        got: dict[str, list] = {}
+        for d, g in zip(out.column("doc_id").to_pylist(), out.column("group").to_pylist()):
+            got.setdefault(g, []).append(d)
+        expected: dict[str, list] = {}
+        for i, g in enumerate(langs):
+            expected.setdefault(g, [])
+            if len(expected[g]) < 7:
+                expected[g].append(i)
+        assert {g: sorted(v) for g, v in got.items()} == expected
+
+
 class TestLinkingJoinParts:
     def test_local_cap(self):
         from pdf_entity_extraction_ray.stages.linking import _join_parts
