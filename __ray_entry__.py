@@ -4,11 +4,12 @@
 corpus (the BASELINE.json input_hint table); returns the nodes Dataset.
 ``queries()`` — one entry per implemented operator/pipeline (SURVEY.md §2 +
 the training-data op family); each takes ``sf_dir`` and returns a Dataset.
-``oracle_sql()`` — DuckDB equivalents for every SQL-expressible query
-(including the gold-table-backed kg_* flagship tables, PageRank against a
-synthesizer-written gold table in integer ppm, simhash, rolling
-fingerprint, lang-ID, TF-IDF knn and transitive near-dup removal); only
-the two compressed-format multimodal stubs are rows-only.
+``oracle_sql()`` — a DuckDB oracle for EVERY query: SQL re-derivations
+where expressible (simhash, rolling fingerprint, lang-ID, TF-IDF knn,
+transitive near-dup removal, ASOF/range joins, hash split) and
+single-process gold tables where not (the kg_* flagship tables, PageRank
+and the multimodal kernels — floats scaled to integer ppm so cross-engine
+noise cannot flip the hash).
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ``ray.init()`` / ``ray.shutdown()``.
@@ -129,7 +130,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pr.map_batches(to_ppm, batch_format="pyarrow")
 
+    def _mm_gold():
+        """Single-process gold tables for the multimodal oracles (written
+        once; deterministic)."""
+        from pdf_entity_extraction_ray.ops.multimodal import write_gold_media
+
+        if not (
+            os.path.isfile("/tmp/graft_mm/gold_image_features.parquet")
+            and os.path.isfile("/tmp/graft_mm/gold_frames.parquet")
+        ):
+            write_gold_media("/tmp/graft_mm", n=300)
+
     def multimodal_features(sf_dir):
+        import numpy as np
+        import pyarrow as pa
         import ray.data
 
         from pdf_entity_extraction_ray.ops.multimodal import (
@@ -137,10 +151,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             synthesize_media_batch,
         )
 
+        _mm_gold()
         media = ray.data.range(300).map_batches(
             lambda b: synthesize_media_batch(b), batch_format="pyarrow"
         )
-        return media.map_batches(
+        feats = media.map_batches(
             ImageFeatureExtractor,
             fn_constructor_kwargs={"fake": True},
             concurrency=2,
@@ -148,11 +163,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+        def to_ppm(batch: pa.Table) -> pa.Table:
+            ppm = [
+                [int(x) for x in np.round(np.asarray(f) * 1e6)]
+                for f in batch.column("features").to_pylist()
+            ]
+            return pa.table(
+                {
+                    "media_id": batch.column("media_id"),
+                    "features_ppm": pa.array(ppm, pa.list_(pa.int64())),
+                    "n_bytes": batch.column("n_bytes"),
+                }
+            )
+
+        return feats.map_batches(to_ppm, batch_format="pyarrow")
+
     def multimodal_frames(sf_dir):
         import ray.data
 
         from pdf_entity_extraction_ray.ops.multimodal import FrameSampler, synthesize_media_batch
 
+        _mm_gold()
         media = ray.data.range(300).map_batches(
             lambda b: synthesize_media_batch(b), batch_format="pyarrow"
         )
@@ -718,5 +749,17 @@ qualify rank <= 5
             select p_brand, count(*) as n_parts,
                    max(p_retailprice) as max_price, min(p_size) as min_size
             from part group by p_brand
+        """,
+        # multimodal gold tables: single-process reference written by the
+        # query itself before the Ray run (ops/multimodal.write_gold_media);
+        # the oracle proves the actor-pool execution reproduces it exactly
+        # (features in integer ppm, frames byte-for-byte)
+        "multimodal_image_features": """
+            select media_id, features_ppm, n_bytes
+            from read_parquet('/tmp/graft_mm/gold_image_features.parquet')
+        """,
+        "multimodal_frame_sample": """
+            select media_id, frame_ms, frame_payload
+            from read_parquet('/tmp/graft_mm/gold_frames.parquet')
         """,
     }

@@ -118,6 +118,62 @@ def synthesize_media_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def write_gold_media(out_dir: str, n: int = 300, every_ms: int = 250) -> None:
+    """Single-process gold tables for the driver-visible multimodal
+    oracles: expected image features (integer ppm — the repo's float-hash
+    trick) and expected sampled frame rows, computed WITHOUT Ray from the
+    same deterministic id-derived payloads the queries synthesize.
+
+    What the oracle proves (the same standard as the kg gold tables): the
+    distributed actor-pool execution — batching, filtering, schema,
+    parallelism — reproduces the single-process reference bit-for-bit."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    img_id, img_ppm, img_bytes = [], [], []
+    frm_id, frm_off, frm_pay = [], [], []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            payload = _raw_image_payload(i)
+            feats = rgb8_features(decode_raw_rgb8(payload, _RAW_W, _RAW_H))
+            img_id.append(i)
+            img_ppm.append([int(x) for x in np.round(np.asarray(feats) * 1e6)])
+            img_bytes.append(len(payload))
+        elif kind == "video":
+            payload = _raw_video_payload(i)
+            frame_bytes = _RAW_W * _RAW_H * 3
+            n_frames = len(payload) // frame_bytes
+            frame_dur = max(1000, 1) / max(n_frames, 1)
+            step = max(1, int(round(every_ms / frame_dur)))
+            for f in range(0, n_frames, step):
+                frm_id.append(i)
+                frm_off.append(int(f * frame_dur))
+                frm_pay.append(payload[f * frame_bytes : (f + 1) * frame_bytes])
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(img_id, pa.int64()),
+                "features_ppm": pa.array(img_ppm, pa.list_(pa.int64())),
+                "n_bytes": pa.array(img_bytes, pa.int64()),
+            }
+        ),
+        os.path.join(out_dir, "gold_image_features.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(frm_id, pa.int64()),
+                "frame_ms": pa.array(frm_off, pa.int32()),
+                "frame_payload": pa.array(frm_pay, pa.binary()),
+            }
+        ),
+        os.path.join(out_dir, "gold_frames.parquet"),
+    )
+
+
 def decode_raw_rgb8(payload: bytes, width: int, height: int) -> np.ndarray:
     """raw RGB8 payload -> (H, W, 3) uint8 array (zero-copy view + reshape)."""
     return np.frombuffer(payload, dtype=np.uint8).reshape(height, width, 3)
