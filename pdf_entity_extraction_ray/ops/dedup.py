@@ -92,6 +92,11 @@ def _keep_min_doc_per_key(keyed_ds, num_partitions: int | None = None):
     from ray.data.aggregate import Min
 
     partials = keyed_ds.materialize()
+    if num_partitions is None and partials.count() < 10_000:
+        # tiny inputs: Ray's hash join mishandles EMPTY shuffle partitions
+        # (chained joins crash on them); one partition keeps every
+        # partition non-empty and is optimal at this size anyway
+        num_partitions = 1
     winners = partials.groupby("dedup_key").aggregate(Min("doc_id", alias_name="doc_id"))
     # (dedup_key, doc_id) is unique across partial rows (one candidate per
     # key per batch; doc ids are globally unique), so the inner join keeps

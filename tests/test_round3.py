@@ -553,6 +553,27 @@ class TestStdlibContainerCodecs:
         assert by_id[1] == by_id[2] and by_id[1]
 
 
+class TestTinyInputDedup:
+    def test_exact_dedup_on_a_handful_of_rows(self):
+        """Ray's hash join crashes on empty shuffle partitions; the winner
+        join must auto-drop to one partition for tiny inputs."""
+        from pdf_entity_extraction_ray.ops.dedup import exact_dedup
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                    "text": pa.array(["a", "a", "b", "c"], pa.string()),
+                    "lang": pa.array(["en"] * 4, pa.string()),
+                    "source": pa.array(["s"] * 4, pa.string()),
+                    "n_chars": pa.array([1] * 4, pa.int64()),
+                }
+            )
+        )
+        kept = sorted(r["doc_id"] for r in exact_dedup(ds).take_all())
+        assert kept == [0, 2, 3]
+
+
 class TestCurationOps:
     def test_hash_split_matches_reference_and_proportions(self):
         import hashlib
