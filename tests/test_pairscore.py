@@ -105,3 +105,62 @@ def test_scorer_as_linking_edge_filter():
     )
     assert cm[("PERSON", "Maria Lopez")] == cm[("PERSON", "Lopez Maria")]
     assert cm[("PERSON", "Granite Quartz")] != cm[("PERSON", "Maria Lopez")]
+
+
+def test_gbdt_learns_feature_interactions_linear_cannot():
+    """XOR over two marker tokens: an additive linear model caps out below
+    perfect accuracy, while the depth-2 GBDT (the LightGBM-fidelity class)
+    separates it exactly — the representational gap that motivates trees."""
+    from pdf_entity_extraction_ray.ops.pairscore import (
+        char_wb_ngrams,
+        train_gbdt_pair_scorer,
+        train_pair_scorer,
+    )
+
+    combos = ["base", "base aaaa", "base bbbb", "base aaaa bbbb"]
+    labels4 = [0, 1, 1, 0]  # XOR of the two markers
+    pairs = [(t, "") for t in combos for _ in range(4)]
+    labels = [l for l in labels4 for _ in range(4)]
+    idf = {g: 1.0 for t in combos for g in char_wb_ngrams(t)}
+
+    gbdt = train_gbdt_pair_scorer(pairs, labels, idf, rounds=40, depth=2)
+    assert [gbdt.predict(t, "") for t in combos] == labels4
+
+    linear = train_pair_scorer(pairs, labels, idf)
+    assert [linear.predict(t, "") for t in combos] != labels4  # XOR is out of reach
+
+    # deterministic: a second training run scores identically
+    gbdt2 = train_gbdt_pair_scorer(pairs, labels, idf, rounds=40, depth=2)
+    assert [gbdt2.decision(t, "") for t in combos] == [gbdt.decision(t, "") for t in combos]
+
+
+def test_gbdt_broadcast_inference_shape(ray_session):
+    """The GBDT ships through the same ray.put broadcast-infer stage as the
+    linear model (score_candidate_pairs)."""
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_entity_extraction_ray.ops.pairscore import (
+        char_wb_ngrams,
+        score_candidate_pairs,
+        train_gbdt_pair_scorer,
+    )
+
+    pos = [("acme corp", "acme corporation")] * 4
+    neg = [("acme corp", "zebra lake")] * 4
+    pairs = pos + neg
+    labels = [1] * 4 + [0] * 4
+    idf = {g: 1.0 for a, b in pairs for g in char_wb_ngrams(f"{a} {b}")}
+    model = train_gbdt_pair_scorer(pairs, labels, idf, rounds=25, depth=2)
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "type": pa.array(["ORG", "ORG"], pa.string()),
+                "a": pa.array(["acme corp", "acme corp"], pa.string()),
+                "b": pa.array(["acme corporation", "zebra lake"], pa.string()),
+            }
+        )
+    )
+    kept = score_candidate_pairs(ds, model).take_all()
+    assert [(r["a"], r["b"]) for r in kept] == [("acme corp", "acme corporation")]
