@@ -14,6 +14,17 @@ The reference's equivalent lifecycle is E2 -> E3 of SURVEY §3
 (run.py:14-27 then check_performance.py:32-91) with in-memory state and
 JSON checkpoints; here every inter-phase artifact is Parquet and every
 stage is a streaming Dataset transform.
+
+``run_kg`` is INCREMENTAL over corpus appends (the Common-Crawl cadence:
+a new snapshot lands as new Parquet files next to the old ones): the
+per-page phases (P1 tagging — the dominant cost — and the P2 explodes)
+record which input files each output GENERATION consumed and process only
+new files into new ``g<k>`` subdirs, while the global aggregate phases
+(P3 linking, P4 graph) fingerprint the full input snapshot and recompute
+over the union.  Re-running after an append therefore costs
+O(new pages) tagging + O(corpus) linking/graph, never O(corpus) model
+inference.  Generalizes the reference's per-document skip-if-cached
+(src/cache_data.py:15-16) to whole-corpus delta processing.
 """
 
 from __future__ import annotations
@@ -51,7 +62,7 @@ from ..stages.graph import build_edges, build_nodes, canonical_triples
 from ..stages.linking import link_entities
 from ..state import lineage
 
-CODE_VERSION = 5  # bump to invalidate all phase outputs
+CODE_VERSION = 6  # bump to invalidate all phase outputs
 
 # ``linking_mode="auto"`` / ``rewrite_mode="auto"`` pick the scale paths
 # (distributed label propagation / shuffle-join rewrites) when the distinct
@@ -93,6 +104,14 @@ def _bucket_rows(table_dir: str) -> tuple[int, dict[int, int]]:
     return total, per
 
 
+def _gen_tag(fp: str, gen_name: str, files: list[list]) -> str:
+    """Identity of one generation's output: phase config + the exact
+    source files it consumed.  Used both as the per-bucket completion
+    marker inside the generation dir and as the downstream explode's
+    staleness check."""
+    return lineage.fingerprint({"fp": fp, "gen": gen_name, "files": files})
+
+
 def _run_partitioned_phase(
     *,
     phase: str,
@@ -107,28 +126,78 @@ def _run_partitioned_phase(
     resume: bool,
     override_num_blocks: int | None = None,
 ) -> str:
-    """pages -> segments -> stage -> bucket-partitioned Parquet with
-    per-partition resume.  Returns the table dir."""
+    """pages -> segments -> stage -> generation/bucket-partitioned Parquet
+    (``<phase>/g<k>/bucket=<b>/``) with per-partition resume AND
+    incremental appends.  Returns the table dir (readers consume the
+    root; the ``g<k>`` level is not a hive key, so reads see only the
+    ``bucket`` column, exactly as before).
+
+    Generations make ``run_kg`` delta-incremental over corpus growth: the
+    manifest records which input files each generation consumed
+    (metadata snapshot, :func:`lineage.input_snapshot`); when the pages
+    dir gains files, only the NEW files flow through the tagger into a
+    new ``g<k>`` dir — the dominant cost (model inference per page) is
+    never re-paid for already-tagged pages.  Any in-place change to a
+    consumed file breaks the append-only assumption and forces a full
+    rebuild.  Within a generation, per-bucket ``_COMPLETE`` markers give
+    crash resume exactly as before."""
     import ray.data
 
     table_dir = os.path.join(out_dir, phase)
-    if resume and lineage.phase_complete(out_dir, phase, fp):
-        return table_dir
-    manifest = lineage.load_manifest(out_dir, phase)
+    snapshot = lineage.input_snapshot(pages_path)
+    manifest = lineage.load_manifest(out_dir, phase) if resume else None
     if manifest is not None and manifest.get("fingerprint") != fp:
-        lineage.invalidate(out_dir, phase, table_dir)  # stale config/code
-
-    done = lineage.existing_buckets(table_dir, fp) if resume else set()
-    missing = frozenset(range(n_buckets)) - done
+        manifest = None  # stale config/code
     if not resume and os.path.isdir(table_dir):
         lineage.invalidate(out_dir, phase, table_dir)
-        missing = frozenset(range(n_buckets))
+    generations: dict = dict(manifest.get("generations", {})) if manifest else {}
+    delta: list | str = snapshot
+    if generations:
+        delta = lineage.snapshot_delta(generations, snapshot)
+        if delta == "changed":  # a consumed input file mutated -> rebuild
+            generations = {}
+    if not generations:
+        # manifest-only invalidation: completed bucket dirs stay on disk —
+        # the per-bucket markers decide what is reusable (a marker only
+        # matches when phase config AND the full source-file list match),
+        # and the gen-dir sweep below drops everything unattributable
+        lineage.invalidate(out_dir, phase)
+        new_files = snapshot
+        gen_id = 0
+    else:
+        if not delta:  # input unchanged -> phase complete
+            return table_dir
+        new_files = delta
+        gen_id = len(generations)
+    gen_name = f"g{gen_id}"
+    gen_dir = os.path.join(table_dir, gen_name)
+    gen_fp = _gen_tag(fp, gen_name, new_files)
+    # drop output this run cannot attribute: ANY entry that is neither a
+    # recorded complete generation nor the one being (re)built —
+    # half-written gens under a LOST manifest, and pre-generation-layout
+    # bucket dirs from older code versions.  Their source files reappear
+    # in new_files, so keeping them would duplicate rows downstream.
+    if os.path.isdir(table_dir):
+        import shutil
+
+        for name in os.listdir(table_dir):
+            if name not in generations and name != gen_name:
+                p = os.path.join(table_dir, name)
+                shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else os.remove(p)
+    done = lineage.existing_buckets(gen_dir, gen_fp) if resume else set()
+    missing = frozenset(range(n_buckets)) - done
     # partial writes from a mid-phase crash and stale-fingerprint orphans
     # must go before recompute — appending into them would duplicate rows
-    lineage.drop_incomplete_buckets(table_dir, keep=done)
+    lineage.drop_incomplete_buckets(gen_dir, keep=done)
 
+    base = os.path.abspath(pages_path)
+    paths = (
+        [base]
+        if os.path.isfile(base)
+        else [os.path.join(base, rel) for rel, _size in new_files]
+    )
     with lineage.PhaseTimer() as timer:
-        if missing:
+        if missing and paths:
             import ray
 
             if override_num_blocks is None:
@@ -142,7 +211,7 @@ def _run_partitioned_phase(
                 # reads use 2 blocks/CPU instead.
                 override_num_blocks = 6 * int(ray.cluster_resources().get("CPU", 16))
             ds = ray.data.read_parquet(
-                pages_path,
+                paths,
                 columns=["url", "warc_ts", "html", "lang"],
                 override_num_blocks=override_num_blocks,
             )
@@ -167,13 +236,18 @@ def _run_partitioned_phase(
             # file count is ~n_buckets and downstream explodes inherit the
             # clustering (so they need no shuffle of their own)
             ds = ds.sort("bucket")
-            ds.write_parquet(table_dir, partition_cols=["bucket"])
-            lineage.mark_buckets_complete(table_dir, fp)
+            ds.write_parquet(gen_dir, partition_cols=["bucket"])
+            lineage.mark_buckets_complete(gen_dir, gen_fp)
 
+    generations[gen_name] = {"files": new_files, "tag": gen_fp}
     total, per = _bucket_rows(table_dir)
     lineage.write_manifest(
         out_dir, phase, fp, total, timer.wall, per,
-        extra={"recomputed_buckets": sorted(missing), "n_buckets": n_buckets},
+        extra={
+            "recomputed_buckets": sorted(missing),
+            "n_buckets": n_buckets,
+            "generations": generations,
+        },
     )
     return table_dir
 
@@ -192,24 +266,57 @@ def _explode_phase(
 
     The annotations artifact is bucket-clustered on disk, and the explode
     preserves block order, so the hive write needs no shuffle; ``columns``
-    prunes the read (each explode consumes only its own nested column)."""
+    prunes the read (each explode consumes only its own nested column).
+
+    Mirrors the annotations artifact's GENERATIONS (incremental appends):
+    each annotation gen explodes into its own ``g<k>`` subdir, keyed by the
+    upstream gen's ``tag`` — an already-exploded gen is skipped, a gen
+    whose upstream was rebuilt (tag change) is re-exploded, and a gen dir
+    present on disk but not recorded done (mid-explode crash) is dropped
+    and redone.  Explodes are cheap relative to tagging, so gen (not
+    bucket) is the resume grain here."""
+    import shutil
+
     import ray.data
 
     table_dir = os.path.join(out_dir, phase)
-    if resume and lineage.phase_complete(out_dir, phase, fp):
+    ann_manifest = lineage.load_manifest(out_dir, "annotations") or {}
+    ann_gens: dict = ann_manifest.get("generations", {})
+    manifest = lineage.load_manifest(out_dir, phase) if resume else None
+    if manifest is not None and manifest.get("fingerprint") != fp:
+        manifest = None
+    if not resume and os.path.isdir(table_dir):
+        lineage.invalidate(out_dir, phase, table_dir)
+    done: dict = dict(manifest.get("exploded_gens", {})) if manifest else {}
+    # done maps gen name -> upstream tag it was exploded from
+    done = {g: t for g, t in done.items() if ann_gens.get(g, {}).get("tag") == t}
+    todo = [g for g in sorted(ann_gens, key=lambda n: int(n[1:])) if g not in done]
+    if os.path.isdir(table_dir):
+        # sweep anything not recorded done: partial gens from a crash AND
+        # pre-generation-layout bucket dirs from older code versions
+        for name in os.listdir(table_dir):
+            if name not in done:
+                p = os.path.join(table_dir, name)
+                shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else os.remove(p)
+    if not todo and manifest is not None:
         return table_dir
-    lineage.invalidate(out_dir, phase, table_dir)
     with lineage.PhaseTimer() as timer:
         import ray
 
         nblocks = 2 * int(ray.cluster_resources().get("CPU", 16))
-        ds = ray.data.read_parquet(
-            annotations_dir, columns=columns, override_num_blocks=nblocks
-        )
-        ds = ds.map_batches(explode_fn, batch_format="pyarrow")
-        ds.write_parquet(table_dir, partition_cols=["bucket"])
+        for g in todo:
+            ds = ray.data.read_parquet(
+                os.path.join(annotations_dir, g),
+                columns=columns,
+                override_num_blocks=nblocks,
+            )
+            ds = ds.map_batches(explode_fn, batch_format="pyarrow")
+            ds.write_parquet(os.path.join(table_dir, g), partition_cols=["bucket"])
+            done[g] = ann_gens[g]["tag"]
     total, per = _bucket_rows(table_dir)
-    lineage.write_manifest(out_dir, phase, fp, total, timer.wall, per)
+    lineage.write_manifest(
+        out_dir, phase, fp, total, timer.wall, per, extra={"exploded_gens": done}
+    )
     return table_dir
 
 
@@ -314,7 +421,15 @@ def run_kg(
     # Fingerprints use the REQUESTED mode strings (incl. "auto"): the modes
     # are execution strategies with identical outputs (tested), so an auto
     # resolution flip never silently invalidates a sound artifact.
-    fp_link = lineage.fingerprint({**base_fp, "phase": "linking", "mode": linking_mode})
+    # Linking and graph are GLOBAL aggregates, so (unlike the per-page
+    # phases, which absorb appends as delta generations) their
+    # fingerprints include the full input-content snapshot: any corpus
+    # growth recomputes them — over mentions/triples that were only
+    # delta-tagged upstream.
+    snap_fp = lineage.fingerprint({"files": lineage.input_snapshot(pages_path)})
+    fp_link = lineage.fingerprint(
+        {**base_fp, "phase": "linking", "mode": linking_mode, "pages_snap": snap_fp}
+    )
     surface_map_dir = os.path.join(out_dir, "surface_map")
 
     def _load_map():
@@ -413,7 +528,13 @@ def run_kg(
 
     # P4: graph materialize
     fp_graph = lineage.fingerprint(
-        {**base_fp, "phase": "graph", "rewrite": rewrite_mode, "linking": linking_mode}
+        {
+            **base_fp,
+            "phase": "graph",
+            "rewrite": rewrite_mode,
+            "linking": linking_mode,
+            "pages_snap": snap_fp,
+        }
     )
     nodes_dir = os.path.join(out_dir, "nodes")
     edges_dir = os.path.join(out_dir, "edges")

@@ -83,6 +83,43 @@ def write_manifest(
     os.replace(tmp, _manifest_file(out_dir, phase))
 
 
+def input_snapshot(path: str) -> list[list]:
+    """Deterministic metadata snapshot of a Parquet input: sorted
+    ``[relpath, bytes]`` pairs.  Sizes (not mtimes) identify content —
+    Parquet files are write-once in this pipeline, so "same name, same
+    size" means "same rows", and any rewrite-in-place shows up as a size
+    change and forces a full rebuild (:func:`snapshot_delta`)."""
+    path = os.path.abspath(path)
+    if os.path.isfile(path):
+        return [[os.path.basename(path), os.path.getsize(path)]]
+    out: list[list] = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                out.append([os.path.relpath(p, path), os.path.getsize(p)])
+    return sorted(out)
+
+
+def snapshot_delta(generations: dict, snapshot: list[list]):
+    """Compare the current input snapshot against the files already
+    consumed by recorded generations.
+
+    Returns ``"changed"`` when any previously-consumed file is missing or
+    resized (the append-only assumption broke -> full rebuild), else the
+    list of NEW ``[relpath, bytes]`` entries (empty list = input
+    unchanged -> phase complete)."""
+    known: dict[str, int] = {}
+    for gen in generations.values():
+        for rel, size in gen["files"]:
+            known[rel] = size
+    current = {rel: size for rel, size in snapshot}
+    for rel, size in known.items():
+        if current.get(rel) != size:
+            return "changed"
+    return [[rel, size] for rel, size in snapshot if rel not in known]
+
+
 MARKER = "_COMPLETE"  # underscore prefix: ignored by pyarrow/Ray dataset reads
 
 

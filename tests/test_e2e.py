@@ -228,7 +228,7 @@ def test_resume_recomputes_only_missing_bucket(kg_result):
     corpus, out, _ = kg_result
     before = pads.dataset(f"{out}/mentions", partitioning="hive").to_table()
     os.remove(f"{out}/_lineage/annotations.json")
-    shutil.rmtree(f"{out}/annotations/bucket=1")
+    shutil.rmtree(f"{out}/annotations/g0/bucket=1")
     run_kg(f"{corpus}/pages", out, n_buckets=4, concurrency=2)
     manifest = json.load(open(f"{out}/_lineage/annotations.json"))
     assert manifest["recomputed_buckets"] == [1]
@@ -247,9 +247,9 @@ def test_resume_discards_partial_and_stale_buckets(kg_result):
     before = pads.dataset(f"{out}/mentions", partitioning="hive").to_table()
     os.remove(f"{out}/_lineage/annotations.json")
     # simulate a crash mid-write of bucket 2: data present, no marker
-    os.remove(f"{out}/annotations/bucket=2/_COMPLETE")
+    os.remove(f"{out}/annotations/g0/bucket=2/_COMPLETE")
     # simulate an orphan from an older config in bucket 3
-    with open(f"{out}/annotations/bucket=3/_COMPLETE", "w") as f:
+    with open(f"{out}/annotations/g0/bucket=3/_COMPLETE", "w") as f:
         f.write("stale-fingerprint")
     run_kg(f"{corpus}/pages", out, n_buckets=4, concurrency=2)
     manifest = json.load(open(f"{out}/_lineage/annotations.json"))
