@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).clean_documents(_read(sf, "documents")),
         "docs_wordset_dedup": lambda sf: dedup.wordset_dedup(_read(sf, "documents")),
         "docs_minhash_dedup": lambda sf: dedup.minhash_lsh_pairs(_read(sf, "documents"), 0.7),
+        "docs_ngram_dedup": lambda sf: dedup.ngram_jaccard_pairs(_read(sf, "documents"), 0.7),
         "docs_simhash_dedup": lambda sf: dedup.simhash_pairs(_read(sf, "documents"), 3),
         "docs_neardup_keep": lambda sf: dedup.near_dedup_keep(_read(sf, "documents"), 0.7),
         "emb_cosine_dedup": lambda sf: dedup.embedding_cosine_pairs(_read(sf, "embeddings"), 0.5),
@@ -302,6 +303,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     token_re = "[A-Za-z0-9_]+"
     punct_re = r"[!-/:-@\[-`{-~]"
+
+    jaccard_pairs_sql = """
+            with w as (select doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') as ws
+                       from documents),
+                 t as (select doc_id,
+                              case when len(ws) >= 3 then
+                                     list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                                    for i in range(1, len(ws) - 1)])
+                                   when len(ws) > 0 then [list_aggregate(ws, 'string_agg', ' ')]
+                                   else [] end as sh
+                       from w)
+            select a.doc_id as doc_a, b.doc_id as doc_b
+            from t a join t b on a.doc_id < b.doc_id
+            where len(list_intersect(a.sh, b.sh))::double
+                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
+        """
 
     # --- KG gold tables: written by _kg_artifacts next to the synthesized
     # pages (the driver's gate runs at sf0.01; the Ray query runs first and
@@ -475,21 +492,11 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, lang as "group" from documents
             qualify row_number() over (partition by lang order by doc_id) <= 10
         """,
-        "docs_minhash_dedup": """
-            with w as (select doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') as ws
-                       from documents),
-                 t as (select doc_id,
-                              case when len(ws) >= 3 then
-                                     list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                                                    for i in range(1, len(ws) - 1)])
-                                   when len(ws) > 0 then [list_aggregate(ws, 'string_agg', ' ')]
-                                   else [] end as sh
-                       from w)
-            select a.doc_id as doc_a, b.doc_id as doc_b
-            from t a join t b on a.doc_id < b.doc_id
-            where len(list_intersect(a.sh, b.sh))::double
-                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
-        """,
+        # one exact all-pairs Jaccard oracle checks BOTH candidate
+        # generators: LSH banding (probabilistic recall ~1-4e-10 at these
+        # defaults) and prefix filtering (lossless by theorem)
+        "docs_minhash_dedup": jaccard_pairs_sql,
+        "docs_ngram_dedup": jaccard_pairs_sql,
         # token hash = md5_number_upper; bit-majority vote per 64 bits;
         # chunk blocking is pigeonhole-lossless at <=3 bits so the SQL
         # all-pairs form is the exact same answer

@@ -6,6 +6,9 @@ for training-data pipelines:
 * :func:`minhash_lsh_pairs`  — shingle -> MinHash -> band-bucket groupby ->
   candidate pairs -> EXACT Jaccard verify (LSH prunes the O(n^2), the
   verify step keeps the answer exact, so a SQL oracle can check it)
+* :func:`ngram_jaccard_pairs` — the same exact-Jaccard pair set through
+  LOSSLESS prefix-filter blocking (AllPairs/PPJoin) instead of LSH —
+  deterministic 100% recall, no probabilistic miss
 * :func:`simhash_pairs`      — 64-bit SimHash, 4x16-bit band blocking,
   Hamming<=k verify
 * :func:`embedding_cosine_pairs` — near-dup by cosine over an embedding
@@ -24,7 +27,13 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.similarity import MinHasher, hamming64, jaccard, simhash64_batch
+from ..functions.similarity import (
+    MinHasher,
+    _stable_hash64,
+    hamming64,
+    jaccard,
+    simhash64_batch,
+)
 from .text import TOKEN_RE
 
 MINHASH_PERMS = 64
@@ -274,7 +283,20 @@ def minhash_lsh_pairs(
         .groupby("shard")
         .map_groups(_shard_candidates, batch_format="pyarrow")
     )
+    return exact_jaccard_verify(candidates, docs_ds, threshold, num_partitions)
 
+
+def exact_jaccard_verify(candidates, docs_ds, threshold: float, num_partitions: int | None = None):
+    """(doc_a, doc_b) candidate pairs -> the subset with exact word-shingle
+    Jaccard >= ``threshold`` (shared verify stage of the blocking-based
+    near-dup ops: :func:`minhash_lsh_pairs`, :func:`ngram_jaccard_pairs`).
+
+    Both texts are fetched through ONE hash-shuffle ``Dataset.join``
+    against the (doc_id, text) projection: pairs explode into side-tagged
+    rows keyed by doc id, then reassemble with a vectorized Max groupby —
+    texts travel the shuffle keyed by the candidate ids; the corpus is
+    never collected to the driver or broadcast.  Duplicate candidate pairs
+    are allowed in (the reassembly groupby dedups them for free)."""
     texts = docs_ds.select_columns(["doc_id", "text"])
     n_part = num_partitions or _join_partitions()
 
@@ -350,6 +372,114 @@ def minhash_lsh_pairs(
         return batch.take(pa.array(keep, pa.int64())).select(["doc_a", "doc_b"])
 
     return paired.map_batches(verify, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard pairs via prefix-filter blocking (AllPairs/PPJoin)
+
+
+def prefix_rows_batch(batch: pa.Table, threshold: float = 0.7) -> pa.Table:
+    """documents batch -> exploded (shard, token, doc_id, size) PREFIX rows.
+
+    Each document's word-shingle set (same 3-grams as the MinHash path, so
+    both ops share one exact-Jaccard contract) is sorted under a global
+    total order — the blake2b hash of the shingle, which needs no corpus
+    statistics — and only the first ``n - ceil(t*n) + 1`` shingles are
+    emitted.  Prefix-filter theorem (Bayardo et al., WWW'07 "Scaling Up
+    All Pairs Similarity Search"; Xiao et al.'s PPJoin): together with the
+    size filter applied at pairing time (``t * |larger| <= |smaller|``,
+    itself implied by J >= t), any pair with Jaccard >= t MUST share a
+    prefix token — so the blocking is LOSSLESS, unlike MinHash banding's
+    probabilistic recall.  Hash order emits more candidates than the
+    classic rarest-first (document-frequency) order, but needs no DF
+    aggregation pass and no vocabulary-sized driver state; candidates are
+    still pruned from O(n^2) to near the true-pair volume on diverse
+    corpora."""
+    import math
+
+    out_shard: list[int] = []
+    out_tok: list[int] = []
+    out_doc: list[int] = []
+    out_size: list[int] = []
+    for doc_id, text in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+        sh = _word_shingles(text)
+        n = len(sh)
+        if n == 0:
+            continue  # zero-shingle docs pair with nothing (J undefined)
+        # epsilon guards float noise (0.7*10 == 7.000000000000001 would
+        # ceil to 8 and shorten the prefix below the lossless bound); it
+        # can only LENGTHEN the prefix -> more candidates, never a miss
+        p = n - math.ceil(threshold * n - 1e-9) + 1
+        hashes = sorted(_stable_hash64(s.encode("utf-8")) for s in sh)[:p]
+        for hv in hashes:
+            out_shard.append(hv % BAND_SHARDS)
+            out_tok.append(hv)
+            out_doc.append(doc_id)
+            out_size.append(n)
+    return pa.table(
+        {
+            "shard": pa.array(out_shard, pa.int32()),
+            "token": pa.array(out_tok, pa.uint64()),
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "size": pa.array(out_size, pa.int64()),
+        }
+    )
+
+
+def ngram_jaccard_pairs(docs_ds, threshold: float = 0.7, num_partitions: int | None = None):
+    """EXACT near-duplicate (doc_a, doc_b) pairs with word-3-gram Jaccard
+    >= ``threshold``; doc_a < doc_b.  Same answer as
+    :func:`minhash_lsh_pairs` but with deterministic 100% recall: prefix
+    filtering (see :func:`prefix_rows_batch`) replaces probabilistic LSH
+    banding as the candidate generator, and the same one-join
+    :func:`exact_jaccard_verify` confirms every pair.
+
+    Shuffles: prefix-token groupby (candidates only — prefix rows are a
+    ``1-t`` fraction of the shingle volume), then the shared verify join.
+    Candidate volume concentrates on hot shingles the way LSH bands do on
+    hot buckets; the size filter inside the pairing stage prunes
+    incompatible-length pairs before they reach the verify join.  Two
+    distinct shingles hashing to one 64-bit token only ADD candidates
+    (superset -> still lossless)."""
+
+    def shard_prefix_candidates(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "token" not in group.column_names:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+            )
+        by_tok: dict[int, set[tuple[int, int]]] = {}
+        for tok, doc, size in zip(
+            group.column("token").to_pylist(),
+            group.column("doc_id").to_pylist(),
+            group.column("size").to_pylist(),
+        ):
+            by_tok.setdefault(tok, set()).add((doc, size))
+        a, b = [], []
+        seen: set[tuple[int, int]] = set()  # shard-local dedup shrinks the join input
+        for members in by_tok.values():
+            rows = sorted(members)
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    lo, hi = sorted((rows[i][1], rows[j][1]))
+                    # J <= |smaller|/|larger|; epsilon errs toward KEEPING
+                    # borderline pairs (exact verify discards them)
+                    if lo / hi < threshold - 1e-12:
+                        continue
+                    p = (rows[i][0], rows[j][0])
+                    if p not in seen:
+                        seen.add(p)
+                        a.append(p[0])
+                        b.append(p[1])
+        return pa.table({"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())})
+
+    candidates = (
+        docs_ds.map_batches(
+            prefix_rows_batch, fn_kwargs={"threshold": threshold}, batch_format="pyarrow"
+        )
+        .groupby("shard")
+        .map_groups(shard_prefix_candidates, batch_format="pyarrow")
+    )
+    return exact_jaccard_verify(candidates, docs_ds, threshold, num_partitions)
 
 
 # --------------------------------------------------------------------------

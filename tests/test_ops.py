@@ -70,6 +70,59 @@ class TestDedupOps:
         got = set(zip(out.column("doc_a").to_pylist(), out.column("doc_b").to_pylist()))
         assert got == expected and expected  # testdata plants near-dups
 
+    def test_ngram_pairs_match_exact_jaccard(self):
+        from pdf_entity_extraction_ray.functions.similarity import jaccard
+        from pdf_entity_extraction_ray.ops.dedup import _word_shingles, ngram_jaccard_pairs
+
+        docs = _collect(_read("documents"))
+        texts = dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
+        ids = sorted(texts)
+        sh = {i: _word_shingles(texts[i]) for i in ids}
+        expected = {
+            (ids[i], ids[j])
+            for i in range(len(ids))
+            for j in range(i + 1, len(ids))
+            if jaccard(sh[ids[i]], sh[ids[j]]) >= 0.7
+        }
+        out = _collect(ngram_jaccard_pairs(_read("documents"), 0.7))
+        got = set(zip(out.column("doc_a").to_pylist(), out.column("doc_b").to_pylist()))
+        assert got == expected and expected  # prefix blocking is lossless
+
+    def test_ngram_pairs_exact_boundary_jaccard(self):
+        """A nested pair with J exactly 7/10 = threshold must be emitted —
+        regression for the float trap 0.7*10 == 7.000000000000001 (naive
+        ceil would shorten the prefix below the lossless bound and the
+        naive size filter would prune the (7, 10) size pair)."""
+        from pdf_entity_extraction_ray.ops.dedup import ngram_jaccard_pairs
+
+        words = [f"w{i}" for i in range(12)]
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": [
+                    " ".join(words[:9]),   # 7 shingles, subset of doc 2's
+                    " ".join(words),       # 10 shingles -> J = 7/10
+                    "completely different words here nothing shared at all",
+                ],
+            }
+        )
+        out = _collect(ngram_jaccard_pairs(ray.data.from_arrow(docs), 0.7))
+        got = set(zip(out.column("doc_a").to_pylist(), out.column("doc_b").to_pylist()))
+        assert got == {(1, 2)}
+
+    def test_prefix_rows_length_bound(self):
+        """Prefix length is n - ceil(t*n) + 1 per doc (4 of 10 shingles at
+        t=0.7) and zero-shingle docs emit nothing."""
+        from pdf_entity_extraction_ray.ops.dedup import prefix_rows_batch
+
+        words = " ".join(f"w{i}" for i in range(12))  # 10 shingles
+        batch = pa.table(
+            {"doc_id": pa.array([1, 2], pa.int64()), "text": [words, "!!!"]}
+        )
+        rows = prefix_rows_batch(batch, threshold=0.7)
+        assert rows.column("doc_id").to_pylist() == [1] * 4
+        assert rows.column("size").to_pylist() == [10] * 4
+
     def test_simhash_pairs_complete_within_hamming3(self):
         from pdf_entity_extraction_ray.functions.similarity import hamming64, simhash64
         from pdf_entity_extraction_ray.ops.dedup import simhash_pairs
