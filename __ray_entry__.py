@@ -269,6 +269,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "event_sessions": lambda sf: relational.event_sessions(_read(sf, "events"), 30),
         "event_type_counts": lambda sf: relational.event_type_counts(_read(sf, "events")),
+        # the same aggregate through the SALTED shuffle path (head-key skew
+        # treatment when no combiner applies); must match the same oracle
+        "event_type_counts_salted": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.skew", fromlist=["event_type_counts_salted"]
+        ).event_type_counts_salted(_read(sf, "events")),
         "events_daily_counts": lambda sf: relational.events_daily_counts(_read(sf, "events")),
         "events_hourly_active_users": lambda sf: relational.events_hourly_active_users(
             _read(sf, "events")
@@ -640,6 +645,11 @@ def oracle_sql() -> dict[str, str]:
             from o group by user_id
         """,
         "event_type_counts": """
+            select event_type, count(*) as n_events,
+                   min(value) as min_value, max(value) as max_value
+            from events group by event_type
+        """,
+        "event_type_counts_salted": """
             select event_type, count(*) as n_events,
                    min(value) as min_value, max(value) as max_value
             from events group by event_type

@@ -144,6 +144,56 @@ class TestDedupOps:
 
 
 @pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+class TestSkew:
+    def test_salted_equals_combiner_path(self):
+        from pdf_entity_extraction_ray.ops.relational import event_type_counts
+        from pdf_entity_extraction_ray.ops.skew import event_type_counts_salted
+
+        def rows(ds):
+            t = _collect(ds)
+            return sorted(zip(*[t.column(c).to_pylist() for c in sorted(t.column_names)]))
+
+        assert rows(event_type_counts_salted(_read("events"), salt_buckets=16)) == rows(
+            event_type_counts(_read("events"))
+        )
+
+    def test_salted_aggregate_on_zipf_skew(self):
+        """90%-hot-key synthetic: salted result == exact per-key answer,
+        and stage 1 actually splinters the hot key across salts."""
+        from pdf_entity_extraction_ray.ops.skew import salt_batch, salted_aggregate
+
+        n = 5000
+        keys = ["hot" if i % 10 != 9 else f"cold{i % 100}" for i in range(n)]
+        vals = list(range(n))
+        tbl = pa.table({"k": keys, "v": pa.array(vals, pa.int64())})
+        out = _collect(
+            salted_aggregate(
+                ray.data.from_arrow(tbl),
+                ["k"],
+                [("v", "count", "n"), ("v", "sum", "total"),
+                 ("v", "min", "lo"), ("v", "max", "hi")],
+                salt_buckets=8,
+            )
+        )
+        got = {
+            k: (n_, t, lo, hi)
+            for k, n_, t, lo, hi in zip(
+                out.column("k").to_pylist(), out.column("n").to_pylist(),
+                out.column("total").to_pylist(), out.column("lo").to_pylist(),
+                out.column("hi").to_pylist(),
+            )
+        }
+        expect: dict = {}
+        for k, v in zip(keys, vals):
+            c, t, lo, hi = expect.get(k, (0, 0, v, v))
+            expect[k] = (c + 1, t + v, min(lo, v), max(hi, v))
+        assert got == expect
+        salted = salt_batch(tbl, 8)
+        hot = salted.filter(pa.compute.equal(salted.column("k"), "hot"))
+        assert len(set(hot.column("_salt").to_pylist())) == 8
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
 class TestAnn:
     def test_bruteforce_matches_numpy(self):
         from pdf_entity_extraction_ray.ops.ann import knn_bruteforce
