@@ -125,6 +125,7 @@ def run_ops(sf_dir: str, repeat: int = 1) -> dict[str, list[float]]:
         ),
         "docs_exact_dedup": lambda: dedup.exact_dedup(read("documents")),
         "docs_minhash_dedup": lambda: dedup.minhash_lsh_pairs(read("documents"), 0.7),
+        "docs_ngram_dedup": lambda: dedup.ngram_jaccard_pairs(read("documents"), 0.7),
         "docs_simhash_dedup": lambda: dedup.simhash_pairs(read("documents"), 3),
         "emb_knn": lambda: ann.knn_bruteforce(
             read("embeddings"), [0, 1, 2, 3, 4], 10,

@@ -630,11 +630,18 @@ def near_dedup_keep(
     threshold: float = 0.7,
     num_partitions: int | None = None,
     bands: int | str = MINHASH_BANDS,
+    method: str = "minhash",
 ):
     """Remove near-duplicate documents TRANSITIVELY, keeping the lowest
-    doc_id of every near-dup cluster: minhash pairs -> distributed
+    doc_id of every near-dup cluster: near-dup pairs -> distributed
     connected components (BSP min-label; ids are the node keys, so each
     cluster's label IS its keeper) -> left-anti join of the losers.
+
+    ``method`` picks the candidate generator: ``"minhash"`` (LSH banding,
+    probabilistic recall, cheapest at scale) or ``"ngram"``
+    (:func:`ngram_jaccard_pairs` prefix filtering, deterministic 100%
+    recall).  Both verify with exact Jaccard, so at equal recall the kept
+    set is identical (tested).
 
     This is a genuinely different policy from the pair-side filter in
     pipelines/clean.py: with pairs (a,c) and (b,c) only (a !~ b), the
@@ -644,7 +651,12 @@ def near_dedup_keep(
     """
     from ..stages.linking import components_from_int_edges
 
-    pairs = minhash_lsh_pairs(docs_ds, threshold, num_partitions, bands=bands)
+    if method == "ngram":
+        pairs = ngram_jaccard_pairs(docs_ds, threshold, num_partitions)
+    elif method == "minhash":
+        pairs = minhash_lsh_pairs(docs_ds, threshold, num_partitions, bands=bands)
+    else:
+        raise ValueError(f"unknown near-dup method: {method!r}")
     comp = components_from_int_edges(pairs, "doc_a", "doc_b", num_partitions=num_partitions)
 
     def losers(batch: pa.Table) -> pa.Table:

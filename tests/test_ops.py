@@ -123,6 +123,17 @@ class TestDedupOps:
         assert rows.column("doc_id").to_pylist() == [1] * 4
         assert rows.column("size").to_pylist() == [10] * 4
 
+    def test_neardup_keep_method_equivalence(self):
+        """Both candidate generators feed the same exact verify, so the
+        transitively-kept set is identical."""
+        from pdf_entity_extraction_ray.ops.dedup import near_dedup_keep
+
+        def kept(method):
+            out = _collect(near_dedup_keep(_read("documents"), 0.7, method=method))
+            return sorted(out.column("doc_id").to_pylist())
+
+        assert kept("ngram") == kept("minhash")
+
     def test_simhash_pairs_complete_within_hamming3(self):
         from pdf_entity_extraction_ray.functions.similarity import hamming64, simhash64
         from pdf_entity_extraction_ray.ops.dedup import simhash_pairs
