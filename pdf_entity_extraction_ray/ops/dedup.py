@@ -426,7 +426,39 @@ def prefix_rows_batch(batch: pa.Table, threshold: float = 0.7) -> pa.Table:
     )
 
 
-def ngram_jaccard_pairs(docs_ds, threshold: float = 0.7, num_partitions: int | None = None):
+def shingle_rows_batch(batch: pa.Table) -> pa.Table:
+    """documents batch -> exploded (token, doc_id, size) rows, one per
+    shingle (ALL shingles — the DF-ordered prefix path trims later, once
+    document frequencies are known).  Tokens are the blake2b hash viewed
+    as SIGNED int64 (two's complement): Ray's hash shuffle handles int64
+    keys natively, while uint64 values above 2^63 fall back to pickled
+    Python objects and break the join."""
+    out_tok: list[int] = []
+    out_doc: list[int] = []
+    out_size: list[int] = []
+    for doc_id, text in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+        sh = _word_shingles(text)
+        n = len(sh)
+        for s in sh:
+            hv = _stable_hash64(s.encode("utf-8"))
+            out_tok.append(hv - (1 << 64) if hv >= (1 << 63) else hv)
+            out_doc.append(doc_id)
+            out_size.append(n)
+    return pa.table(
+        {
+            "token": pa.array(out_tok, pa.int64()),
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "size": pa.array(out_size, pa.int64()),
+        }
+    )
+
+
+def ngram_jaccard_pairs(
+    docs_ds,
+    threshold: float = 0.7,
+    num_partitions: int | None = None,
+    order: str = "df",
+):
     """EXACT near-duplicate (doc_a, doc_b) pairs with word-3-gram Jaccard
     >= ``threshold``; doc_a < doc_b.  Same answer as
     :func:`minhash_lsh_pairs` but with deterministic 100% recall: prefix
@@ -434,13 +466,28 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.7, num_partitions: int | N
     banding as the candidate generator, and the same one-join
     :func:`exact_jaccard_verify` confirms every pair.
 
-    Shuffles: prefix-token groupby (candidates only — prefix rows are a
-    ``1-t`` fraction of the shingle volume), then the shared verify join.
-    Candidate volume concentrates on hot shingles the way LSH bands do on
-    hot buckets; the size filter inside the pairing stage prunes
-    incompatible-length pairs before they reach the verify join.  Two
-    distinct shingles hashing to one 64-bit token only ADD candidates
-    (superset -> still lossless)."""
+    ``order`` picks the global total order the prefixes are drawn from —
+    ANY total order is lossless, but it controls candidate volume:
+
+    * ``"df"`` (default, the classic AllPairs choice): rarest-first by
+      document frequency.  Prefix tokens are the globally rarest shingles,
+      so posting lists stay tiny and candidate volume tracks the true-pair
+      volume even on low-diversity corpora.  Costs a DF groupby plus a
+      shuffle join to get each shingle's frequency back to its doc — all
+      distributed, no vocabulary ever collected to the driver (the DF
+      table STAYS a dataset, unlike the TF-IDF ops' pruned broadcast).
+    * ``"hash"``: blake2b order, no DF pass (two fewer shuffles).  Fine on
+      diverse corpora — at sf0.1 (5k docs) it is slightly faster (24 s vs
+      27 s: the DF groupby+join costs more than it saves).  On corpora
+      with hot shingles a hot PREFIX token's posting list pairs
+      quadratically: on the 24k-doc low-diversity validation corpus
+      (36-token zipf vocabulary, scripts/validate_dedup_scale.py) the df
+      order finishes in 157 s; the hash order did not finish in 560 s.
+
+    The size filter inside the pairing stage prunes incompatible-length
+    pairs before they reach the verify join.  Two distinct shingles
+    hashing to one 64-bit token only ADD candidates (superset -> still
+    lossless)."""
 
     def shard_prefix_candidates(group: pa.Table) -> pa.Table:
         if group.num_rows == 0 or "token" not in group.column_names:
@@ -472,12 +519,78 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.7, num_partitions: int | N
                         b.append(p[1])
         return pa.table({"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())})
 
-    candidates = (
-        docs_ds.map_batches(
+    if order == "hash":
+        prefix_rows = docs_ds.map_batches(
             prefix_rows_batch, fn_kwargs={"threshold": threshold}, batch_format="pyarrow"
         )
-        .groupby("shard")
-        .map_groups(shard_prefix_candidates, batch_format="pyarrow")
+    elif order == "df":
+        rows = docs_ds.map_batches(shingle_rows_batch, batch_format="pyarrow")
+        rows = rows.materialize()  # consumed twice: DF aggregation + join probe
+        df = rows.groupby("token").count()
+        n_part = num_partitions or _join_partitions()
+        if num_partitions is None and rows.count() < 10_000:
+            # tiny inputs: empty shuffle partitions crash chained hash joins
+            # (the df join chains into the verify join), so collapse to 1
+            n_part = num_partitions = 1
+
+        def add_dshard(batch: pa.Table) -> pa.Table:
+            d = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+            return batch.append_column(
+                "dshard", pa.array((d % BAND_SHARDS).astype(np.int32), pa.int32())
+            )
+
+        def build_prefix(group: pa.Table) -> pa.Table:
+            """One doc-shard of joined (token, doc_id, size, count()) rows
+            -> each doc's rarest-first prefix rows, vectorized: sort by
+            (doc_id, df, token), then a run-length position mask keeps the
+            first ``n - ceil(t*n) + 1`` rows of every doc (same
+            epsilon-guarded lossless bound as :func:`prefix_rows_batch`)."""
+            if group.num_rows == 0 or "token" not in group.column_names:
+                return pa.table(
+                    {
+                        "shard": pa.array([], pa.int32()),
+                        "token": pa.array([], pa.int64()),
+                        "doc_id": pa.array([], pa.int64()),
+                        "size": pa.array([], pa.int64()),
+                    }
+                )
+            idx = pc.sort_indices(
+                group,
+                sort_keys=[
+                    ("doc_id", "ascending"),
+                    ("count()", "ascending"),
+                    ("token", "ascending"),
+                ],
+            )
+            g = group.take(idx)
+            doc = np.asarray(g.column("doc_id").to_pylist(), dtype=np.int64)
+            size = np.asarray(g.column("size").to_pylist(), dtype=np.int64)
+            starts = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+            runlen = np.diff(np.r_[starts, len(doc)])
+            pos_in_run = np.arange(len(doc)) - np.repeat(starts, runlen)
+            p = size - np.ceil(threshold * size - 1e-9).astype(np.int64) + 1
+            pref = g.filter(pa.array(pos_in_run < p))
+            toks = np.asarray(pref.column("token").to_pylist(), dtype=np.int64)
+            # numpy % with a positive divisor is non-negative for signed ints
+            return pa.table(
+                {
+                    "shard": pa.array((toks % BAND_SHARDS).astype(np.int32), pa.int32()),
+                    "token": pa.array(toks, pa.int64()),
+                    "doc_id": pref.column("doc_id"),
+                    "size": pref.column("size"),
+                }
+            )
+
+        prefix_rows = (
+            rows.join(df, join_type="inner", num_partitions=n_part, on=("token",))
+            .map_batches(add_dshard, batch_format="pyarrow")
+            .groupby("dshard")
+            .map_groups(build_prefix, batch_format="pyarrow")
+        )
+    else:
+        raise ValueError(f"unknown prefix order: {order!r}")
+    candidates = prefix_rows.groupby("shard").map_groups(
+        shard_prefix_candidates, batch_format="pyarrow"
     )
     return exact_jaccard_verify(candidates, docs_ds, threshold, num_partitions)
 

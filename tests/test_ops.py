@@ -110,6 +110,38 @@ class TestDedupOps:
         got = set(zip(out.column("doc_a").to_pylist(), out.column("doc_b").to_pylist()))
         assert got == {(1, 2)}
 
+    def test_ngram_prefix_orders_agree(self):
+        """Both prefix total orders ("df" rarest-first and "hash") are
+        lossless: identical pair sets, equal to brute force, on a
+        hot-shingle corpus where the two orders pick very different
+        prefix tokens."""
+        from pdf_entity_extraction_ray.functions.similarity import jaccard
+        from pdf_entity_extraction_ray.ops.dedup import _word_shingles, ngram_jaccard_pairs
+
+        rng = np.random.RandomState(7)
+        vocab = np.array([f"t{i}" for i in range(12)])
+        p = 1.0 / np.arange(1, 13)
+        p /= p.sum()  # zipf skew: hot shingles dominate the hash-order prefixes
+        texts = [" ".join(rng.choice(vocab, 20, p=p)) for _ in range(30)]
+        texts += [t + " extratok" for t in texts[:5]]  # planted near-dups
+        docs = pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+        )
+        sh = [_word_shingles(t) for t in texts]
+        expected = {
+            (i, j)
+            for i in range(len(texts))
+            for j in range(i + 1, len(texts))
+            if jaccard(sh[i], sh[j]) >= 0.7
+        }
+        got = {}
+        for order in ("df", "hash"):
+            out = _collect(ngram_jaccard_pairs(ray.data.from_arrow(docs), 0.7, order=order))
+            got[order] = set(
+                zip(out.column("doc_a").to_pylist(), out.column("doc_b").to_pylist())
+            )
+        assert got["df"] == got["hash"] == expected and expected
+
     def test_prefix_rows_length_bound(self):
         """Prefix length is n - ceil(t*n) + 1 per doc (4 of 10 shingles at
         t=0.7) and zero-shingle docs emit nothing."""
