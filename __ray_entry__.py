@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": docs_op(text.fingerprint_batch),
         "docs_langid": docs_op(text.langid_batch),
         "docs_rolling_fp": docs_op(text.rolling_fingerprint_batch),
+        "docs_repetition": docs_op(text.repetition_batch),
         # --- curation: deterministic split + stratified per-group sample ---
         "docs_train_split": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.sample", fromlist=["hash_split"]
@@ -238,6 +239,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_dedup": lambda sf: dedup.ngram_jaccard_pairs(_read(sf, "documents"), 0.7),
         "docs_simhash_dedup": lambda sf: dedup.simhash_pairs(_read(sf, "documents"), 3),
         "docs_neardup_keep": lambda sf: dedup.near_dedup_keep(_read(sf, "documents"), 0.7),
+        "docs_dup_components": lambda sf: dedup.near_dup_components(
+            _read(sf, "documents"), 0.7
+        ),
+        "docs_dup_ngrams": lambda sf: dedup.duplicate_ngrams(_read(sf, "documents")),
         "emb_cosine_dedup": lambda sf: dedup.embedding_cosine_pairs(_read(sf, "embeddings"), 0.5),
         "emb_cosine_dedup_lsh": lambda sf: dedup.embedding_cosine_pairs_lsh(
             _read(sf, "embeddings"), 0.5
@@ -549,6 +554,60 @@ def oracle_sql() -> dict[str, str]:
             losers as (select distinct a as doc_id from reach where b < a)
             select doc_id, text, lang, source, n_chars from documents
             where doc_id not in (select doc_id from losers)
+        """,
+        "docs_dup_components": """
+            with recursive w as (select doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') as ws
+                       from documents),
+                 t as (select doc_id,
+                              case when len(ws) >= 3 then
+                                     list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                                    for i in range(1, len(ws) - 1)])
+                                   when len(ws) > 0 then [list_aggregate(ws, 'string_agg', ' ')]
+                                   else [] end as sh
+                       from w),
+            pairs as (select a.doc_id as u, b.doc_id as v
+                      from t a join t b on a.doc_id < b.doc_id
+                      where len(list_intersect(a.sh, b.sh))::double
+                            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7),
+            edges as (select u, v from pairs union all select v as u, u as v from pairs),
+            reach(a, b) as (
+                select u, v from edges
+                union
+                select r.a, e.v from reach r join edges e on r.b = e.u where r.a != e.v
+            )
+            select a as doc_id, least(a, min(b)) as component from reach group by a
+        """,
+        "docs_dup_ngrams": """
+            with w as (select doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') as ws
+                       from documents),
+                 t as (select doc_id,
+                              case when len(ws) >= 3 then
+                                     list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                                    for i in range(1, len(ws) - 1)])
+                                   when len(ws) > 0 then [list_aggregate(ws, 'string_agg', ' ')]
+                                   else [] end as sh
+                       from w),
+            g as (select doc_id, unnest(sh) as ngram from t)
+            select ngram, count(*)::bigint as n_docs
+            from g group by ngram having count(*) >= 2
+        """,
+        "docs_repetition": """
+            with w as (select doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') as ws
+                       from documents),
+                 t as (select doc_id,
+                              case when len(ws) >= 3 then
+                                     [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                     for i in range(1, len(ws) - 1)]
+                                   when len(ws) > 0 then [list_aggregate(ws, 'string_agg', ' ')]
+                                   else [] end as grams
+                       from w)
+            select doc_id,
+                   len(grams)::bigint as ngrams_total,
+                   len(list_distinct(grams))::bigint as ngrams_distinct,
+                   case when len(grams) > 0
+                        then (len(grams) - len(list_distinct(grams))) * 1000000 // len(grams)
+                        else 0 end::bigint as dup_ppm
+            from t
         """,
         "emb_cosine_dedup": """
             select a.vec_id as vec_a, b.vec_id as vec_b

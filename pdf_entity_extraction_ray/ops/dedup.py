@@ -778,10 +778,17 @@ def near_dedup_keep(
         keep = pc.not_equal(batch.column("node"), batch.column("label"))
         return pa.table({"doc_id": batch.filter(keep).column("node")})
 
+    losers_ds = comp.map_batches(losers, batch_format="pyarrow").materialize()
+    n_part = num_partitions or _join_partitions()
+    if num_partitions is None and losers_ds.count() < 10_000:
+        # same guard as _keep_min_doc_per_key: Ray's hash join mishandles
+        # EMPTY shuffle partitions (tiny loser sets spread over 8 partitions
+        # crash); losers is ids-only so the materialize+count is free
+        n_part = 1
     return docs_ds.join(
-        comp.map_batches(losers, batch_format="pyarrow"),
+        losers_ds,
         join_type="left_anti",
-        num_partitions=num_partitions or _join_partitions(),
+        num_partitions=n_part,
         on=("doc_id",),
     )
 
@@ -897,3 +904,91 @@ def embedding_cosine_pairs_lsh(
         .count()  # cross-shard pair dedup, vectorized
         .select_columns(["vec_a", "vec_b"])
     )
+
+
+# --------------------------------------------------------------------------
+# corpus-level duplicated-ngram index + near-dup component labels
+
+
+def duplicate_ngrams(docs_ds, min_docs: int = 2):
+    """Corpus-wide duplicated word-shingle index: every ``SHINGLE_K``-gram
+    that appears in >= ``min_docs`` DISTINCT documents, with its document
+    frequency — the building block of exact substring-level dedup (the
+    public "dedup training data at the n-gram level" recipe: find grams
+    shared across documents, then cut or down-weight them).
+
+    Scale shape: a document's shingles are a SET per doc (so each
+    (gram, doc) pair exists exactly once corpus-wide), counted per batch
+    into a (ngram, n_docs) partial — the shuffle moves one row per
+    distinct gram per block, never the raw pairs — then a groupby-sum and
+    a vectorized threshold filter.  Output is O(duplicated vocabulary).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        if batch.num_rows and "text" in batch.column_names:
+            for text in batch.column("text").to_pylist():
+                for s in _word_shingles(text):
+                    counts[s] = counts.get(s, 0) + 1
+        return pa.table(
+            {
+                "ngram": pa.array(list(counts.keys()), pa.string()),
+                "n_docs": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "sum(n_docs)" not in batch.column_names:
+            return pa.table(
+                {"ngram": pa.array([], pa.string()), "n_docs": pa.array([], pa.int64())}
+            )
+        t = pa.table(
+            {"ngram": batch.column("ngram"), "n_docs": batch.column("sum(n_docs)")}
+        )
+        return t.filter(pc.greater_equal(t.column("n_docs"), pa.scalar(min_docs)))
+
+    return (
+        docs_ds.select_columns(["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("ngram")
+        .sum("n_docs")
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+def near_dup_components(
+    docs_ds,
+    threshold: float = 0.7,
+    num_partitions: int | None = None,
+    method: str = "minhash",
+):
+    """Near-duplicate CLUSTER LABELS: (doc_id, component) for every
+    document that belongs to a near-dup cluster, where ``component`` is
+    the cluster's minimum member id — the inspectable complement of
+    :func:`near_dedup_keep` (that op drops the losers; this one reports
+    who clustered with whom, which is what corpus-audit pipelines ship).
+
+    Pairs come from the same exact-Jaccard-verified generators
+    (``method`` as in :func:`near_dedup_keep`); labels from the BSP
+    min-label propagation — fully shuffled, no driver-side union-find.
+    """
+    from ..stages.linking import components_from_int_edges
+
+    if method == "ngram":
+        pairs = ngram_jaccard_pairs(docs_ds, threshold, num_partitions)
+    elif method == "minhash":
+        pairs = minhash_lsh_pairs(docs_ds, threshold, num_partitions)
+    else:
+        raise ValueError(f"unknown near-dup method: {method!r}")
+    comp = components_from_int_edges(pairs, "doc_a", "doc_b", num_partitions=num_partitions)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "node" not in batch.column_names:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "component": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"doc_id": batch.column("node"), "component": batch.column("label")}
+        )
+
+    return comp.map_batches(rename, batch_format="pyarrow")

@@ -173,3 +173,39 @@ def rolling_fingerprint_batch(batch: pa.Table, window: int = 8) -> pa.Table:
             ),
         }
     )
+
+
+def repetition_batch(batch: pa.Table, k: int = 3) -> pa.Table:
+    """Gopher-style WITHIN-document repetition score: the fraction of a
+    document's word ``k``-grams that are repeats of an earlier k-gram in
+    the same document (``duplicate n-gram fraction``, one of the public
+    Gopher quality-filter rules).  Emitted as integer columns — total
+    k-grams, distinct k-grams, and ``dup_ppm = (total-distinct)*1e6 //
+    total`` — so the DuckDB oracle is exact integer arithmetic, never a
+    float-rounding coin flip.
+
+    A document shorter than ``k`` words contributes its whole token join
+    as one gram (same convention as the shingle family in ops/dedup), so
+    every non-empty document has total >= 1 and dup_ppm is well-defined.
+    """
+    totals, distincts, ppm = [], [], []
+    for t in batch.column("text").to_pylist():
+        words = TOKEN_RE.findall(t.lower())
+        if len(words) >= k:
+            grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+        elif words:
+            grams = [" ".join(words)]
+        else:
+            grams = []
+        tot, dis = len(grams), len(set(grams))
+        totals.append(tot)
+        distincts.append(dis)
+        ppm.append(((tot - dis) * 1_000_000) // tot if tot else 0)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "ngrams_total": pa.array(totals, pa.int64()),
+            "ngrams_distinct": pa.array(distincts, pa.int64()),
+            "dup_ppm": pa.array(ppm, pa.int64()),
+        }
+    )

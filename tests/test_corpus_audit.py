@@ -1,0 +1,111 @@
+"""Corpus-audit operators: within-document repetition (Gopher duplicate
+n-gram fraction), the corpus-wide duplicated-ngram index, and near-dup
+component labels (the inspectable complement of near_dedup_keep)."""
+
+import pyarrow as pa
+import ray.data
+
+from pdf_entity_extraction_ray.ops.dedup import (
+    duplicate_ngrams,
+    near_dup_components,
+    near_dedup_keep,
+)
+from pdf_entity_extraction_ray.ops.text import repetition_batch
+
+
+def _collect(ds) -> pa.Table:
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    if batches:
+        return pa.concat_tables(batches)
+    s = ds.schema()
+    return pa.table({n: pa.array([], t) for n, t in zip(s.names, s.types)})
+
+
+def _docs(texts):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+class TestRepetition:
+    def test_hand_computed(self):
+        # "a b c a b c a b" -> grams: abc bca cab abc bca cab(? no) ...
+        # words: a b c a b c a b  (8 words, 6 grams)
+        # grams: "a b c","b c a","c a b","a b c","b c a","c a b" -> 3 distinct
+        batch = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    ["a b c a b c a b", "w x y z", "hi there", ""], pa.string()
+                ),
+            }
+        )
+        out = repetition_batch(batch)
+        assert out.column("ngrams_total").to_pylist() == [6, 2, 1, 0]
+        assert out.column("ngrams_distinct").to_pylist() == [3, 2, 1, 0]
+        # (6-3)*1e6 // 6 = 500000
+        assert out.column("dup_ppm").to_pylist() == [500000, 0, 0, 0]
+
+    def test_short_doc_one_gram(self):
+        batch = pa.table(
+            {"doc_id": pa.array([0], pa.int64()), "text": pa.array(["one two"], pa.string())}
+        )
+        out = repetition_batch(batch)
+        assert out.column("ngrams_total").to_pylist() == [1]
+        assert out.column("dup_ppm").to_pylist() == [0]
+
+
+class TestDuplicateNgrams:
+    def test_cross_doc_counts(self):
+        ds = _docs(
+            [
+                "the cat sat on the mat",
+                "the cat sat by the door",
+                "a bird flew over the mat",
+            ]
+        )
+        out = _collect(duplicate_ngrams(ds))
+        got = dict(zip(out.column("ngram").to_pylist(), out.column("n_docs").to_pylist()))
+        # "the cat sat" appears in docs 0 and 1; nothing is in all three
+        assert got == {"the cat sat": 2}
+
+    def test_within_doc_repeat_counts_once(self):
+        # the same gram repeated inside ONE doc must not inflate n_docs
+        ds = _docs(["spam spam spam spam spam", "spam spam spam eggs"])
+        out = _collect(duplicate_ngrams(ds))
+        got = dict(zip(out.column("ngram").to_pylist(), out.column("n_docs").to_pylist()))
+        assert got.get("spam spam spam") == 2
+
+    def test_min_docs_threshold(self):
+        ds = _docs(["x y z unique here", "x y z other tail", "x y z third copy"])
+        out3 = _collect(duplicate_ngrams(ds, min_docs=3))
+        assert dict(
+            zip(out3.column("ngram").to_pylist(), out3.column("n_docs").to_pylist())
+        ) == {"x y z": 3}
+
+
+class TestNearDupComponents:
+    def test_labels_match_keep_policy(self):
+        # docs 0/1/2 chain into one cluster (transitive), 3 is clean
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        texts = [
+            base,
+            base + " lambda",
+            base + " lambda mu",
+            "totally different words entirely here now forever and always",
+        ]
+        ds = _docs(texts)
+        comp = _collect(near_dup_components(ds, 0.5))
+        labels = dict(
+            zip(comp.column("doc_id").to_pylist(), comp.column("component").to_pylist())
+        )
+        # every clustered doc labeled with the cluster min; doc 3 absent
+        assert labels == {0: 0, 1: 0, 2: 0}
+        # complement check: near_dedup_keep keeps exactly {min of cluster} + clean docs
+        kept = _collect(near_dedup_keep(ds, 0.5)).column("doc_id").to_pylist()
+        assert sorted(kept) == [0, 3]
