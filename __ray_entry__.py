@@ -215,6 +215,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         ),
         "kg_pagerank": _kg_pagerank_ppm,
+        "kg_triangles": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["triangle_counts"]
+        ).triangle_counts(
+            __import__("ray.data", fromlist=["read_parquet"]).read_parquet(
+                _kg_artifacts(sf)["edges"]
+            )
+        ),
         # --- text analysis over documents ---
         "docs_token_stats": docs_op(text.token_stats_batch),
         "docs_quality": docs_op(text.quality_batch),
@@ -417,6 +424,22 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(in_edges, 0) as in_edges,
                    coalesce(in_weight, 0) as in_weight
             from o full outer join i on o.canonical = i.canonical
+        """,
+        "kg_triangles": f"""
+            with {kg_cte},
+            tri as ({tri_canon}),
+            dir as (select subj_canonical as s, obj_canonical as d from tri),
+            e as (select distinct least(s, d) as a, greatest(s, d) as b
+                  from dir where s != d),
+            t3 as (select e1.a as x, e1.b as y, e2.b as z
+                   from e e1
+                   join e e2 on e2.a = e1.a and e2.b > e1.b
+                   join e e3 on e3.a = e1.b and e3.b = e2.b),
+            m as (select x as canonical from t3
+                  union all select y as canonical from t3
+                  union all select z as canonical from t3)
+            select canonical, count(*)::bigint as triangles
+            from m group by canonical
         """,
         "kg_entities": f"""
             with {kg_cte}

@@ -64,3 +64,71 @@ def test_pagerank_matches_power_iteration():
     for n_ in expected:
         assert abs(got[n_] - expected[n_]) < 1e-12, n_
     assert abs(sum(got.values()) - 1.0) < 1e-9  # rank mass conserved
+
+
+def _brute_triangles(edge_list):
+    import itertools
+
+    und = {(min(s, d), max(s, d)) for s, d in edge_list if s != d}
+    nodes = sorted({x for e in und for x in e})
+    cnt = {}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if {(x, y), (y, z), (x, z)} <= und:
+            for n_ in (x, y, z):
+                cnt[n_] = cnt.get(n_, 0) + 1
+    return cnt
+
+
+def _tri_ds(edge_list):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src_canonical": pa.array([e[0] for e in edge_list], pa.string()),
+                "dst_canonical": pa.array([e[1] for e in edge_list], pa.string()),
+            }
+        )
+    )
+
+
+def test_triangles_k4_plus_pendant():
+    """K4 (every node in 3 triangles) + pendant edge + a reverse-duplicate
+    edge (must not double-count)."""
+    from pdf_entity_extraction_ray.ops.graph_stats import triangle_counts
+
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"), ("d", "e"), ("b", "a")]
+    got = {r["canonical"]: r["triangles"] for r in triangle_counts(_tri_ds(edges)).take_all()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangles_random_graph_matches_bruteforce():
+    """Random multigraph with self-loops and both-direction duplicates:
+    degree-oriented wedge counting == O(n^3) brute force."""
+    import random
+
+    from pdf_entity_extraction_ray.ops.graph_stats import triangle_counts
+
+    rng = random.Random(7)
+    nodes = [f"n{i:02d}" for i in range(30)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(120)]
+    got = {r["canonical"]: r["triangles"] for r in triangle_counts(_tri_ds(edges)).take_all()}
+    assert got == _brute_triangles(edges)
+
+
+def test_triangles_hot_apex_skew():
+    """A degree-100 hub in a star closes no triangles (no rim edges) and,
+    with rim edges added, never becomes a wedge SOURCE: orientation sends
+    every hub edge hub->? only when the hub has lower degree, so the
+    hub's wedge fan-out stays bounded."""
+    from pdf_entity_extraction_ray.ops.graph_stats import triangle_counts
+
+    hub_edges = [("hub", f"rim{i:03d}") for i in range(100)]
+    assert triangle_counts(_tri_ds(hub_edges)).count() == 0
+    # add a rim cycle: each consecutive rim pair closes one triangle w/ hub
+    rim = [(f"rim{i:03d}", f"rim{(i + 1) % 100:03d}") for i in range(100)]
+    got = {
+        r["canonical"]: r["triangles"]
+        for r in triangle_counts(_tri_ds(hub_edges + rim)).take_all()
+    }
+    assert got["hub"] == 100
+    assert all(got[f"rim{i:03d}"] == 2 for i in range(100))
