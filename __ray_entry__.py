@@ -102,6 +102,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = _kg_artifacts(sf_dir)
         return build_entities(ray.data.read_parquet(res["mentions"]))
 
+    def _kg_host_stats(sf_dir):
+        """Per-host crawl stats over the synthesized pages corpus (the
+        input_hint table itself — vectorized URL-host extraction + the
+        two-stage host aggregation)."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.web import host_stats
+
+        _kg_artifacts(sf_dir)  # ensure the pages corpus exists
+        name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        return host_stats(ray.data.read_parquet(f"/tmp/graft_kg/{name}/pages"))
+
     def _kg_pagerank_ppm(sf_dir):
         """Engine PageRank over the KG edges, ranks scaled to integer ppm
         (the repo's float-hash trick: cross-engine float noise ~1e-15 vs
@@ -222,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _kg_artifacts(sf)["edges"]
             )
         ),
+        "kg_host_stats": _kg_host_stats,
         # --- text analysis over documents ---
         "docs_token_stats": docs_op(text.token_stats_batch),
         "docs_quality": docs_op(text.quality_batch),
@@ -408,6 +421,15 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": f"""
             select node, rank_ppm
             from read_parquet('{gold}/gold_pagerank/*.parquet')
+        """,
+        "kg_host_stats": f"""
+            select regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) as host,
+                   count(*)::bigint as n_pages,
+                   sum(length(text))::bigint as text_chars,
+                   min(epoch_us(warc_ts))::bigint as first_crawl_us,
+                   max(epoch_us(warc_ts))::bigint as last_crawl_us
+            from read_parquet('{gold}/pages/*.parquet')
+            group by host
         """,
         "kg_degrees": f"""
             with {kg_cte},

@@ -109,3 +109,54 @@ class TestNearDupComponents:
         # complement check: near_dedup_keep keeps exactly {min of cluster} + clean docs
         kept = _collect(near_dedup_keep(ds, 0.5)).column("doc_id").to_pylist()
         assert sorted(kept) == [0, 3]
+
+
+class TestWebHostStats:
+    def test_host_of_vectorized(self):
+        from pdf_entity_extraction_ray.ops.web import host_of
+
+        urls = pa.array(
+            [
+                "https://site1.example.test/page/1",
+                "http://a.b:8080/x?q=1",
+                "ftp://files.example.test",
+                "not a url",
+                "https://h/#frag",
+            ]
+        )
+        assert host_of(urls).to_pylist() == [
+            "site1.example.test",
+            "a.b:8080",
+            "files.example.test",
+            "",
+            "h",
+        ]
+
+    def test_host_stats_two_stage(self):
+        import datetime
+
+        from pdf_entity_extraction_ray.ops.web import host_stats
+
+        ts = [datetime.datetime(2020, 1, d + 1) for d in range(4)]
+        pages = ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array(
+                        [
+                            "https://a.test/1",
+                            "https://a.test/2",
+                            "https://b.test/1",
+                            "https://a.test/3",
+                        ]
+                    ),
+                    "warc_ts": pa.array(ts, pa.timestamp("us")),
+                    "text": pa.array(["xx", "yyy", "z", "wwww"]),
+                }
+            )
+        )
+        rows = {r["host"]: r for r in host_stats(pages).take_all()}
+        assert rows["a.test"]["n_pages"] == 3
+        assert rows["a.test"]["text_chars"] == 2 + 3 + 4
+        assert rows["a.test"]["first_crawl_us"] == int(ts[0].timestamp() * 1e6)
+        assert rows["a.test"]["last_crawl_us"] == int(ts[3].timestamp() * 1e6)
+        assert rows["b.test"]["n_pages"] == 1
