@@ -56,6 +56,7 @@ def _kg_artifacts(sf_dir: str) -> dict:
         os.path.isdir(pages)
         and os.path.isdir(f"{base}/gold_clusters")
         and os.path.isdir(f"{base}/gold_pagerank")
+        and os.path.isdir(f"{base}/gold_kcore")
     ):
         shutil.rmtree(base, ignore_errors=True)
         write_corpus(base, n_pages=n_pages, seed=42, n_per_type=25, write_gold=True)
@@ -235,6 +236,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         ),
         "kg_host_stats": _kg_host_stats,
+        "kg_coreness": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["coreness"]
+        ).coreness(
+            __import__("ray.data", fromlist=["read_parquet"]).read_parquet(
+                _kg_artifacts(sf)["edges"], columns=["src_id", "dst_id"]
+            )
+        ),
         # --- text analysis over documents ---
         "docs_token_stats": docs_op(text.token_stats_batch),
         "docs_quality": docs_op(text.quality_batch),
@@ -421,6 +429,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": f"""
             select node, rank_ppm
             from read_parquet('{gold}/gold_pagerank/*.parquet')
+        """,
+        "kg_coreness": f"""
+            select node, core
+            from read_parquet('{gold}/gold_kcore/*.parquet')
         """,
         "kg_host_stats": f"""
             select regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) as host,

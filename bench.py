@@ -127,6 +127,7 @@ def run_ops(sf_dir: str, repeat: int = 1) -> dict[str, list[float]]:
         "docs_minhash_dedup": lambda: dedup.minhash_lsh_pairs(read("documents"), 0.7),
         "docs_ngram_dedup": lambda: dedup.ngram_jaccard_pairs(read("documents"), 0.7),
         "docs_simhash_dedup": lambda: dedup.simhash_pairs(read("documents"), 3),
+        "docs_dup_ngrams": lambda: dedup.duplicate_ngrams(read("documents")),
         "emb_knn": lambda: ann.knn_bruteforce(
             read("embeddings"), [0, 1, 2, 3, 4], 10,
             source_path=os.path.join(sf_dir, "embeddings.parquet"),
@@ -256,6 +257,28 @@ def main() -> None:
     kg_wall = round(statistics.median(headline_walls), 3)
 
     op_walls = run_ops(sf_dir, repeat=repeat)
+
+    # graph + web ops over the headline run's artifacts (edges/pages exist)
+    import ray.data
+
+    from pdf_entity_extraction_ray.ops.graph_stats import triangle_counts
+    from pdf_entity_extraction_ray.ops.web import host_stats
+
+    pages_path, _ = bench_corpus_dir(sf)
+    kg_edges = os.path.join(f"/tmp/graft_bench/kg_out_{num_cpus}", "edges")
+    for name, make in {
+        "kg_triangles": lambda: triangle_counts(ray.data.read_parquet(kg_edges)),
+        "kg_host_stats": lambda: host_stats(
+            ray.data.read_parquet(f"{pages_path}/pages")
+        ),
+    }.items():
+        walls = []
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            _consume(make())
+            walls.append(round(time.perf_counter() - t0, 3))
+        op_walls[name] = walls
+
     queries: dict[str, float] = {"kg_pipeline": kg_wall}
     queries.update(
         {name: round(statistics.median(walls), 3) for name, walls in op_walls.items()}

@@ -569,3 +569,159 @@ def triangle_counts(edges_ds, num_partitions: int | None = None):
         .count()
         .rename_columns({"count()": "triangles"})
     )
+
+
+def _core_remotes():
+    """BSP worker tasks for k-core decomposition (lazy import — importing
+    this module never touches Ray)."""
+    import numpy as np
+
+    import ray
+
+    @ray.remote
+    def split_und(tbl: pa.Table, P: int):
+        if tbl.num_rows == 0 or "u" not in tbl.column_names:
+            empty = np.empty(0, np.int64)
+            return [(empty, empty)] * P
+        u = np.asarray(tbl.column("u").to_pylist(), dtype=np.int64)
+        v = np.asarray(tbl.column("v").to_pylist(), dtype=np.int64)
+        dest = u % P
+        order = np.argsort(dest, kind="stable")
+        u, v, dest = u[order], v[order], dest[order]
+        bounds = np.searchsorted(dest, np.arange(P + 1))
+        return [(u[bounds[p] : bounds[p + 1]], v[bounds[p] : bounds[p + 1]]) for p in range(P)]
+
+    @ray.remote
+    def concat_part(*shards):
+        """Partition state: out-edges sorted by u, sorted unique nodes,
+        core estimate initialized to degree (the h-index iteration's
+        c_0)."""
+        u = np.concatenate([s[0] for s in shards]) if shards else np.empty(0, np.int64)
+        v = np.concatenate([s[1] for s in shards]) if shards else np.empty(0, np.int64)
+        order = np.argsort(u, kind="stable")
+        u, v = u[order], v[order]
+        nodes = np.unique(u)
+        deg = np.zeros(len(nodes), dtype=np.int64)
+        if len(u):
+            np.add.at(deg, np.searchsorted(nodes, u), 1)
+        return u, v, nodes, deg
+
+    @ray.remote
+    def msgs(part, P: int):
+        """Per edge (u -> v): ship u's current core estimate to v's
+        partition — the neighbor-value multiset H needs."""
+        u, v, nodes, core = part
+        if not len(u):
+            ei = np.empty(0, np.int64)
+            return [(ei, ei)] * P
+        val = core[np.searchsorted(nodes, u)]
+        dest = v % P
+        order = np.argsort(dest, kind="stable")
+        vs, cs, ds = v[order], val[order], dest[order]
+        bounds = np.searchsorted(ds, np.arange(P + 1))
+        return [(vs[bounds[p] : bounds[p + 1]], cs[bounds[p] : bounds[p + 1]]) for p in range(P)]
+
+    @ray.remote(num_returns=2)
+    def reduce_part(part, *incoming):
+        """One h-index round: every node's new estimate is the h-index of
+        its incoming neighbor values (sort by (node, value desc), rank
+        within segment, h = max of min(value, rank) — all vectorized)."""
+        u, v, nodes, core = part
+        dv = np.concatenate([m[0] for m in incoming]) if incoming else np.empty(0, np.int64)
+        vals = np.concatenate([m[1] for m in incoming]) if incoming else np.empty(0, np.int64)
+        if not len(dv):
+            return (u, v, nodes, core), False
+        order = np.lexsort((-vals, dv))
+        dv, vals = dv[order], vals[order]
+        starts = np.searchsorted(dv, nodes, "left")
+        counts = np.searchsorted(dv, nodes, "right") - starts
+        # in a symmetrized graph every node receives >= 1 message
+        rank = np.arange(len(dv), dtype=np.int64) - np.repeat(starts, counts) + 1
+        h = np.maximum.reduceat(np.minimum(vals, rank), starts)
+        # H of neighbor values never raises a correct estimate; min() keeps
+        # monotone non-increasing explicitly
+        new = np.minimum(core, h)
+        changed = not np.array_equal(new, core)
+        return (u, v, nodes, new), changed
+
+    @ray.remote
+    def to_table(part) -> pa.Table:
+        _, _, nodes, core = part
+        return pa.table(
+            {"node": pa.array(nodes, pa.int64()), "core": pa.array(core, pa.int64())}
+        )
+
+    return split_und, concat_part, msgs, reduce_part, to_table
+
+
+def coreness(edges_ds, *, max_iters: int = 100, num_partitions: int | None = None):
+    """Directed edges (src_id, dst_id) -> (node, core) k-core decomposition
+    of the underlying UNDIRECTED SIMPLE graph (self-loops and duplicate
+    pairs dropped): ``core`` is the largest k such that the node survives
+    in the subgraph where every node keeps >= k neighbors.
+
+    Iterated-h-index formulation (Lu et al., "The H-index of a network
+    node", 2016 — public result): init every estimate to the node's
+    degree; each round replace it with the h-index of its neighbors'
+    estimates; the pointwise non-increasing sequence converges EXACTLY to
+    the coreness.  This trades the peeling algorithm's sequential
+    min-degree queue (inherently serial) for diameter-ish rounds of tiny
+    co-partitioned exchanges — the same BSP shape as label propagation and
+    PageRank, and the same argument for raw Ray tasks: re-invoking shuffle
+    operators per round would pay seconds of fixed setup per iteration.
+    Early-exits when no estimate changes; the driver sees only P
+    changed-flags per round.
+    """
+    import ray
+    import ray.data
+
+    import pyarrow.compute as pc
+
+    P = num_partitions or max(4, int(ray.cluster_resources().get("CPU", 4)))
+    split_und, concat_part, msgs, reduce_part, to_table = _core_remotes()
+
+    def sym_simple(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src_id" not in batch.column_names:
+            return pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+        s, d = batch.column("src_id"), batch.column("dst_id")
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep).combine_chunks(), d.filter(keep).combine_chunks()
+        t = pa.table(
+            {"u": pa.concat_arrays([s, d]), "v": pa.concat_arrays([d, s])}
+        )
+        return t.group_by(["u", "v"]).aggregate([])  # per-batch dedup combiner
+
+    sym = (
+        edges_ds.map_batches(sym_simple, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .count()
+        .select_columns(["u", "v"])  # global dedup: h-index needs multiplicity-free multisets
+        .materialize()
+    )
+    block_refs = list(sym.to_arrow_refs())
+    if not block_refs:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "core": pa.array([], pa.int64())})
+        )
+
+    shard_lists = [split_und.options(num_returns=P).remote(r, P) for r in block_refs]
+    if P == 1:
+        shard_lists = [[s] for s in shard_lists]
+    parts = [
+        concat_part.remote(*[shard_lists[i][p] for i in range(len(block_refs))])
+        for p in range(P)
+    ]
+
+    for _ in range(max_iters):
+        out = [msgs.options(num_returns=P).remote(parts[p], P) for p in range(P)]
+        if P == 1:
+            out = [[m] for m in out]
+        results = [
+            reduce_part.remote(parts[q], *[out[p][q] for p in range(P)])
+            for q in range(P)
+        ]
+        parts = [r[0] for r in results]
+        if not any(ray.get([r[1] for r in results])):
+            break
+
+    return ray.data.from_arrow_refs([to_table.remote(p) for p in parts])

@@ -626,6 +626,7 @@ def write_corpus(
         os.makedirs(f"{out_dir}/gold_clusters", exist_ok=True)
         pq.write_table(clusters_table, f"{out_dir}/gold_clusters/part-0.parquet")
         write_gold_pagerank(out_dir)
+        write_gold_kcore(out_dir)
 
 
 def pagerank_reference(uv: list, iterations: int = 20, damping: float = 0.85):
@@ -651,27 +652,13 @@ def pagerank_reference(uv: list, iterations: int = 20, damping: float = 0.85):
     return nodes, rank
 
 
-def write_gold_pagerank(
-    out_dir: str, iterations: int = 20, damping: float = 0.85
-) -> None:
-    """Single-process reference PageRank over the gold graph -> a
-    ``gold_pagerank`` table (node, rank_ppm) next to the other gold tables,
-    so ``kg_pagerank`` gets a driver-visible SQL oracle.
-
-    The edge derivation mirrors the kg_* oracle SQL exactly: observed
-    mention surfaces -> alias clusters -> per-cluster representative
-    (the engine's most-complete-name rule) -> canonical triples ->
-    distinct (src_id, pred, dst_id) rows — i.e. the engine's edges table,
-    which is hash-checked against the same derivation.  Ranks are the
-    standard damped power iteration with uniform dangling redistribution
-    (the engine's ops/graph_stats.pagerank formulation), scaled to
-    integer parts-per-million: cross-engine float noise is ~1e-15 while
-    the ppm grid is 1e-6, so the rounded values are hash-stable."""
-    import numpy as np
-    import pyarrow as pa
+def gold_edge_rows(out_dir: str) -> set[tuple[int, str, int]]:
+    """Distinct (src_id, pred, dst_id) edge rows of the gold graph — the
+    derivation the kg_* oracle SQL and the engine's edges table both
+    reduce to: observed mention surfaces -> alias clusters -> per-cluster
+    representative (the engine's most-complete-name rule) -> canonical
+    triples -> distinct edge rows."""
     import pyarrow.dataset as pads
-    import pyarrow.parquet as pq
-    import os
 
     from ..stages.linking import node_id_of, representative
 
@@ -709,6 +696,90 @@ def write_gold_pagerank(
         src = node_id_of(styp, rep[alias_cluster[(styp, subj)]])
         oc = ocanon if otyp == "DATE" else rep[alias_cluster[(otyp, obj)]]
         edge_rows.add((src, pred, node_id_of(otyp, oc)))
+    return edge_rows
+
+
+def kcore_reference(pairs: set[tuple[int, int]]) -> dict[int, int]:
+    """Single-process k-core decomposition of an undirected simple graph
+    (distinct (u, v) pairs, no self-loops) via the classic peeling
+    algorithm: repeatedly remove the minimum-degree node; a node's core
+    number is the largest degree floor seen when it is removed."""
+    import heapq
+
+    adj: dict[int, set[int]] = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    deg = {n: len(s) for n, s in adj.items()}
+    heap = [(d, n) for n, d in deg.items()]
+    heapq.heapify(heap)
+    core: dict[int, int] = {}
+    k = 0
+    while heap:
+        d, n = heapq.heappop(heap)
+        if n in core or d != deg[n]:
+            continue  # stale heap entry
+        k = max(k, d)
+        core[n] = k
+        for m in adj[n]:
+            if m not in core:
+                deg[m] -= 1
+                heapq.heappush(heap, (deg[m], m))
+    return core
+
+
+def write_gold_kcore(out_dir: str) -> None:
+    """Single-process reference k-core numbers over the gold graph's
+    undirected simple projection -> a ``gold_kcore`` table (node, core),
+    the driver-visible oracle for the engine's iterated-h-index BSP
+    decomposition (ops/graph_stats.coreness) — integer-valued, so the
+    hash compare is exact by construction."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pairs = {
+        (min(u, v), max(u, v))
+        for u, _p, v in gold_edge_rows(out_dir)
+        if u != v
+    }
+    core = kcore_reference(pairs)
+    nodes = sorted(core)
+    os.makedirs(f"{out_dir}/gold_kcore", exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "core": pa.array([core[n] for n in nodes], pa.int64()),
+            }
+        ),
+        f"{out_dir}/gold_kcore/part-0.parquet",
+    )
+
+
+def write_gold_pagerank(
+    out_dir: str, iterations: int = 20, damping: float = 0.85
+) -> None:
+    """Single-process reference PageRank over the gold graph -> a
+    ``gold_pagerank`` table (node, rank_ppm) next to the other gold tables,
+    so ``kg_pagerank`` gets a driver-visible SQL oracle.
+
+    The edge derivation mirrors the kg_* oracle SQL exactly: observed
+    mention surfaces -> alias clusters -> per-cluster representative
+    (the engine's most-complete-name rule) -> canonical triples ->
+    distinct (src_id, pred, dst_id) rows — i.e. the engine's edges table,
+    which is hash-checked against the same derivation.  Ranks are the
+    standard damped power iteration with uniform dangling redistribution
+    (the engine's ops/graph_stats.pagerank formulation), scaled to
+    integer parts-per-million: cross-engine float noise is ~1e-15 while
+    the ppm grid is 1e-6, so the rounded values are hash-stable."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    edge_rows = gold_edge_rows(out_dir)
 
     # multigraph semantics match the engine: one (u, v) edge per distinct
     # (src, pred, dst) row, so two predicates between a pair count twice

@@ -132,3 +132,40 @@ def test_triangles_hot_apex_skew():
     }
     assert got["hub"] == 100
     assert all(got[f"rim{i:03d}"] == 2 for i in range(100))
+
+
+def _core_ds(edge_list):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src_id": pa.array([u for u, _ in edge_list], pa.int64()),
+                "dst_id": pa.array([v for _, v in edge_list], pa.int64()),
+            }
+        )
+    )
+
+
+def test_coreness_clique_plus_tail():
+    """K4 (core 3) with a path tail (core 1); self-loops and duplicate /
+    reverse edges must not change anything."""
+    from pdf_entity_extraction_ray.ops.graph_stats import coreness
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+             (4, 5), (5, 6),                                   # tail
+             (2, 1), (3, 3), (1, 2)]                           # noise
+    got = {r["node"]: r["core"] for r in coreness(_core_ds(edges)).take_all()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 1, 6: 1}
+
+
+def test_coreness_random_matches_peeling():
+    """Iterated h-index BSP == classic peeling on a random multigraph."""
+    import random
+
+    from pdf_entity_extraction_ray.ops.graph_stats import coreness
+    from pdf_entity_extraction_ray.sources.corpus import kcore_reference
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(200)]
+    pairs = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    got = {r["node"]: r["core"] for r in coreness(_core_ds(edges)).take_all()}
+    assert got == kcore_reference(pairs)
