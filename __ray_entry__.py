@@ -115,6 +115,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         name = os.path.basename(os.path.normpath(sf_dir)) or "default"
         return host_stats(ray.data.read_parquet(f"/tmp/graft_kg/{name}/pages"))
 
+    def _emb_kmeans(sf_dir):
+        """Distributed Lloyd's over the embeddings table; also writes the
+        single-process gold_kmeans table (same init, plain numpy — the
+        pagerank-style gold pattern) so the oracle is driver-visible.
+        Assignment margins on this table are ~1e-3 vs ~1e-13 float-fold
+        noise, so the integer cluster ids are hash-stable."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_entity_extraction_ray.ops.kmeans import (
+            kmeans_cluster,
+            kmeans_reference,
+        )
+
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        gold_dir = f"/tmp/graft_kg/{name}/gold_kmeans"
+        if not os.path.isdir(gold_dir):
+            t = pq.read_table(path, columns=["vec_id", "embedding"])
+            ids = np.asarray(t.column("vec_id").to_pylist())
+            M = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+            C = kmeans_reference(ids, M, 8, 10)
+            d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (M @ C.T)
+            os.makedirs(gold_dir, exist_ok=True)
+            pq.write_table(
+                pa.table(
+                    {
+                        "vec_id": pa.array(ids, pa.int64()),
+                        "cluster": pa.array(
+                            np.argmin(d2, axis=1).astype(np.int64), pa.int64()
+                        ),
+                    }
+                ),
+                f"{gold_dir}/part-0.parquet",
+            )
+        return kmeans_cluster(_read(sf_dir, "embeddings"), 8, 10, source_path=path)
+
     def _kg_pagerank_ppm(sf_dir):
         """Engine PageRank over the KG edges, ranks scaled to integer ppm
         (the repo's float-hash trick: cross-engine float noise ~1e-15 vs
@@ -278,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search (query vectors fetched via a filtered,
         # row-group-pruned read of the backing parquet — never a corpus
         # stream through the driver) ---
+        "emb_kmeans": _emb_kmeans,
         "emb_knn": lambda sf: ann.knn_bruteforce(
             _read(sf, "embeddings"), [0, 1, 2, 3, 4], 10,
             source_path=os.path.join(sf, "embeddings.parquet"),
@@ -433,6 +472,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_coreness": f"""
             select node, core
             from read_parquet('{gold}/gold_kcore/*.parquet')
+        """,
+        "emb_kmeans": f"""
+            select vec_id, cluster
+            from read_parquet('{gold}/gold_kmeans/*.parquet')
         """,
         "kg_host_stats": f"""
             select regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) as host,

@@ -1,0 +1,151 @@
+"""Distributed k-means over an embedding column — the clustering step
+training-data curation pipelines run before cluster-balanced sampling /
+diversity filtering (and the trained coarse quantizer an IVF index wants).
+
+Engine shape per Lloyd iteration:
+
+* **assign + partial-sum in one ``map_batches``**: each batch computes
+  squared distances to the broadcast centroids with one matmul and emits
+  k partial rows (cluster, vector sum, count) — the shuffle/driver never
+  sees per-point assignments during training.
+* **bounded driver fold**: the driver folds O(k x d x blocks) partial
+  floats per iteration (k and d are small constants; the corpus never
+  leaves the workers).  Partials are folded in a DETERMINISTIC order
+  (sorted by cluster, then each batch's minimum vec_id) so repeated runs
+  produce bit-identical centroids regardless of block arrival order.
+* centroids re-broadcast by closure capture (k x d floats — kilobytes).
+
+Initialization is deterministic: the vectors of the k smallest vec_ids,
+fetched through a row-group-pruned filtered read (the ops/ann pattern) —
+no RNG, so the result is a pure function of the input table.
+
+Empty clusters keep their previous centroid (the standard convention).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _init_centroids(emb_ds, k: int, source_path: str | None) -> np.ndarray:
+    from .ann import _collect_queries
+
+    _, Q = _collect_queries(emb_ds, list(range(k)), source_path)
+    return np.asarray(Q, dtype=np.float64)
+
+
+def kmeans_fit(
+    emb_ds,
+    k: int = 8,
+    iterations: int = 10,
+    *,
+    source_path: str | None = None,
+) -> np.ndarray:
+    """Train centroids with ``iterations`` Lloyd rounds; returns the
+    (k, d) float64 centroid matrix."""
+    centroids = _init_centroids(emb_ds, k, source_path)
+
+    for _ in range(iterations):
+        C = centroids  # rebind so the closure captures THIS round's matrix
+
+        def partials(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "embedding" not in batch.column_names:
+                return pa.table(
+                    {
+                        "cluster": pa.array([], pa.int64()),
+                        "vec_sum": pa.array([], pa.list_(pa.float64())),
+                        "n": pa.array([], pa.int64()),
+                        "first_id": pa.array([], pa.int64()),
+                    }
+                )
+            M = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+            # argmin ||x-c||^2 == argmin (||c||^2 - 2 x.c) — one matmul
+            d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (M @ C.T)
+            assign = np.argmin(d2, axis=1)
+            sums = np.zeros((len(C), M.shape[1]), dtype=np.float64)
+            np.add.at(sums, assign, M)
+            counts = np.bincount(assign, minlength=len(C)).astype(np.int64)
+            first = int(pc.min(batch.column("vec_id")).as_py())
+            return pa.table(
+                {
+                    "cluster": pa.array(range(len(C)), pa.int64()),
+                    "vec_sum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+                    "n": pa.array(counts, pa.int64()),
+                    "first_id": pa.array([first] * len(C), pa.int64()),
+                }
+            )
+
+        rows = []
+        for b in (
+            emb_ds.select_columns(["vec_id", "embedding"])
+            .map_batches(partials, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        ):
+            rows.extend(
+                zip(
+                    b.column("cluster").to_pylist(),
+                    b.column("vec_sum").to_pylist(),
+                    b.column("n").to_pylist(),
+                    b.column("first_id").to_pylist(),
+                )
+            )
+        rows.sort(key=lambda r: (r[0], r[3]))  # deterministic fold order
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(len(centroids), dtype=np.int64)
+        for cl, vs, n, _fid in rows:
+            sums[cl] += np.asarray(vs, dtype=np.float64)
+            counts[cl] += n
+        nonempty = counts > 0
+        centroids = centroids.copy()
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+
+    return centroids
+
+
+def kmeans_assign(emb_ds, centroids: np.ndarray):
+    """(vec_id, embedding) -> (vec_id, cluster) under the given centroids
+    (ties break to the lowest cluster id — numpy argmin convention)."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "embedding" not in batch.column_names:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
+            )
+        M = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (M @ C.T)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cluster": pa.array(np.argmin(d2, axis=1).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+
+def kmeans_reference(
+    vec_ids: np.ndarray, M: np.ndarray, k: int = 8, iterations: int = 10
+) -> np.ndarray:
+    """Single-process reference: same init (k smallest vec_ids), same
+    update rule, plain numpy — the gold-table generator."""
+    order = np.argsort(vec_ids, kind="stable")
+    ids, X = np.asarray(vec_ids)[order], np.asarray(M, dtype=np.float64)[order]
+    C = X[np.searchsorted(ids, np.arange(k))].copy()
+    for _ in range(iterations):
+        d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        assign = np.argmin(d2, axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return C
+
+
+def kmeans_cluster(emb_ds, k: int = 8, iterations: int = 10, *, source_path=None):
+    """Convenience: fit then assign — the ``emb_kmeans`` query entry."""
+    return kmeans_assign(emb_ds, kmeans_fit(emb_ds, k, iterations, source_path=source_path))

@@ -160,3 +160,59 @@ class TestWebHostStats:
         assert rows["a.test"]["first_crawl_us"] == int(ts[0].timestamp() * 1e6)
         assert rows["a.test"]["last_crawl_us"] == int(ts[3].timestamp() * 1e6)
         assert rows["b.test"]["n_pages"] == 1
+
+
+class TestKmeans:
+    def _blobs(self, n=120, k=4, d=6, seed=3):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        centers = rng.standard_normal((k, d)) * 10
+        X = np.vstack(
+            [centers[i % k] + rng.standard_normal(d) * 0.1 for i in range(n)]
+        )
+        # put one vector of each blob first so the deterministic init
+        # (k smallest vec_ids) seeds one centroid per blob
+        return np.arange(n), X
+
+    def test_matches_single_process_reference(self):
+        import numpy as np
+
+        from pdf_entity_extraction_ray.ops.kmeans import (
+            kmeans_cluster,
+            kmeans_reference,
+        )
+
+        ids, X = self._blobs()
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(X.tolist(), pa.list_(pa.float64())),
+                }
+            )
+        ).repartition(5)
+        got = {r["vec_id"]: r["cluster"] for r in kmeans_cluster(ds, 4, 8).take_all()}
+        C = kmeans_reference(ids, X, 4, 8)
+        d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        ref = dict(zip(ids.tolist(), np.argmin(d2, axis=1).tolist()))
+        assert got == ref
+        # blobs are separated: members of the same blob share a cluster
+        for i in range(len(ids) - 4):
+            assert got[i] == got[i + 4] or (i % 4) != ((i + 4) % 4)
+
+    def test_deterministic_across_runs(self):
+        from pdf_entity_extraction_ray.ops.kmeans import kmeans_fit
+
+        ids, X = self._blobs(seed=9)
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(X.tolist(), pa.list_(pa.float64())),
+                }
+            )
+        ).repartition(7)
+        c1 = kmeans_fit(ds, 4, 5)
+        c2 = kmeans_fit(ds, 4, 5)
+        assert (c1 == c2).all()  # bit-identical: deterministic fold order
