@@ -644,6 +644,22 @@ def _core_remotes():
         changed = not np.array_equal(new, core)
         return (u, v, nodes, new), changed
 
+    @ray.remote(num_returns=2)
+    def expose(part):
+        """(nodes, values) ObjectRefs for worker-side checkpointing."""
+        return part[2], part[3]
+
+    @ray.remote
+    def splice(part, nodes_loaded, values_loaded):
+        """Resume: replace a partition's dynamic values with a loaded
+        checkpoint.  The static rebuild is deterministic, so the node
+        arrays must agree exactly — anything else means the checkpoint
+        belongs to different data and must not be trusted."""
+        u, v, nodes, _core = part
+        if not np.array_equal(nodes, nodes_loaded):
+            raise ValueError("checkpoint node set does not match input partition")
+        return u, v, nodes, values_loaded.astype(np.int64)
+
     @ray.remote
     def to_table(part) -> pa.Table:
         _, _, nodes, core = part
@@ -651,10 +667,18 @@ def _core_remotes():
             {"node": pa.array(nodes, pa.int64()), "core": pa.array(core, pa.int64())}
         )
 
-    return split_und, concat_part, msgs, reduce_part, to_table
+    return split_und, concat_part, msgs, reduce_part, expose, splice, to_table
 
 
-def coreness(edges_ds, *, max_iters: int = 100, num_partitions: int | None = None):
+def coreness(
+    edges_ds,
+    *,
+    max_iters: int = 100,
+    num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    checkpoint_fingerprint: str | None = None,
+):
     """Directed edges (src_id, dst_id) -> (node, core) k-core decomposition
     of the underlying UNDIRECTED SIMPLE graph (self-loops and duplicate
     pairs dropped): ``core`` is the largest k such that the node survives
@@ -678,7 +702,7 @@ def coreness(edges_ds, *, max_iters: int = 100, num_partitions: int | None = Non
     import pyarrow.compute as pc
 
     P = num_partitions or max(4, int(ray.cluster_resources().get("CPU", 4)))
-    split_und, concat_part, msgs, reduce_part, to_table = _core_remotes()
+    split_und, concat_part, msgs, reduce_part, expose, splice, to_table = _core_remotes()
 
     def sym_simple(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "src_id" not in batch.column_names:
@@ -712,7 +736,23 @@ def coreness(edges_ds, *, max_iters: int = 100, num_partitions: int | None = Non
         for p in range(P)
     ]
 
-    for _ in range(max_iters):
+    # per-round lineage: resume the h-index values from the newest complete
+    # checkpoint (worker-side Parquet, see state/bsp_ckpt) if one matches
+    start_round = 0
+    fp = None
+    if checkpoint_dir:
+        from ..state import bsp_ckpt
+
+        fp = checkpoint_fingerprint or f"coreness:P={P}:edges={sym.count()}"
+        loaded = bsp_ckpt.load_latest(checkpoint_dir, fp, P)
+        if loaded is not None:
+            start_round, value_refs = loaded
+            parts = [
+                splice.remote(parts[p], value_refs[p][0], value_refs[p][1])
+                for p in range(P)
+            ]
+
+    for rnd in range(start_round, max_iters):
         out = [msgs.options(num_returns=P).remote(parts[p], P) for p in range(P)]
         if P == 1:
             out = [[m] for m in out]
@@ -721,7 +761,15 @@ def coreness(edges_ds, *, max_iters: int = 100, num_partitions: int | None = Non
             for q in range(P)
         ]
         parts = [r[0] for r in results]
-        if not any(ray.get([r[1] for r in results])):
+        converged = not any(ray.get([r[1] for r in results]))
+        if checkpoint_dir and (converged or (rnd + 1) % checkpoint_every == 0):
+            from ..state import bsp_ckpt
+
+            bsp_ckpt.save_round(
+                checkpoint_dir, fp, rnd + 1,
+                [expose.options(num_returns=2).remote(p) for p in parts],
+            )
+        if converged:
             break
 
     return ray.data.from_arrow_refs([to_table.remote(p) for p in parts])

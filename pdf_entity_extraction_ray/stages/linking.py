@@ -438,6 +438,20 @@ def _lp_remotes():
         changed = not np.array_equal(new, labels)
         return (u, v, nodes, new), changed
 
+    @ray.remote(num_returns=2)
+    def expose(part):
+        """(nodes, labels) ObjectRefs for worker-side checkpointing."""
+        return part[2], part[3]
+
+    @ray.remote
+    def splice(part, nodes_loaded, labels_loaded):
+        """Resume a checkpointed label array into a freshly rebuilt static
+        partition (deterministic rebuild => node arrays must match)."""
+        u, v, nodes, _labels = part
+        if not np.array_equal(nodes, nodes_loaded):
+            raise ValueError("checkpoint node set does not match input partition")
+        return u, v, nodes, labels_loaded.astype(np.int64)
+
     @ray.remote
     def to_table(part) -> pa.Table:
         _, _, nodes, labels = part
@@ -445,10 +459,14 @@ def _lp_remotes():
             {"node": pa.array(nodes, pa.int64()), "label": pa.array(labels, pa.int64())}
         )
 
-    return split_edges, concat_part, msgs, reduce_part, to_table
+    return split_edges, concat_part, msgs, reduce_part, expose, splice, to_table
 
 
-def label_propagation_components(edges_ds, *, max_iters: int = 25, num_partitions: int | None = None):
+def label_propagation_components(
+    edges_ds, *, max_iters: int = 25, num_partitions: int | None = None,
+    checkpoint_dir: str | None = None, checkpoint_every: int = 5,
+    checkpoint_fingerprint: str | None = None,
+):
     """Similar-pair edges (type, a, b) -> (node, label) component Dataset.
 
     Iterative min-label propagation as a raw-Ray-task BSP loop — the one
@@ -469,12 +487,18 @@ def label_propagation_components(edges_ds, *, max_iters: int = 25, num_partition
     the object store.
     """
     sym = edges_ds.map_batches(_sym_edges_batch, batch_format="pyarrow")
-    return _propagate_components(sym, max_iters=max_iters, num_partitions=num_partitions)
+    return _propagate_components(
+        sym, max_iters=max_iters, num_partitions=num_partitions,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        checkpoint_fingerprint=checkpoint_fingerprint,
+    )
 
 
 def components_from_int_edges(
     edges_ds, col_a: str = "a", col_b: str = "b",
     *, max_iters: int = 25, num_partitions: int | None = None,
+    checkpoint_dir: str | None = None, checkpoint_every: int = 5,
+    checkpoint_fingerprint: str | None = None,
 ):
     """Int-keyed variant of :func:`label_propagation_components`: edge rows
     carry two int64 id columns; the ids ARE the node keys (no hashing), so
@@ -498,15 +522,32 @@ def components_from_int_edges(
         edges_ds.map_batches(sym, batch_format="pyarrow"),
         max_iters=max_iters,
         num_partitions=num_partitions,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        checkpoint_fingerprint=checkpoint_fingerprint,
     )
 
 
-def _propagate_components(sym_ds, *, max_iters: int, num_partitions: int | None):
-    """Shared BSP min-label loop over a symmetric (u, v) int-edge Dataset."""
+def _propagate_components(
+    sym_ds,
+    *,
+    max_iters: int,
+    num_partitions: int | None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    checkpoint_fingerprint: str | None = None,
+):
+    """Shared BSP min-label loop over a symmetric (u, v) int-edge Dataset.
+
+    With ``checkpoint_dir`` the label arrays checkpoint per-partition
+    through worker-side Parquet every ``checkpoint_every`` rounds (plus on
+    convergence) and the loop resumes from the newest matching checkpoint
+    — the state/lineage discipline extended to the iterative algorithms
+    (state/bsp_ckpt)."""
     import ray
 
     P = num_partitions or max(4, int(ray.cluster_resources().get("CPU", 4)))
-    split_edges, concat_part, msgs, reduce_part, to_table = _lp_remotes()
+    split_edges, concat_part, msgs, reduce_part, expose, splice, to_table = _lp_remotes()
 
     sym = sym_ds.materialize()
     block_refs = list(sym.to_arrow_refs())
@@ -520,7 +561,21 @@ def _propagate_components(sym_ds, *, max_iters: int, num_partitions: int | None)
         for p in range(P)
     ]
 
-    for _ in range(max_iters):
+    start_round = 0
+    fp = None
+    if checkpoint_dir:
+        from ..state import bsp_ckpt
+
+        fp = checkpoint_fingerprint or f"components:P={P}:edges={sym.count()}"
+        loaded = bsp_ckpt.load_latest(checkpoint_dir, fp, P)
+        if loaded is not None:
+            start_round, value_refs = loaded
+            parts = [
+                splice.remote(parts[p], value_refs[p][0], value_refs[p][1])
+                for p in range(P)
+            ]
+
+    for rnd in range(start_round, max_iters):
         msg_lists = [msgs.options(num_returns=P).remote(parts[p], P) for p in range(P)]
         if P == 1:
             msg_lists = [[m] for m in msg_lists]
@@ -531,7 +586,15 @@ def _propagate_components(sym_ds, *, max_iters: int, num_partitions: int | None)
             for q in range(P)
         ]
         parts = [r[0] for r in results]
-        if not any(ray.get([r[1] for r in results])):
+        converged = not any(ray.get([r[1] for r in results]))
+        if checkpoint_dir and (converged or (rnd + 1) % checkpoint_every == 0):
+            from ..state import bsp_ckpt
+
+            bsp_ckpt.save_round(
+                checkpoint_dir, fp, rnd + 1,
+                [expose.options(num_returns=2).remote(p) for p in parts],
+            )
+        if converged:
             break
 
     import ray.data

@@ -169,3 +169,100 @@ def test_coreness_random_matches_peeling():
     pairs = {(min(u, v), max(u, v)) for u, v in edges if u != v}
     got = {r["node"]: r["core"] for r in coreness(_core_ds(edges)).take_all()}
     assert got == kcore_reference(pairs)
+
+
+class TestBspCheckpoint:
+    """Per-round lineage for the BSP loops: worker-side Parquet value
+    checkpoints, resume from the newest matching round, mismatched
+    fingerprints ignored."""
+
+    def _edges(self):
+        import random
+
+        rng = random.Random(5)
+        return [(rng.randrange(60), rng.randrange(60)) for _ in range(240)]
+
+    def test_coreness_checkpoint_resume(self, tmp_path):
+        import json
+
+        from pdf_entity_extraction_ray.ops.graph_stats import coreness
+        from pdf_entity_extraction_ray.sources.corpus import kcore_reference
+
+        edges = self._edges()
+        pairs = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+        want = kcore_reference(pairs)
+        ck = str(tmp_path / "core_ck")
+
+        # interrupted run: only 2 rounds, checkpoint every round
+        partial = {
+            r["node"]: r["core"]
+            for r in coreness(
+                _core_ds(edges), max_iters=2, checkpoint_dir=ck, checkpoint_every=1
+            ).take_all()
+        }
+        m = json.load(open(f"{ck}/manifest.json"))
+        assert m["round"] == 2
+        assert set(partial) == set(want)  # all nodes present even mid-run
+
+        # resumed run: picks up at round 2 and converges to peeling
+        got = {
+            r["node"]: r["core"]
+            for r in coreness(
+                _core_ds(edges), checkpoint_dir=ck, checkpoint_every=5
+            ).take_all()
+        }
+        assert got == want
+        assert json.load(open(f"{ck}/manifest.json"))["round"] > 2
+
+    def test_components_checkpoint_resume(self, tmp_path):
+        import json
+
+        from pdf_entity_extraction_ray.stages.linking import (
+            components_from_int_edges,
+        )
+
+        # a long chain (diameter 30) forces many min-label rounds
+        chain = [(i, i + 1) for i in range(30)] + [(100, 101)]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([u for u, _ in chain], pa.int64()),
+                    "b": pa.array([v for _, v in chain], pa.int64()),
+                }
+            )
+        )
+        ck = str(tmp_path / "cc_ck")
+        partial = components_from_int_edges(
+            ds, max_iters=3, checkpoint_dir=ck, checkpoint_every=1
+        ).take_all()
+        assert json.load(open(f"{ck}/manifest.json"))["round"] == 3
+
+        got = {
+            r["node"]: r["label"]
+            for r in components_from_int_edges(
+                ds, max_iters=50, checkpoint_dir=ck
+            ).take_all()
+        }
+        assert all(got[n] == 0 for n in range(31))
+        assert got[100] == got[101] == 100
+
+    def test_mismatched_fingerprint_ignored(self, tmp_path):
+        from pdf_entity_extraction_ray.ops.graph_stats import coreness
+        from pdf_entity_extraction_ray.sources.corpus import kcore_reference
+
+        edges = [(1, 2), (2, 3), (1, 3), (3, 4)]
+        ck = str(tmp_path / "fp_ck")
+        # checkpoint under a DIFFERENT explicit fingerprint
+        coreness(
+            _core_ds([(7, 8), (8, 9)]), checkpoint_dir=ck,
+            checkpoint_fingerprint="other-data",
+        ).take_all()
+        got = {
+            r["node"]: r["core"]
+            for r in coreness(
+                _core_ds(edges), checkpoint_dir=ck,
+                checkpoint_fingerprint="this-data",
+            ).take_all()
+        }
+        pairs = {(min(u, v), max(u, v)) for u, v in edges}
+        assert got == kcore_reference(pairs)
