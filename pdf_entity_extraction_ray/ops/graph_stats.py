@@ -285,6 +285,18 @@ def _pr_remotes():
         base = (1.0 - damping) / n_total + damping * dangling_total / n_total
         return base + damping * sums
 
+    @ray.remote(num_returns=2)
+    def expose_ranks(part, ranks):
+        """(nodes, ranks) refs for worker-side checkpointing."""
+        return part[2], ranks
+
+    @ray.remote
+    def validate_ranks(part, nodes_loaded, ranks_loaded):
+        """Resume guard: the deterministic static rebuild must agree."""
+        if not np.array_equal(part[2], nodes_loaded):
+            raise ValueError("checkpoint node set does not match input partition")
+        return ranks_loaded.astype(np.float64)
+
     @ray.remote
     def to_table(part, ranks) -> pa.Table:
         _, _, nodes, _ = part
@@ -292,21 +304,33 @@ def _pr_remotes():
             {"node": pa.array(nodes, pa.int64()), "rank": pa.array(ranks, pa.float64())}
         )
 
-    return split_edges, node_shards, concat_part, part_size, init_ranks, msgs, reduce_part, to_table
+    return (split_edges, node_shards, concat_part, part_size, init_ranks,
+            msgs, reduce_part, expose_ranks, validate_ranks, to_table)
 
 
-def pagerank(edges_ds, *, iterations: int = 20, damping: float = 0.85, num_partitions: int | None = None):
+def pagerank(
+    edges_ds,
+    *,
+    iterations: int = 20,
+    damping: float = 0.85,
+    num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    checkpoint_fingerprint: str | None = None,
+):
     """Directed edges (src_id, dst_id) -> (node, rank) Dataset after
     ``iterations`` damped power-iteration rounds (dangling mass
     redistributed uniformly — the standard formulation).  Per round the
     driver touches only P dangling scalars; every rank/message array moves
-    worker-to-worker through the object store."""
+    worker-to-worker through the object store.  With ``checkpoint_dir``
+    the rank arrays checkpoint per-partition through worker-side Parquet
+    (state/bsp_ckpt) and a rerun resumes at the newest matching round."""
     import ray
     import ray.data
 
     P = num_partitions or max(4, int(ray.cluster_resources().get("CPU", 4)))
     (split_edges, node_shards, concat_part, part_size, init_ranks,
-     msgs, reduce_part, to_table) = _pr_remotes()
+     msgs, reduce_part, expose_ranks, validate_ranks, to_table) = _pr_remotes()
 
     def to_uv(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "src_id" not in batch.column_names:
@@ -334,7 +358,23 @@ def pagerank(edges_ds, *, iterations: int = 20, damping: float = 0.85, num_parti
     n_total = int(sum(ray.get([part_size.remote(p) for p in parts])))
     ranks = [init_ranks.remote(parts[p], n_total) for p in range(P)]
 
-    for _ in range(iterations):
+    start_round = 0
+    fp = None
+    if checkpoint_dir:
+        from ..state import bsp_ckpt
+
+        fp = checkpoint_fingerprint or (
+            f"pagerank:P={P}:n={n_total}:d={damping}:T={iterations}"
+        )
+        loaded = bsp_ckpt.load_latest(checkpoint_dir, fp, P, float_values=True)
+        if loaded is not None:
+            start_round, value_refs = loaded
+            ranks = [
+                validate_ranks.remote(parts[p], value_refs[p][0], value_refs[p][1])
+                for p in range(P)
+            ]
+
+    for rnd in range(start_round, iterations):
         outs = [
             msgs.options(num_returns=P + 1).remote(parts[p], ranks[p], P) for p in range(P)
         ]
@@ -346,6 +386,13 @@ def pagerank(edges_ds, *, iterations: int = 20, damping: float = 0.85, num_parti
             )
             for q in range(P)
         ]
+        if checkpoint_dir and (rnd + 1) % checkpoint_every == 0:
+            from ..state import bsp_ckpt
+
+            bsp_ckpt.save_round(
+                checkpoint_dir, fp, rnd + 1,
+                [expose_ranks.options(num_returns=2).remote(parts[p], ranks[p]) for p in range(P)],
+            )
 
     return ray.data.from_arrow_refs([to_table.remote(parts[p], ranks[p]) for p in range(P)])
 

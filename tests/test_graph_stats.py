@@ -266,3 +266,38 @@ class TestBspCheckpoint:
         }
         pairs = {(min(u, v), max(u, v)) for u, v in edges}
         assert got == kcore_reference(pairs)
+
+
+def test_pagerank_checkpoint_resume_identical(tmp_path):
+    """A PageRank rerun resuming from a mid-run checkpoint produces the
+    SAME ranks as an uncheckpointed run (float arrays round-trip through
+    Parquet exactly — list<double> is lossless)."""
+    import json
+
+    edge_list = [(1, 2), (1, 3), (2, 3), (3, 1), (3, 4)]
+    edges = pa.table(
+        {
+            "src_id": pa.array([u for u, _ in edge_list], pa.int64()),
+            "dst_id": pa.array([v for _, v in edge_list], pa.int64()),
+        }
+    )
+    plain = {
+        r["node"]: r["rank"]
+        for r in pagerank(ray.data.from_arrow(edges), iterations=12).take_all()
+    }
+    ck = str(tmp_path / "pr_ck")
+    # run only 6 of 12 rounds, checkpointing every 3
+    partial_ds = pagerank(
+        ray.data.from_arrow(edges), iterations=6, checkpoint_dir=ck,
+        checkpoint_every=3, checkpoint_fingerprint="pr-test",
+    )
+    partial_ds.take_all()
+    assert json.load(open(f"{ck}/manifest.json"))["round"] == 6
+    resumed = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            ray.data.from_arrow(edges), iterations=12, checkpoint_dir=ck,
+            checkpoint_fingerprint="pr-test",
+        ).take_all()
+    }
+    assert resumed == plain  # bit-identical
