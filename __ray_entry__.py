@@ -153,6 +153,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         return kmeans_cluster(_read(sf_dir, "embeddings"), 8, 10, source_path=path)
 
+    def _kg_latest_crawl(sf_dir):
+        """Re-crawl dedup over the pages corpus: newest crawl per
+        NORMALIZED url (vectorized RE2 normalization + two-stage argmax;
+        the oracle mirrors with regexp SQL + a row_number window)."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.web import latest_crawl
+
+        _kg_artifacts(sf_dir)
+        name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        return latest_crawl(ray.data.read_parquet(f"/tmp/graft_kg/{name}/pages"))
+
     def _kg_pagerank_ppm(sf_dir):
         """Engine PageRank over the KG edges, ranks scaled to integer ppm
         (the repo's float-hash trick: cross-engine float noise ~1e-15 vs
@@ -274,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         ),
         "kg_host_stats": _kg_host_stats,
+        "kg_latest_crawl": _kg_latest_crawl,
         "kg_coreness": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["coreness"]
         ).coreness(
@@ -476,6 +489,29 @@ def oracle_sql() -> dict[str, str]:
         "emb_kmeans": f"""
             select vec_id, cluster
             from read_parquet('{gold}/gold_kmeans/*.parquet')
+        """,
+        "kg_latest_crawl": f"""
+            with n as (
+              select url, warc_ts,
+                     coalesce(lower(regexp_extract(url,
+                         '^([a-z][a-z0-9+.-]*)://', 1)), '') as scheme,
+                     coalesce(lower(regexp_extract(url,
+                         '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)), '') as host,
+                     regexp_replace(regexp_replace(
+                         coalesce(regexp_extract(url,
+                             '^[a-z][a-z0-9+.-]*://[^/?#]+([^#]*)', 1), ''),
+                         '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+                         '[?&]+$', '', 'g') as rest
+              from read_parquet('{gold}/pages/*.parquet')),
+            k as (select case when host = '' then ''
+                              else scheme || '://' || host || rest end as norm_url,
+                         url, epoch_us(warc_ts)::bigint as warc_ts_us
+                  from n),
+            w as (select norm_url, url, warc_ts_us,
+                         row_number() over (partition by norm_url
+                             order by warc_ts_us desc, url asc) as rn
+                  from k)
+            select norm_url, url, warc_ts_us from w where rn = 1
         """,
         "kg_host_stats": f"""
             select regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) as host,

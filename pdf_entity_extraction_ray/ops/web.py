@@ -72,3 +72,82 @@ def host_stats(pages_ds):
             Max("last_crawl_us", alias_name="last_crawl_us"),
         )
     )
+
+
+_URL_PARTS = r"^(?P<scheme>[a-z][a-z0-9+.-]*)://(?P<host>[^/?#]+)(?P<rest>[^#]*)"
+_TRACKING = r"(utm_[a-z]+|fbclid|gclid)=[^&#]*&?"
+
+
+def normalize_url(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Crawl-dedup URL key, fully vectorized and RE2-replicable in SQL:
+    lowercase scheme and host, drop the #fragment, strip common tracking
+    parameters (utm_*, fbclid, gclid), tidy dangling ``?``/``&``.  Path
+    case is preserved (it is significant).  Urls without a
+    scheme://authority prefix normalize to ''."""
+    ex = pc.extract_regex(urls, pattern=_URL_PARTS)
+    scheme = pc.utf8_lower(pc.fill_null(pc.struct_field(ex, "scheme"), ""))
+    host = pc.utf8_lower(pc.fill_null(pc.struct_field(ex, "host"), ""))
+    rest = pc.fill_null(pc.struct_field(ex, "rest"), "")
+    rest = pc.replace_substring_regex(rest, pattern=_TRACKING, replacement="")
+    rest = pc.replace_substring_regex(rest, pattern=r"[?&]+$", replacement="")
+    norm = pc.binary_join_element_wise(scheme, "://", host, rest, "")
+    return pc.if_else(pc.equal(host, ""), pa.scalar("", pa.string()), norm)
+
+
+def latest_crawl(pages_ds):
+    """Re-crawl dedup: one row per NORMALIZED url — the newest crawl
+    (max warc_ts; ties break to the lexicographically smallest raw url).
+    The standard first step of a Common-Crawl-style pipeline, where the
+    same page appears in many monthly crawls.
+
+    Scale shape: a per-batch combiner keeps one candidate row per
+    normalized url per block (the shuffle moves winners, never every
+    crawl), then a groupby picks the global winner per key."""
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return pa.table(
+                {
+                    "norm_url": pa.array([], pa.string()),
+                    "url": pa.array([], pa.string()),
+                    "warc_ts_us": pa.array([], pa.int64()),
+                }
+            )
+        t = pa.table(
+            {
+                "norm_url": normalize_url(batch.column("url")),
+                "url": batch.column("url"),
+                "warc_ts_us": batch.column("warc_ts").cast(pa.int64()),
+            }
+        )
+        # per-block winner: sort (key, ts desc, url asc), keep first per key
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("norm_url", "ascending"),
+                ("warc_ts_us", "descending"),
+                ("url", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        import numpy as np
+
+        k = np.asarray(t.column("norm_url").to_pylist(), dtype=object)
+        keep = np.ones(len(k), dtype=bool)
+        if len(k) > 1:
+            keep[1:] = k[1:] != k[:-1]
+        return t.filter(pa.array(keep))
+
+    def winner(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("warc_ts_us", "descending"), ("url", "ascending")],
+        )
+        return group.take(idx).slice(0, 1)
+
+    return (
+        pages_ds.select_columns(["url", "warc_ts"])
+        .map_batches(candidates, batch_format="pyarrow")
+        .groupby("norm_url")
+        .map_groups(winner, batch_format="pyarrow")
+    )

@@ -216,3 +216,55 @@ class TestKmeans:
         c1 = kmeans_fit(ds, 4, 5)
         c2 = kmeans_fit(ds, 4, 5)
         assert (c1 == c2).all()  # bit-identical: deterministic fold order
+
+
+class TestLatestCrawl:
+    def test_normalize_url_rules(self):
+        from pdf_entity_extraction_ray.ops.web import normalize_url
+
+        urls = pa.array(
+            [
+                "HTTPS://Example.TEST/Path/Keep?x=1&utm_source=tw&y=2#frag",
+                "https://example.test/Path/Keep?utm_campaign=z",
+                "http://a.test/p?fbclid=abc123",
+                "http://a.test/p?gclid=g&real=1",
+                "no scheme here",
+            ]
+        )
+        # NOTE: scheme match is case-sensitive lowercase in both RE2s —
+        # an uppercase scheme has no scheme://authority match -> ''
+        assert normalize_url(urls).to_pylist() == [
+            "",
+            "https://example.test/Path/Keep",
+            "http://a.test/p",
+            "http://a.test/p?real=1",
+            "",
+        ]
+
+    def test_latest_crawl_argmax(self):
+        import datetime
+
+        from pdf_entity_extraction_ray.ops.web import latest_crawl
+
+        d = lambda day: datetime.datetime(2021, 3, day)
+        pages = ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array(
+                        [
+                            "https://s.test/a?utm_source=x",  # same norm as below
+                            "https://s.test/a",
+                            "https://s.test/b",
+                            "https://s.test/b#frag",  # tie ts with above
+                        ]
+                    ),
+                    "warc_ts": pa.array([d(1), d(9), d(5), d(5)], pa.timestamp("us")),
+                }
+            )
+        ).repartition(3)
+        rows = {r["norm_url"]: r for r in latest_crawl(pages).take_all()}
+        assert len(rows) == 2
+        a = rows["https://s.test/a"]
+        assert a["url"] == "https://s.test/a"  # newest crawl wins
+        b = rows["https://s.test/b"]
+        assert b["url"] == "https://s.test/b"  # ts tie -> smallest raw url
