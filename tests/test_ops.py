@@ -135,12 +135,38 @@ class TestDedupOps:
             if jaccard(sh[i], sh[j]) >= 0.7
         }
         got = {}
-        for order in ("df", "hash"):
+        for order in ("df", "hash", "cms"):
             out = _collect(ngram_jaccard_pairs(ray.data.from_arrow(docs), 0.7, order=order))
             got[order] = set(
                 zip(out.column("doc_a").to_pylist(), out.column("doc_b").to_pylist())
             )
-        assert got["df"] == got["hash"] == expected and expected
+        assert got["df"] == got["hash"] == got["cms"] == expected and expected
+
+    def test_cms_sketch_bounded_and_overestimates(self):
+        """The distributed count-min DF sketch is a fixed-size array
+        (bounded driver state) and its estimate never UNDERestimates the
+        true document frequency of any shingle."""
+        from pdf_entity_extraction_ray.functions.similarity import _stable_hash64
+        from pdf_entity_extraction_ray.ops.dedup import (
+            CMS_DEPTH,
+            CMS_WIDTH,
+            _cms_estimate,
+            _word_shingles,
+            build_df_sketch,
+        )
+
+        docs = _collect(_read("documents"))
+        sketch = build_df_sketch(ray.data.from_arrow(docs))
+        assert sketch.shape == (CMS_DEPTH * CMS_WIDTH,)
+        true_df: dict[str, int] = {}
+        for text in docs.column("text").to_pylist():
+            for s in _word_shingles(text):
+                true_df[s] = true_df.get(s, 0) + 1
+        shingles = sorted(true_df)
+        hvs = np.array([_stable_hash64(s.encode("utf-8")) for s in shingles], dtype=np.uint64)
+        est = _cms_estimate(hvs, sketch)
+        truth = np.array([true_df[s] for s in shingles], dtype=np.int64)
+        assert (est >= truth).all()
 
     def test_prefix_rows_length_bound(self):
         """Prefix length is n - ceil(t*n) + 1 per doc (4 of 10 shingles at
