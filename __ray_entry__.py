@@ -115,6 +115,89 @@ def queries() -> dict[str, Callable[[str], Any]]:
         name = os.path.basename(os.path.normpath(sf_dir)) or "default"
         return host_stats(ray.data.read_parquet(f"/tmp/graft_kg/{name}/pages"))
 
+    def _kg_host_cap(sf_dir):
+        """Per-host page budget (keep <=3 earliest-crawl pages per host)
+        over the synthesized pages corpus — two-stage k-cap, no hot-host
+        concentration."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.web import cap_per_host
+
+        _kg_artifacts(sf_dir)  # ensure the pages corpus exists
+        name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        return cap_per_host(ray.data.read_parquet(f"/tmp/graft_kg/{name}/pages"), k=3)
+
+    def _split_docs_mod20(sf_dir):
+        """(train_ds, eval_ds): every 20th doc_id plays the benchmark set
+        for the decontamination query — vectorized modulo masks, no
+        per-row Python filter."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def part(batch: pa.Table, want_eval: bool) -> pa.Table:
+            import numpy as np
+
+            ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+            m = (ids % 20) == 0
+            return batch.filter(pa.array(m if want_eval else ~m))
+
+        docs = _read(sf_dir, "documents")
+        train = docs.map_batches(
+            lambda b: part(b, False), batch_format="pyarrow"
+        )
+        ev = docs.map_batches(lambda b: part(b, True), batch_format="pyarrow")
+        return train, ev
+
+    def _docs_decontam(sf_dir):
+        """GPT-3-style n-gram decontamination: flag training docs sharing
+        any word 3-gram with the eval split (n=3 so the synthetic corpus'
+        planted near-dups register; production uses n=13)."""
+        from pdf_entity_extraction_ray.ops.decontam import contamination_counts
+
+        train, ev = _split_docs_mod20(sf_dir)
+        return contamination_counts(train, ev, n=3)
+
+    def _docs_pii_redact(sf_dir):
+        """PII redaction over documents with deterministic planted PII
+        (an email + an IPv4 derived from doc_id appended per doc) so the
+        masking is actually exercised; the oracle mirrors the same
+        construction in SQL."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from pdf_entity_extraction_ray.ops.text import redact_pii_batch
+
+        def plant(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = batch.column("doc_id")
+            mod = pa.array(
+                np.asarray(ids.to_pylist(), dtype=np.int64) % 256, pa.int64()
+            )
+            suffix = pc.binary_join_element_wise(
+                pa.array([" contact user"] * batch.num_rows, pa.string()),
+                pc.cast(ids, pa.string()),
+                pa.array(["@mail.example.com from 10.1."] * batch.num_rows, pa.string()),
+                pc.cast(mod, pa.string()),
+                pa.array([".7 end"] * batch.num_rows, pa.string()),
+                "",
+            )
+            return pa.table(
+                {
+                    "doc_id": ids,
+                    "text": pc.binary_join_element_wise(
+                        batch.column("text"), suffix, ""
+                    ),
+                }
+            )
+
+        return (
+            _read(sf_dir, "documents")
+            .select_columns(["doc_id", "text"])
+            .map_batches(plant, batch_format="pyarrow")
+            .map_batches(redact_pii_batch, batch_format="pyarrow")
+        )
+
     def _emb_kmeans(sf_dir):
         """Distributed Lloyd's over the embeddings table; also writes the
         single-process gold_kmeans table (same init, plain numpy — the
@@ -308,6 +391,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_sample": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.sample", fromlist=["stratified_sample"]
         ).stratified_sample(_read(sf, "documents"), "lang", 10),
+        # --- decontamination / PII / host budget (training-data curation) ---
+        "docs_decontam": _docs_decontam,
+        "docs_pii_redact": _docs_pii_redact,
+        "kg_host_cap": _kg_host_cap,
         # --- dedup family ---
         "docs_exact_dedup": lambda sf: dedup.exact_dedup(_read(sf, "documents")),
         "docs_clean_corpus": lambda sf: __import__(
@@ -513,6 +600,16 @@ def oracle_sql() -> dict[str, str]:
                   from k)
             select norm_url, url, warc_ts_us from w where rn = 1
         """,
+        "kg_host_cap": f"""
+            with p as (select url,
+                              coalesce(regexp_extract(url,
+                                  '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), '') as host,
+                              epoch_us(warc_ts)::bigint as warc_ts_us
+                       from read_parquet('{gold}/pages/*.parquet'))
+            select host, url, warc_ts_us from p
+            qualify row_number() over (partition by host
+                                       order by warc_ts_us, url) <= 3
+        """,
         "kg_host_stats": f"""
             select regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) as host,
                    count(*)::bigint as n_pages,
@@ -629,6 +726,49 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, text, lang, source, n_chars from documents
             qualify row_number() over (partition by text order by doc_id) = 1
         """,
+        # same word-3-gram derivation as the Jaccard oracle; eval split =
+        # doc_id % 20 == 0, contamination = distinct shared grams
+        "docs_decontam": """
+            with w as (select doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') as ws
+                       from documents),
+                 t as (select doc_id,
+                              case when len(ws) >= 3 then
+                                     list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                                    for i in range(1, len(ws) - 1)])
+                                   when len(ws) > 0 then [list_aggregate(ws, 'string_agg', ' ')]
+                                   else [] end as sh
+                       from w),
+                 ev as (select distinct unnest(sh) as g from t where doc_id % 20 = 0),
+                 d as (select doc_id, unnest(sh) as g from t where doc_id % 20 != 0),
+                 hits as (select d.doc_id, count(*) as c
+                          from d join ev on d.g = ev.g group by d.doc_id)
+            select t.doc_id,
+                   coalesce(h.c, 0)::bigint as contaminated_ngrams,
+                   coalesce(h.c, 0) > 0 as contaminated
+            from t left join hits h on t.doc_id = h.doc_id
+            where t.doc_id % 20 != 0
+        """,
+        # identical RE2 patterns as ops/text.py PII_*_RE; emails replaced
+        # first, IPs counted/replaced on the email-redacted text
+        "docs_pii_redact": (
+            """
+            with p as (select doc_id,
+                              text || ' contact user' || doc_id ||
+                              '@mail.example.com from 10.1.' || (doc_id % 256) ||
+                              '.7 end' as text
+                       from documents),
+                 r as (select doc_id, text,
+                              regexp_replace(text, 'EMAILPAT', '<EMAIL>', 'g') as t1
+                       from p)
+            select doc_id,
+                   regexp_replace(t1, 'IPPAT', '<IP>', 'g') as redacted,
+                   len(regexp_extract_all(text, 'EMAILPAT'))::bigint as n_emails,
+                   len(regexp_extract_all(t1, 'IPPAT'))::bigint as n_ips
+            from r
+        """.replace(
+                "EMAILPAT", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+            ).replace("IPPAT", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b")
+        ),
         # integer u64 cutoffs computed Python-side and inlined, so float
         # rounding cannot diverge between engines (ops/sample.py)
         "docs_train_split": __import__(

@@ -128,6 +128,12 @@ def run_ops(sf_dir: str, repeat: int = 1) -> dict[str, list[float]]:
         "docs_ngram_dedup": lambda: dedup.ngram_jaccard_pairs(read("documents"), 0.7),
         "docs_simhash_dedup": lambda: dedup.simhash_pairs(read("documents"), 3),
         "docs_dup_ngrams": lambda: dedup.duplicate_ngrams(read("documents")),
+        "docs_decontam": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.decontam", fromlist=["contamination_counts"]
+        ).contamination_counts(read("documents"), read("documents").limit(250), n=3),
+        "docs_pii_redact": lambda: read("documents").map_batches(
+            text.redact_pii_batch, batch_format="pyarrow"
+        ),
         "emb_knn": lambda: ann.knn_bruteforce(
             read("embeddings"), [0, 1, 2, 3, 4], 10,
             source_path=os.path.join(sf_dir, "embeddings.parquet"),
@@ -262,7 +268,7 @@ def main() -> None:
     import ray.data
 
     from pdf_entity_extraction_ray.ops.graph_stats import triangle_counts
-    from pdf_entity_extraction_ray.ops.web import host_stats
+    from pdf_entity_extraction_ray.ops.web import cap_per_host, host_stats
 
     pages_path, _ = bench_corpus_dir(sf)
     kg_edges = os.path.join(f"/tmp/graft_bench/kg_out_{num_cpus}", "edges")
@@ -270,6 +276,9 @@ def main() -> None:
         "kg_triangles": lambda: triangle_counts(ray.data.read_parquet(kg_edges)),
         "kg_host_stats": lambda: host_stats(
             ray.data.read_parquet(f"{pages_path}/pages")
+        ),
+        "kg_host_cap": lambda: cap_per_host(
+            ray.data.read_parquet(f"{pages_path}/pages"), k=3
         ),
     }.items():
         walls = []

@@ -209,3 +209,39 @@ def repetition_batch(batch: pa.Table, k: int = 3) -> pa.Table:
             "dup_ppm": pa.array(ppm, pa.int64()),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# PII redaction — emails and IPv4 literals masked with typed placeholders.
+# Patterns are RE2-compatible (no backrefs/lookaround) so the DuckDB oracle
+# runs the IDENTICAL expressions; Python `re` and RE2 agree on this subset.
+# Applied in a fixed order (emails first — an email's host part can contain
+# digit runs an IP pattern would otherwise bite into).
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PII_EMAIL = re.compile(PII_EMAIL_RE)
+_PII_IPV4 = re.compile(PII_IPV4_RE)
+
+
+def redact_pii_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, redacted, n_emails, n_ips) per document: text with emails
+    -> ``<EMAIL>`` and IPv4 literals -> ``<IP>``, plus match counts.
+    Stateless map_batches; a 100-TB corpus streams through with no
+    shuffle.  Intentionally recall-oriented (an over-broad IPv4 match like
+    a dotted version string redacts harmlessly; a missed email does not)."""
+    reds, n_em, n_ip = [], [], []
+    for t in batch.column("text").to_pylist():
+        t1, e = _PII_EMAIL.subn("<EMAIL>", t)
+        t2, i = _PII_IPV4.subn("<IP>", t1)
+        reds.append(t2)
+        n_em.append(e)
+        n_ip.append(i)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "redacted": pa.array(reds, pa.string()),
+            "n_emails": pa.array(n_em, pa.int64()),
+            "n_ips": pa.array(n_ip, pa.int64()),
+        }
+    )

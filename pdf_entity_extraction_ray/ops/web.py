@@ -151,3 +151,60 @@ def latest_crawl(pages_ds):
         .groupby("norm_url")
         .map_groups(winner, batch_format="pyarrow")
     )
+
+
+def cap_per_host(pages_ds, k: int = 3):
+    """Per-host page budget: keep at most ``k`` pages per host, preferring
+    the EARLIEST crawl (then url as the deterministic tie-break) — the
+    standard Common-Crawl curation step that stops mega-hosts from
+    dominating a training corpus.
+
+    Two-stage so a 10^9-page host never concentrates anywhere: a per-batch
+    combiner keeps at most ``k`` rows per host per block (vectorized
+    lexsort + run-length position mask, no Python row loop), then the
+    small ``groupby(host).map_groups`` final pass re-applies the same cap
+    over the surviving <= k * n_blocks rows per host.  Output columns
+    (host, url, warc_ts_us) use integer epoch-us so the DuckDB oracle
+    (``row_number() over (partition by host order by warc_ts, url)``)
+    compares exactly."""
+    import numpy as np
+
+    def _cap(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("host", "ascending"),
+                ("warc_ts_us", "ascending"),
+                ("url", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        host = np.asarray(t.column("host").to_pylist(), dtype=object)
+        starts = np.flatnonzero(np.r_[True, host[1:] != host[:-1]])
+        runlen = np.diff(np.r_[starts, len(host)])
+        pos_in_run = np.arange(len(host)) - np.repeat(starts, runlen)
+        return t.filter(pa.array(pos_in_run < k))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {
+            "host": pa.array([], pa.string()),
+            "url": pa.array([], pa.string()),
+            "warc_ts_us": pa.array([], pa.int64()),
+        }
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return pa.table(cols)
+        t = pa.table(
+            {
+                "host": host_of(batch.column("url")),
+                "url": batch.column("url"),
+                "warc_ts_us": batch.column("warc_ts").cast(pa.int64()),
+            }
+        )
+        return _cap(t)
+
+    return (
+        pages_ds.select_columns(["url", "warc_ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .map_groups(_cap, batch_format="pyarrow")
+    )

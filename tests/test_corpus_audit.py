@@ -268,3 +268,145 @@ class TestLatestCrawl:
         assert a["url"] == "https://s.test/a"  # newest crawl wins
         b = rows["https://s.test/b"]
         assert b["url"] == "https://s.test/b"  # ts tie -> smallest raw url
+
+
+class TestCapPerHost:
+    def test_cap_keeps_earliest_k(self):
+        import datetime
+
+        from pdf_entity_extraction_ray.ops.web import cap_per_host
+
+        ts = [datetime.datetime(2020, 1, d + 1) for d in range(6)]
+        pages = ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array(
+                        [
+                            "https://big.test/5",   # day 5 -> dropped (4th)
+                            "https://big.test/1",   # day 1 -> kept
+                            "https://small.test/1",
+                            "https://big.test/2",   # day 2 -> kept
+                            "https://big.test/3",   # day 3 -> kept
+                            "https://big.test/0",   # day 3 TIE -> url break
+                        ]
+                    ),
+                    "warc_ts": pa.array(
+                        [ts[4], ts[0], ts[0], ts[1], ts[2], ts[2]], pa.timestamp("us")
+                    ),
+                    "text": pa.array(["x"] * 6),
+                }
+            )
+        )
+        out = _collect(cap_per_host(pages, k=3))
+        got = sorted(zip(out.column("host").to_pylist(), out.column("url").to_pylist()))
+        # day-3 tie between /3 and /0 -> url ascending keeps /0
+        assert got == [
+            ("big.test", "https://big.test/0"),
+            ("big.test", "https://big.test/1"),
+            ("big.test", "https://big.test/2"),
+            ("small.test", "https://small.test/1"),
+        ]
+
+    def test_cap_two_stage_equals_global(self):
+        """The per-batch combiner must not change the answer vs a single
+        global sort — force many small blocks and compare to a one-block
+        run."""
+        import datetime
+
+        from pdf_entity_extraction_ray.ops.web import cap_per_host
+
+        base = datetime.datetime(2021, 1, 1)
+        n = 200
+        tbl = pa.table(
+            {
+                "url": pa.array(
+                    [f"https://h{i % 7}.test/p{i}" for i in range(n)]
+                ),
+                "warc_ts": pa.array(
+                    [base + datetime.timedelta(hours=(i * 37) % 501) for i in range(n)],
+                    pa.timestamp("us"),
+                ),
+                "text": pa.array(["x"] * n),
+            }
+        )
+        many = ray.data.from_arrow(tbl).repartition(16)
+        one = ray.data.from_arrow(tbl)
+        key = lambda t: sorted(
+            zip(t.column("host").to_pylist(), t.column("url").to_pylist())
+        )
+        got_many = key(_collect(cap_per_host(many, k=4)))
+        got_one = key(_collect(cap_per_host(one, k=4)))
+        assert got_many == got_one
+        hosts = [h for h, _ in got_many]
+        assert max(hosts.count(h) for h in set(hosts)) <= 4
+
+
+class TestDecontam:
+    def test_counts_and_drop(self):
+        from pdf_entity_extraction_ray.ops.decontam import (
+            contamination_counts,
+            drop_contaminated,
+        )
+
+        ev = _docs(["alpha beta gamma delta"])
+        train = _docs(
+            [
+                "alpha beta gamma epsilon",      # shares gram "alpha beta gamma"
+                "nothing shared here at all",
+                "x alpha beta gamma delta y",    # shares 2 grams
+            ]
+        )
+        out = _collect(contamination_counts(train, ev, n=3))
+        rows = {
+            r: (c, f)
+            for r, c, f in zip(
+                out.column("doc_id").to_pylist(),
+                out.column("contaminated_ngrams").to_pylist(),
+                out.column("contaminated").to_pylist(),
+            )
+        }
+        assert rows[0] == (1, True)
+        assert rows[1] == (0, False)
+        assert rows[2] == (2, True)
+        kept = _collect(drop_contaminated(train, ev, n=3)).column("doc_id").to_pylist()
+        assert kept == [1]
+
+    def test_short_doc_convention(self):
+        """Docs shorter than n words contribute their whole token join —
+        the shingle-family convention, so a verbatim short eval doc is
+        still caught."""
+        from pdf_entity_extraction_ray.ops.decontam import contamination_counts
+
+        ev = _docs(["tiny doc"])
+        train = _docs(["tiny doc", "tiny dog"])
+        out = _collect(contamination_counts(train, ev, n=13))
+        rows = dict(
+            zip(out.column("doc_id").to_pylist(), out.column("contaminated").to_pylist())
+        )
+        assert rows == {0: True, 1: False}
+
+
+class TestPIIRedact:
+    def test_planted_pii(self):
+        from pdf_entity_extraction_ray.ops.text import redact_pii_batch
+
+        batch = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    [
+                        "mail me at First.Last+x@sub.example.org today",
+                        "server 192.168.0.1 and 10.0.0.255 up; v1.2 ok",
+                        "no pii here",
+                    ]
+                ),
+            }
+        )
+        out = redact_pii_batch(batch)
+        assert out.column("redacted").to_pylist() == [
+            "mail me at <EMAIL> today",
+            "server <IP> and <IP> up; v1.2 ok",
+            "no pii here",
+        ]
+        assert out.column("n_emails").to_pylist() == [1, 0, 0]
+        assert out.column("n_ips").to_pylist() == [0, 2, 0]
