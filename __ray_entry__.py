@@ -391,7 +391,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_sample": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.sample", fromlist=["stratified_sample"]
         ).stratified_sample(_read(sf, "documents"), "lang", 10),
-        # --- decontamination / PII / host budget (training-data curation) ---
+        # --- decontamination / PII / host budget / packing (curation) ---
+        "docs_pack": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.packing", fromlist=["pack_sequences"]
+        ).pack_sequences(_read(sf, "documents")),
         "docs_decontam": _docs_decontam,
         "docs_pii_redact": _docs_pii_redact,
         "kg_host_cap": _kg_host_cap,
@@ -726,6 +729,9 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, text, lang, source, n_chars from documents
             qualify row_number() over (partition by text order by doc_id) = 1
         """,
+        "docs_pack": __import__(
+            "pdf_entity_extraction_ray.ops.packing", fromlist=["pack_oracle_sql"]
+        ).pack_oracle_sql(),
         # same word-3-gram derivation as the Jaccard oracle; eval split =
         # doc_id % 20 == 0, contamination = distinct shared grams
         "docs_decontam": """

@@ -410,3 +410,61 @@ class TestPIIRedact:
         ]
         assert out.column("n_emails").to_pylist() == [1, 0, 0]
         assert out.column("n_ips").to_pylist() == [0, 2, 0]
+
+
+class TestPackSequences:
+    def test_offsets_reset_per_shard(self):
+        from pdf_entity_extraction_ray.ops.packing import pack_sequences
+
+        # 5-token docs; shard_size=2 -> shards {0,1},{2,3},{4}
+        texts = ["a b c d e"] * 5
+        out = _collect(pack_sequences(_docs(texts), budget=8, shard_size=2))
+        rows = {
+            r[0]: r[1:]
+            for r in zip(
+                out.column("doc_id").to_pylist(),
+                out.column("shard").to_pylist(),
+                out.column("tok_offset").to_pylist(),
+                out.column("bin").to_pylist(),
+            )
+        }
+        # doc0: shard0 off0 bin0; doc1: shard0 off5 bin0
+        # doc2: shard1 off0 bin0; doc3: shard1 off5 bin0; doc4: shard2 off0
+        assert rows == {
+            0: (0, 0, 0),
+            1: (0, 5, 0),
+            2: (1, 0, 0),
+            3: (1, 5, 0),
+            4: (2, 0, 0),
+        }
+
+    def test_bin_boundaries(self):
+        from pdf_entity_extraction_ray.ops.packing import pack_sequences
+
+        # one shard; offsets 0,3,6,9 with budget 4 -> bins 0,0,1,2
+        texts = ["x y z"] * 4
+        out = _collect(pack_sequences(_docs(texts), budget=4, shard_size=100))
+        got = dict(
+            zip(out.column("doc_id").to_pylist(), out.column("bin").to_pylist())
+        )
+        assert got == {0: 0, 1: 0, 2: 1, 3: 2}
+
+    def test_block_split_invariant(self):
+        """Packing must not depend on how blocks split the input."""
+        from pdf_entity_extraction_ray.ops.packing import pack_sequences
+
+        texts = [f"tok{i} " * ((i * 7) % 11 + 1) for i in range(60)]
+        key = lambda t: sorted(
+            zip(
+                t.column("doc_id").to_pylist(),
+                t.column("tok_offset").to_pylist(),
+                t.column("bin").to_pylist(),
+            )
+        )
+        one = key(_collect(pack_sequences(_docs(texts), budget=16, shard_size=10)))
+        many = key(
+            _collect(
+                pack_sequences(_docs(texts).repartition(13), budget=16, shard_size=10)
+            )
+        )
+        assert one == many
