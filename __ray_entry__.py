@@ -396,6 +396,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pdf_entity_extraction_ray.ops.packing", fromlist=["pack_sequences"]
         ).pack_sequences(_read(sf, "documents")),
         "docs_decontam": _docs_decontam,
+        # --- sketches: HLL vocabulary registers + bottom-k uniform sample ---
+        "docs_vocab_hll": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.sketch", fromlist=["vocab_hll"]
+        ).vocab_hll(_read(sf, "documents")),
+        "docs_sample_bottomk": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.sketch", fromlist=["bottomk_sample"]
+        ).bottomk_sample(_read(sf, "documents")),
         "docs_pii_redact": _docs_pii_redact,
         "kg_host_cap": _kg_host_cap,
         # --- dedup family ---
@@ -732,6 +739,12 @@ def oracle_sql() -> dict[str, str]:
         "docs_pack": __import__(
             "pdf_entity_extraction_ray.ops.packing", fromlist=["pack_oracle_sql"]
         ).pack_oracle_sql(),
+        "docs_vocab_hll": __import__(
+            "pdf_entity_extraction_ray.ops.sketch", fromlist=["hll_oracle_sql"]
+        ).hll_oracle_sql(),
+        "docs_sample_bottomk": __import__(
+            "pdf_entity_extraction_ray.ops.sketch", fromlist=["bottomk_oracle_sql"]
+        ).bottomk_oracle_sql(),
         # same word-3-gram derivation as the Jaccard oracle; eval split =
         # doc_id % 20 == 0, contamination = distinct shared grams
         "docs_decontam": """

@@ -1,0 +1,173 @@
+"""Sketch / sampling operators — the bounded-state summaries a 100-TB
+corpus audit runs where exact answers would shuffle the world:
+
+* :func:`vocab_hll` — HyperLogLog registers for corpus vocabulary
+  cardinality.  Registers (bucket, rho_max) are EXACT integers under a
+  fixed hash, so the distributed result is deterministic and a DuckDB
+  oracle can re-derive every register with integer bit logic — the
+  estimate itself is a driver-side closed form over 2^p tiny rows.
+* :func:`bottomk_sample` — deterministic uniform k-sample as the k
+  smallest documents under the md5 hash order (bottom-k sketch).  Unlike
+  reservoir sampling, bottom-k is associative/mergeable: per-batch k-cap
+  combiners compose to the exact global answer regardless of block
+  splits, and the SQL oracle is ``order by md5 limit k``.
+
+Both follow the repo's two-stage shape: per-batch partials bounded by the
+sketch size, one small groupby to merge.  The hash is DuckDB's
+``md5_number_upper`` (little-endian first 8 md5 bytes) so Python and SQL
+agree byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.similarity import _md5_hash64
+from .text import TOKEN_RE
+
+HLL_P = 12  # 2^12 = 4096 registers; relative error ~1.04/sqrt(4096) = 1.6%
+
+
+def _hll_partial(tokens: set[str], p: int) -> np.ndarray:
+    """Dense rho_max register array for one batch's distinct tokens.
+    bucket = top ``p`` bits of the 64-bit hash; rho = 1-based position of
+    the first set bit in the remaining ``64 - p`` bits (0 if none)."""
+    regs = np.zeros(1 << p, dtype=np.int64)
+    w_bits = 64 - p
+    for t in tokens:
+        h = _md5_hash64(t.encode("utf-8"))
+        bucket = h >> w_bits
+        w = h & ((1 << w_bits) - 1)
+        # position of first 1 from the MSB side of the w_bits window
+        rho = w_bits - w.bit_length() + 1 if w else 0
+        if rho > regs[bucket]:
+            regs[bucket] = rho
+    return regs
+
+
+def vocab_hll(docs_ds, p: int = HLL_P):
+    """(bucket, rho_max) HyperLogLog registers over the corpus token
+    vocabulary — one row per non-empty register, <= 2^p rows total.
+    Per-batch partial registers merge with MAX (associative), so the
+    groupby input is bounded by 2^p rows per block no matter the corpus
+    size."""
+    from ray.data.aggregate import Max
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks: set[str] = set()
+        for t in batch.column("text").to_pylist():
+            toks.update(TOKEN_RE.findall(t))
+        regs = _hll_partial(toks, p)
+        nz = np.flatnonzero(regs)
+        return pa.table(
+            {
+                "bucket": pa.array(nz, pa.int64()),
+                "rho_max": pa.array(regs[nz], pa.int64()),
+            }
+        )
+
+    return (
+        docs_ds.select_columns(["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Max("rho_max", alias_name="rho_max"))
+    )
+
+
+def hll_estimate(registers: pa.Table, p: int = HLL_P) -> float:
+    """Driver-side closed form over the (tiny) register table: the
+    standard HLL estimator with the small-range linear-counting
+    correction.  Deterministic given the registers."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.int64)
+    regs[np.asarray(registers.column("bucket"))] = np.asarray(
+        registers.column("rho_max")
+    )
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting
+    return float(est)
+
+
+def hll_oracle_sql(p: int = HLL_P) -> str:
+    """DuckDB mirror of :func:`vocab_hll`: exact integer bit logic over
+    md5_number_upper — rho via a list scan for the first set bit (no
+    float log2, so no precision coin-flips)."""
+    w_bits = 64 - p
+    return f"""
+        with toks as (select distinct unnest(regexp_extract_all(text,
+                          '[A-Za-z0-9_]+')) as tok
+                      from documents),
+             h as (select md5_number_upper(tok) as hv from toks),
+             r as (select (hv >> {w_bits})::bigint as bucket,
+                          case when (hv & {(1 << w_bits) - 1}) = 0 then 0
+                               else list_position(
+                                   [((hv >> ({w_bits} - b)) & 1)::bigint
+                                    for b in range(1, {w_bits + 1})], 1)
+                          end as rho
+                   from h)
+        select bucket, max(rho)::bigint as rho_max
+        from r group by bucket having max(rho) > 0
+    """
+
+
+def bottomk_sample(docs_ds, k: int = 50):
+    """The ``k`` documents with the smallest md5(doc_id) — a uniform,
+    DETERMINISTIC corpus sample.  Bottom-k is mergeable: each batch keeps
+    at most k rows (combiner), a single-group final pass keeps the global
+    bottom k; block splits cannot change the answer.  Emits
+    (doc_id, sample_rank) with rank 0..k-1 in hash order."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = [
+            _md5_hash64(str(d).encode("utf-8"))
+            for d in batch.column("doc_id").to_pylist()
+        ]
+        t = pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "h": pa.array(np.array(hs, dtype=np.uint64), pa.uint64()),
+            }
+        )
+        idx = pc.sort_indices(t, sort_keys=[("h", "ascending"), ("doc_id", "ascending")])
+        return t.take(idx[: min(k, len(idx))])
+
+    def final(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("h", "ascending"), ("doc_id", "ascending")]
+        )
+        g = group.take(idx[: min(k, group.num_rows)])
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "sample_rank": pa.array(np.arange(g.num_rows), pa.int64()),
+            }
+        )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_g", pa.array(np.zeros(batch.num_rows, dtype=np.int32), pa.int32())
+        )
+
+    return (
+        docs_ds.select_columns(["doc_id"])
+        .map_batches(add_hash, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_g")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def bottomk_oracle_sql(k: int = 50) -> str:
+    return f"""
+        with h as (select doc_id,
+                          md5_number_upper(cast(doc_id as varchar)) as hv
+                   from documents)
+        select doc_id,
+               (row_number() over (order by hv, doc_id) - 1)::bigint as sample_rank
+        from h order by hv, doc_id limit {k}
+    """

@@ -468,3 +468,43 @@ class TestPackSequences:
             )
         )
         assert one == many
+
+
+class TestSketches:
+    def test_hll_estimate_accuracy_and_merge_invariance(self):
+        from pdf_entity_extraction_ray.ops.sketch import hll_estimate, vocab_hll
+
+        # 6000 distinct tokens spread over 300 docs
+        texts = [
+            " ".join(f"tok{i}" for i in range(d * 20, d * 20 + 20))
+            for d in range(300)
+        ]
+        ds = _docs(texts)
+        regs = _collect(vocab_hll(ds))
+        est = hll_estimate(regs)
+        assert abs(est - 6000) / 6000 < 0.05  # ~1.6% expected at p=12
+        # register MAX-merge is associative: block splits cannot matter
+        regs2 = _collect(vocab_hll(_docs(texts).repartition(17)))
+        key = lambda t: sorted(
+            zip(t.column("bucket").to_pylist(), t.column("rho_max").to_pylist())
+        )
+        assert key(regs) == key(regs2)
+
+    def test_bottomk_matches_bruteforce_and_split_invariant(self):
+        from pdf_entity_extraction_ray.functions.similarity import _md5_hash64
+        from pdf_entity_extraction_ray.ops.sketch import bottomk_sample
+
+        texts = ["x"] * 500
+        ds = _docs(texts)
+        out = _collect(bottomk_sample(ds, k=20))
+        got = list(
+            zip(out.column("sample_rank").to_pylist(), out.column("doc_id").to_pylist())
+        )
+        expected = sorted(
+            range(500), key=lambda d: (_md5_hash64(str(d).encode()), d)
+        )[:20]
+        assert sorted(got) == [(r, d) for r, d in enumerate(expected)]
+        out2 = _collect(bottomk_sample(_docs(texts).repartition(23), k=20))
+        assert sorted(
+            zip(out2.column("sample_rank").to_pylist(), out2.column("doc_id").to_pylist())
+        ) == sorted(got)
