@@ -125,6 +125,7 @@ def _run_partitioned_phase(
     batch_size: int,
     resume: bool,
     override_num_blocks: int | None = None,
+    stage_ray_remote_args: dict | None = None,
 ) -> str:
     """pages -> segments -> stage -> generation/bucket-partitioned Parquet
     (``<phase>/g<k>/bucket=<b>/``) with per-partition resume AND
@@ -228,6 +229,10 @@ def _run_partitioned_phase(
                 concurrency=concurrency,
                 batch_size=batch_size,
                 batch_format="pyarrow",
+                # execution-resource pass-through (e.g. num_gpus for a real
+                # transformer tagger pool) — never fingerprinted: resources
+                # change placement, not output
+                **(stage_ray_remote_args or {}),
             )
             # cluster blocks by the partition key before the hive write:
             # without it every task writes a file per bucket it touches
@@ -335,6 +340,7 @@ def run_kg(
     linking_mode: str = "auto",
     rewrite_mode: str = "auto",
     auto_threshold: int = AUTO_DISTRIBUTED_THRESHOLD,
+    tagger_ray_remote_args: dict | None = None,
 ) -> dict:
     """Run the full pipeline; returns artifact paths + stats.
 
@@ -394,6 +400,7 @@ def run_kg(
         batch_size=batch_size,
         resume=resume,
         override_num_blocks=override_num_blocks,
+        stage_ray_remote_args=tagger_ray_remote_args,
     )
 
     # P2: flat mentions / triples tables = cheap explode projections.

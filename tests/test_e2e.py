@@ -369,3 +369,27 @@ def test_pipeline_correct_at_other_seed(tmp_path_factory):
             total += 1
             bad += same_gold != (ours[a] == ours[b])
     assert total > 0 and bad / total < 0.01, f"{bad}/{total}"
+
+
+def test_tagger_resource_passthrough(small_corpus, tmp_path_factory):
+    """tagger_ray_remote_args reaches the tagger actor pool (e.g. num_gpus
+    for a real transformer tagger) and changes placement only — outputs
+    stay identical to the default run."""
+    out1 = str(tmp_path_factory.mktemp("kg_res1"))
+    out2 = str(tmp_path_factory.mktemp("kg_res2"))
+    run_kg(f"{small_corpus}/pages", out1, n_buckets=2, concurrency=2)
+    run_kg(
+        f"{small_corpus}/pages",
+        out2,
+        n_buckets=2,
+        concurrency=2,
+        tagger_ray_remote_args={"num_cpus": 1, "memory": 256 * 1024 * 1024},
+    )
+
+    def node_key(out):
+        t = pads.dataset(f"{out}/nodes").to_table()
+        return sorted(
+            zip(t.column("node_id").to_pylist(), t.column("canonical").to_pylist())
+        )
+
+    assert node_key(out1) == node_key(out2)
