@@ -157,6 +157,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         train, ev = _split_docs_mod20(sf_dir)
         return contamination_counts(train, ev, n=3)
 
+    def _docs_curated(sf_dir):
+        """Full curation chain (quality -> exact dedup -> near-dup ->
+        decontamination vs the mod-20 eval split -> PII redaction) as one
+        streaming pipeline of tested operators."""
+        from pdf_entity_extraction_ray.pipelines.clean import curate_documents
+
+        train, ev = _split_docs_mod20(sf_dir)
+        return curate_documents(train, ev)
+
     def _docs_pii_redact(sf_dir):
         """PII redaction over documents with deterministic planted PII
         (an email + an IPv4 derived from doc_id appended per doc) so the
@@ -396,6 +405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pdf_entity_extraction_ray.ops.packing", fromlist=["pack_sequences"]
         ).pack_sequences(_read(sf, "documents")),
         "docs_decontam": _docs_decontam,
+        "docs_curated": _docs_curated,
         # --- sketches: HLL vocabulary registers + bottom-k uniform sample ---
         "docs_vocab_hll": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.sketch", fromlist=["vocab_hll"]
@@ -1035,6 +1045,65 @@ def oracle_sql() -> dict[str, str]:
             )
             select * from ded where doc_id not in (select doc_id from losers)
         """,
+        # the composite curation chain: clean (quality/exact/near-dup over
+        # the mod-20 TRAIN split) -> decontaminate vs the eval split ->
+        # redact PII; same CTEs as docs_clean_corpus + docs_decontam +
+        # docs_pii_redact, composed
+        "docs_curated": (
+            f"""
+            with train as (select * from documents where doc_id % 20 != 0),
+            gated as (
+                select * from train
+                where (len(regexp_extract_all(text, '{token_re}')) between 5 and 100000)
+                  and not (len(regexp_extract_all(text, '{punct_re}')) * 10 > len(text))
+            ),
+            ded as (
+                select * from gated
+                qualify row_number() over (partition by text order by doc_id) = 1
+            ),
+            w as (select doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') as ws
+                  from ded),
+            t as (select doc_id,
+                         case when len(ws) >= 3 then
+                                list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                               for i in range(1, len(ws) - 1)])
+                              when len(ws) > 0 then [list_aggregate(ws, 'string_agg', ' ')]
+                              else [] end as sh
+                  from w),
+            losers as (
+                select distinct b.doc_id
+                from t a join t b on a.doc_id < b.doc_id
+                where len(list_intersect(a.sh, b.sh))::double
+                      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
+            ),
+            surv as (select * from ded
+                     where doc_id not in (select doc_id from losers)),
+            ew as (select regexp_extract_all(lower(text), '[a-z0-9_]+') as ws
+                   from documents where doc_id % 20 = 0),
+            et as (select case when len(ws) >= 3 then
+                                 list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                                for i in range(1, len(ws) - 1)])
+                               when len(ws) > 0 then [list_aggregate(ws, 'string_agg', ' ')]
+                               else [] end as sh
+                   from ew),
+            ev as (select distinct unnest(sh) as g from et),
+            contaminated as (
+                select distinct d.doc_id
+                from (select s.doc_id, unnest(t.sh) as g
+                      from surv s join t on t.doc_id = s.doc_id) d
+                join ev on d.g = ev.g
+            ),
+            kept as (select * from surv
+                     where doc_id not in (select doc_id from contaminated))
+            select doc_id,
+                   regexp_replace(regexp_replace(text, 'EMAILPAT', '<EMAIL>', 'g'),
+                                  'IPPAT', '<IP>', 'g') as text,
+                   lang, source
+            from kept
+        """.replace(
+                "EMAILPAT", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+            ).replace("IPPAT", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b")
+        ),
         "docs_wordset_dedup": """
             with k as (select *, md5(list_aggregate(
                            list_sort(list_distinct(

@@ -50,3 +50,43 @@ def clean_documents(docs_ds, *, jaccard_threshold: float = 0.7):
         return batch.filter(pa.array(~np.isin(ids, bad)))
 
     return deduped.map_batches(drop_losers, batch_format="pyarrow")
+
+
+def curate_documents(
+    docs_ds,
+    eval_ds,
+    *,
+    jaccard_threshold: float = 0.7,
+    decontam_n: int = 3,
+):
+    """The full training-data curation chain, one streaming pipeline:
+
+      1-3. :func:`clean_documents` (quality gate -> exact dedup ->
+           MinHash near-dup removal)
+      4.   benchmark decontamination (drop docs sharing any word
+           ``decontam_n``-gram with ``eval_ds`` — ops.decontam)
+      5.   PII redaction (ops.text.redact_pii_batch); output ``text`` is
+           the redacted form
+
+    Returns (doc_id, text, lang, source) survivors.  Every stage is an
+    already-tested operator; the composition stays SQL-expressible so the
+    driver oracle checks the exact end-to-end row set and redacted bytes.
+    """
+    from ..ops.decontam import drop_contaminated
+    from ..ops.text import redact_pii_batch
+
+    cleaned = clean_documents(docs_ds, jaccard_threshold=jaccard_threshold)
+    decon = drop_contaminated(cleaned, eval_ds, n=decontam_n)
+
+    def redact(batch: pa.Table) -> pa.Table:
+        r = redact_pii_batch(batch)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": r.column("redacted"),
+                "lang": batch.column("lang"),
+                "source": batch.column("source"),
+            }
+        )
+
+    return decon.map_batches(redact, batch_format="pyarrow")

@@ -508,3 +508,39 @@ class TestSketches:
         assert sorted(
             zip(out2.column("sample_rank").to_pylist(), out2.column("doc_id").to_pylist())
         ) == sorted(got)
+
+
+class TestCuratePipeline:
+    def test_each_stage_bites(self):
+        from pdf_entity_extraction_ray.pipelines.clean import curate_documents
+
+        base = (
+            "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+            "kilo lima mike november oscar papa quebec romeo sierra tango"
+        )
+        texts = [
+            base + " uniform victor",                      # 0: survives (redacted)
+            base + " uniform victor",                      # 1: exact dup of 0
+            base + " whiskey xray",                        # 2: near-dup of 0 (J>0.7)
+            "!!! ??? ...",                                 # 3: quality-gated
+            "zulu yankee xont wumbo vexil umbra toller "
+            "sproke quim plonk narf mib lurt "
+            "contact a.b@c.example.net now",               # 4: survives, PII redacted
+            "the benchmark secret holdout sentence lives here verbatim "
+            "plus padding words one two three four five six seven",  # 5: contaminated
+        ]
+        docs = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(6), pa.int64()),
+                    "text": pa.array(texts),
+                    "lang": pa.array(["en"] * 6),
+                    "source": pa.array(["s"] * 6),
+                }
+            )
+        )
+        ev = _docs(["the benchmark secret holdout sentence lives here"])
+        out = _collect(curate_documents(docs, ev, decontam_n=3))
+        rows = dict(zip(out.column("doc_id").to_pylist(), out.column("text").to_pylist()))
+        assert sorted(rows) == [0, 4]
+        assert "<EMAIL>" in rows[4] and "@" not in rows[4]
