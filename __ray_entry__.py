@@ -460,6 +460,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "supplier"), _read(sf, "nation"), _read(sf, "region")
         ),
         "event_sessions": lambda sf: relational.event_sessions(_read(sf, "events"), 30),
+        "event_quantiles": lambda sf: relational.events_value_quantiles(
+            _read(sf, "events")
+        ),
         "event_type_counts": lambda sf: relational.event_type_counts(_read(sf, "events")),
         # the same aggregate through the SALTED shuffle path (head-key skew
         # treatment when no combiner applies); must match the same oracle
@@ -997,6 +1000,13 @@ def oracle_sql() -> dict[str, str]:
             join nation on s_nationkey = n_nationkey
             join region on n_regionkey = r_regionkey
             group by r_name
+        """,
+        "event_quantiles": """
+            select event_type,
+                   quantile_disc(value, 0.5) as p50,
+                   quantile_disc(value, 0.9) as p90,
+                   quantile_disc(value, 0.99) as p99
+            from events group by event_type
         """,
         "event_sessions": """
             with o as (select user_id, ts,

@@ -861,3 +861,80 @@ def top_orders_per_customer(orders_ds, k: int = 3, shards: int = 256):
         .groupby("shard")
         .map_groups(lambda g: shard_topk(g.drop_columns(["shard"])), batch_format="pyarrow")
     )
+
+
+def events_value_quantiles(events_ds, qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
+    """EXACT per-event_type discrete quantiles of ``value`` via a
+    value-histogram two-stage aggregation — the scale shape for exact
+    quantiles: a per-batch ``(event_type, value) -> count`` combiner (one
+    row per distinct value per block, so a hot type with 10^9 rows but
+    bounded value cardinality ships tiny partials), a global count
+    groupby, then a per-type cumulative walk over the (small) histogram.
+
+    ``percentile_disc`` semantics: the quantile is an ELEMENT of the data
+    (smallest value whose cumulative count reaches ``ceil(q * n)``), never
+    interpolated arithmetic — so float results hash-compare exactly
+    against DuckDB's ``quantile_disc``.  For value domains with unbounded
+    cardinality, bucket the value first (the histogram stays exact for
+    integer/decimal domains; continuous domains get an epsilon-quantile
+    with the bucket width as the error bound).
+
+    One shuffle: per-block partial counts go straight to the per-type
+    walk — a (type, value) pair split across blocks lands as adjacent
+    rows after the in-group sort, and the cumulative rank search is
+    indifferent to whether its count arrives as one row or several."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "value": batch.column("value"),
+            }
+        )
+        g = t.group_by(["event_type", "value"]).aggregate([("value", "count")])
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "value": g.column("value"),
+                "n": g.column("value_count").cast(pa.int64()),
+            }
+        )
+
+    def type_quantiles(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "value" not in group.column_names:
+            cols = {"event_type": pa.array([], pa.string())}
+            for q in qs:
+                cols[f"p{int(q * 100)}"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        idx = pc.sort_indices(
+            group, sort_keys=[("event_type", "ascending"), ("value", "ascending")]
+        )
+        g = group.take(idx)
+        et = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        vals = np.asarray(g.column("n").to_pylist(), dtype=np.int64)
+        v = np.asarray(g.column("value").to_pylist(), dtype=np.float64)
+        starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+        ends = np.r_[starts[1:], len(et)]
+        out: dict[str, list] = {"event_type": []}
+        for q in qs:
+            out[f"p{int(q * 100)}"] = []
+        for s, e in zip(starts, ends):
+            cum = np.cumsum(vals[s:e])
+            n = cum[-1]
+            out["event_type"].append(et[s])
+            for q in qs:
+                rank = int(np.ceil(q * n)) or 1
+                out[f"p{int(q * 100)}"].append(v[s:e][np.searchsorted(cum, rank)])
+        cols: dict = {"event_type": pa.array(out["event_type"], pa.string())}
+        for q in qs:
+            k = f"p{int(q * 100)}"
+            cols[k] = pa.array(out[k], pa.float64())
+        return pa.table(cols)
+
+    return (
+        events_ds.select_columns(["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(type_quantiles, batch_format="pyarrow")
+    )

@@ -544,3 +544,45 @@ class TestCuratePipeline:
         rows = dict(zip(out.column("doc_id").to_pylist(), out.column("text").to_pylist()))
         assert sorted(rows) == [0, 4]
         assert "<EMAIL>" in rows[4] and "@" not in rows[4]
+
+
+class TestEventQuantiles:
+    def test_exact_disc_quantiles_split_invariant(self):
+        import numpy as np
+
+        from pdf_entity_extraction_ray.ops.relational import events_value_quantiles
+
+        rng = np.random.RandomState(11)
+        n = 2000
+        types = rng.choice(["a", "b", "c"], n)
+        vals = np.round(rng.standard_normal(n) * 50, 2)
+        tbl = pa.table(
+            {
+                "event_type": pa.array(types.tolist()),
+                "value": pa.array(vals, pa.float64()),
+            }
+        )
+
+        def brute(t):
+            vs = np.sort(vals[types == t])
+            return {
+                q: vs[max(int(np.ceil(q * len(vs))), 1) - 1] for q in (0.5, 0.9, 0.99)
+            }
+
+        for parts in (1, 19):
+            ds = ray.data.from_arrow(tbl)
+            if parts > 1:
+                ds = ds.repartition(parts)
+            out = _collect(events_value_quantiles(ds))
+            rows = {
+                r[0]: r[1:]
+                for r in zip(
+                    out.column("event_type").to_pylist(),
+                    out.column("p50").to_pylist(),
+                    out.column("p90").to_pylist(),
+                    out.column("p99").to_pylist(),
+                )
+            }
+            for t in ("a", "b", "c"):
+                e = brute(t)
+                assert rows[t] == (e[0.5], e[0.9], e[0.99])
