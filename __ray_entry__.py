@@ -166,6 +166,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         train, ev = _split_docs_mod20(sf_dir)
         return curate_documents(train, ev)
 
+    def _kg_cooccurrence(sf_dir):
+        """Statistical co-occurrence edges over the KG artifacts: canonical
+        pairs sharing a segment, with exact integer (n_ab, n_a, n_b)
+        counts for downstream PMI scoring."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import cooccurrence_edges
+
+        res = _kg_artifacts(sf_dir)
+        return cooccurrence_edges(
+            ray.data.read_parquet(
+                res["mentions"], columns=["url", "seg_id", "type", "surface"]
+            ),
+            ray.data.read_parquet(res["surface_map"]),
+        )
+
     def _docs_pii_redact(sf_dir):
         """PII redaction over documents with deterministic planted PII
         (an email + an IPv4 derived from doc_id appended per doc) so the
@@ -415,6 +431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).bottomk_sample(_read(sf, "documents")),
         "docs_pii_redact": _docs_pii_redact,
         "kg_host_cap": _kg_host_cap,
+        "kg_cooccurrence": _kg_cooccurrence,
         # --- dedup family ---
         "docs_exact_dedup": lambda sf: dedup.exact_dedup(_read(sf, "documents")),
         "docs_clean_corpus": lambda sf: __import__(
@@ -622,6 +639,20 @@ def oracle_sql() -> dict[str, str]:
                              order by warc_ts_us desc, url asc) as rn
                   from k)
             select norm_url, url, warc_ts_us from w where rn = 1
+        """,
+        "kg_cooccurrence": f"""
+            with {kg_cte},
+            seg as (select distinct r.canonical, m.url, m.seg_id
+                    from cm m join rep r using (cluster_id)),
+            pairs as (select x.canonical as a, y.canonical as b, x.url, x.seg_id
+                      from seg x join seg y
+                        on x.url = y.url and x.seg_id = y.seg_id
+                       and x.canonical < y.canonical),
+            pc as (select a, b, count(*)::bigint as n_ab from pairs group by a, b),
+            ec as (select canonical, count(*)::bigint as n from seg group by canonical)
+            select pc.a, pc.b, pc.n_ab, ea.n as n_a, eb.n as n_b
+            from pc join ec ea on ea.canonical = pc.a
+                    join ec eb on eb.canonical = pc.b
         """,
         "kg_host_cap": f"""
             with p as (select url,

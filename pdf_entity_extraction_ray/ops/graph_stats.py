@@ -17,6 +17,7 @@ ops a knowledge graph exists for.
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def node_degrees(edges_ds, by: str = "canonical"):
@@ -820,3 +821,233 @@ def coreness(
             break
 
     return ray.data.from_arrow_refs([to_table.remote(p) for p in parts])
+
+
+def cooccurrence_edges(mentions_ds, surface_map_ds, shards: int = 256, num_partitions=None):
+    """Statistical KG edges: canonical entity pairs co-occurring in the
+    same SEGMENT, with the counts a PMI/likelihood scorer needs —
+    ``(a, b, n_ab, n_a, n_b)`` where ``n_ab`` counts segments containing
+    both entities and ``n_a``/``n_b`` count segments containing each.
+    Counts are exact integers; association scores (PMI etc.) are left to
+    the consumer so no float arithmetic enters the hash-compared result.
+
+    The co-occurrence graph is the classic statistical complement to the
+    pattern-based relation extractor (stages/relations.py): edges appear
+    because entities keep showing up together, not because a surface
+    pattern fired.
+
+    Shape: mentions prefilter to linked types -> one hash-shuffle join
+    against the surface map (same (type, surface) key as
+    stages/graph.build_nodes_join — the map never lands on the driver) ->
+    coarse segment-shard groupby emits per-segment distinct-canonical
+    pairs AND unary presence rows (marker ``b = ''``) -> one count
+    groupby -> side-tagged explode + one join attaches the unary counts
+    to both pair endpoints -> reassembly groupby.  Every stage is a
+    shuffle or a bounded combiner; hot entities never concentrate (pairs
+    are per-segment, and segment fan-out is bounded by mention density)."""
+    import zlib
+
+    from ..stages.graph import _join_parts, _sm_renamed
+    from ..stages.linking import LINKED_TYPES
+
+    # tiny-input guard (repo idiom): Ray's hash join crashes on EMPTY
+    # shuffle partitions, so single-partition the joins when the small
+    # side is tiny (surface map count is metadata-cheap)
+    n_part = num_partitions or (
+        1 if surface_map_ds.count() < 10_000 else _join_parts()
+    )
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "type" not in batch.column_names:
+            return pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "seg_id": pa.array([], pa.int32()),
+                    "type": pa.array([], pa.string()),
+                    "surface": pa.array([], pa.string()),
+                }
+            )
+        t = batch.select(["url", "seg_id", "type", "surface"])
+        return t.filter(pc.is_in(t.column("type"), pa.array(LINKED_TYPES)))
+
+    joined = mentions_ds.map_batches(prefilter, batch_format="pyarrow").join(
+        _sm_renamed(surface_map_ds, "type", "surface", "_nid", "canonical"),
+        join_type="inner",
+        num_partitions=n_part,
+        on=("type", "surface"),
+    )
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return pa.table(
+                {
+                    "shard": pa.array([], pa.int32()),
+                    "url": pa.array([], pa.string()),
+                    "seg_id": pa.array([], pa.int32()),
+                    "canonical": pa.array([], pa.string()),
+                }
+            )
+        sh = [
+            zlib.crc32(f"{u}\x00{s}".encode()) % shards
+            for u, s in zip(
+                batch.column("url").to_pylist(), batch.column("seg_id").to_pylist()
+            )
+        ]
+        return pa.table(
+            {
+                "shard": pa.array(sh, pa.int32()),
+                "url": batch.column("url"),
+                "seg_id": batch.column("seg_id"),
+                "canonical": batch.column("canonical"),
+            }
+        )
+
+    def segment_pairs(group: pa.Table) -> pa.Table:
+        """One shard of segments -> distinct-canonical pairs (a < b) plus
+        unary presence rows (b = '') for the per-entity segment counts."""
+        if group.num_rows == 0 or "url" not in group.column_names:
+            return pa.table(
+                {"a": pa.array([], pa.string()), "b": pa.array([], pa.string())}
+            )
+        by_seg: dict[tuple, set] = {}
+        for u, s, c in zip(
+            group.column("url").to_pylist(),
+            group.column("seg_id").to_pylist(),
+            group.column("canonical").to_pylist(),
+        ):
+            by_seg.setdefault((u, s), set()).add(c)
+        a_out, b_out = [], []
+        for ents in by_seg.values():
+            es = sorted(ents)
+            for i, e in enumerate(es):
+                a_out.append(e)
+                b_out.append("")  # unary presence row
+                for f in es[i + 1 :]:
+                    a_out.append(e)
+                    b_out.append(f)
+        return pa.table(
+            {"a": pa.array(a_out, pa.string()), "b": pa.array(b_out, pa.string())}
+        )
+
+    counts = (
+        joined.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(segment_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+    )
+    counts = counts.materialize()  # consumed as pairs AND as unary side
+
+    def explode_pairs(batch: pa.Table) -> pa.Table:
+        """pair rows -> one row per endpoint, keyed for the unary join."""
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return pa.table(
+                {
+                    "ent": pa.array([], pa.string()),
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "n_ab": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int32()),
+                }
+            )
+        t = batch.filter(pc.not_equal(batch.column("b"), ""))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "ent": pa.array([], pa.string()),
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "n_ab": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int32()),
+                }
+            )
+        n = t.column("count()").cast(pa.int64())
+        half = pa.table(
+            {
+                "ent": t.column("a"),
+                "a": t.column("a"),
+                "b": t.column("b"),
+                "n_ab": n,
+                "side": pa.array([0] * t.num_rows, pa.int32()),
+            }
+        )
+        other = pa.table(
+            {
+                "ent": t.column("b"),
+                "a": t.column("a"),
+                "b": t.column("b"),
+                "n_ab": n,
+                "side": pa.array([1] * t.num_rows, pa.int32()),
+            }
+        )
+        return pa.concat_tables([half, other])
+
+    def unary_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return pa.table(
+                {"ent": pa.array([], pa.string()), "n_ent": pa.array([], pa.int64())}
+            )
+        t = batch.filter(pc.equal(batch.column("b"), ""))
+        return pa.table(
+            {"ent": t.column("a"), "n_ent": t.column("count()").cast(pa.int64())}
+        )
+
+    sides = counts.map_batches(explode_pairs, batch_format="pyarrow").join(
+        counts.map_batches(unary_rows, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=n_part,
+        on=("ent",),
+    )
+
+    def reassemble(group: pa.Table) -> pa.Table:
+        """(a, b) group of two side rows -> one edge row."""
+        if group.num_rows == 0 or "side" not in group.column_names:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "n_ab": pa.array([], pa.int64()),
+                    "n_a": pa.array([], pa.int64()),
+                    "n_b": pa.array([], pa.int64()),
+                }
+            )
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("a", "ascending"), ("b", "ascending"), ("side", "ascending")],
+        )
+        g = group.take(idx)
+        import numpy as np
+
+        a = np.asarray(g.column("a").to_pylist(), dtype=object)
+        b = np.asarray(g.column("b").to_pylist(), dtype=object)
+        n_ent = np.asarray(g.column("n_ent").to_pylist(), dtype=np.int64)
+        n_ab = np.asarray(g.column("n_ab").to_pylist(), dtype=np.int64)
+        new = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "a": pa.array(a[starts].tolist(), pa.string()),
+                "b": pa.array(b[starts].tolist(), pa.string()),
+                "n_ab": pa.array(n_ab[starts], pa.int64()),
+                "n_a": pa.array(n_ent[starts], pa.int64()),
+                "n_b": pa.array(n_ent[starts + 1], pa.int64()),
+            }
+        )
+
+    def tag_pair_shard(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return batch.append_column("pshard", pa.array([], pa.int32()))
+        sh = [
+            zlib.crc32(f"{x}\x00{y}".encode()) % shards
+            for x, y in zip(batch.column("a").to_pylist(), batch.column("b").to_pylist())
+        ]
+        return batch.append_column("pshard", pa.array(sh, pa.int32()))
+
+    return (
+        sides.map_batches(tag_pair_shard, batch_format="pyarrow")
+        .groupby("pshard")
+        .map_groups(
+            lambda g: reassemble(g.drop_columns(["pshard"]) if "pshard" in g.column_names else g),
+            batch_format="pyarrow",
+        )
+    )

@@ -613,6 +613,7 @@ def run_kg(
     m = lineage.load_manifest(out_dir, "graph") or {}
     return {
         "mentions": mentions_dir,
+        "surface_map": surface_map_dir,
         "triples": triples_dir,
         "triples_canonical": canon_dir,
         "nodes": nodes_dir,

@@ -301,3 +301,42 @@ def test_pagerank_checkpoint_resume_identical(tmp_path):
         ).take_all()
     }
     assert resumed == plain  # bit-identical
+
+
+class TestCooccurrence:
+    def test_hand_computed_counts(self):
+        import pyarrow as pa
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import cooccurrence_edges
+
+        # segments: (u1,0): {A,B,C}; (u1,1): {A,B}; (u2,0): {B}; B also
+        # appears twice in (u1,0) (distinct-per-segment must dedup)
+        mentions = pa.table(
+            {
+                "url": pa.array(["u1", "u1", "u1", "u1", "u1", "u1", "u2"]),
+                "seg_id": pa.array([0, 0, 0, 0, 1, 1, 0], pa.int32()),
+                "type": pa.array(["PERSON"] * 7),
+                "surface": pa.array(["a1", "b1", "c1", "b2", "a1", "b1", "b1"]),
+            }
+        )
+        sm = pa.table(
+            {
+                "type": pa.array(["PERSON"] * 4),
+                "surface": pa.array(["a1", "b1", "b2", "c1"]),
+                "node_id": pa.array([1, 2, 2, 3], pa.int64()),
+                "canonical": pa.array(["A", "B", "B", "C"]),
+            }
+        )
+        out = cooccurrence_edges(
+            ray.data.from_arrow(mentions), ray.data.from_arrow(sm), shards=4
+        )
+        rows = {
+            (r["a"], r["b"]): (r["n_ab"], r["n_a"], r["n_b"]) for r in out.take_all()
+        }
+        # n_A=2 (u1/0, u1/1), n_B=3, n_C=1
+        assert rows == {
+            ("A", "B"): (2, 2, 3),
+            ("A", "C"): (1, 2, 1),
+            ("B", "C"): (1, 3, 1),
+        }
