@@ -182,6 +182,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ray.data.read_parquet(res["surface_map"]),
         )
 
+    def _kg_timeline(sf_dir):
+        """Mentions per entity per crawl day: mentions ⋈ surface map ⋈
+        pages(url, warc_ts) -> (canonical, day, n_mentions)."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import entity_timeline
+
+        res = _kg_artifacts(sf_dir)
+        name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        return entity_timeline(
+            ray.data.read_parquet(
+                res["mentions"], columns=["url", "type", "surface"]
+            ),
+            ray.data.read_parquet(res["surface_map"]),
+            ray.data.read_parquet(
+                f"/tmp/graft_kg/{name}/pages", columns=["url", "warc_ts"]
+            ),
+        )
+
     def _docs_pii_redact(sf_dir):
         """PII redaction over documents with deterministic planted PII
         (an email + an IPv4 derived from doc_id appended per doc) so the
@@ -432,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pii_redact": _docs_pii_redact,
         "kg_host_cap": _kg_host_cap,
         "kg_cooccurrence": _kg_cooccurrence,
+        "kg_timeline": _kg_timeline,
         # --- dedup family ---
         "docs_exact_dedup": lambda sf: dedup.exact_dedup(_read(sf, "documents")),
         "docs_clean_corpus": lambda sf: __import__(
@@ -653,6 +673,16 @@ def oracle_sql() -> dict[str, str]:
             select pc.a, pc.b, pc.n_ab, ea.n as n_a, eb.n as n_b
             from pc join ec ea on ea.canonical = pc.a
                     join ec eb on eb.canonical = pc.b
+        """,
+        "kg_timeline": f"""
+            with {kg_cte},
+            ud as (select url, epoch_us(warc_ts)::bigint // 86400000000 as day
+                   from read_parquet('{gold}/pages/*.parquet')),
+            cmr as (select r.canonical, m.url
+                    from cm m join rep r using (cluster_id))
+            select c.canonical, ud.day, count(*)::bigint as n_mentions
+            from cmr c join ud on c.url = ud.url
+            group by c.canonical, ud.day
         """,
         "kg_host_cap": f"""
             with p as (select url,

@@ -1051,3 +1051,87 @@ def cooccurrence_edges(mentions_ds, surface_map_ds, shards: int = 256, num_parti
             batch_format="pyarrow",
         )
     )
+
+
+def entity_timeline(mentions_ds, surface_map_ds, pages_ds, num_partitions=None):
+    """Mentions-per-entity-per-crawl-day — the freshness/trend analytic a
+    KG over a rolling crawl needs: ``(canonical, day, n_mentions)`` where
+    ``day`` is the integer epoch day of the mentioning page's crawl.
+
+    Three-table shape, all shuffles: mentions ⋈ surface map on
+    (type, surface) for the canonical (same key as build_nodes_join),
+    then ⋈ a tiny (url, day) projection of pages, then a per-batch
+    (canonical, day) count combiner feeding one Sum groupby — a head
+    entity mentioned 10^9 times ships one row per (day, block)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.graph import _join_parts, _sm_renamed
+    from ..stages.linking import LINKED_TYPES
+
+    n_part = num_partitions or (
+        1 if surface_map_ds.count() < 10_000 else _join_parts()
+    )
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "type" not in batch.column_names:
+            return pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "type": pa.array([], pa.string()),
+                    "surface": pa.array([], pa.string()),
+                }
+            )
+        t = batch.select(["url", "type", "surface"])
+        return t.filter(pc.is_in(t.column("type"), pa.array(LINKED_TYPES)))
+
+    def url_day(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return pa.table(
+                {"url": pa.array([], pa.string()), "day": pa.array([], pa.int64())}
+            )
+        us = batch.column("warc_ts").cast(pa.int64())
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "day": pc.divide(us, 86_400_000_000).cast(pa.int64()),
+            }
+        )
+
+    canon = mentions_ds.map_batches(prefilter, batch_format="pyarrow").join(
+        _sm_renamed(surface_map_ds, "type", "surface", "_nid", "canonical"),
+        join_type="inner",
+        num_partitions=n_part,
+        on=("type", "surface"),
+    )
+    days = pages_ds.select_columns(["url", "warc_ts"]).map_batches(
+        url_day, batch_format="pyarrow"
+    )
+    joined = canon.join(days, join_type="inner", num_partitions=n_part, on=("url",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "canonical" not in batch.column_names:
+            return pa.table(
+                {
+                    "canonical": pa.array([], pa.string()),
+                    "day": pa.array([], pa.int64()),
+                    "n_mentions": pa.array([], pa.int64()),
+                }
+            )
+        g = (
+            batch.select(["canonical", "day"])
+            .group_by(["canonical", "day"])
+            .aggregate([("day", "count")])
+        )
+        return pa.table(
+            {
+                "canonical": g.column("canonical"),
+                "day": g.column("day"),
+                "n_mentions": g.column("day_count").cast(pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["canonical", "day"])
+        .aggregate(Sum("n_mentions", alias_name="n_mentions"))
+    )

@@ -340,3 +340,47 @@ class TestCooccurrence:
             ("A", "C"): (1, 2, 1),
             ("B", "C"): (1, 3, 1),
         }
+
+
+class TestEntityTimeline:
+    def test_multi_day_counts(self):
+        import datetime
+
+        import pyarrow as pa
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import entity_timeline
+
+        day0 = datetime.datetime(2021, 5, 1, 3, 0, 0)
+        day1 = datetime.datetime(2021, 5, 2, 23, 59, 0)
+        pages = pa.table(
+            {
+                "url": pa.array(["u1", "u2", "u3"]),
+                "warc_ts": pa.array([day0, day0, day1], pa.timestamp("us")),
+            }
+        )
+        mentions = pa.table(
+            {
+                "url": pa.array(["u1", "u1", "u2", "u3", "u3"]),
+                "type": pa.array(["PERSON"] * 5),
+                "surface": pa.array(["a1", "a2", "a1", "a1", "b1"]),
+            }
+        )
+        sm = pa.table(
+            {
+                "type": pa.array(["PERSON"] * 3),
+                "surface": pa.array(["a1", "a2", "b1"]),
+                "node_id": pa.array([1, 1, 2], pa.int64()),
+                "canonical": pa.array(["A", "A", "B"]),
+            }
+        )
+        out = entity_timeline(
+            ray.data.from_arrow(mentions),
+            ray.data.from_arrow(sm),
+            ray.data.from_arrow(pages),
+        )
+        d0 = int(day0.replace(tzinfo=datetime.timezone.utc).timestamp() // 86400)
+        d1 = int(day1.replace(tzinfo=datetime.timezone.utc).timestamp() // 86400)
+        rows = {(r["canonical"], r["day"]): r["n_mentions"] for r in out.take_all()}
+        # A: 3 mentions on day0 (u1 x2 + u2), 1 on day1 (u3); B: 1 on day1
+        assert rows == {("A", d0): 3, ("A", d1): 1, ("B", d1): 1}
