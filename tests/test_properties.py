@@ -88,3 +88,106 @@ def test_remove_overlapping_yields_disjoint_sorted_spans(spans):
             not (s["end_index"] <= k["start_index"] or s["start_index"] >= k["end_index"])
             for k in kept
         )
+
+
+# --- round-3 op kernels -----------------------------------------------------
+
+PII_TEXT = st.text(
+    alphabet="abc@._%+-0123456789 <>EMAILIP", max_size=60
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(PII_TEXT)
+def test_pii_redaction_idempotent_and_clean(t):
+    """Redacting twice == redacting once, and the output never contains a
+    redactable email/IPv4 (the placeholders themselves are not matches)."""
+    import pyarrow as pa
+
+    from pdf_entity_extraction_ray.ops.text import (
+        _PII_EMAIL,
+        _PII_IPV4,
+        redact_pii_batch,
+    )
+
+    batch = pa.table({"doc_id": pa.array([0], pa.int64()), "text": pa.array([t])})
+    once = redact_pii_batch(batch)
+    red = once.column("redacted").to_pylist()[0]
+    again = redact_pii_batch(
+        pa.table({"doc_id": pa.array([0], pa.int64()), "text": pa.array([red])})
+    )
+    assert again.column("redacted").to_pylist()[0] == red
+    assert not _PII_EMAIL.search(red) and not _PII_IPV4.search(red)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=30))
+def test_hll_rho_matches_naive_bit_scan(vals):
+    """_hll_partial's rho equals a naive MSB-side first-set-bit scan."""
+    import numpy as np
+
+    from pdf_entity_extraction_ray.functions.similarity import _md5_hash64
+    from pdf_entity_extraction_ray.ops.dedup import _stable_hash64  # noqa: F401
+    from pdf_entity_extraction_ray.ops.sketch import HLL_P, _hll_partial
+
+    toks = {f"t{v}" for v in vals}
+    regs = _hll_partial(toks, HLL_P)
+    w_bits = 64 - HLL_P
+    naive = {}
+    for t in toks:
+        h = _md5_hash64(t.encode())
+        b, w = h >> w_bits, h & ((1 << w_bits) - 1)
+        rho = 0
+        for i in range(1, w_bits + 1):
+            if (w >> (w_bits - i)) & 1:
+                rho = i
+                break
+        naive[b] = max(naive.get(b, 0), rho)
+    import numpy as np
+
+    nz = {int(i): int(regs[i]) for i in np.flatnonzero(regs)}
+    assert nz == {b: r for b, r in naive.items() if r > 0}
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=20),
+    st.integers(min_value=1, max_value=64),
+)
+def test_packing_offsets_are_exclusive_prefix_sums(token_counts, budget):
+    """Per-shard pack invariants hold for any token-count sequence: offsets
+    are the exclusive prefix sum and bin = offset // budget."""
+    import pyarrow as pa
+
+    from pdf_entity_extraction_ray.ops.packing import pack_sequences
+
+    texts = [" ".join("w" for _ in range(c)) for c in token_counts]
+    import ray
+    import ray.data
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    )
+    out = pa.concat_tables(
+        list(
+            pack_sequences(docs, budget=budget, shard_size=10**9).iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    )
+    rows = sorted(
+        zip(
+            out.column("doc_id").to_pylist(),
+            out.column("tok_offset").to_pylist(),
+            out.column("bin").to_pylist(),
+        )
+    )
+    run = 0
+    for doc_id, off, b in rows:
+        assert off == run and b == off // budget
+        run += token_counts[doc_id]
