@@ -364,10 +364,21 @@ def exact_jaccard_verify(candidates, docs_ds, threshold: float, num_partitions: 
                 {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
             )
         keep = []
+        # memoize per batch: a doc in k candidate pairs shingles once, not
+        # k times (candidate volume >> doc count on dup-heavy corpora)
+        cache: dict[str, set] = {}
+
+        def sh(t: str) -> set:
+            s = cache.get(t)
+            if s is None:
+                s = _word_shingles(t)
+                cache[t] = s
+            return s
+
         for i, (ta, tb) in enumerate(
             zip(batch.column("text_a").to_pylist(), batch.column("text_b").to_pylist())
         ):
-            if jaccard(_word_shingles(ta), _word_shingles(tb)) >= threshold:
+            if jaccard(sh(ta), sh(tb)) >= threshold:
                 keep.append(i)
         return batch.take(pa.array(keep, pa.int64())).select(["doc_a", "doc_b"])
 
@@ -401,6 +412,7 @@ def prefix_rows_batch(batch: pa.Table, threshold: float = 0.7) -> pa.Table:
     out_tok: list[int] = []
     out_doc: list[int] = []
     out_size: list[int] = []
+    out_pos: list[int] = []
     for doc_id, text in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
         sh = _word_shingles(text)
         n = len(sh)
@@ -411,17 +423,19 @@ def prefix_rows_batch(batch: pa.Table, threshold: float = 0.7) -> pa.Table:
         # can only LENGTHEN the prefix -> more candidates, never a miss
         p = n - math.ceil(threshold * n - 1e-9) + 1
         hashes = sorted(_stable_hash64(s.encode("utf-8")) for s in sh)[:p]
-        for hv in hashes:
+        for pos, hv in enumerate(hashes):
             out_shard.append(hv % BAND_SHARDS)
             out_tok.append(hv)
             out_doc.append(doc_id)
             out_size.append(n)
+            out_pos.append(pos)
     return pa.table(
         {
             "shard": pa.array(out_shard, pa.int32()),
             "token": pa.array(out_tok, pa.uint64()),
             "doc_id": pa.array(out_doc, pa.int64()),
             "size": pa.array(out_size, pa.int64()),
+            "pos": pa.array(out_pos, pa.int32()),
         }
     )
 
@@ -522,7 +536,7 @@ def cms_prefix_rows_batch(batch: pa.Table, threshold: float, sketch: np.ndarray)
     :func:`prefix_rows_batch`).  Same epsilon-guarded prefix bound."""
     import math
 
-    tok_parts, doc_parts, size_parts = [], [], []
+    tok_parts, doc_parts, size_parts, pos_parts = [], [], [], []
     for doc_id, text in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
         sh = _word_shingles(text)
         n = len(sh)
@@ -536,6 +550,7 @@ def cms_prefix_rows_batch(batch: pa.Table, threshold: float, sketch: np.ndarray)
         tok_parts.append(sel)
         doc_parts.append(np.full(len(sel), doc_id, dtype=np.int64))
         size_parts.append(np.full(len(sel), n, dtype=np.int64))
+        pos_parts.append(np.arange(len(sel), dtype=np.int32))
     if not tok_parts:
         return pa.table(
             {
@@ -543,6 +558,7 @@ def cms_prefix_rows_batch(batch: pa.Table, threshold: float, sketch: np.ndarray)
                 "token": pa.array([], pa.uint64()),
                 "doc_id": pa.array([], pa.int64()),
                 "size": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int32()),
             }
         )
     toks = np.concatenate(tok_parts)
@@ -552,6 +568,7 @@ def cms_prefix_rows_batch(batch: pa.Table, threshold: float, sketch: np.ndarray)
             "token": pa.array(toks, pa.uint64()),
             "doc_id": pa.array(np.concatenate(doc_parts), pa.int64()),
             "size": pa.array(np.concatenate(size_parts), pa.int64()),
+            "pos": pa.array(np.concatenate(pos_parts), pa.int32()),
         }
     )
 
@@ -604,29 +621,45 @@ def ngram_jaccard_pairs(
     lossless)."""
 
     def shard_prefix_candidates(group: pa.Table) -> pa.Table:
+        import math
+
         if group.num_rows == 0 or "token" not in group.column_names:
             return pa.table(
                 {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
             )
-        by_tok: dict[int, set[tuple[int, int]]] = {}
-        for tok, doc, size in zip(
+        by_tok: dict[int, set[tuple[int, int, int]]] = {}
+        for tok, doc, size, pos in zip(
             group.column("token").to_pylist(),
             group.column("doc_id").to_pylist(),
             group.column("size").to_pylist(),
+            group.column("pos").to_pylist(),
         ):
-            by_tok.setdefault(tok, set()).add((doc, size))
+            by_tok.setdefault(tok, set()).add((doc, size, pos))
         a, b = [], []
         seen: set[tuple[int, int]] = set()  # shard-local dedup shrinks the join input
         for members in by_tok.values():
             rows = sorted(members)
             for i in range(len(rows)):
+                di, ni, pi = rows[i]
                 for j in range(i + 1, len(rows)):
-                    lo, hi = sorted((rows[i][1], rows[j][1]))
+                    dj, nj, pj = rows[j]
+                    lo, hi = (ni, nj) if ni <= nj else (nj, ni)
                     # J <= |smaller|/|larger|; epsilon errs toward KEEPING
                     # borderline pairs (exact verify discards them)
                     if lo / hi < threshold - 1e-12:
                         continue
-                    p = (rows[i][0], rows[j][0])
+                    # PPJoin positional filter (Xiao et al.): J >= t needs
+                    # overlap alpha = ceil(t/(1+t) * (ni+nj)); sharing THIS
+                    # token at 0-based prefix positions (pi, pj) bounds the
+                    # achievable overlap by min(ni - pi, nj - pj) — prune
+                    # the occurrence when the bound can't reach alpha.  A
+                    # pair pruned here can still emit via an earlier shared
+                    # prefix token (seen only records EMITTED pairs), so
+                    # blocking stays lossless.
+                    alpha = math.ceil(threshold / (1.0 + threshold) * (ni + nj) - 1e-9)
+                    if min(ni - pi, nj - pj) < alpha:
+                        continue
+                    p = (di, dj)
                     if p not in seen:
                         seen.add(p)
                         a.append(p[0])
@@ -677,6 +710,7 @@ def ngram_jaccard_pairs(
                         "token": pa.array([], pa.int64()),
                         "doc_id": pa.array([], pa.int64()),
                         "size": pa.array([], pa.int64()),
+                        "pos": pa.array([], pa.int32()),
                     }
                 )
             idx = pc.sort_indices(
@@ -694,7 +728,8 @@ def ngram_jaccard_pairs(
             runlen = np.diff(np.r_[starts, len(doc)])
             pos_in_run = np.arange(len(doc)) - np.repeat(starts, runlen)
             p = size - np.ceil(threshold * size - 1e-9).astype(np.int64) + 1
-            pref = g.filter(pa.array(pos_in_run < p))
+            keep = pos_in_run < p
+            pref = g.filter(pa.array(keep))
             toks = np.asarray(pref.column("token").to_pylist(), dtype=np.int64)
             # numpy % with a positive divisor is non-negative for signed ints
             return pa.table(
@@ -703,6 +738,7 @@ def ngram_jaccard_pairs(
                     "token": pa.array(toks, pa.int64()),
                     "doc_id": pref.column("doc_id"),
                     "size": pref.column("size"),
+                    "pos": pa.array(pos_in_run[keep].astype(np.int32), pa.int32()),
                 }
             )
 
