@@ -500,6 +500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_quantiles": lambda sf: relational.events_value_quantiles(
             _read(sf, "events")
         ),
+        "event_json_agg": lambda sf: relational.events_json_agg(_read(sf, "events")),
         "event_type_counts": lambda sf: relational.event_type_counts(_read(sf, "events")),
         # the same aggregate through the SALTED shuffle path (head-key skew
         # treatment when no combiner applies); must match the same oracle
@@ -1061,6 +1062,14 @@ def oracle_sql() -> dict[str, str]:
             join nation on s_nationkey = n_nationkey
             join region on n_regionkey = r_regionkey
             group by r_name
+        """,
+        "event_json_agg": """
+            select event_type,
+                   count(*)::bigint as n,
+                   sum(json_extract(props, '$.k')::bigint)::bigint as k_sum,
+                   min(json_extract(props, '$.k')::bigint)::bigint as k_min,
+                   max(json_extract(props, '$.k')::bigint)::bigint as k_max
+            from events group by event_type
         """,
         "event_quantiles": """
             select event_type,

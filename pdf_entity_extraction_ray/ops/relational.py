@@ -938,3 +938,58 @@ def events_value_quantiles(events_ds, qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
         .groupby("event_type")
         .map_groups(type_quantiles, batch_format="pyarrow")
     )
+
+
+def events_json_agg(events_ds):
+    """Semi-structured extraction + aggregate: parse the ``props`` JSON
+    column, pull the integer ``k`` field, and aggregate per event_type —
+    the everyday "JSON blob rides along in the table" op.
+
+    Parsing is per-batch: ``json.loads`` per value (the general path —
+    arbitrary JSON), with the count/sum folded into a per-batch Arrow
+    combiner so only one row per (event_type, block) reaches the shuffle.
+    A schema-known scalar field could swap in a vectorized RE2
+    ``pc.extract_regex`` fast path; the general loads path is kept as the
+    honest default (real props payloads nest)."""
+    import json
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {
+            "event_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "k_sum": pa.array([], pa.int64()),
+            "k_min": pa.array([], pa.int64()),
+            "k_max": pa.array([], pa.int64()),
+        }
+        if batch.num_rows == 0 or "props" not in batch.column_names:
+            return pa.table(cols)
+        ks = [int(json.loads(p)["k"]) for p in batch.column("props").to_pylist()]
+        t = pa.table(
+            {"event_type": batch.column("event_type"), "k": pa.array(ks, pa.int64())}
+        )
+        g = t.group_by("event_type").aggregate(
+            [("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max")]
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "n": g.column("k_count").cast(pa.int64()),
+                "k_sum": g.column("k_sum").cast(pa.int64()),
+                "k_min": g.column("k_min").cast(pa.int64()),
+                "k_max": g.column("k_max").cast(pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.select_columns(["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("k_sum", alias_name="k_sum"),
+            Min("k_min", alias_name="k_min"),
+            Max("k_max", alias_name="k_max"),
+        )
+    )

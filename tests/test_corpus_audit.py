@@ -586,3 +586,20 @@ class TestEventQuantiles:
             for t in ("a", "b", "c"):
                 e = brute(t)
                 assert rows[t] == (e[0.5], e[0.9], e[0.99])
+
+
+class TestEventsJsonAgg:
+    def test_hand_computed(self):
+        from pdf_entity_extraction_ray.ops.relational import events_json_agg
+
+        events = pa.table(
+            {
+                "event_type": pa.array(["x", "x", "y"]),
+                "props": pa.array(['{"k": 3}', '{"k": 5}', '{"k": -1}']),
+            }
+        )
+        rows = {
+            r["event_type"]: (r["n"], r["k_sum"], r["k_min"], r["k_max"])
+            for r in events_json_agg(ray.data.from_arrow(events)).take_all()
+        }
+        assert rows == {"x": (2, 8, 3, 5), "y": (1, -1, -1, -1)}
