@@ -52,11 +52,14 @@ def _kg_artifacts(sf_dir: str) -> dict:
     n_pages = _KG_PAGES.get(name, 500)
     base = f"/tmp/graft_kg/{name}"
     pages = f"{base}/pages"
+    from pdf_entity_extraction_ray.sources.corpus import CORPUS_VERSION_MARKER
+
     if not (
         os.path.isdir(pages)
         and os.path.isdir(f"{base}/gold_clusters")
         and os.path.isdir(f"{base}/gold_pagerank")
         and os.path.isdir(f"{base}/gold_kcore")
+        and os.path.isfile(f"{base}/{CORPUS_VERSION_MARKER}")
     ):
         shutil.rmtree(base, ignore_errors=True)
         write_corpus(base, n_pages=n_pages, seed=42, n_per_type=25, write_gold=True)
@@ -200,6 +203,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 f"/tmp/graft_kg/{name}/pages", columns=["url", "warc_ts"]
             ),
         )
+
+    def _kg_links(sf_dir):
+        """Web-graph edges extracted from the raw html (absolute hrefs)."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.web import extract_links
+
+        _kg_artifacts(sf_dir)
+        name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        return extract_links(ray.data.read_parquet(f"/tmp/graft_kg/{name}/pages"))
+
+    def _kg_host_links(sf_dir):
+        """Host-level link graph aggregated from the extracted edges."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.web import host_link_graph
+
+        _kg_artifacts(sf_dir)
+        name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        return host_link_graph(ray.data.read_parquet(f"/tmp/graft_kg/{name}/pages"))
 
     def _docs_pii_redact(sf_dir):
         """PII redaction over documents with deterministic planted PII
@@ -452,6 +475,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_host_cap": _kg_host_cap,
         "kg_cooccurrence": _kg_cooccurrence,
         "kg_timeline": _kg_timeline,
+        "kg_links": _kg_links,
+        "kg_host_links": _kg_host_links,
         # --- dedup family ---
         "docs_exact_dedup": lambda sf: dedup.exact_dedup(_read(sf, "documents")),
         "docs_clean_corpus": lambda sf: __import__(
@@ -684,6 +709,25 @@ def oracle_sql() -> dict[str, str]:
             select c.canonical, ud.day, count(*)::bigint as n_mentions
             from cmr c join ud on c.url = ud.url
             group by c.canonical, ud.day
+        """,
+        "kg_links": f"""
+            select url as src,
+                   unnest(regexp_extract_all(decode(html),
+                          'href="(https?://[^"]+)"', 1)) as dst
+            from read_parquet('{gold}/pages/*.parquet')
+        """,
+        "kg_host_links": f"""
+            with l as (select url as src,
+                              unnest(regexp_extract_all(decode(html),
+                                     'href="(https?://[^"]+)"', 1)) as dst
+                       from read_parquet('{gold}/pages/*.parquet')),
+            h as (select coalesce(regexp_extract(src,
+                             '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), '') as src_host,
+                         coalesce(regexp_extract(dst,
+                             '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), '') as dst_host
+                  from l)
+            select src_host, dst_host, count(*)::bigint as n_links
+            from h group by src_host, dst_host
         """,
         "kg_host_cap": f"""
             with p as (select url,

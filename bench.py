@@ -48,10 +48,19 @@ def bench_corpus_dir(sf: float) -> tuple[str, int]:
 
 
 def ensure_corpus(sf: float) -> tuple[str, int]:
-    from pdf_entity_extraction_ray.sources.corpus import write_corpus
+    from pdf_entity_extraction_ray.sources.corpus import (
+        CORPUS_VERSION_MARKER,
+        write_corpus,
+    )
 
     base, n_pages = bench_corpus_dir(sf)
-    if not os.path.isdir(f"{base}/pages"):
+    if not (
+        os.path.isdir(f"{base}/pages")
+        and os.path.isfile(f"{base}/{CORPUS_VERSION_MARKER}")
+    ):
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
         write_corpus(base, n_pages=n_pages, seed=42, n_per_type=25, write_gold=False)
     return f"{base}/pages", n_pages
 

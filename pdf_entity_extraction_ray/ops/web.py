@@ -12,6 +12,8 @@ partials, not raw rows), then a small global groupby folds them.
 
 from __future__ import annotations
 
+import re
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -207,4 +209,78 @@ def cap_per_host(pages_ds, k: int = 3):
         .map_batches(partial, batch_format="pyarrow")
         .groupby("host")
         .map_groups(_cap, batch_format="pyarrow")
+    )
+
+
+# absolute http(s) hrefs only — relative boilerplate links ("/about") are
+# navigation, not web-graph edges; RE2-compatible so the DuckDB oracle
+# runs the identical pattern over decode(html)
+LINK_RE_STR = r'href="(https?://[^"]+)"'
+_LINK_RE = re.compile(LINK_RE_STR)
+
+
+def extract_links(pages_ds):
+    """(src, dst) web-graph edges from the raw ``html`` bytes — the
+    Common-Crawl link-extraction primitive.  Stateless ``map_batches``
+    over the binary column: decode, regex-scan, flat-emit; a 100-TB crawl
+    streams through with no shuffle.  Duplicate hrefs on a page emit
+    duplicate edges (faithful to the markup; aggregate downstream)."""
+
+    def parse(batch: pa.Table) -> pa.Table:
+        srcs: list[str] = []
+        dsts: list[str] = []
+        if batch.num_rows and "html" in batch.column_names:
+            for url, html in zip(
+                batch.column("url").to_pylist(), batch.column("html").to_pylist()
+            ):
+                if isinstance(html, (bytes, bytearray)):
+                    html = html.decode("utf-8", errors="replace")
+                for dst in _LINK_RE.findall(html):
+                    srcs.append(url)
+                    dsts.append(dst)
+        return pa.table(
+            {"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string())}
+        )
+
+    return pages_ds.select_columns(["url", "html"]).map_batches(
+        parse, batch_format="pyarrow"
+    )
+
+
+def host_link_graph(pages_ds):
+    """Host-level web graph: (src_host, dst_host, n_links) aggregated from
+    :func:`extract_links` — the standard Common-Crawl host-graph product.
+    Per-batch Arrow ``group_by`` combiner, then a small global groupby:
+    a mega-host pair ships one row per block."""
+    from ray.data.aggregate import Sum
+
+    links = extract_links(pages_ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {
+            "src_host": pa.array([], pa.string()),
+            "dst_host": pa.array([], pa.string()),
+            "n_links": pa.array([], pa.int64()),
+        }
+        if batch.num_rows == 0 or "src" not in batch.column_names:
+            return pa.table(cols)
+        t = pa.table(
+            {
+                "src_host": host_of(batch.column("src")),
+                "dst_host": host_of(batch.column("dst")),
+            }
+        )
+        g = t.group_by(["src_host", "dst_host"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "src_host": g.column("src_host"),
+                "dst_host": g.column("dst_host"),
+                "n_links": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    return (
+        links.map_batches(partial, batch_format="pyarrow")
+        .groupby(["src_host", "dst_host"])
+        .aggregate(Sum("n_links", alias_name="n_links"))
     )

@@ -116,6 +116,9 @@ PRED_PHRASES = {
 
 PAGES_EPOCH = _dt.datetime(2020, 1, 1)
 
+#: bump when synthesis output changes (consumers regenerate stale caches)
+CORPUS_VERSION_MARKER = "_corpus_v2"
+
 
 # ---------------------------------------------------------------------------
 # entity catalog
@@ -325,8 +328,20 @@ class GoldPage:
     triples: list[dict]    # url seg_id subj subj_type pred obj obj_type (surface level)
 
 
-def generate_page(page_idx: int, clusters: list[Cluster], seed: int = 42) -> GoldPage:
-    """Deterministic page: html + canonical text + gold mentions/triples."""
+def _page_url(page_idx: int) -> str:
+    return f"https://site{page_idx % 50}.example.test/page/{page_idx}"
+
+
+def generate_page(
+    page_idx: int, clusters: list[Cluster], seed: int = 42, n_pages: int | None = None
+) -> GoldPage:
+    """Deterministic page: html + canonical text + gold mentions/triples.
+
+    When ``n_pages`` is known, the page carries three deterministic
+    OUTLINKS to other corpus pages — planted as EMPTY ``<a href>`` anchors
+    inside the boilerplate nav, so the canonical extracted text stays
+    byte-identical (empty anchors whitespace-collapse away) while the
+    corpus gains a real web link graph for the link-extraction ops."""
     rng = random.Random(f"page:{seed}:{page_idx}")
     lang = "es" if page_idx % 10 == 7 else "en"
     by_type: dict[str, list[Cluster]] = {}
@@ -354,7 +369,7 @@ def generate_page(page_idx: int, clusters: list[Cluster], seed: int = 42) -> Gol
     blocks.append(BOILER_FOOTER)
     seg_records.append((BOILER_FOOTER, [], []))
 
-    url = f"https://site{page_idx % 50}.example.test/page/{page_idx}"
+    url = _page_url(page_idx)
     page_text = " ".join(blocks)
 
     mentions: list[dict] = []
@@ -373,7 +388,13 @@ def generate_page(page_idx: int, clusters: list[Cluster], seed: int = 42) -> Gol
             triples.append({"url": url, "seg_id": seg_id, **t})
         offset += len(seg_text) + 1
 
-    html = _render_html(title, [b for b in blocks[2:-1]], rng).encode("utf-8")
+    outlinks: list[str] = []
+    if n_pages and n_pages > 1:
+        for k in (1, 2, 3):
+            j = (page_idx * 7 + k * 13) % n_pages
+            if j != page_idx:
+                outlinks.append(_page_url(j))
+    html = _render_html(title, [b for b in blocks[2:-1]], rng, outlinks).encode("utf-8")
     ts = PAGES_EPOCH + _dt.timedelta(seconds=page_idx)
     return GoldPage(url, ts, html, page_text, lang, [r[0] for r in seg_records], mentions, triples)
 
@@ -507,9 +528,11 @@ def gold_canonical_triples(clusters: list[Cluster], surface_triples) -> list[dic
     return out
 
 
-def pages_batch(page_indices, seed: int, n_per_type: int):
+def pages_batch(page_indices, seed: int, n_per_type: int, n_pages: int | None = None):
     """Generate a batch of pages + gold rows for the given page indices.
-    Pure function of (seed, index) — safe at any parallelism."""
+    Pure function of (seed, index) — safe at any parallelism.  Pass
+    ``n_pages`` to plant the deterministic outlink graph (see
+    :func:`generate_page`)."""
     import pyarrow as pa
 
     clusters = cached_catalog(seed, n_per_type)
@@ -517,7 +540,7 @@ def pages_batch(page_indices, seed: int, n_per_type: int):
     mentions: list[dict] = []
     triples: list[dict] = []
     for idx in page_indices:
-        page = generate_page(int(idx), clusters, seed)
+        page = generate_page(int(idx), clusters, seed, n_pages=n_pages)
         pages["url"].append(page.url)
         pages["warc_ts"].append(page.warc_ts)
         pages["html"].append(page.html)
@@ -554,7 +577,7 @@ def write_corpus(
     parallelism = parallelism or max(4, n_pages // 2000)
 
     def make(batch: dict) -> "pa.Table":
-        table, mentions, triples = pages_batch(batch["id"].tolist(), seed, n_per_type)
+        table, mentions, triples = pages_batch(batch["id"].tolist(), seed, n_per_type, n_pages)
         return table
 
     ds = ray.data.range(n_pages, override_num_blocks=parallelism)
@@ -563,7 +586,7 @@ def write_corpus(
     if write_gold:
 
         def make_mentions(batch: dict) -> "pa.Table":
-            _, mentions, _ = pages_batch(batch["id"].tolist(), seed, n_per_type)
+            _, mentions, _ = pages_batch(batch["id"].tolist(), seed, n_per_type, n_pages)
             return pa.Table.from_pylist(
                 mentions,
                 schema=pa.schema(
@@ -578,7 +601,7 @@ def write_corpus(
 
         def make_triples(batch: dict) -> "pa.Table":
             clusters = cached_catalog(seed, n_per_type)
-            _, _, triples = pages_batch(batch["id"].tolist(), seed, n_per_type)
+            _, _, triples = pages_batch(batch["id"].tolist(), seed, n_per_type, n_pages)
             canon = gold_canonical_triples(clusters, triples)
             rows = [
                 {
@@ -627,6 +650,11 @@ def write_corpus(
         pq.write_table(clusters_table, f"{out_dir}/gold_clusters/part-0.parquet")
         write_gold_pagerank(out_dir)
         write_gold_kcore(out_dir)
+
+    # synthesis-version marker: cached corpus dirs from an older synthesizer
+    # (e.g. pre-link-graph) are detected and regenerated by consumers
+    with open(f"{out_dir}/{CORPUS_VERSION_MARKER}", "w") as f:
+        f.write("1")
 
 
 def pagerank_reference(uv: list, iterations: int = 20, damping: float = 0.85):
@@ -801,16 +829,24 @@ def write_gold_pagerank(
     )
 
 
-def _render_html(title: str, para_blocks: list[str], rng: random.Random) -> str:
+def _render_html(
+    title: str,
+    para_blocks: list[str],
+    rng: random.Random,
+    outlinks: list[str] | None = None,
+) -> str:
     noise_id = rng.randrange(10**6)
     paras = "\n".join(f'    <p class="c{rng.randrange(9)}">{b}</p>' for b in para_blocks)
+    # empty anchors: whitespace-collapsed away by html_to_segments, so the
+    # canonical nav segment text is byte-identical with or without them
+    links = "".join(f'<a href="{u}"></a> ' for u in (outlinks or []))
     return (
         "<html>\n<head>\n"
         f"  <title>{title}</title>\n"
         "  <style>body { margin: 0; } .hidden { display: none }</style>\n"
         f"  <script>var t = {noise_id}; console.log(t &amp;&amp; 1);</script>\n"
         "</head>\n<body>\n"
-        f"  <nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> <a>Contact</a>\n"
+        f"  <nav>{links}<a href=\"/\">Home</a> <a href=\"/about\">About</a> <a>Contact</a>\n"
         "       <a>Archive</a> <a>Subscribe</a></nav>\n"
         "  <!-- generated page -->\n  <main>\n"
         f"{paras}\n"

@@ -603,3 +603,58 @@ class TestEventsJsonAgg:
             for r in events_json_agg(ray.data.from_arrow(events)).take_all()
         }
         assert rows == {"x": (2, 8, 3, 5), "y": (1, -1, -1, -1)}
+
+
+class TestLinkGraph:
+    def test_extract_and_host_graph(self):
+        from pdf_entity_extraction_ray.ops.web import extract_links, host_link_graph
+
+        html1 = (
+            '<html><body><nav><a href="https://b.test/x"></a> '
+            '<a href="https://b.test/x"></a>'  # duplicate: two edges
+            '<a href="/about">About</a>'       # relative: ignored
+            '<a href="https://c.test/y">c</a></nav></body></html>'
+        ).encode()
+        html2 = b'<html><body><a href="https://a.test/1">back</a></body></html>'
+        pages = ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array(["https://a.test/1", "https://b.test/x"]),
+                    "html": pa.array([html1, html2], pa.binary()),
+                }
+            )
+        )
+        edges = _collect(extract_links(pages))
+        got = sorted(zip(edges.column("src").to_pylist(), edges.column("dst").to_pylist()))
+        assert got == [
+            ("https://a.test/1", "https://b.test/x"),
+            ("https://a.test/1", "https://b.test/x"),
+            ("https://a.test/1", "https://c.test/y"),
+            ("https://b.test/x", "https://a.test/1"),
+        ]
+        hg = {
+            (r["src_host"], r["dst_host"]): r["n_links"]
+            for r in host_link_graph(pages).take_all()
+        }
+        assert hg == {
+            ("a.test", "b.test"): 2,
+            ("a.test", "c.test"): 1,
+            ("b.test", "a.test"): 1,
+        }
+
+    def test_planted_outlinks_text_invisible(self):
+        """The corpus synthesizer's planted outlinks must not change the
+        canonical extracted text (empty anchors collapse away)."""
+        from pdf_entity_extraction_ray.functions.htmlx import html_to_text
+        from pdf_entity_extraction_ray.sources.corpus import (
+            cached_catalog,
+            generate_page,
+        )
+
+        clusters = cached_catalog(42, 10)
+        with_links = generate_page(3, clusters, 42, n_pages=40)
+        without = generate_page(3, clusters, 42, n_pages=None)
+        assert with_links.text == without.text
+        assert html_to_text(with_links.html) == with_links.text
+        assert b'<a href="https://site' in with_links.html
+        assert b"<a href=\"https://site" not in without.html
