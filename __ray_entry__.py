@@ -59,6 +59,7 @@ def _kg_artifacts(sf_dir: str) -> dict:
         and os.path.isdir(f"{base}/gold_clusters")
         and os.path.isdir(f"{base}/gold_pagerank")
         and os.path.isdir(f"{base}/gold_kcore")
+        and os.path.isdir(f"{base}/gold_linkrank")
         and os.path.isfile(f"{base}/{CORPUS_VERSION_MARKER}")
     ):
         shutil.rmtree(base, ignore_errors=True)
@@ -223,6 +224,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _kg_artifacts(sf_dir)
         name = os.path.basename(os.path.normpath(sf_dir)) or "default"
         return host_link_graph(ray.data.read_parquet(f"/tmp/graft_kg/{name}/pages"))
+
+    def _kg_link_pagerank(sf_dir):
+        """Host-level PageRank over the REAL extracted link graph."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.web import link_pagerank
+
+        _kg_artifacts(sf_dir)
+        name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        return link_pagerank(ray.data.read_parquet(f"/tmp/graft_kg/{name}/pages"))
 
     def _docs_pii_redact(sf_dir):
         """PII redaction over documents with deterministic planted PII
@@ -477,6 +488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_timeline": _kg_timeline,
         "kg_links": _kg_links,
         "kg_host_links": _kg_host_links,
+        "kg_link_pagerank": _kg_link_pagerank,
         # --- dedup family ---
         "docs_exact_dedup": lambda sf: dedup.exact_dedup(_read(sf, "documents")),
         "docs_clean_corpus": lambda sf: __import__(
@@ -728,6 +740,10 @@ def oracle_sql() -> dict[str, str]:
                   from l)
             select src_host, dst_host, count(*)::bigint as n_links
             from h group by src_host, dst_host
+        """,
+        "kg_link_pagerank": f"""
+            select host, rank_ppm
+            from read_parquet('{gold}/gold_linkrank/*.parquet')
         """,
         "kg_host_cap": f"""
             with p as (select url,

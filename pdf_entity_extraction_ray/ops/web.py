@@ -284,3 +284,100 @@ def host_link_graph(pages_ds):
         .groupby(["src_host", "dst_host"])
         .aggregate(Sum("n_links", alias_name="n_links"))
     )
+
+
+def link_pagerank(pages_ds, iterations: int = 20, damping: float = 0.85):
+    """Host-level PageRank over the REAL extracted web graph — the
+    Common-Crawl host-ranking product: pages -> :func:`host_link_graph`
+    (distinct host pairs, self-loops kept) -> BSP damped power iteration
+    (ops/graph_stats.pagerank — per-round driver traffic is P scalars) ->
+    (host, rank_ppm) with ranks on the integer ppm grid (float noise
+    ~1e-15 vs the 1e-6 grid, so results hash exactly).
+
+    Host ids are content-derived (blake2b of the host string), and the
+    rank table joins back to host strings through a distinct
+    (node, host) map built from the same edges — no driver-side host
+    dictionary."""
+    import hashlib
+
+    import numpy as np
+
+    from ray.data.aggregate import Min
+
+    from .graph_stats import pagerank
+
+    def hid(host: str) -> int:
+        return (
+            int.from_bytes(
+                hashlib.blake2b(host.encode("utf-8"), digest_size=8).digest(), "little"
+            )
+            & 0x7FFFFFFFFFFFFFFF
+        )
+
+    edges = host_link_graph(pages_ds).materialize()  # consumed twice below
+
+    def ids(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src_host" not in batch.column_names:
+            return pa.table(
+                {"src_id": pa.array([], pa.int64()), "dst_id": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "src_id": pa.array(
+                    [hid(h) for h in batch.column("src_host").to_pylist()], pa.int64()
+                ),
+                "dst_id": pa.array(
+                    [hid(h) for h in batch.column("dst_host").to_pylist()], pa.int64()
+                ),
+            }
+        )
+
+    ranks = pagerank(
+        edges.map_batches(ids, batch_format="pyarrow"),
+        iterations=iterations,
+        damping=damping,
+    )
+
+    def host_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src_host" not in batch.column_names:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "host": pa.array([], pa.string())}
+            )
+        hosts = (
+            batch.column("src_host").to_pylist() + batch.column("dst_host").to_pylist()
+        )
+        return pa.table(
+            {
+                "node": pa.array([hid(h) for h in hosts], pa.int64()),
+                "host": pa.array(hosts, pa.string()),
+            }
+        )
+
+    # node -> host is 1:1 (node IS blake2b(host)), so Min is an exact carry
+    hostmap = (
+        edges.map_batches(host_rows, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("host", alias_name="host"))
+    )
+    n_part = 1 if edges.count() < 10_000 else None
+
+    def to_ppm(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "host" not in batch.column_names:
+            return pa.table(
+                {"host": pa.array([], pa.string()), "rank_ppm": pa.array([], pa.int64())}
+            )
+        ppm = np.round(
+            np.asarray(batch.column("rank").to_pylist(), dtype=np.float64) * 1e6
+        ).astype(np.int64)
+        return pa.table(
+            {"host": batch.column("host"), "rank_ppm": pa.array(ppm, pa.int64())}
+        )
+
+    from ..stages.graph import _join_parts
+
+    return ranks.join(
+        hostmap,
+        join_type="inner",
+        num_partitions=n_part or _join_parts(),
+        on=("node",),
+    ).map_batches(to_ppm, batch_format="pyarrow")

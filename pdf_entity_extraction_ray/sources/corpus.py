@@ -650,6 +650,7 @@ def write_corpus(
         pq.write_table(clusters_table, f"{out_dir}/gold_clusters/part-0.parquet")
         write_gold_pagerank(out_dir)
         write_gold_kcore(out_dir)
+        write_gold_linkrank(out_dir, n_pages)
 
     # synthesis-version marker: cached corpus dirs from an older synthesizer
     # (e.g. pre-link-graph) are detected and regenerated by consumers
@@ -853,4 +854,39 @@ def _render_html(
         "  </main>\n"
         f"  <footer>{BOILER_FOOTER}</footer>\n"
         "</body>\n</html>\n"
+    )
+
+
+def write_gold_linkrank(
+    out_dir: str, n_pages: int, iterations: int = 20, damping: float = 0.85
+) -> None:
+    """Single-process reference PageRank over the PLANTED host link graph
+    (the deterministic outlink rule in :func:`generate_page`, collapsed to
+    distinct host-index pairs, self-loops kept — exactly what the engine's
+    ops/web.link_pagerank derives from the html) -> a ``gold_linkrank``
+    table (host, rank_ppm)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pairs: set[tuple[int, int]] = set()
+    for i in range(n_pages):
+        for k in (1, 2, 3):
+            j = (i * 7 + k * 13) % n_pages
+            if j != i:
+                pairs.add((i % 50, j % 50))
+    nodes, rank = pagerank_reference(sorted(pairs), iterations=iterations, damping=damping)
+    os.makedirs(f"{out_dir}/gold_linkrank", exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "host": pa.array(
+                    [f"site{n}.example.test" for n in nodes], pa.string()
+                ),
+                "rank_ppm": pa.array(np.round(rank * 1e6).astype(np.int64), pa.int64()),
+            }
+        ),
+        f"{out_dir}/gold_linkrank/part-0.parquet",
     )

@@ -658,3 +658,43 @@ class TestLinkGraph:
         assert html_to_text(with_links.html) == with_links.text
         assert b'<a href="https://site' in with_links.html
         assert b"<a href=\"https://site" not in without.html
+
+
+class TestLinkPagerank:
+    def test_matches_reference_on_hand_graph(self):
+        from pdf_entity_extraction_ray.ops.web import link_pagerank
+        from pdf_entity_extraction_ray.sources.corpus import pagerank_reference
+
+        # host graph: a->b, b->c, c->a (cycle) plus a->c
+        mk = lambda *urls: (
+            "<html><body>"
+            + "".join(f'<a href="{u}"></a>' for u in urls)
+            + "</body></html>"
+        ).encode()
+        pages = ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array(
+                        ["https://a.test/1", "https://b.test/1", "https://c.test/1"]
+                    ),
+                    "html": pa.array(
+                        [
+                            mk("https://b.test/x", "https://c.test/x"),
+                            mk("https://c.test/x"),
+                            mk("https://a.test/x"),
+                        ],
+                        pa.binary(),
+                    ),
+                }
+            )
+        )
+        got = {r["host"]: r["rank_ppm"] for r in link_pagerank(pages).take_all()}
+        # reference over host indices 0=a 1=b 2=c with edges (0,1),(0,2),(1,2),(2,0)
+        import numpy as np
+
+        nodes, rank = pagerank_reference([(0, 1), (0, 2), (1, 2), (2, 0)])
+        want = {
+            f"{h}.test": int(np.round(r * 1e6))
+            for h, r in zip("abc", rank)
+        }
+        assert got == want
