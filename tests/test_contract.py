@@ -7,7 +7,7 @@ entry module's shape.
 
 import importlib.util
 import os
-import re
+
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -38,24 +38,28 @@ def test_no_ray_init_in_library_code():
     """Library code and __ray_entry__ must never own the Ray session (the
     driver initialises Ray before importing) — only bench.py, scripts/ and
     the test fixture may call ray.init."""
+    import ast
+
     offenders = []
     targets = [os.path.join(REPO, "__ray_entry__.py")]
     for root, _dirs, files in os.walk(os.path.join(REPO, "pdf_entity_extraction_ray")):
         targets.extend(os.path.join(root, f) for f in files if f.endswith(".py"))
-    pat = re.compile(r"^[ \t]*[^#\n]*\bray\.init\(", re.M)
     for path in targets:
         with open(path) as f:
             src = f.read()
-        # allow ray.init inside an explicit "if not ray.is_initialized()"
-        # guard in a __main__ CLI block only
-        for match in pat.finditer(src):
-            line_start = src.rfind("\n", 0, match.start()) + 1
-            context = src[max(0, line_start - 400) : match.start()]
-            if "is_initialized" in src[match.start() - 120 : match.start() + 40] or (
-                '__name__ == "__main__"' in context
+        lines = src.splitlines()
+        for node in ast.walk(ast.parse(src)):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "init"
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id == "ray"
             ):
-                continue
-            offenders.append(path)
+                # the one allowed form: a CLI guarded by is_initialized
+                ctx = "\n".join(lines[max(0, node.lineno - 4) : node.lineno + 1])
+                if "is_initialized" not in ctx:
+                    offenders.append(f"{path}:{node.lineno}")
     assert not offenders, offenders
 
 
