@@ -289,6 +289,12 @@ def main() -> None:
         "kg_host_cap": lambda: cap_per_host(
             ray.data.read_parquet(f"{pages_path}/pages"), k=3
         ),
+        "kg_host_links": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.web", fromlist=["host_link_graph"]
+        ).host_link_graph(ray.data.read_parquet(f"{pages_path}/pages")),
+        "kg_link_pagerank": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.web", fromlist=["link_pagerank"]
+        ).link_pagerank(ray.data.read_parquet(f"{pages_path}/pages")),
     }.items():
         walls = []
         for _ in range(repeat):
