@@ -235,6 +235,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         name = os.path.basename(os.path.normpath(sf_dir)) or "default"
         return link_pagerank(ray.data.read_parquet(f"/tmp/graft_kg/{name}/pages"))
 
+    def _docs_delta_dedup(sf_dir):
+        """Incremental exact dedup: the mod-5 != 0 docs play the NEW crawl
+        batch, deduped within themselves and against the mod-5 == 0
+        "existing corpus" via one left-anti hash join."""
+        import numpy as np
+        import pyarrow as pa
+
+        from pdf_entity_extraction_ray.ops.dedup import exact_dedup_delta
+
+        def part(batch: pa.Table, want_existing: bool) -> pa.Table:
+            ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+            m = (ids % 5) == 0
+            return batch.filter(pa.array(m if want_existing else ~m))
+
+        docs = _read(sf_dir, "documents")
+        new = docs.map_batches(lambda b: part(b, False), batch_format="pyarrow")
+        existing = docs.map_batches(lambda b: part(b, True), batch_format="pyarrow")
+        return exact_dedup_delta(new, existing)
+
     def _docs_pii_redact(sf_dir):
         """PII redaction over documents with deterministic planted PII
         (an email + an IPv4 derived from doc_id appended per doc) so the
@@ -491,6 +510,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_link_pagerank": _kg_link_pagerank,
         # --- dedup family ---
         "docs_exact_dedup": lambda sf: dedup.exact_dedup(_read(sf, "documents")),
+        "docs_delta_dedup": _docs_delta_dedup,
+        "lineitem_rollup": lambda sf: relational.lineitem_rollup(_read(sf, "lineitem")),
         "docs_clean_corpus": lambda sf: __import__(
             "pdf_entity_extraction_ray.pipelines.clean", fromlist=["clean_documents"]
         ).clean_documents(_read(sf, "documents")),
@@ -870,6 +891,22 @@ def oracle_sql() -> dict[str, str]:
         "docs_exact_dedup": """
             select doc_id, text, lang, source, n_chars from documents
             qualify row_number() over (partition by text order by doc_id) = 1
+        """,
+        "docs_delta_dedup": """
+            with ex as (select md5(text) as k from documents where doc_id % 5 = 0),
+                 neww as (select *, md5(text) as k from documents where doc_id % 5 != 0),
+                 w as (select * from neww
+                       qualify row_number() over (partition by k order by doc_id) = 1)
+            select doc_id, text, lang, source, n_chars from w
+            where k not in (select k from ex)
+        """,
+        "lineitem_rollup": """
+            select coalesce(l_returnflag, 'ALL') as l_returnflag,
+                   coalesce(l_linestatus, 'ALL') as l_linestatus,
+                   sum(l_quantity) as sum_qty,
+                   count(*)::bigint as n_rows
+            from lineitem
+            group by rollup (l_returnflag, l_linestatus)
         """,
         "docs_pack": __import__(
             "pdf_entity_extraction_ray.ops.packing", fromlist=["pack_oracle_sql"]

@@ -1153,3 +1153,60 @@ def near_dup_components(
         )
 
     return comp.map_batches(rename, batch_format="pyarrow")
+
+
+def exact_dedup_delta(new_ds, existing_ds, num_partitions: int | None = None):
+    """Incremental exact dedup: the rows of a NEW crawl batch that survive
+    dedup against BOTH themselves and an EXISTING already-deduped corpus —
+    the shape a rolling ingestion pipeline runs nightly, touching the new
+    batch and only the md5-key column of the old corpus (never re-deduping
+    history).
+
+    1. within-batch winners: min doc_id per md5(text) (the same combiner +
+       Min groupby as :func:`exact_dedup`);
+    2. one hash-shuffle LEFT ANTI ``Dataset.join`` drops winners whose key
+       already exists in the corpus.  Existing-side reads prune to the key
+       (computed per batch from ``text`` here; a production corpus stores
+       the key column so the read ships ~16 bytes/row)."""
+    new_winners = exact_dedup(new_ds, num_partitions)
+
+    def keys_of(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "text" not in batch.column_names:
+            return pa.table({"k": pa.array([], pa.string())})
+        return pa.table(
+            {
+                "k": pa.array(
+                    [hashlib.md5(t.encode("utf-8")).hexdigest()
+                     for t in batch.column("text").to_pylist()],
+                    pa.string(),
+                )
+            }
+        )
+
+    def key_col(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "text" not in batch.column_names:
+            return batch.append_column("k", pa.array([], pa.string()))
+        return batch.append_column(
+            "k",
+            pa.array(
+                [hashlib.md5(t.encode("utf-8")).hexdigest()
+                 for t in batch.column("text").to_pylist()],
+                pa.string(),
+            ),
+        )
+
+    existing_keys = existing_ds.select_columns(["text"]).map_batches(
+        keys_of, batch_format="pyarrow"
+    )
+    n_part = num_partitions or _join_partitions()
+    if num_partitions is None and existing_ds.count() < 10_000:
+        n_part = 1  # tiny-input guard: empty shuffle partitions crash the join
+    survivors = (
+        new_winners.map_batches(key_col, batch_format="pyarrow")
+        .join(existing_keys, join_type="left_anti", num_partitions=n_part, on=("k",))
+    )
+
+    def drop_k(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["k"]) if "k" in batch.column_names else batch
+
+    return survivors.map_batches(drop_k, batch_format="pyarrow")

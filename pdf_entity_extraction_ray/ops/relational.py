@@ -993,3 +993,68 @@ def events_json_agg(events_ds):
             Max("k_max", alias_name="k_max"),
         )
     )
+
+
+def lineitem_rollup(lineitem_ds):
+    """ROLLUP-style multi-level aggregate: (returnflag, linestatus) ->
+    (returnflag) -> grand total, with the sentinel ``'ALL'`` marking
+    rolled-up levels (hash-friendlier than NULL across engines).
+
+    Only the FINEST level touches the big table (the usual two-stage
+    combiner + small groupby); the coarser levels re-aggregate the finest
+    RESULT — a few hundred rows — so the rollup costs one extra tiny
+    pass, not extra corpus scans.  Sums stay exact (integral-valued
+    doubles are order-free in fp64)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_quantity", "count")]
+        )
+        return pa.table(
+            {
+                "l_returnflag": g.column("l_returnflag"),
+                "l_linestatus": g.column("l_linestatus"),
+                "sum_qty": g.column("l_quantity_sum"),
+                "n_rows": g.column("l_quantity_count").cast(pa.int64()),
+            }
+        )
+
+    finest = (
+        lineitem_ds.select_columns(["l_returnflag", "l_linestatus", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"), Sum("n_rows", alias_name="n_rows"))
+        .materialize()  # small; re-aggregated twice below
+    )
+
+    def to_level1(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_returnflag" not in batch.column_names:
+            return batch
+        return batch.set_column(
+            batch.column_names.index("l_linestatus"),
+            "l_linestatus",
+            pa.array(["ALL"] * batch.num_rows, pa.string()),
+        )
+
+    def to_level0(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_returnflag" not in batch.column_names:
+            return batch
+        t = to_level1(batch)
+        return t.set_column(
+            t.column_names.index("l_returnflag"),
+            "l_returnflag",
+            pa.array(["ALL"] * t.num_rows, pa.string()),
+        )
+
+    level1 = (
+        finest.map_batches(to_level1, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"), Sum("n_rows", alias_name="n_rows"))
+    )
+    level0 = (
+        finest.map_batches(to_level0, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"), Sum("n_rows", alias_name="n_rows"))
+    )
+    return finest.union(level1).union(level0)

@@ -698,3 +698,53 @@ class TestLinkPagerank:
             for h, r in zip("abc", rank)
         }
         assert got == want
+
+
+class TestDeltaDedupAndRollup:
+    def test_delta_dedup_semantics(self):
+        from pdf_entity_extraction_ray.ops.dedup import exact_dedup_delta
+
+        mk = lambda ids, texts: ray.data.from_arrow(
+            pa.table(
+                {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}
+            )
+        )
+        existing = mk([0, 1], ["old doc one", "old doc two"])
+        new = mk(
+            [10, 11, 12, 13],
+            ["old doc one",      # dup of existing -> dropped
+             "brand new alpha",  # survives
+             "brand new alpha",  # within-batch dup -> dropped (11 wins)
+             "brand new beta"],  # survives
+        )
+        out = _collect(exact_dedup_delta(new, existing))
+        assert sorted(out.column("doc_id").to_pylist()) == [11, 13]
+
+    def test_rollup_levels(self):
+        from pdf_entity_extraction_ray.ops.relational import lineitem_rollup
+
+        t = pa.table(
+            {
+                "l_returnflag": pa.array(["A", "A", "B"]),
+                "l_linestatus": pa.array(["x", "y", "x"]),
+                "l_quantity": pa.array([1.0, 2.0, 4.0], pa.float64()),
+            }
+        )
+        out = _collect(lineitem_rollup(ray.data.from_arrow(t)))
+        rows = {
+            (r, s): (q, n)
+            for r, s, q, n in zip(
+                out.column("l_returnflag").to_pylist(),
+                out.column("l_linestatus").to_pylist(),
+                out.column("sum_qty").to_pylist(),
+                out.column("n_rows").to_pylist(),
+            )
+        }
+        assert rows == {
+            ("A", "x"): (1.0, 1),
+            ("A", "y"): (2.0, 1),
+            ("B", "x"): (4.0, 1),
+            ("A", "ALL"): (3.0, 2),
+            ("B", "ALL"): (4.0, 1),
+            ("ALL", "ALL"): (7.0, 3),
+        }
