@@ -495,6 +495,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontam": _docs_decontam,
         "docs_curated": _docs_curated,
         # --- sketches: HLL vocabulary registers + bottom-k uniform sample ---
+        "docs_vocab_build": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.vocab", fromlist=["vocab_build"]
+        ).vocab_build(_read(sf, "documents")),
         "docs_vocab_hll": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.sketch", fromlist=["vocab_hll"]
         ).vocab_hll(_read(sf, "documents")),
@@ -911,6 +914,17 @@ def oracle_sql() -> dict[str, str]:
         "docs_pack": __import__(
             "pdf_entity_extraction_ray.ops.packing", fromlist=["pack_oracle_sql"]
         ).pack_oracle_sql(),
+        "docs_vocab_build": """
+            with tok as (select unnest(regexp_extract_all(lower(text),
+                             '[a-z0-9_]+')) as token
+                         from documents),
+                 c as (select token, count(*)::bigint as n
+                       from tok group by token)
+            select token, n,
+                   (row_number() over (order by n desc, token) - 1)::bigint
+                       as token_id
+            from c
+        """,
         "docs_vocab_hll": __import__(
             "pdf_entity_extraction_ray.ops.sketch", fromlist=["hll_oracle_sql"]
         ).hll_oracle_sql(),

@@ -1,0 +1,76 @@
+"""Vocabulary building — the tokenizer-training primitive: corpus token
+counts with contiguous frequency-ranked integer ids.
+
+The interesting distributed piece is the GLOBAL ENUMERATION: after the
+two-stage count and the all-to-all sort by (count desc, token), each row
+needs its global rank as ``token_id``.  Ray Data has no row_number, so the
+op assigns ids with block-offset arithmetic over the SORTED dataset's
+blocks: a tiny remote per block reports its row count (the driver holds
+one integer per block, never rows), the exclusive prefix sum gives each
+block its id offset, and a per-block remote appends ``offset + arange``.
+Sorted Ray datasets keep their blocks range-ordered, which is what makes
+the offsets correct.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .text import TOKEN_RE
+
+
+def vocab_build(docs_ds, min_count: int = 1):
+    """(token, n, token_id) — corpus vocabulary with exact counts and
+    frequency-ranked contiguous ids (ties broken by token asc, so the
+    result is deterministic and SQL row_number-comparable)."""
+    import numpy as np
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch.column("text").to_pylist():
+            for w in TOKEN_RE.findall(t.lower()):
+                counts[w] = counts.get(w, 0) + 1
+        return pa.table(
+            {
+                "token": pa.array(list(counts), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    counts = (
+        docs_ds.select_columns(["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    if min_count > 1:
+        import pyarrow.compute as pc
+
+        counts = counts.map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("n"), min_count))
+            if b.num_rows and "n" in b.column_names
+            else b,
+            batch_format="pyarrow",
+        )
+    ordered = counts.sort(["n", "token"], descending=[True, False]).materialize()
+
+    @ray.remote
+    def nrows(block: pa.Table) -> int:
+        return block.num_rows
+
+    @ray.remote
+    def with_ids(block: pa.Table, offset: int) -> pa.Table:
+        return block.append_column(
+            "token_id",
+            pa.array(offset + np.arange(block.num_rows, dtype=np.int64), pa.int64()),
+        )
+
+    refs = ordered.to_arrow_refs()
+    sizes = ray.get([nrows.remote(r) for r in refs])  # one int per block
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
+    return ray.data.from_arrow_refs(
+        [with_ids.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    )

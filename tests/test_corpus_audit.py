@@ -748,3 +748,44 @@ class TestDeltaDedupAndRollup:
             ("B", "ALL"): (4.0, 1),
             ("ALL", "ALL"): (7.0, 3),
         }
+
+
+class TestVocabBuild:
+    def test_global_ids_match_bruteforce_any_blocking(self):
+        from collections import Counter
+
+        from pdf_entity_extraction_ray.ops.text import TOKEN_RE
+        from pdf_entity_extraction_ray.ops.vocab import vocab_build
+
+        texts = [f"w{i % 17} w{i % 5} common common" for i in range(200)]
+        cnt = Counter()
+        for t in texts:
+            cnt.update(TOKEN_RE.findall(t.lower()))
+        expected = {
+            tok: (n, rank)
+            for rank, (tok, n) in enumerate(
+                sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            )
+        }
+        for parts in (1, 13):
+            ds = _docs(texts)
+            if parts > 1:
+                ds = ds.repartition(parts)
+            out = _collect(vocab_build(ds))
+            got = {
+                t: (n, i)
+                for t, n, i in zip(
+                    out.column("token").to_pylist(),
+                    out.column("n").to_pylist(),
+                    out.column("token_id").to_pylist(),
+                )
+            }
+            assert got == expected
+            ids = sorted(out.column("token_id").to_pylist())
+            assert ids == list(range(len(expected)))  # contiguous 0..V-1
+
+    def test_min_count_prunes(self):
+        from pdf_entity_extraction_ray.ops.vocab import vocab_build
+
+        out = _collect(vocab_build(_docs(["a a a b"]), min_count=2))
+        assert out.column("token").to_pylist() == ["a"]
