@@ -495,6 +495,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontam": _docs_decontam,
         "docs_curated": _docs_curated,
         # --- sketches: HLL vocabulary registers + bottom-k uniform sample ---
+        "docs_encode": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.vocab", fromlist=["encode_documents"]
+        ).encode_documents(_read(sf, "documents")),
         "docs_vocab_build": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.vocab", fromlist=["vocab_build"]
         ).vocab_build(_read(sf, "documents")),
@@ -914,6 +917,28 @@ def oracle_sql() -> dict[str, str]:
         "docs_pack": __import__(
             "pdf_entity_extraction_ray.ops.packing", fromlist=["pack_oracle_sql"]
         ).pack_oracle_sql(),
+        "docs_encode": """
+            with tok as (select unnest(regexp_extract_all(lower(text),
+                             '[a-z0-9_]+')) as token
+                         from documents),
+                 c as (select token, count(*)::bigint as n
+                       from tok group by token),
+                 v as (select token,
+                              (row_number() over (order by n desc, token) - 1)::bigint
+                                  as token_id
+                       from c),
+                 w as (select doc_id,
+                              regexp_extract_all(lower(text), '[a-z0-9_]+') as ws
+                       from documents),
+                 p as (select doc_id, unnest(range(1, len(ws) + 1)) as pos1, ws
+                       from w),
+                 e as (select doc_id, (pos1 - 1)::bigint as pos,
+                              ws[pos1] as token
+                       from p)
+            select e.doc_id, e.pos,
+                   coalesce(v.token_id, -1)::bigint as token_id
+            from e left join v using (token)
+        """,
         "docs_vocab_build": """
             with tok as (select unnest(regexp_extract_all(lower(text),
                              '[a-z0-9_]+')) as token

@@ -74,3 +74,63 @@ def vocab_build(docs_ds, min_count: int = 1):
     return ray.data.from_arrow_refs(
         [with_ids.remote(r, int(o)) for r, o in zip(refs, offsets)]
     )
+
+
+def encode_documents(docs_ds, min_count: int = 1, vocab_size: int | None = None):
+    """Tokenize the corpus against the built vocabulary: exploded
+    ``(doc_id, pos, token_id)`` rows, OOV tokens as ``-1`` — the id stream
+    a training loader consumes after :func:`vocab_build`.
+
+    The id map broadcasts once via ``ray.put`` — BOUNDED state because the
+    vocabulary is explicitly capped (``vocab_size``/``min_count``), which
+    is how production tokenizers work anyway (fixed vocab, UNK for the
+    tail).  Encoding itself is a stateless ``map_batches``; a 100-TB
+    corpus streams through with no shuffle."""
+    import numpy as np
+    import ray
+
+    vocab = vocab_build(docs_ds, min_count=min_count)
+    if vocab_size is not None:
+        vocab = vocab.sort("token_id").limit(vocab_size)
+    ids: dict[str, int] = {}
+    for b in vocab.select_columns(["token", "token_id"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        ids.update(zip(b.column("token").to_pylist(), b.column("token_id").to_pylist()))
+    ref = ray.put(ids)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        id_of = ray.get(ref)
+        doc_parts, pos_parts, tid_parts = [], [], []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = TOKEN_RE.findall(t.lower())
+            if not toks:
+                continue
+            doc_parts.append(np.full(len(toks), doc_id, dtype=np.int64))
+            pos_parts.append(np.arange(len(toks), dtype=np.int64))
+            tid_parts.append(
+                np.fromiter(
+                    (id_of.get(w, -1) for w in toks), dtype=np.int64, count=len(toks)
+                )
+            )
+        if not doc_parts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "token_id": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(doc_parts), pa.int64()),
+                "pos": pa.array(np.concatenate(pos_parts), pa.int64()),
+                "token_id": pa.array(np.concatenate(tid_parts), pa.int64()),
+            }
+        )
+
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        encode, batch_format="pyarrow"
+    )

@@ -789,3 +789,25 @@ class TestVocabBuild:
 
         out = _collect(vocab_build(_docs(["a a a b"]), min_count=2))
         assert out.column("token").to_pylist() == ["a"]
+
+
+class TestEncodeDocuments:
+    def test_encode_roundtrip_and_oov(self):
+        from pdf_entity_extraction_ray.ops.vocab import encode_documents
+
+        # vocab from the corpus itself; with vocab_size=2 the third-ranked
+        # token becomes OOV (-1)
+        texts = ["aa aa aa bb bb cc", "bb aa cc"]
+        out = _collect(encode_documents(_docs(texts), vocab_size=2))
+        rows = sorted(
+            zip(
+                out.column("doc_id").to_pylist(),
+                out.column("pos").to_pylist(),
+                out.column("token_id").to_pylist(),
+            )
+        )
+        # ranks: aa(4)->0, bb(3)->1, cc(2)->OOV
+        assert rows == [
+            (0, 0, 0), (0, 1, 0), (0, 2, 0), (0, 3, 1), (0, 4, 1), (0, 5, -1),
+            (1, 0, 1), (1, 1, 0), (1, 2, -1),
+        ]
