@@ -495,6 +495,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontam": _docs_decontam,
         "docs_curated": _docs_curated,
         # --- sketches: HLL vocabulary registers + bottom-k uniform sample ---
+        "emb_dim_stats": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.kmeans", fromlist=["emb_dim_stats"]
+        ).emb_dim_stats(_read(sf, "embeddings")),
         "docs_encode": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.vocab", fromlist=["encode_documents"]
         ).encode_documents(_read(sf, "documents")),
@@ -917,6 +920,18 @@ def oracle_sql() -> dict[str, str]:
         "docs_pack": __import__(
             "pdf_entity_extraction_ray.ops.packing", fromlist=["pack_oracle_sql"]
         ).pack_oracle_sql(),
+        "emb_dim_stats": """
+            with p as (select unnest(range(1, len(embedding) + 1)) as d1,
+                              embedding as v
+                       from embeddings),
+                 x as (select (d1 - 1)::bigint as dim, v[d1]::double as x from p)
+            select dim,
+                   floor(1e6 * (sum(x) / count(*)))::bigint as mean_ppm,
+                   floor(1e6 * (sum(x * x) / count(*)
+                         - (sum(x) / count(*)) * (sum(x) / count(*))))::bigint
+                       as var_ppm
+            from x group by dim
+        """,
         "docs_encode": """
             with tok as (select unnest(regexp_extract_all(lower(text),
                              '[a-z0-9_]+')) as token

@@ -149,3 +149,73 @@ def kmeans_reference(
 def kmeans_cluster(emb_ds, k: int = 8, iterations: int = 10, *, source_path=None):
     """Convenience: fit then assign — the ``emb_kmeans`` query entry."""
     return kmeans_assign(emb_ds, kmeans_fit(emb_ds, k, iterations, source_path=source_path))
+
+
+def emb_dim_stats(emb_ds):
+    """Per-dimension mean / population variance of the embedding column —
+    the whitening/normalization prep an embedding pipeline runs before
+    PCA or cosine work.  Two-stage: each batch reduces to one
+    (dim, sum, sumsq, n) row per dimension (64 rows per block, regardless
+    of corpus size), a Sum groupby folds them, and a final map emits
+    floor-ppm integers (float32 elements cast exactly to float64 on both
+    engines; order-noise ~1e-13 vs the 1e-6 grid — the repo-wide ppm
+    convention, floor on both sides)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {
+            "dim": pa.array([], pa.int64()),
+            "s": pa.array([], pa.float64()),
+            "ss": pa.array([], pa.float64()),
+            "n": pa.array([], pa.int64()),
+        }
+        if batch.num_rows == 0 or "embedding" not in batch.column_names:
+            return pa.table(cols)
+        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        d = mat.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
+                "s": pa.array(mat.sum(axis=0), pa.float64()),
+                "ss": pa.array((mat * mat).sum(axis=0), pa.float64()),
+                "n": pa.array(np.full(d, mat.shape[0], dtype=np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        emb_ds.select_columns(["embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "s" not in batch.column_names:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "mean_ppm": pa.array([], pa.int64()),
+                    "var_ppm": pa.array([], pa.int64()),
+                }
+            )
+        s = np.asarray(batch.column("s").to_pylist(), dtype=np.float64)
+        ss = np.asarray(batch.column("ss").to_pylist(), dtype=np.float64)
+        n = np.asarray(batch.column("n").to_pylist(), dtype=np.float64)
+        mean = s / n
+        var = ss / n - mean * mean
+        return pa.table(
+            {
+                "dim": batch.column("dim"),
+                "mean_ppm": pa.array(np.floor(mean * 1e6).astype(np.int64), pa.int64()),
+                "var_ppm": pa.array(np.floor(var * 1e6).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

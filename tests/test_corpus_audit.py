@@ -811,3 +811,38 @@ class TestEncodeDocuments:
             (0, 0, 0), (0, 1, 0), (0, 2, 0), (0, 3, 1), (0, 4, 1), (0, 5, -1),
             (1, 0, 1), (1, 1, 0), (1, 2, -1),
         ]
+
+
+class TestEmbDimStats:
+    def test_matches_numpy_any_blocking(self):
+        import numpy as np
+
+        from pdf_entity_extraction_ray.ops.kmeans import emb_dim_stats
+
+        rng = np.random.RandomState(5)
+        mat = rng.standard_normal((300, 8)).astype(np.float32)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(300), pa.int64()),
+                "embedding": pa.array([r.tolist() for r in mat]),
+            }
+        )
+        m64 = mat.astype(np.float64)
+        want_mean = np.floor(m64.mean(axis=0) * 1e6).astype(np.int64)
+        want_var = np.floor(
+            ((m64 * m64).mean(axis=0) - m64.mean(axis=0) ** 2) * 1e6
+        ).astype(np.int64)
+        for parts in (1, 11):
+            ds = ray.data.from_arrow(tbl)
+            if parts > 1:
+                ds = ds.repartition(parts)
+            out = _collect(emb_dim_stats(ds))
+            got = {
+                d: (m, v)
+                for d, m, v in zip(
+                    out.column("dim").to_pylist(),
+                    out.column("mean_ppm").to_pylist(),
+                    out.column("var_ppm").to_pylist(),
+                )
+            }
+            assert got == {i: (want_mean[i], want_var[i]) for i in range(8)}
