@@ -533,6 +533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "documents"), 0.7
         ),
         "docs_dup_ngrams": lambda sf: dedup.duplicate_ngrams(_read(sf, "documents")),
+        "docs_dup_spans": lambda sf: dedup.duplicated_spans(_read(sf, "documents")),
         "emb_cosine_dedup": lambda sf: dedup.embedding_cosine_pairs(_read(sf, "embeddings"), 0.5),
         "emb_cosine_dedup_lsh": lambda sf: dedup.embedding_cosine_pairs_lsh(
             _read(sf, "embeddings"), 0.5
@@ -1026,6 +1027,31 @@ def oracle_sql() -> dict[str, str]:
         # one exact all-pairs Jaccard oracle checks BOTH candidate
         # generators: LSH banding (probabilistic recall ~1-4e-10 at these
         # defaults) and prefix filtering (lossless by theorem)
+        "docs_dup_spans": """
+            with w as (select doc_id,
+                              regexp_extract_all(lower(text), '[a-z0-9_]+') as ws
+                       from documents),
+                 g as (select doc_id,
+                              unnest(range(1, greatest(len(ws) - 2, 0) + 1)) as p1,
+                              ws
+                       from w where len(ws) >= 3),
+                 e as (select doc_id, (p1 - 1)::bigint as pos,
+                              ws[p1] || ' ' || ws[p1 + 1] || ' ' || ws[p1 + 2] as gram
+                       from g),
+                 dup as (select gram from e
+                         group by gram having count(distinct doc_id) >= 2),
+                 d as (select e.doc_id, e.pos from e join dup using (gram)),
+                 isl as (select doc_id, pos,
+                                pos - row_number() over (partition by doc_id
+                                                         order by pos) as grp
+                         from d),
+                 runs as (select doc_id, min(pos) as start_pos,
+                                 max(pos) as end_pos, count(*) as n
+                          from isl group by doc_id, grp)
+            select doc_id, start_pos as start_tok,
+                   (end_pos + 2)::bigint as end_tok
+            from runs where n >= 2
+        """,
         "docs_minhash_dedup": jaccard_pairs_sql,
         "docs_ngram_dedup": jaccard_pairs_sql,
         # token hash = md5_number_upper; bit-majority vote per 64 bits;

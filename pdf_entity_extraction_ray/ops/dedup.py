@@ -1210,3 +1210,141 @@ def exact_dedup_delta(new_ds, existing_ds, num_partitions: int | None = None):
         return batch.drop_columns(["k"]) if "k" in batch.column_names else batch
 
     return survivors.map_batches(drop_k, batch_format="pyarrow")
+
+
+def gram_pos_rows_batch(batch: pa.Table, k: int = SHINGLE_K) -> pa.Table:
+    """documents batch -> POSITIONAL k-gram rows (doc_id, pos, token):
+    one row per gram OCCURRENCE (not the distinct-set shingle view) —
+    the input both to duplicated-span detection and to any
+    positional-gram analysis.  Docs shorter than ``k`` tokens emit
+    nothing (no k-gram exists).  Token = signed-int64 blake2b of the
+    gram (shuffle-friendly; collisions only ever ADD a dup marking)."""
+    out_doc, out_pos, out_tok = [], [], []
+    for doc_id, text in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+        words = TOKEN_RE.findall(text.lower())
+        for i in range(len(words) - k + 1):
+            hv = _stable_hash64(" ".join(words[i : i + k]).encode("utf-8"))
+            out_doc.append(doc_id)
+            out_pos.append(i)
+            out_tok.append(hv - (1 << 64) if hv >= (1 << 63) else hv)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "pos": pa.array(out_pos, pa.int64()),
+            "token": pa.array(out_tok, pa.int64()),
+        }
+    )
+
+
+def duplicated_spans(
+    docs_ds, k: int = SHINGLE_K, min_run: int = 2, num_partitions: int | None = None
+):
+    """Exact-substring duplication spans (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", at k-gram granularity):
+    per document, the maximal token ranges covered by consecutive k-grams
+    that appear in >= 2 DISTINCT documents — the spans a substring-dedup
+    pass would cut.  Emits (doc_id, start_tok, end_tok) for runs of at
+    least ``min_run`` consecutive duplicated grams.
+
+    Stages: positional gram rows (stateless map) -> cross-doc gram
+    frequencies via per-batch DISTINCT (token, doc) pairs (docs never
+    split across batches, so batch-local distinct is globally distinct)
+    + one count groupby -> one hash join marks duplicated occurrences ->
+    coarse doc-shard groupby merges consecutive positions vectorized
+    (sort + diff islands).  Text never travels; only (doc, pos, token)
+    triples shuffle."""
+    rows = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        gram_pos_rows_batch, fn_kwargs={"k": k}, batch_format="pyarrow"
+    )
+    rows = rows.materialize()  # consumed twice: df counting + the join probe
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "token" not in batch.column_names:
+            return pa.table({"token": pa.array([], pa.int64())})
+        t = pa.table({"token": batch.column("token"), "doc_id": batch.column("doc_id")})
+        g = t.group_by(["token", "doc_id"]).aggregate([([], "count_all")])
+        return pa.table({"token": g.column("token")})
+
+    df = rows.map_batches(distinct_pairs, batch_format="pyarrow").groupby("token").count()
+
+    def dup_only(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "count()" not in batch.column_names:
+            return pa.table({"token": pa.array([], pa.int64())})
+        return pa.table(
+            {"token": batch.filter(pc.greater_equal(batch.column("count()"), 2)).column("token")}
+        )
+
+    dup = df.map_batches(dup_only, batch_format="pyarrow").materialize()
+    if dup.count() == 0:
+        # no cross-doc duplicated gram anywhere: an all-empty join side has
+        # no schema and crashes the hash join — short-circuit instead
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "start_tok": pa.array([], pa.int64()),
+                    "end_tok": pa.array([], pa.int64()),
+                }
+            )
+        )
+    n_part = num_partitions or _join_partitions()
+    if num_partitions is None and rows.count() < 10_000:
+        n_part = 1  # tiny-input guard (empty shuffle partitions crash joins)
+    marked = rows.join(dup, join_type="inner", num_partitions=n_part, on=("token",))
+
+    def add_dshard(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return pa.table(
+                {
+                    "dshard": pa.array([], pa.int32()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                }
+            )
+        d = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        return pa.table(
+            {
+                "dshard": pa.array((d % BAND_SHARDS).astype(np.int32), pa.int32()),
+                "doc_id": batch.column("doc_id"),
+                "pos": batch.column("pos"),
+            }
+        )
+
+    def islands(group: pa.Table) -> pa.Table:
+        """One doc-shard of duplicated (doc_id, pos) rows -> merged runs,
+        fully vectorized: lexsort, then islands where consecutive
+        positions differ by 1 within a doc."""
+        cols = {
+            "doc_id": pa.array([], pa.int64()),
+            "start_tok": pa.array([], pa.int64()),
+            "end_tok": pa.array([], pa.int64()),
+        }
+        if group.num_rows == 0 or "pos" not in group.column_names:
+            return pa.table(cols)
+        doc = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
+        pos = np.asarray(group.column("pos").to_pylist(), dtype=np.int64)
+        order = np.lexsort((pos, doc))
+        doc, pos = doc[order], pos[order]
+        new_run = np.r_[True, (doc[1:] != doc[:-1]) | (pos[1:] != pos[:-1] + 1)]
+        starts = np.flatnonzero(new_run)
+        lengths = np.diff(np.r_[starts, len(doc)])
+        keep = lengths >= min_run
+        s = starts[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[s], pa.int64()),
+                "start_tok": pa.array(pos[s], pa.int64()),
+                "end_tok": pa.array(pos[s + 0] + lengths[keep] - 1 + (k - 1), pa.int64()),
+            }
+        )
+
+    return (
+        marked.map_batches(add_dshard, batch_format="pyarrow")
+        .groupby("dshard")
+        .map_groups(
+            lambda g: islands(g.drop_columns(["dshard"]) if "dshard" in g.column_names else g),
+            batch_format="pyarrow",
+        )
+    )

@@ -846,3 +846,34 @@ class TestEmbDimStats:
                 )
             }
             assert got == {i: (want_mean[i], want_var[i]) for i in range(8)}
+
+
+class TestDuplicatedSpans:
+    def test_hand_case(self):
+        from pdf_entity_extraction_ray.ops.dedup import duplicated_spans
+
+        shared = "one two three four five"  # 3 consecutive dup 3-grams
+        texts = [
+            f"intro {shared} outro words here",
+            f"other {shared} ending tokens now",
+            "completely different text with no overlap at all ok",
+        ]
+        out = _collect(duplicated_spans(_docs(texts), k=3, min_run=2))
+        spans = sorted(
+            zip(
+                out.column("doc_id").to_pylist(),
+                out.column("start_tok").to_pylist(),
+                out.column("end_tok").to_pylist(),
+            )
+        )
+        # shared block occupies tokens 1..5 in both docs: grams at pos
+        # 1,2,3 are duplicated -> run of 3 grams -> tokens 1..5
+        assert spans == [(0, 1, 5), (1, 1, 5)]
+
+    def test_within_doc_repeat_not_marked(self):
+        """A gram repeated only WITHIN one doc is not a cross-doc dup."""
+        from pdf_entity_extraction_ray.ops.dedup import duplicated_spans
+
+        texts = ["a b c a b c a b c", "totally different words here now"]
+        out = _collect(duplicated_spans(_docs(texts), k=3, min_run=2))
+        assert out.num_rows == 0
