@@ -254,6 +254,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         existing = docs.map_batches(lambda b: part(b, True), batch_format="pyarrow")
         return exact_dedup_delta(new, existing)
 
+    def _docs_fuzzy_decontam(sf_dir):
+        """Fuzzy decontamination: drop train docs NEAR-duplicating any
+        eval doc (J >= 0.7) — MinHash-LSH over the side-tagged union +
+        exact verify + one anti-join."""
+        from pdf_entity_extraction_ray.ops.decontam import drop_fuzzy_contaminated
+
+        train, ev = _split_docs_mod20(sf_dir)
+        return drop_fuzzy_contaminated(train, ev, 0.7)
+
     def _docs_pii_redact(sf_dir):
         """PII redaction over documents with deterministic planted PII
         (an email + an IPv4 derived from doc_id appended per doc) so the
@@ -493,6 +502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pdf_entity_extraction_ray.ops.packing", fromlist=["pack_sequences"]
         ).pack_sequences(_read(sf, "documents")),
         "docs_decontam": _docs_decontam,
+        "docs_fuzzy_decontam": _docs_fuzzy_decontam,
         "docs_curated": _docs_curated,
         # --- sketches: HLL vocabulary registers + bottom-k uniform sample ---
         "emb_dim_stats": lambda sf: __import__(
@@ -972,6 +982,28 @@ def oracle_sql() -> dict[str, str]:
         "docs_sample_bottomk": __import__(
             "pdf_entity_extraction_ray.ops.sketch", fromlist=["bottomk_oracle_sql"]
         ).bottomk_oracle_sql(),
+        "docs_fuzzy_decontam": """
+            with w as (select doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') as ws
+                       from documents),
+                 t as (select doc_id,
+                              case when len(ws) >= 3 then
+                                     list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                                    for i in range(1, len(ws) - 1)])
+                                   when len(ws) > 0 then [list_aggregate(ws, 'string_agg', ' ')]
+                                   else [] end as sh
+                       from w),
+                 tr as (select * from t where doc_id % 20 != 0),
+                 ev as (select * from t where doc_id % 20 = 0),
+                 bad as (select distinct a.doc_id
+                         from tr a join ev b
+                           on len(list_intersect(a.sh, b.sh))::double
+                              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                              >= 0.7)
+            select d.doc_id, d.text, d.lang, d.source, d.n_chars
+            from documents d
+            where d.doc_id % 20 != 0
+              and d.doc_id not in (select doc_id from bad)
+        """,
         # same word-3-gram derivation as the Jaccard oracle; eval split =
         # doc_id % 20 == 0, contamination = distinct shared grams
         "docs_decontam": """

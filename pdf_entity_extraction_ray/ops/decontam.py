@@ -97,3 +97,67 @@ def drop_contaminated(docs_ds, eval_ds, n: int = 13):
         return batch.filter(pa.array(mask, pa.bool_()))
 
     return docs_ds.map_batches(keep, batch_format="pyarrow")
+
+
+# eval doc ids are shifted above every plausible train id so one LSH pass
+# over the union can tell the sides apart in its output pairs
+EVAL_ID_OFFSET = 1 << 40
+
+
+def fuzzy_contaminated_ids(train_ds, eval_ds, threshold: float = 0.7):
+    """Train doc_ids whose word-shingle Jaccard reaches ``threshold``
+    against ANY eval document — the NEAR-duplicate complement of the
+    exact n-gram overlap test (fuzzy decontamination, Lee et al. style).
+
+    One MinHash-LSH pass over the side-tagged union finds candidate
+    pairs (eval ids shifted by ``EVAL_ID_OFFSET`` so cross-side pairs are
+    recognizable as ``doc_a < OFFSET <= doc_b``); the shared exact-Jaccard
+    verify confirms each.  Within-side pairs fall out of the same pass
+    and are simply dropped.  Returns a Dataset of (doc_id,) rows."""
+    import pyarrow.compute as pc
+
+    from .dedup import minhash_lsh_pairs
+
+    def shift(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return batch
+        ids = pc.add(batch.column("doc_id"), EVAL_ID_OFFSET)
+        return batch.set_column(batch.column_names.index("doc_id"), "doc_id", ids)
+
+    union = train_ds.select_columns(["doc_id", "text"]).union(
+        eval_ds.select_columns(["doc_id", "text"]).map_batches(
+            shift, batch_format="pyarrow"
+        )
+    )
+    pairs = minhash_lsh_pairs(union, threshold)
+
+    def cross_side(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_a" not in batch.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        keep = pc.and_(
+            pc.less(batch.column("doc_a"), EVAL_ID_OFFSET),
+            pc.greater_equal(batch.column("doc_b"), EVAL_ID_OFFSET),
+        )
+        return pa.table({"doc_id": batch.filter(keep).column("doc_a")})
+
+    return (
+        pairs.map_batches(cross_side, batch_format="pyarrow")
+        .groupby("doc_id")
+        .count()
+        .select_columns(["doc_id"])
+    )
+
+
+def drop_fuzzy_contaminated(train_ds, eval_ds, threshold: float = 0.7):
+    """Filter form: train rows with NO near-duplicate in the eval set —
+    one left-anti hash join against the contaminated-id set (tiny by
+    construction: it is at most the near-dup overlap)."""
+    bad = fuzzy_contaminated_ids(train_ds, eval_ds, threshold).materialize()
+    if bad.count() == 0:
+        return train_ds
+    from .dedup import _join_partitions
+
+    n_part = 1 if bad.count() < 10_000 else _join_partitions()
+    return train_ds.join(
+        bad, join_type="left_anti", num_partitions=n_part, on=("doc_id",)
+    )

@@ -298,6 +298,17 @@ def exact_jaccard_verify(candidates, docs_ds, threshold: float, num_partitions: 
     never collected to the driver or broadcast.  Duplicate candidate pairs
     are allowed in (the reassembly groupby dedups them for free)."""
     texts = docs_ds.select_columns(["doc_id", "text"])
+    candidates = candidates.materialize()
+    if candidates.count() == 0:
+        # an all-empty candidate side has no schema and crashes the hash
+        # join — the verified answer is trivially empty
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+            )
+        )
     n_part = num_partitions or _join_partitions()
 
     # each pair explodes to two side-tagged rows so ONE hash join fetches

@@ -877,3 +877,31 @@ class TestDuplicatedSpans:
         texts = ["a b c a b c a b c", "totally different words here now"]
         out = _collect(duplicated_spans(_docs(texts), k=3, min_run=2))
         assert out.num_rows == 0
+
+
+class TestFuzzyDecontam:
+    def test_near_dup_of_eval_dropped(self):
+        from pdf_entity_extraction_ray.ops.decontam import drop_fuzzy_contaminated
+
+        base = (
+            "one two three four five six seven eight nine ten "
+            "eleven twelve thirteen fourteen fifteen"
+        )
+        ev = _docs([base])
+        train = _docs(
+            [
+                base + " sixteen",                      # near-dup of eval -> dropped
+                "totally different content here with many novel words indeed",
+                base.replace("one", "zzz"),            # still J>0.7 -> dropped
+            ]
+        )
+        out = _collect(drop_fuzzy_contaminated(train, ev, 0.7))
+        assert out.column("doc_id").to_pylist() == [1]
+
+    def test_no_overlap_passthrough(self):
+        from pdf_entity_extraction_ray.ops.decontam import drop_fuzzy_contaminated
+
+        ev = _docs(["completely unrelated evaluation sentence here"])
+        train = _docs(["alpha beta gamma delta epsilon zeta eta theta"])
+        out = _collect(drop_fuzzy_contaminated(train, ev, 0.7))
+        assert out.column("doc_id").to_pylist() == [0]
