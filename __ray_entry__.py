@@ -544,6 +544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "docs_dup_ngrams": lambda sf: dedup.duplicate_ngrams(_read(sf, "documents")),
         "docs_dup_spans": lambda sf: dedup.duplicated_spans(_read(sf, "documents")),
+        "docs_cut_spans": lambda sf: dedup.remove_duplicated_spans(_read(sf, "documents")),
         "emb_cosine_dedup": lambda sf: dedup.embedding_cosine_pairs(_read(sf, "embeddings"), 0.5),
         "emb_cosine_dedup_lsh": lambda sf: dedup.embedding_cosine_pairs_lsh(
             _read(sf, "embeddings"), 0.5
@@ -1083,6 +1084,45 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, start_pos as start_tok,
                    (end_pos + 2)::bigint as end_tok
             from runs where n >= 2
+        """,
+        "docs_cut_spans": """
+            with w as (select doc_id,
+                              regexp_extract_all(lower(text), '[a-z0-9_]+') as ws
+                       from documents),
+                 g as (select doc_id,
+                              unnest(range(1, greatest(len(ws) - 2, 0) + 1)) as p1,
+                              ws
+                       from w where len(ws) >= 3),
+                 e3 as (select doc_id, (p1 - 1)::bigint as pos,
+                               ws[p1] || ' ' || ws[p1 + 1] || ' ' || ws[p1 + 2] as gram
+                        from g),
+                 dup as (select gram from e3
+                         group by gram having count(distinct doc_id) >= 2),
+                 d as (select e3.doc_id, e3.pos from e3 join dup using (gram)),
+                 isl as (select doc_id, pos,
+                                pos - row_number() over (partition by doc_id
+                                                         order by pos) as grp
+                         from d),
+                 runs as (select doc_id, min(pos) as start_tok,
+                                 (max(pos) + 2)::bigint as end_tok, count(*) as n
+                          from isl group by doc_id, grp),
+                 spans as (select * from runs where n >= 2),
+                 alltok as (select doc_id,
+                                   unnest(range(1, len(ws) + 1)) as p1, ws
+                            from w where len(ws) >= 1),
+                 tok as (select doc_id, (p1 - 1)::bigint as pos, ws[p1] as token
+                         from alltok),
+                 marked as (select t.doc_id, t.pos, t.token,
+                                   exists (select 1 from spans s
+                                           where s.doc_id = t.doc_id
+                                             and t.pos between s.start_tok and s.end_tok)
+                                       as dropped
+                            from tok t)
+            select doc_id,
+                   coalesce(string_agg(token, ' ' order by pos)
+                            filter (where not dropped), '') as clean_tokens,
+                   (count(*) filter (where dropped))::bigint as n_removed
+            from marked group by doc_id
         """,
         "docs_minhash_dedup": jaccard_pairs_sql,
         "docs_ngram_dedup": jaccard_pairs_sql,

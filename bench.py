@@ -140,6 +140,10 @@ def run_ops(sf_dir: str, repeat: int = 1) -> dict[str, list[float]]:
         "docs_decontam": lambda: __import__(
             "pdf_entity_extraction_ray.ops.decontam", fromlist=["contamination_counts"]
         ).contamination_counts(read("documents"), read("documents").limit(250), n=3),
+        "docs_dup_spans": lambda: dedup.duplicated_spans(read("documents")),
+        "docs_vocab_build": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.vocab", fromlist=["vocab_build"]
+        ).vocab_build(read("documents")),
         "docs_pii_redact": lambda: read("documents").map_batches(
             text.redact_pii_batch, batch_format="pyarrow"
         ),

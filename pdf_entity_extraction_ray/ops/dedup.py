@@ -1359,3 +1359,100 @@ def duplicated_spans(
             batch_format="pyarrow",
         )
     )
+
+
+def remove_duplicated_spans(
+    docs_ds, k: int = SHINGLE_K, min_run: int = 2, num_partitions: int | None = None
+):
+    """The cut form of :func:`duplicated_spans`: per document, the token
+    stream with cross-document duplicated runs REMOVED — Lee et al.'s
+    substring dedup applied, at k-gram granularity.  Emits
+    ``(doc_id, clean_tokens, n_removed)`` where ``clean_tokens`` is the
+    space-joined surviving lowercase tokens (token-level surgery: the
+    canonical text's punctuation cannot be reconstructed after a cut, so
+    the contract is the token stream a tokenizer consumes anyway).
+
+    Spans pack into per-doc lists via a coarse-shard groupby, then ONE
+    left-outer hash join attaches them to the documents (docs without
+    spans pass through); the cut itself is a stateless map.  Documents
+    with zero tokens emit nothing (no stream to clean)."""
+    import ray.data
+
+    spans = duplicated_spans(docs_ds, k=k, min_run=min_run, num_partitions=num_partitions)
+    spans = spans.materialize()
+
+    def cut(batch: pa.Table, with_spans: bool) -> pa.Table:
+        out_doc, out_clean, out_removed = [], [], []
+        # spans ride the join as a "s:e,s:e" STRING (Arrow's hash join
+        # rejects list-typed payload columns)
+        span_col = batch.column("span_str").to_pylist() if with_spans else None
+        for i, (doc_id, text) in enumerate(
+            zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist())
+        ):
+            toks = TOKEN_RE.findall(text.lower())
+            if not toks:
+                continue
+            drop = np.zeros(len(toks), dtype=bool)
+            if with_spans and span_col[i]:
+                for part in span_col[i].split(","):
+                    s, e = part.split(":")
+                    drop[int(s) : int(e) + 1] = True
+            kept = [t for t, d in zip(toks, drop) if not d]
+            out_doc.append(doc_id)
+            out_clean.append(" ".join(kept))
+            out_removed.append(int(drop.sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "clean_tokens": pa.array(out_clean, pa.string()),
+                "n_removed": pa.array(out_removed, pa.int64()),
+            }
+        )
+
+    docs = docs_ds.select_columns(["doc_id", "text"])
+    if spans.count() == 0:
+        return docs.map_batches(
+            cut, fn_kwargs={"with_spans": False}, batch_format="pyarrow"
+        )
+
+    def add_dshard(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        return batch.append_column(
+            "dshard", pa.array((d % BAND_SHARDS).astype(np.int32), pa.int32())
+        )
+
+    def pack(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "doc_id" not in group.column_names:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "span_str": pa.array([], pa.string()),
+                }
+            )
+        by_doc: dict[int, list[str]] = {}
+        for d, s, e in zip(
+            group.column("doc_id").to_pylist(),
+            group.column("start_tok").to_pylist(),
+            group.column("end_tok").to_pylist(),
+        ):
+            by_doc.setdefault(d, []).append(f"{s}:{e}")
+        return pa.table(
+            {
+                "doc_id": pa.array(list(by_doc), pa.int64()),
+                "span_str": pa.array([",".join(v) for v in by_doc.values()], pa.string()),
+            }
+        )
+
+    span_lists = (
+        spans.map_batches(add_dshard, batch_format="pyarrow")
+        .groupby("dshard")
+        .map_groups(
+            lambda g: pack(g.drop_columns(["dshard"]) if "dshard" in g.column_names else g),
+            batch_format="pyarrow",
+        )
+    )
+    n_part = num_partitions or _join_partitions()
+    if num_partitions is None and docs_ds.count() < 10_000:
+        n_part = 1
+    joined = docs.join(span_lists, join_type="left_outer", num_partitions=n_part, on=("doc_id",))
+    return joined.map_batches(cut, fn_kwargs={"with_spans": True}, batch_format="pyarrow")

@@ -905,3 +905,37 @@ class TestFuzzyDecontam:
         train = _docs(["alpha beta gamma delta epsilon zeta eta theta"])
         out = _collect(drop_fuzzy_contaminated(train, ev, 0.7))
         assert out.column("doc_id").to_pylist() == [0]
+
+
+class TestRemoveDuplicatedSpans:
+    def test_cut_matches_hand_case(self):
+        from pdf_entity_extraction_ray.ops.dedup import remove_duplicated_spans
+
+        shared = "one two three four five"
+        texts = [
+            f"intro {shared} outro words here",
+            f"other {shared} ending tokens now",
+            "clean doc stays whole entirely",
+        ]
+        out = _collect(remove_duplicated_spans(_docs(texts), k=3, min_run=2))
+        rows = {
+            d: (c, n)
+            for d, c, n in zip(
+                out.column("doc_id").to_pylist(),
+                out.column("clean_tokens").to_pylist(),
+                out.column("n_removed").to_pylist(),
+            )
+        }
+        assert rows[0] == ("intro outro words here", 5)
+        assert rows[1] == ("other ending tokens now", 5)
+        assert rows[2] == ("clean doc stays whole entirely", 0)
+
+    def test_no_dups_passthrough(self):
+        from pdf_entity_extraction_ray.ops.dedup import remove_duplicated_spans
+
+        out = _collect(
+            remove_duplicated_spans(
+                _docs(["alpha beta gamma", "delta epsilon zeta"]), k=3, min_run=2
+            )
+        )
+        assert out.column("n_removed").to_pylist() == [0, 0]
