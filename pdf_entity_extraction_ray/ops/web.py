@@ -286,7 +286,12 @@ def host_link_graph(pages_ds):
     )
 
 
-def link_pagerank(pages_ds, iterations: int = 20, damping: float = 0.85):
+def link_pagerank(
+    pages_ds,
+    iterations: int = 20,
+    damping: float = 0.85,
+    checkpoint_dir: str | None = None,
+):
     """Host-level PageRank over the REAL extracted web graph — the
     Common-Crawl host-ranking product: pages -> :func:`host_link_graph`
     (distinct host pairs, self-loops kept) -> BSP damped power iteration
@@ -336,6 +341,9 @@ def link_pagerank(pages_ds, iterations: int = 20, damping: float = 0.85):
         edges.map_batches(ids, batch_format="pyarrow"),
         iterations=iterations,
         damping=damping,
+        # per-round worker-side Parquet checkpoints (state/bsp_ckpt):
+        # a rerun resumes at the newest matching round
+        checkpoint_dir=checkpoint_dir,
     )
 
     def host_rows(batch: pa.Table) -> pa.Table:

@@ -939,3 +939,27 @@ class TestRemoveDuplicatedSpans:
             )
         )
         assert out.column("n_removed").to_pylist() == [0, 0]
+
+
+class TestLinkPagerankCheckpoint:
+    def test_checkpointed_rerun_identical(self, tmp_path):
+        from pdf_entity_extraction_ray.ops.web import link_pagerank
+        from pdf_entity_extraction_ray.sources.corpus import write_corpus
+        import shutil
+
+        corpus = str(tmp_path / "c")
+        write_corpus(corpus, n_pages=80, seed=42, n_per_type=10, write_gold=False)
+        pages = ray.data.read_parquet(f"{corpus}/pages")
+        ck = str(tmp_path / "ck")
+        first = {
+            r["host"]: r["rank_ppm"]
+            for r in link_pagerank(pages, checkpoint_dir=ck).take_all()
+        }
+        # rerun resumes from the newest checkpointed round — identical ranks
+        second = {
+            r["host"]: r["rank_ppm"]
+            for r in link_pagerank(pages, checkpoint_dir=ck).take_all()
+        }
+        plain = {r["host"]: r["rank_ppm"] for r in link_pagerank(pages).take_all()}
+        assert first == second == plain and first
+        shutil.rmtree(ck, ignore_errors=True)
