@@ -1258,12 +1258,14 @@ def duplicated_spans(
     least ``min_run`` consecutive duplicated grams.
 
     Stages: positional gram rows (stateless map) -> cross-doc gram
-    frequencies via per-batch DISTINCT (token, doc) pairs (docs never
-    split across batches, so batch-local distinct is globally distinct)
-    + one count groupby -> one hash join marks duplicated occurrences ->
-    coarse doc-shard groupby merges consecutive positions vectorized
-    (sort + diff islands).  Text never travels; only (doc, pos, token)
-    triples shuffle."""
+    frequencies via per-batch DISTINCT (token, doc) pairs as a COMBINER
+    plus a global (token, doc) groupby (Ray's dynamic block splitting can
+    split a very large doc's gram rows mid-block, so batch-local distinct
+    alone would double-count a within-doc repeat as df >= 2) -> one count
+    groupby -> one hash join marks duplicated occurrences -> coarse
+    doc-shard groupby merges consecutive positions vectorized (sort +
+    diff islands).  Text never travels; only (doc, pos, token) triples
+    shuffle."""
     rows = docs_ds.select_columns(["doc_id", "text"]).map_batches(
         gram_pos_rows_batch, fn_kwargs={"k": k}, batch_format="pyarrow"
     )
@@ -1271,12 +1273,26 @@ def duplicated_spans(
 
     def distinct_pairs(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "token" not in batch.column_names:
-            return pa.table({"token": pa.array([], pa.int64())})
+            return pa.table(
+                {"token": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
+            )
         t = pa.table({"token": batch.column("token"), "doc_id": batch.column("doc_id")})
         g = t.group_by(["token", "doc_id"]).aggregate([([], "count_all")])
-        return pa.table({"token": g.column("token")})
+        return g.select(["token", "doc_id"])
 
-    df = rows.map_batches(distinct_pairs, batch_format="pyarrow").groupby("token").count()
+    def token_only(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "token" not in batch.column_names:
+            return pa.table({"token": pa.array([], pa.int64())})
+        return pa.table({"token": batch.column("token")})
+
+    df = (
+        rows.map_batches(distinct_pairs, batch_format="pyarrow")  # combiner
+        .groupby(["token", "doc_id"])
+        .count()  # GLOBAL distinct: correct even when a doc splits blocks
+        .map_batches(token_only, batch_format="pyarrow")
+        .groupby("token")
+        .count()
+    )
 
     def dup_only(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "count()" not in batch.column_names:

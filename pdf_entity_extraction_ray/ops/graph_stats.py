@@ -364,8 +364,11 @@ def pagerank(
     if checkpoint_dir:
         from ..state import bsp_ckpt
 
+        # content digest, not just node count: same-count rewired inputs
+        # must never share a checkpoint (ranks would silently be stale)
         fp = checkpoint_fingerprint or (
             f"pagerank:P={P}:n={n_total}:d={damping}:T={iterations}"
+            f":digest={bsp_ckpt.content_digest(block_refs):016x}"
         )
         loaded = bsp_ckpt.load_latest(checkpoint_dir, fp, P, float_values=True)
         if loaded is not None:
@@ -571,22 +574,23 @@ def triangle_counts(edges_ds, num_partitions: int | None = None):
         )
 
     wedges = oriented.groupby("u").map_groups(make_wedges, batch_format="pyarrow")
-    if n_part == 1:
-        # tiny graphs can be triangle-free (e.g. stars/trees): Ray's hash
-        # join crashes outright on an EMPTY left input, so in the tiny
-        # path (wedges are small by construction) check before joining
-        import ray.data
+    # wedge-free graphs exist at ANY size (max oriented out-degree 1, e.g.
+    # a perfect matching) and Ray's hash join crashes outright on an EMPTY
+    # left input — so the materialize + short-circuit is unconditional.
+    # The join is a full barrier anyway, so materializing first costs only
+    # the count.
+    import ray.data
 
-        wedges = wedges.materialize()
-        if wedges.count() == 0:
-            return ray.data.from_arrow(
-                pa.table(
-                    {
-                        "canonical": pa.array([], pa.string()),
-                        "triangles": pa.array([], pa.int64()),
-                    }
-                )
+    wedges = wedges.materialize()
+    if wedges.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "canonical": pa.array([], pa.string()),
+                    "triangles": pa.array([], pa.int64()),
+                }
             )
+        )
 
     tri = wedges.join(
         oriented.select_columns(["u", "v"]),
@@ -791,7 +795,10 @@ def coreness(
     if checkpoint_dir:
         from ..state import bsp_ckpt
 
-        fp = checkpoint_fingerprint or f"coreness:P={P}:edges={sym.count()}"
+        fp = checkpoint_fingerprint or (
+            f"coreness:P={P}:edges={sym.count()}"
+            f":digest={bsp_ckpt.content_digest(block_refs):016x}"
+        )
         loaded = bsp_ckpt.load_latest(checkpoint_dir, fp, P)
         if loaded is not None:
             start_round, value_refs = loaded

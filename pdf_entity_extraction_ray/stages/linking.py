@@ -566,7 +566,12 @@ def _propagate_components(
     if checkpoint_dir:
         from ..state import bsp_ckpt
 
-        fp = checkpoint_fingerprint or f"components:P={P}:edges={sym.count()}"
+        # default fingerprint = params + CONTENT digest (not just count):
+        # a rewired same-count input must never resume stale labels
+        fp = checkpoint_fingerprint or (
+            f"components:P={P}:edges={sym.count()}"
+            f":digest={bsp_ckpt.content_digest(block_refs):016x}"
+        )
         loaded = bsp_ckpt.load_latest(checkpoint_dir, fp, P)
         if loaded is not None:
             start_round, value_refs = loaded

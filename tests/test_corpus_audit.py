@@ -878,6 +878,29 @@ class TestDuplicatedSpans:
         out = _collect(duplicated_spans(_docs(texts), k=3, min_run=2))
         assert out.num_rows == 0
 
+    def test_within_doc_repeat_survives_block_splits(self):
+        """ADVICE r3: a huge doc whose gram rows split across blocks must
+        not double-count a within-doc repeated gram as df >= 2 — the
+        (token, doc) distinct is global, not batch-local.  Forced by a
+        tiny target block size plus a straddling repeat."""
+        from ray.data import DataContext
+
+        from pdf_entity_extraction_ray.ops.dedup import duplicated_spans
+
+        marker = "marker alpha beta"
+        words = [f"w{i}" for i in range(3000)]
+        words[10:10] = marker.split()
+        words[2800:2800] = marker.split()  # same 3-gram, ~2800 rows apart
+        texts = [" ".join(words), "totally unrelated second document text"]
+        ctx = DataContext.get_current()
+        old = ctx.target_max_block_size
+        ctx.target_max_block_size = 16 * 1024  # force mid-doc block splits
+        try:
+            out = _collect(duplicated_spans(_docs(texts), k=3, min_run=1))
+        finally:
+            ctx.target_max_block_size = old
+        assert out.num_rows == 0
+
 
 class TestFuzzyDecontam:
     def test_near_dup_of_eval_dropped(self):

@@ -384,3 +384,94 @@ class TestEntityTimeline:
         rows = {(r["canonical"], r["day"]): r["n_mentions"] for r in out.take_all()}
         # A: 3 mentions on day0 (u1 x2 + u2), 1 on day1 (u3); B: 1 on day1
         assert rows == {("A", d0): 3, ("A", d1): 1, ("B", d1): 1}
+
+
+class TestCheckpointContentDigest:
+    """ADVICE r3: default fingerprints must identify the input by CONTENT,
+    not count — a same-count rewired input sharing a checkpoint_dir must
+    recompute, never resume stale values."""
+
+    def test_coreness_rewired_same_count_recomputes(self, tmp_path):
+        from pdf_entity_extraction_ray.ops.graph_stats import coreness
+        from pdf_entity_extraction_ray.sources.corpus import kcore_reference
+
+        ck = str(tmp_path / "digest_ck")
+        # graph A: a path over {0..4} (every core = 1); converges + checkpoints
+        a = [(0, 1), (1, 2), (2, 3), (3, 4)]
+        coreness(_core_ds(a), checkpoint_dir=ck, checkpoint_every=1).take_all()
+        # graph B: SAME nodes, SAME edge count, rewired to contain a
+        # triangle.  Resuming A's all-1 values would pin 0/1/2 at 1
+        # (the h-index update is monotone non-increasing) — wrong.
+        b = [(0, 1), (1, 2), (0, 2), (3, 4)]
+        got = {
+            r["node"]: r["core"]
+            for r in coreness(_core_ds(b), checkpoint_dir=ck).take_all()
+        }
+        assert got == kcore_reference({(min(u, v), max(u, v)) for u, v in b})
+        assert got[0] == 2  # the value a stale resume could never reach
+
+    def test_components_rewired_same_count_recomputes(self, tmp_path):
+        from pdf_entity_extraction_ray.stages.linking import components_from_int_edges
+
+        def ds_of(edges):
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "a": pa.array([u for u, _ in edges], pa.int64()),
+                        "b": pa.array([v for _, v in edges], pa.int64()),
+                    }
+                )
+            )
+
+        ck = str(tmp_path / "cc_digest_ck")
+        # A: 4-cycle, one component, every label 0
+        components_from_int_edges(
+            ds_of([(0, 1), (1, 2), (2, 3), (3, 0)]), checkpoint_dir=ck,
+            checkpoint_every=1,
+        ).take_all()
+        # B: same node set {0,1,2,3}, same edge count, but 3 is now its
+        # own component — a stale resume would keep it merged at label 0
+        got = {
+            r["node"]: r["label"]
+            for r in components_from_int_edges(
+                ds_of([(0, 1), (1, 2), (0, 2), (3, 3)]), checkpoint_dir=ck
+            ).take_all()
+        }
+        assert got[3] == 3
+        assert got[0] == got[1] == got[2] == 0
+
+    def test_corrupt_part_file_discards_whole_checkpoint(self, tmp_path):
+        """A part file unreadable where the load task runs discards the
+        checkpoint transactionally (recompute, not a crash)."""
+        import json
+
+        from pdf_entity_extraction_ray.ops.graph_stats import coreness
+        from pdf_entity_extraction_ray.sources.corpus import kcore_reference
+
+        ck = str(tmp_path / "corrupt_ck")
+        edges = [(0, 1), (1, 2), (0, 2), (2, 3)]
+        coreness(_core_ds(edges), checkpoint_dir=ck, checkpoint_every=1).take_all()
+        paths = json.load(open(f"{ck}/manifest.json"))["paths"]
+        with open(paths[0], "wb") as f:
+            f.write(b"not a parquet file")
+        got = {
+            r["node"]: r["core"]
+            for r in coreness(_core_ds(edges), checkpoint_dir=ck).take_all()
+        }
+        assert got == kcore_reference({(min(u, v), max(u, v)) for u, v in edges})
+
+
+def test_triangles_empty_wedges_multi_partition():
+    """ADVICE r3: a wedge-free graph (perfect matching) must short-circuit
+    on the multi-partition path too, not crash Ray's hash join on an
+    empty left input."""
+    from pdf_entity_extraction_ray.ops.graph_stats import triangle_counts
+
+    edges = pa.table(
+        {
+            "src_canonical": ["A", "C", "E"],
+            "dst_canonical": ["B", "D", "F"],
+        }
+    )
+    out = triangle_counts(ray.data.from_arrow(edges), num_partitions=4)
+    assert out.count() == 0
