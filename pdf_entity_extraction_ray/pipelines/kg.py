@@ -62,7 +62,7 @@ from ..stages.graph import build_edges, build_nodes, canonical_triples
 from ..stages.linking import link_entities
 from ..state import lineage
 
-CODE_VERSION = 6  # bump to invalidate all phase outputs
+CODE_VERSION = 7  # bump to invalidate all phase outputs (v7: xxhash buckets)
 
 # ``linking_mode="auto"`` / ``rewrite_mode="auto"`` pick the scale paths
 # (distributed label propagation / shuffle-join rewrites) when the distinct
@@ -77,13 +77,17 @@ AUTO_DISTRIBUTED_THRESHOLD = 1_000_000
 
 def _add_bucket_col(batch: pa.Table, n_buckets: int) -> pa.Table:
     """Sort key for pre-stage clustering (dropped by the extract stage; the
-    annotator recomputes the identical content-derived value per row)."""
-    buckets = [lineage.url_bucket(u, n_buckets) for u in batch.column("url").to_pylist()]
+    annotator recomputes the identical content-derived value), fully
+    vectorized via lineage.url_buckets (polars xxhash64)."""
+    buckets = lineage.url_buckets(batch.column("url"), n_buckets)
     return batch.append_column("bucket", pa.array(buckets, pa.int32()))
 
 
 def _filter_buckets(batch: pa.Table, wanted: frozenset, n_buckets: int) -> pa.Table:
-    mask = [lineage.url_bucket(u, n_buckets) in wanted for u in batch.column("url").to_pylist()]
+    import numpy as np
+
+    buckets = lineage.url_buckets(batch.column("url"), n_buckets)
+    mask = np.isin(buckets, np.fromiter(wanted, dtype=np.int32, count=len(wanted)))
     return batch.filter(pa.array(mask, pa.bool_()))
 
 

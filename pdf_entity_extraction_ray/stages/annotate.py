@@ -131,11 +131,11 @@ class Annotator:
             {n: pa.array(out[n], ANNOTATIONS_SCHEMA.field(n).type) for n in ANNOTATIONS_SCHEMA.names}
         )
         if self.n_buckets:
-            from ..state.lineage import url_bucket
+            from ..state.lineage import url_buckets
 
             tbl = tbl.append_column(
                 "bucket",
-                pa.array([url_bucket(u, self.n_buckets) for u in out["url"]], pa.int32()),
+                pa.array(url_buckets(tbl.column("url"), self.n_buckets), pa.int32()),
             )
         return tbl
 

@@ -205,42 +205,47 @@ def canonical_triples(triples_ds, cluster_map_ref):
     columns — the table the P/R evaluation consumes AND the sole input to
     the edges aggregation (no second broadcast-map pass over raw triples).
 
-    The rewrite is column-vectorized: one pandas ``Series.map`` against the
-    broadcast dict per side; only DATE objects take the per-row path."""
+    Arrow-native rewrite: the broadcast cluster map is flattened ONCE per
+    worker into parallel (key, canonical, node_id) Arrow arrays; per batch
+    one ``binary_join_element_wise`` builds the lookup keys and
+    ``index_in`` + ``take`` resolve both columns vectorized.  ``take`` on
+    an int64 array keeps ids int64 end-to-end (the reason the previous
+    pandas version needed a dict loop — ``Series.map`` coerces to float64
+    on any miss, rounding 63-bit content ids).  Only misses (DATE objects
+    + unresolved singletons) take the per-row ``resolve`` path."""
     import numpy as np
-    import pandas as pd
-    import ray
 
     def rewrite(batch: pa.Table) -> pa.Table:
-        canon_map, id_map = _flat_maps(cluster_map_ref)
+        keys_arr, canon_arr, ids_arr = _arrow_maps(cluster_map_ref)
 
-        def map_side(types, surfaces, obj_norms=None):
-            # canon resolves via vectorized Series.map (strings are NaN-safe);
-            # ids MUST stay int64 end-to-end: Series.map(id_map) would coerce
-            # the whole column to float64 whenever any key misses (DATE
-            # objects always miss), silently rounding 63-bit node ids — so
-            # ids take a dict-lookup loop instead (content ids > 2^53).
-            keys = [t + "\x00" + s for t, s in zip(types, surfaces)]
-            canon = pd.Series(keys, dtype=object).map(canon_map).to_numpy(dtype=object)
-            ids = [id_map.get(k, 0) for k in keys]
-            # fallbacks: DATE canonicalization + unresolved singleton nodes
-            for i in np.nonzero(pd.isna(canon))[0]:
-                typ, surface = types[i], surfaces[i]
-                obj_norm = obj_norms[i] if obj_norms is not None else ""
-                nid, c = resolve({}, typ, surface, obj_norm)
-                canon[i] = c
-                ids[i] = nid
-            return (
-                pa.array(canon.tolist(), pa.string()),
-                pa.array(ids, pa.int64()),
+        def map_side(type_col, surface_col, obj_norms=None):
+            keys = pc.binary_join_element_wise(
+                type_col.cast(pa.string()), surface_col.cast(pa.string()), "\x00"
             )
+            idx = pc.index_in(keys, value_set=keys_arr)
+            canon = pc.take(canon_arr, idx)
+            ids = pc.take(ids_arr, idx)
+            miss = np.nonzero(pc.is_null(idx).to_numpy(zero_copy_only=False))[0]
+            if len(miss):
+                canon = canon.to_pylist()
+                ids = ids.to_pylist()
+                types = type_col.to_pylist()
+                surfaces = surface_col.to_pylist()
+                for i in miss:
+                    obj_norm = obj_norms[i] if obj_norms is not None else ""
+                    nid, c = resolve({}, types[i], surfaces[i], obj_norm)
+                    canon[i] = c
+                    ids[i] = nid
+                return pa.array(canon, pa.string()), pa.array(ids, pa.int64())
+            return canon.cast(pa.string()), ids.cast(pa.int64())
 
         subj_canon, src_id = map_side(
-            batch.column("subj_type").to_pylist(), batch.column("subj").to_pylist()
+            batch.column("subj_type").combine_chunks(),
+            batch.column("subj").combine_chunks(),
         )
         obj_canon, dst_id = map_side(
-            batch.column("obj_type").to_pylist(),
-            batch.column("obj").to_pylist(),
+            batch.column("obj_type").combine_chunks(),
+            batch.column("obj").combine_chunks(),
             batch.column("obj_norm").to_pylist(),
         )
         return (
@@ -257,16 +262,24 @@ import functools
 
 
 @functools.lru_cache(maxsize=8)
-def _flat_maps(cluster_map_ref):
-    """Derive flat-key (canon_map, id_map) dicts from the broadcast cluster
-    map ONCE per worker process (ObjectRefs hash stably; ray.get of the
-    same ref is plasma-cached)."""
+def _arrow_maps(cluster_map_ref):
+    """Flatten the broadcast cluster map into parallel (keys, canonical,
+    node_id) Arrow arrays ONCE per worker process (ObjectRefs hash stably;
+    ray.get of the same ref is plasma-cached) — the value-set side of the
+    per-batch ``index_in`` lookups in :func:`canonical_triples`."""
     import ray
 
     cluster_map = ray.get(cluster_map_ref)
-    canon_map = {t + "\x00" + s: c for (t, s), (_nid, c) in cluster_map.items()}
-    id_map = {t + "\x00" + s: nid for (t, s), (nid, _c) in cluster_map.items()}
-    return canon_map, id_map
+    keys, canons, ids = [], [], []
+    for (t, s), (nid, c) in cluster_map.items():
+        keys.append(t + "\x00" + s)
+        canons.append(c)
+        ids.append(nid)
+    return (
+        pa.array(keys, pa.string()),
+        pa.array(canons, pa.string()),
+        pa.array(ids, pa.int64()),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -29,9 +29,45 @@ import shutil
 import time
 
 
+def url_buckets(urls, n_buckets: int):
+    """Vectorized content-derived bucket ids for an Arrow string
+    array/chunked-array -> numpy int32 — the hot-path form (polars
+    xxhash64 runs the whole column in Rust; the per-row blake2b loop was
+    the last Python row loop on the tagging path).  Stable across runs /
+    workers / retries within one polars version; buckets are PHYSICAL
+    clustering only (dropped from all outputs), so a hash change merely
+    invalidates /tmp phase caches (CODE_VERSION covers that).  Falls back
+    to the blake2b loop when polars is absent — consistent with
+    :func:`url_bucket`, which routes through the same implementation."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    if not isinstance(urls, pa.Array):
+        urls = pa.array(list(urls), pa.string())
+    try:
+        import polars as pl
+
+        h = pl.Series(pl.from_arrow(urls)).hash(seed=0).to_numpy()
+        return (h % np.uint64(n_buckets)).astype(np.int32)
+    except ImportError:
+        return np.array(
+            [
+                int.from_bytes(hashlib.blake2b(u.encode(), digest_size=8).digest(), "little")
+                % n_buckets
+                for u in urls.to_pylist()
+            ],
+            dtype=np.int32,
+        )
+
+
 def url_bucket(url: str, n_buckets: int) -> int:
-    """Content-derived bucket id — stable across runs / workers / retries."""
-    return int.from_bytes(hashlib.blake2b(url.encode(), digest_size=8).digest(), "little") % n_buckets
+    """Scalar form of :func:`url_buckets` (identical values by
+    construction — it routes through the vectorized implementation)."""
+    import pyarrow as pa
+
+    return int(url_buckets(pa.array([url], pa.string()), n_buckets)[0])
 
 
 def fingerprint(parts: dict) -> str:
