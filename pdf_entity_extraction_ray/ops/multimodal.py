@@ -14,7 +14,13 @@ Two payload classes:
   ``wave`` module) — are decoded for REAL and feed the same numpy
   kernels as the raw formats (round-trip tested: encode raw -> container
   -> identical features).
-* TRULY COMPRESSED formats (jpeg/png/mp4) — the decode step is
+* COMPRESSED JPEG (``image/jpeg``) — decoded for REAL by the pure-numpy
+  baseline decoder in ``ops/jpegc.py`` (canonical Huffman from the
+  file's DHT, 4:4:4/4:2:0, restart markers); the dominant web image
+  format is a first-class decode path here, hash-exact against a
+  single-process gold.  Progressive JPEGs raise NotImplementedError
+  (jpegc names the gap).
+* REMAINING COMPRESSED formats (png/mp4) — the decode step is
   import-gated (``NotImplementedError`` naming the library a real cluster
   would load in ``__init__``), optionally replaced by a deterministic
   content-derived fake so the Ray-side plumbing stays exercised
@@ -49,6 +55,9 @@ RAW_AUDIO = "audio/x-raw-pcm16"
 RAW_VIDEO = "video/x-raw-rgb8-seq"
 BMP_IMAGE = "image/bmp"
 WAV_AUDIO = "audio/wav"
+JPEG_IMAGE = "image/jpeg"
+
+_JPEG_QUALITY = 85  # synthesized-jpeg encode quality (deterministic)
 
 AUDIO_SAMPLE_RATE = 8000  # samples/s for raw PCM payloads
 
@@ -88,8 +97,18 @@ def synthesize_media_batch(batch: pa.Table) -> pa.Table:
     for i in ids:
         kind = kinds[i % 3]
         if kind == "image":
-            payloads.append(_raw_image_payload(i))
-            mimes.append(RAW_IMAGE)
+            # every second image row is a real baseline JPEG (alternating
+            # 4:4:4 / 4:2:0) so the jpegc decode path is oracle-covered
+            if (i // 3) % 2 == 1:
+                from .jpegc import encode_jpeg
+
+                raw = decode_raw_rgb8(_raw_image_payload(i), _RAW_W, _RAW_H)
+                sub = "4:2:0" if (i // 6) % 2 else "4:4:4"
+                payloads.append(encode_jpeg(raw, quality=_JPEG_QUALITY, subsampling=sub))
+                mimes.append(JPEG_IMAGE)
+            else:
+                payloads.append(_raw_image_payload(i))
+                mimes.append(RAW_IMAGE)
             widths.append(_RAW_W)
             heights.append(_RAW_H)
             durs.append(-1)
@@ -137,8 +156,16 @@ def write_gold_media(out_dir: str, n: int = 300, every_ms: int = 250) -> None:
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
         if kind == "image":
-            payload = _raw_image_payload(i)
-            feats = rgb8_features(decode_raw_rgb8(payload, _RAW_W, _RAW_H))
+            if (i // 3) % 2 == 1:  # jpeg rows, mirroring synthesize_media_batch
+                from .jpegc import decode_jpeg, encode_jpeg
+
+                raw = decode_raw_rgb8(_raw_image_payload(i), _RAW_W, _RAW_H)
+                sub = "4:2:0" if (i // 6) % 2 else "4:4:4"
+                payload = encode_jpeg(raw, quality=_JPEG_QUALITY, subsampling=sub)
+                feats = rgb8_features(decode_jpeg(payload))
+            else:
+                payload = _raw_image_payload(i)
+                feats = rgb8_features(decode_raw_rgb8(payload, _RAW_W, _RAW_H))
             img_id.append(i)
             img_ppm.append([int(x) for x in np.round(np.asarray(feats) * 1e6)])
             img_bytes.append(len(payload))
@@ -299,6 +326,10 @@ class ImageFeatureExtractor:
                 feats.append(rgb8_features(decode_raw_rgb8(payload, w, h)))
             elif mime == BMP_IMAGE:
                 feats.append(rgb8_features(decode_bmp(payload)))  # real stdlib decode
+            elif mime == JPEG_IMAGE:
+                from .jpegc import decode_jpeg
+
+                feats.append(rgb8_features(decode_jpeg(payload)))  # real numpy decode
             elif self.fake:
                 feats.append(self._fake_features(payload))
             else:
@@ -352,6 +383,12 @@ class ImageResizer:
                 mimes.append(RAW_IMAGE)
             elif mime == BMP_IMAGE:
                 img = decode_bmp(payload)
+                payloads.append(self._resize_raw(img.tobytes(), img.shape[1], img.shape[0]))
+                mimes.append(RAW_IMAGE)
+            elif mime == JPEG_IMAGE:
+                from .jpegc import decode_jpeg
+
+                img = decode_jpeg(payload)
                 payloads.append(self._resize_raw(img.tobytes(), img.shape[1], img.shape[0]))
                 mimes.append(RAW_IMAGE)
             elif self.fake:

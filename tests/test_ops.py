@@ -403,11 +403,35 @@ class TestMultimodal:
         assert sum(hist) == pytest.approx(1.0) and max(hist) == 1.0
 
     def test_compressed_decode_is_import_gated(self):
+        # png stays gated; jpeg is now a REAL decode path (ops/jpegc)
         from pdf_entity_extraction_ray.ops.multimodal import ImageFeatureExtractor
 
-        row = _media_row("image/jpeg", "image")
+        row = _media_row("image/png", "image")
         with pytest.raises(NotImplementedError):
             ImageFeatureExtractor(fake=False)(row)
+
+    def test_jpeg_features_match_single_process_decode(self):
+        import numpy as np
+
+        from pdf_entity_extraction_ray.ops.jpegc import decode_jpeg
+        from pdf_entity_extraction_ray.ops.multimodal import (
+            JPEG_IMAGE,
+            ImageFeatureExtractor,
+            rgb8_features,
+            synthesize_media_batch,
+        )
+
+        media = synthesize_media_batch(pa.table({"id": pa.array(range(30), pa.int64())}))
+        jpeg_rows = media.filter(pa.compute.equal(media.column("mime"), JPEG_IMAGE))
+        assert jpeg_rows.num_rows >= 4  # both subsamplings present
+        out = ImageFeatureExtractor(fake=False)(jpeg_rows)
+        for mid, feats, payload in zip(
+            out.column("media_id").to_pylist(),
+            out.column("features").to_pylist(),
+            jpeg_rows.column("payload").to_pylist(),
+        ):
+            want = rgb8_features(decode_jpeg(payload))
+            assert np.allclose(feats, want, atol=0), mid  # bit-identical
 
     def test_frame_sampler_slices_raw_frames(self):
         from pdf_entity_extraction_ray.ops.multimodal import (
@@ -525,7 +549,25 @@ class TestMultimodalResizeAudio:
         expected = np.kron(src_img, np.ones((2, 2, 1), dtype=np.uint8))
         assert np.array_equal(got, expected)
         with pytest.raises(NotImplementedError):
-            ImageResizer(fake=False)(_media_row("image/jpeg", "image"))
+            ImageResizer(fake=False)(_media_row("image/png", "image"))
+
+    def test_jpeg_resize_goes_through_real_decode(self):
+        import numpy as np
+
+        from pdf_entity_extraction_ray.ops.jpegc import decode_jpeg, encode_jpeg
+        from pdf_entity_extraction_ray.ops.multimodal import RAW_IMAGE, ImageResizer
+
+        rng = np.random.RandomState(3)
+        src = rng.randint(0, 256, (12, 16, 3), dtype=np.uint8)
+        payload = encode_jpeg(src, quality=90)
+        row = _media_row("image/jpeg", "image", payload, width=16, height=12)
+        out = ImageResizer(width=8, height=8, fake=False)(row)
+        assert out.column("mime").to_pylist() == [RAW_IMAGE]
+        got = np.frombuffer(out.column("payload")[0].as_py(), np.uint8).reshape(8, 8, 3)
+        dec = decode_jpeg(payload)
+        ys = (np.arange(8) * 12) // 8
+        xs = (np.arange(8) * 16) // 8
+        assert np.array_equal(got, dec[ys[:, None], xs[None, :], :])
 
     def test_audio_features_exploded_and_exact(self):
         import numpy as np
