@@ -243,9 +243,37 @@ def _run_partitioned_phase(
             # (blocks x buckets tiny files — measured to poison EVERY
             # downstream read, even with override_num_blocks); with it the
             # file count is ~n_buckets and downstream explodes inherit the
-            # clustering (so they need no shuffle of their own)
-            ds = ds.sort("bucket")
-            ds.write_parquet(gen_dir, partition_cols=["bucket"])
+            # clustering (so they need no shuffle of their own).
+            #
+            # STRATEGY (measured, see BASELINE.md "bucket clustering A/B"):
+            # ``sort`` is a range shuffle on a low-cardinality int32 — the
+            # sample pass is metadata-cheap and the exchange moves each row
+            # once, same as a hash partition would.  Ray 2.49's key-hash
+            # ``repartition(keys=["bucket"])`` requires the experimental
+            # HASH_SHUFFLE strategy, which (a) measured 28x slower on a
+            # standalone 2M-row exchange (103s vs 3.7s) and (b) LIVELOCKS
+            # this pipeline outright at 8 and 32 CPUs (aggregator actors +
+            # the annotator actor pool + backpressured reads starve each
+            # other; 0 blocks flow for minutes — scripts/ab_bucket_cluster.py).
+            # Sort stays the default; GRAFT_BUCKET_CLUSTER=hash re-measures
+            # on future Ray versions.
+            if os.environ.get("GRAFT_BUCKET_CLUSTER", "sort") == "hash":
+                from ray.data.context import DataContext, ShuffleStrategy
+
+                # the plan executes under the context CAPTURED at dataset
+                # creation — flip the strategy there (and restore after, so
+                # the experimental path never leaks into later phases)
+                ctx = ds.context if hasattr(ds, "context") else DataContext.get_current()
+                prev_strategy = ctx.shuffle_strategy
+                ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+                try:
+                    ds.repartition(n_buckets, keys=["bucket"], sort=False).write_parquet(
+                        gen_dir, partition_cols=["bucket"]
+                    )
+                finally:
+                    ctx.shuffle_strategy = prev_strategy
+            else:
+                ds.sort("bucket").write_parquet(gen_dir, partition_cols=["bucket"])
             lineage.mark_buckets_complete(gen_dir, gen_fp)
 
     generations[gen_name] = {"files": new_files, "tag": gen_fp}

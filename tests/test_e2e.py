@@ -170,6 +170,25 @@ def test_nodes_never_invent_surfaces(kg_result):
             assert canon in aliases
 
 
+def test_annotations_file_count_bounded(kg_result):
+    """The pre-write bucket clustering (kg.py: sort("bucket"), chosen over
+    HASH_SHUFFLE repartition — see the A/B in BASELINE.md) must keep the
+    hive layout at ~one file per bucket; without it every write task emits
+    a file per bucket it touches (blocks x buckets tiny files, measured to
+    poison every downstream read)."""
+    import os
+
+    _, out, _ = kg_result
+    n_buckets = 4  # kg_result fixture config
+    n_files = sum(
+        1
+        for _root, _dirs, files in os.walk(f"{out}/annotations")
+        for f in files
+        if f.endswith(".parquet")
+    )
+    assert 0 < n_files <= 2 * n_buckets
+
+
 def test_edges_reference_existing_nodes(kg_result):
     """Referential integrity: every edge endpoint (src_id, dst_id) has a
     nodes row — including DATE objects of born_on edges."""
