@@ -373,6 +373,7 @@ def run_kg(
     rewrite_mode: str = "auto",
     auto_threshold: int = AUTO_DISTRIBUTED_THRESHOLD,
     tagger_ray_remote_args: dict | None = None,
+    extra_patterns: list[tuple[str, str]] | None = None,
 ) -> dict:
     """Run the full pipeline; returns artifact paths + stats.
 
@@ -417,6 +418,7 @@ def run_kg(
         "code": CODE_VERSION,
         "gazetteer": lineage.fingerprint({"g": sorted(gazetteer)}),
         "n_buckets": n_buckets,
+        "extra_patterns": sorted(extra_patterns or []),
     }
 
     # P1: one tagging pass -> nested per-segment annotations (bucketed)
@@ -426,7 +428,11 @@ def run_kg(
         pages_path=pages_path,
         fp=lineage.fingerprint({**base_fp, "phase": "annotations"}),
         stage_cls=Annotator,
-        stage_kwargs={"gazetteer": gazetteer, "use_windows": True},
+        stage_kwargs={
+            "gazetteer": gazetteer,
+            "use_windows": True,
+            "extra_patterns": extra_patterns,
+        },
         n_buckets=n_buckets,
         concurrency=concurrency,
         batch_size=batch_size,

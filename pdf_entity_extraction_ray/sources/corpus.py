@@ -22,6 +22,7 @@ output at any parallelism level.  No wall clock, no global RNG.
 from __future__ import annotations
 
 import datetime as _dt
+import hashlib
 import random
 from dataclasses import dataclass, field
 
@@ -332,8 +333,59 @@ def _page_url(page_idx: int) -> str:
     return f"https://site{page_idx % 50}.example.test/page/{page_idx}"
 
 
+# ---------------------------------------------------------------------------
+# Long-tail entity clusters (the >10^6-distinct-surface scale knob).
+#
+# The head catalog is capped by the name pools (~200 clusters), so the
+# distinct (type, surface) universe of a default corpus stays small no
+# matter how many pages are generated.  ``tail_every`` plants ONE extra
+# singleton-ish ORG cluster per ``tail_every`` pages: a 3-word canonical
+# plus its 2-word prefix alias (merged by the M21 subset rule — they share
+# two word-block keys).  Words are hash-derived base-26 strings with a
+# ``Zq`` marker prefix so the family is recognizable by ONE regex
+# (TAIL_PATTERN, the tagger's open-vocabulary stand-in for a real model's
+# unseen-surface recall) and merge-safe by construction: two clusters
+# share a word only on a >=48-bit hash collision, any two full surfaces
+# are Levenshtein-dissimilar (random letters), and no word is a single
+# initial (so M22 can never fire).  With tails the distinct-surface
+# universe grows as 2 * n_pages / tail_every — past the pipeline's
+# AUTO_DISTRIBUTED_THRESHOLD at ~500k pages with tail_every=1.
+
+TAIL_PATTERN = r"(?<!\w)Zq[a-z]{8}(?: Zq[a-z]{8}){1,2}(?!\w)"
+TAIL_TYPE = "ORG"
+
+
+def tail_surfaces(k: int) -> tuple[str, str]:
+    """Deterministic (full, alias) surface pair for tail cluster ``k``."""
+    h = hashlib.blake2b(f"tail:{k}".encode(), digest_size=24).digest()
+    letters = "".join(chr(ord("a") + (b % 26)) for b in h)
+    words = ["Zq" + letters[i * 8 : (i + 1) * 8] for i in range(3)]
+    return " ".join(words), " ".join(words[:2])
+
+
+def _tail_block(page_idx: int, tail_every: int) -> tuple[str, list, list] | None:
+    """The extra segment planting tail cluster ``page_idx // tail_every``
+    (both alias forms, so linking observes a mergeable pair)."""
+    if not tail_every or page_idx % tail_every:
+        return None
+    full, alias = tail_surfaces(page_idx // tail_every)
+    lead = "Briefing filed by "
+    mid = " under review. Analysts at "
+    tail = " responded."
+    text = f"{lead}{full}{mid}{alias}{tail}"
+    mentions = [
+        {"text": full, "type": TAIL_TYPE,
+         "start": len(lead), "end": len(lead) + len(full)},
+        {"text": alias, "type": TAIL_TYPE,
+         "start": len(lead) + len(full) + len(mid),
+         "end": len(lead) + len(full) + len(mid) + len(alias)},
+    ]
+    return text, mentions, []
+
+
 def generate_page(
-    page_idx: int, clusters: list[Cluster], seed: int = 42, n_pages: int | None = None
+    page_idx: int, clusters: list[Cluster], seed: int = 42, n_pages: int | None = None,
+    tail_every: int = 0,
 ) -> GoldPage:
     """Deterministic page: html + canonical text + gold mentions/triples.
 
@@ -366,6 +418,10 @@ def generate_page(
         seg_text, seg_mentions, seg_triples = _join_sentences(sentences)
         blocks.append(seg_text)
         seg_records.append((seg_text, seg_mentions, seg_triples))
+    tail_rec = _tail_block(page_idx, tail_every)
+    if tail_rec is not None:  # long-tail cluster segment (scale corpora)
+        blocks.append(tail_rec[0])
+        seg_records.append(tail_rec)
     blocks.append(BOILER_FOOTER)
     seg_records.append((BOILER_FOOTER, [], []))
 
@@ -528,11 +584,15 @@ def gold_canonical_triples(clusters: list[Cluster], surface_triples) -> list[dic
     return out
 
 
-def pages_batch(page_indices, seed: int, n_per_type: int, n_pages: int | None = None):
+def pages_batch(
+    page_indices, seed: int, n_per_type: int, n_pages: int | None = None,
+    tail_every: int = 0,
+):
     """Generate a batch of pages + gold rows for the given page indices.
     Pure function of (seed, index) — safe at any parallelism.  Pass
     ``n_pages`` to plant the deterministic outlink graph (see
-    :func:`generate_page`)."""
+    :func:`generate_page`); ``tail_every`` plants the long-tail entity
+    clusters (see :func:`tail_surfaces`)."""
     import pyarrow as pa
 
     clusters = cached_catalog(seed, n_per_type)
@@ -540,7 +600,9 @@ def pages_batch(page_indices, seed: int, n_per_type: int, n_pages: int | None = 
     mentions: list[dict] = []
     triples: list[dict] = []
     for idx in page_indices:
-        page = generate_page(int(idx), clusters, seed, n_pages=n_pages)
+        page = generate_page(
+            int(idx), clusters, seed, n_pages=n_pages, tail_every=tail_every
+        )
         pages["url"].append(page.url)
         pages["warc_ts"].append(page.warc_ts)
         pages["html"].append(page.html)
@@ -567,17 +629,27 @@ def write_corpus(
     n_per_type: int = 25,
     write_gold: bool = True,
     parallelism: int = 0,
+    tail_every: int = 0,
 ) -> None:
     """Materialize pages.parquet (+ gold_* when asked) under ``out_dir``
     using a Ray pipeline: ``range(n_pages) -> map_batches(generate)``.
-    Deterministic at any parallelism level."""
+    Deterministic at any parallelism level.
+
+    ``tail_every`` > 0 plants one long-tail ORG cluster per ``tail_every``
+    pages (see :func:`tail_surfaces`) — the distinct-surface scale knob.
+    Tail gold coverage is MENTIONS-ONLY: gold_clusters stays the head
+    catalog (tail clusters are trivially derivable as (full, alias) pairs
+    of :func:`tail_surfaces`, and the scale suites gate on
+    broadcast-vs-distributed mode equality rather than gold)."""
     import pyarrow as pa
     import ray.data
 
     parallelism = parallelism or max(4, n_pages // 2000)
 
     def make(batch: dict) -> "pa.Table":
-        table, mentions, triples = pages_batch(batch["id"].tolist(), seed, n_per_type, n_pages)
+        table, mentions, triples = pages_batch(
+            batch["id"].tolist(), seed, n_per_type, n_pages, tail_every
+        )
         return table
 
     ds = ray.data.range(n_pages, override_num_blocks=parallelism)
@@ -586,7 +658,9 @@ def write_corpus(
     if write_gold:
 
         def make_mentions(batch: dict) -> "pa.Table":
-            _, mentions, _ = pages_batch(batch["id"].tolist(), seed, n_per_type, n_pages)
+            _, mentions, _ = pages_batch(
+                batch["id"].tolist(), seed, n_per_type, n_pages, tail_every
+            )
             return pa.Table.from_pylist(
                 mentions,
                 schema=pa.schema(

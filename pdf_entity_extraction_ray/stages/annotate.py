@@ -80,6 +80,7 @@ class Annotator:
         gazetteer: list[tuple[str, str]],
         n_buckets: int = 0,
         ensemble: bool = True,
+        extra_patterns: list[tuple[str, str]] | None = None,
         **tagger_kwargs,
     ):
         if ensemble:
@@ -88,10 +89,17 @@ class Annotator:
             members = []
             for types in ENSEMBLE_SPLITS:
                 sub = [(s, t) for s, t in gazetteer if t in types]
-                members.append(("gazetteer", {"gazetteer": sub, **tagger_kwargs}))
+                # an open-vocab pattern family goes to the member that owns
+                # its type, so its spans are emitted exactly once
+                pats = [(p, t) for p, t in (extra_patterns or []) if t in types]
+                members.append(
+                    ("gazetteer", {"gazetteer": sub, "extra_patterns": pats, **tagger_kwargs})
+                )
             self.tagger = EnsembleTagger(members)
         else:
-            self.tagger = GazetteerTagger(gazetteer, **tagger_kwargs)
+            self.tagger = GazetteerTagger(
+                gazetteer, extra_patterns=extra_patterns, **tagger_kwargs
+            )
         self.n_buckets = n_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -97,6 +97,7 @@ class GazetteerTagger:
         slide_size: int = 10,
         allowed_types: set[str] | None = None,
         use_windows: bool = True,
+        extra_patterns: list[tuple[str, str]] | None = None,
     ):
         # expensive one-time setup (the "model load"): longest-first regex
         # alternation with non-word boundaries
@@ -110,6 +111,13 @@ class GazetteerTagger:
         self.slide_size = slide_size
         self.allowed_types = allowed_types
         self.use_windows = use_windows
+        # open-vocabulary pattern families (regex -> TYPE): surfaces a model
+        # recognizes WITHOUT a gazetteer entry — the long-tail analog of the
+        # DATE family below.  Matched per whole segment (not per window),
+        # exactly like DATE, then fed through the shared M5/M7/M6 chain.
+        self.extra_patterns = [
+            (re.compile(p), typ) for p, typ in (extra_patterns or [])
+        ]
 
     # -- per-segment reference-semantics chain ------------------------------
 
@@ -139,6 +147,17 @@ class GazetteerTagger:
                     {
                         "text": m.group(0),
                         "entity_label": "DATE",
+                        "start_index": m.start(),
+                        "end_index": m.end(),
+                    }
+                )
+
+        for pat, typ in self.extra_patterns:  # open-vocab families
+            for m in pat.finditer(text):
+                spans.append(
+                    {
+                        "text": m.group(0),
+                        "entity_label": typ,
                         "start_index": m.start(),
                         "end_index": m.end(),
                     }
