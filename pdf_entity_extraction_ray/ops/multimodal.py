@@ -20,9 +20,13 @@ Two payload classes:
   format is a first-class decode path here, hash-exact against a
   single-process gold.  Progressive JPEGs raise NotImplementedError
   (jpegc names the gap).
-* REMAINING COMPRESSED formats (png/mp4) — the decode step is
-  import-gated (``NotImplementedError`` naming the library a real cluster
-  would load in ``__init__``), optionally replaced by a deterministic
+* COMPRESSED PNG (``image/png``) — decoded for REAL by the stdlib-zlib +
+  numpy codec in ``ops/pngc.py`` (8-bit grey/RGB/RGBA, all five scanline
+  filters); 16-bit/palette/interlaced raise NotImplementedError (pngc
+  names the gap).
+* REMAINING COMPRESSED format (mp4) — the decode step is import-gated
+  (``NotImplementedError`` naming the library a real cluster would load
+  in ``__init__``), optionally replaced by a deterministic
   content-derived fake so the Ray-side plumbing stays exercised
   end-to-end.
 
@@ -56,6 +60,7 @@ RAW_VIDEO = "video/x-raw-rgb8-seq"
 BMP_IMAGE = "image/bmp"
 WAV_AUDIO = "audio/wav"
 JPEG_IMAGE = "image/jpeg"
+PNG_IMAGE = "image/png"
 
 _JPEG_QUALITY = 85  # synthesized-jpeg encode quality (deterministic)
 
@@ -97,15 +102,24 @@ def synthesize_media_batch(batch: pa.Table) -> pa.Table:
     for i in ids:
         kind = kinds[i % 3]
         if kind == "image":
-            # every second image row is a real baseline JPEG (alternating
-            # 4:4:4 / 4:2:0) so the jpegc decode path is oracle-covered
-            if (i // 3) % 2 == 1:
+            # image rows cycle raw -> jpeg -> png so BOTH compressed decode
+            # paths (jpegc, pngc) are oracle-covered; jpegs alternate
+            # 4:4:4 / 4:2:0, pngs use the per-row-cycling filter mode
+            # (every unfilter branch in one payload)
+            phase = (i // 3) % 3
+            if phase == 1:
                 from .jpegc import encode_jpeg
 
                 raw = decode_raw_rgb8(_raw_image_payload(i), _RAW_W, _RAW_H)
                 sub = "4:2:0" if (i // 6) % 2 else "4:4:4"
                 payloads.append(encode_jpeg(raw, quality=_JPEG_QUALITY, subsampling=sub))
                 mimes.append(JPEG_IMAGE)
+            elif phase == 2:
+                from .pngc import encode_png
+
+                raw = decode_raw_rgb8(_raw_image_payload(i), _RAW_W, _RAW_H)
+                payloads.append(encode_png(raw, filter_mode="cycle"))
+                mimes.append(PNG_IMAGE)
             else:
                 payloads.append(_raw_image_payload(i))
                 mimes.append(RAW_IMAGE)
@@ -156,13 +170,20 @@ def write_gold_media(out_dir: str, n: int = 300, every_ms: int = 250) -> None:
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
         if kind == "image":
-            if (i // 3) % 2 == 1:  # jpeg rows, mirroring synthesize_media_batch
+            phase = (i // 3) % 3  # raw/jpeg/png, mirroring synthesize_media_batch
+            if phase == 1:
                 from .jpegc import decode_jpeg, encode_jpeg
 
                 raw = decode_raw_rgb8(_raw_image_payload(i), _RAW_W, _RAW_H)
                 sub = "4:2:0" if (i // 6) % 2 else "4:4:4"
                 payload = encode_jpeg(raw, quality=_JPEG_QUALITY, subsampling=sub)
                 feats = rgb8_features(decode_jpeg(payload))
+            elif phase == 2:
+                from .pngc import decode_png, encode_png
+
+                raw = decode_raw_rgb8(_raw_image_payload(i), _RAW_W, _RAW_H)
+                payload = encode_png(raw, filter_mode="cycle")
+                feats = rgb8_features(decode_png(payload))
             else:
                 payload = _raw_image_payload(i)
                 feats = rgb8_features(decode_raw_rgb8(payload, _RAW_W, _RAW_H))
@@ -208,7 +229,8 @@ def decode_raw_rgb8(payload: bytes, width: int, height: int) -> np.ndarray:
 
 # --------------------------------------------------------------------------
 # stdlib container codecs: BMP (struct) and WAV (wave module) — REAL decode
-# paths with no external dependency; jpeg/png/mp4 stay import-gated
+# paths with no external dependency; jpeg/png decode via ops/jpegc and
+# ops/pngc (also dependency-free); only mp4 stays import-gated
 
 
 def encode_bmp(img: np.ndarray) -> bytes:
@@ -330,6 +352,13 @@ class ImageFeatureExtractor:
                 from .jpegc import decode_jpeg
 
                 feats.append(rgb8_features(decode_jpeg(payload)))  # real numpy decode
+            elif mime == PNG_IMAGE:
+                from .pngc import decode_png
+
+                img = decode_png(payload)
+                if img.shape[2] != 3:  # grey/alpha variants -> RGB view
+                    img = np.repeat(img[:, :, :1], 3, axis=2)
+                feats.append(rgb8_features(img))  # real stdlib-zlib decode
             elif self.fake:
                 feats.append(self._fake_features(payload))
             else:
@@ -389,6 +418,14 @@ class ImageResizer:
                 from .jpegc import decode_jpeg
 
                 img = decode_jpeg(payload)
+                payloads.append(self._resize_raw(img.tobytes(), img.shape[1], img.shape[0]))
+                mimes.append(RAW_IMAGE)
+            elif mime == PNG_IMAGE:
+                from .pngc import decode_png
+
+                img = decode_png(payload)
+                if img.shape[2] != 3:
+                    img = np.repeat(img[:, :, :1], 3, axis=2)
                 payloads.append(self._resize_raw(img.tobytes(), img.shape[1], img.shape[0]))
                 mimes.append(RAW_IMAGE)
             elif self.fake:

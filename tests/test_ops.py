@@ -403,10 +403,11 @@ class TestMultimodal:
         assert sum(hist) == pytest.approx(1.0) and max(hist) == 1.0
 
     def test_compressed_decode_is_import_gated(self):
-        # png stays gated; jpeg is now a REAL decode path (ops/jpegc)
+        # jpeg and png are REAL decode paths now (ops/jpegc, ops/pngc);
+        # formats without an in-sandbox codec stay gated
         from pdf_entity_extraction_ray.ops.multimodal import ImageFeatureExtractor
 
-        row = _media_row("image/png", "image")
+        row = _media_row("image/webp", "image")
         with pytest.raises(NotImplementedError):
             ImageFeatureExtractor(fake=False)(row)
 
@@ -421,7 +422,7 @@ class TestMultimodal:
             synthesize_media_batch,
         )
 
-        media = synthesize_media_batch(pa.table({"id": pa.array(range(30), pa.int64())}))
+        media = synthesize_media_batch(pa.table({"id": pa.array(range(60), pa.int64())}))
         jpeg_rows = media.filter(pa.compute.equal(media.column("mime"), JPEG_IMAGE))
         assert jpeg_rows.num_rows >= 4  # both subsamplings present
         out = ImageFeatureExtractor(fake=False)(jpeg_rows)
@@ -432,6 +433,44 @@ class TestMultimodal:
         ):
             want = rgb8_features(decode_jpeg(payload))
             assert np.allclose(feats, want, atol=0), mid  # bit-identical
+
+    def test_png_features_match_single_process_decode(self):
+        import numpy as np
+
+        from pdf_entity_extraction_ray.ops.multimodal import (
+            PNG_IMAGE,
+            ImageFeatureExtractor,
+            rgb8_features,
+            synthesize_media_batch,
+        )
+        from pdf_entity_extraction_ray.ops.pngc import decode_png
+
+        media = synthesize_media_batch(pa.table({"id": pa.array(range(60), pa.int64())}))
+        png_rows = media.filter(pa.compute.equal(media.column("mime"), PNG_IMAGE))
+        assert png_rows.num_rows >= 4
+        out = ImageFeatureExtractor(fake=False)(png_rows)
+        for mid, feats, payload in zip(
+            out.column("media_id").to_pylist(),
+            out.column("features").to_pylist(),
+            png_rows.column("payload").to_pylist(),
+        ):
+            img = decode_png(payload)
+            want = rgb8_features(img)
+            assert np.allclose(feats, want, atol=0), mid  # bit-identical
+            # png is LOSSLESS: features must equal the pre-encode raw's
+            raw = synthesize_media_batch(
+                pa.table({"id": pa.array([mid], pa.int64())})
+            )
+            assert np.array_equal(
+                img.reshape(-1),
+                np.frombuffer(
+                    __import__(
+                        "pdf_entity_extraction_ray.ops.multimodal",
+                        fromlist=["_raw_image_payload"],
+                    )._raw_image_payload(mid),
+                    dtype=np.uint8,
+                ),
+            )
 
     def test_frame_sampler_slices_raw_frames(self):
         from pdf_entity_extraction_ray.ops.multimodal import (
@@ -549,7 +588,26 @@ class TestMultimodalResizeAudio:
         expected = np.kron(src_img, np.ones((2, 2, 1), dtype=np.uint8))
         assert np.array_equal(got, expected)
         with pytest.raises(NotImplementedError):
-            ImageResizer(fake=False)(_media_row("image/png", "image"))
+            ImageResizer(fake=False)(_media_row("image/webp", "image"))
+
+    def test_png_resize_is_lossless_roundtrip(self):
+        import numpy as np
+
+        from pdf_entity_extraction_ray.ops.multimodal import RAW_IMAGE, ImageResizer
+        from pdf_entity_extraction_ray.ops.pngc import encode_png
+
+        rng = np.random.RandomState(5)
+        src = rng.randint(0, 256, (12, 16, 3), dtype=np.uint8)
+        row = _media_row(
+            "image/png", "image", encode_png(src, filter_mode="cycle"),
+            width=16, height=12,
+        )
+        out = ImageResizer(width=8, height=8, fake=False)(row)
+        assert out.column("mime").to_pylist() == [RAW_IMAGE]
+        got = np.frombuffer(out.column("payload")[0].as_py(), np.uint8).reshape(8, 8, 3)
+        ys = (np.arange(8) * 12) // 8
+        xs = (np.arange(8) * 16) // 8
+        assert np.array_equal(got, src[ys[:, None], xs[None, :], :])  # lossless
 
     def test_jpeg_resize_goes_through_real_decode(self):
         import numpy as np
