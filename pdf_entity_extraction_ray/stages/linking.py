@@ -250,6 +250,106 @@ def build_cluster_map(
 # orchestration (Dataset in, Dataset/driver artifacts out)
 
 
+def _coarse_parts() -> int:
+    """Coarse-partition count for the vectorized group stages: enough for
+    full-cluster parallelism + skew smoothing, small enough that per-call
+    UDF overhead is negligible."""
+    import ray
+
+    return 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
+
+
+def _add_block_part(batch: pa.Table, parts: int) -> pa.Table:
+    """Hash the block key into a coarse ``part`` column (vectorized)."""
+    from ..state.lineage import url_buckets
+
+    if batch.num_rows == 0 or "block" not in batch.column_names:
+        return pa.table(
+            {
+                "block": pa.array([], pa.string()),
+                "type": pa.array([], pa.string()),
+                "surface": pa.array([], pa.string()),
+                "part": pa.array([], pa.int32()),
+            }
+        )
+    return batch.append_column(
+        "part", pa.array(url_buckets(batch.column("block"), parts), pa.int32())
+    )
+
+
+def _block_pairs_partition(group: pa.Table) -> pa.Table:
+    """One coarse hash partition (MANY blocks) -> similar-pair edge rows.
+
+    Replaces per-block ``map_groups(block_pairs)``: at >10^6 distinct
+    surfaces the block-key universe is tens of millions, and Ray's
+    map_groups pays one Python UDF call + Arrow table construction PER
+    GROUP (~80 us) — measured 25+ min of straggler time at 2M surfaces.
+    Grouping by a coarse hash of the block key instead makes group
+    detection a vectorized boundary scan inside ~4xCPU partition calls;
+    the Python loop runs only over multi-row blocks (the actual work).
+    Same pairs, same MAX_BLOCK cap, same within-block ordering as
+    :func:`block_pairs` (blocks never split across hash partitions)."""
+    import numpy as np
+
+    empty = pa.table(
+        {
+            "type": pa.array([], pa.string()),
+            "a": pa.array([], pa.string()),
+            "b": pa.array([], pa.string()),
+        }
+    )
+    if group.num_rows == 0 or "block" not in group.column_names:
+        return empty
+    tbl = group.sort_by([("block", "ascending"), ("surface", "ascending")])
+    codes = pc.dictionary_encode(tbl.column("block").combine_chunks()).indices
+    idx = np.asarray(codes)
+    starts = np.flatnonzero(np.r_[True, np.diff(idx) != 0])
+    ends = np.r_[starts[1:], len(idx)]
+    sizes = ends - starts
+    keep = (sizes >= 2) & (sizes <= MAX_BLOCK)
+    if not keep.any():
+        return empty
+    surfaces = tbl.column("surface").to_pylist()
+    types = tbl.column("type").to_pylist()
+    out_t: list[str] = []
+    out_a: list[str] = []
+    out_b: list[str] = []
+    for s, e in zip(starts[keep], ends[keep]):
+        surs = surfaces[s:e]  # sorted; distinct rows -> unique within block
+        typ = types[s]
+        for i in range(len(surs)):
+            si = surs[i]
+            for j in range(i + 1, len(surs)):
+                if surfaces_match(si, surs[j]):
+                    out_t.append(typ)
+                    out_a.append(si)
+                    out_b.append(surs[j])
+    return pa.table(
+        {
+            "type": pa.array(out_t, pa.string()),
+            "a": pa.array(out_a, pa.string()),
+            "b": pa.array(out_b, pa.string()),
+        }
+    )
+
+
+def candidate_pair_edges(distinct, parts: int | None = None):
+    """Distinct-surface Dataset -> (type, a, b) candidate-pair edges via
+    LSH/word blocking with coarse-partition vectorized pair generation.
+    The shared edge stage of BOTH linking paths."""
+    parts = parts or _coarse_parts()
+    return (
+        distinct.map_batches(
+            block_keys_batch, batch_format="pyarrow"
+        )
+        .map_batches(
+            _add_block_part, fn_kwargs={"parts": parts}, batch_format="pyarrow"
+        )
+        .groupby("part")
+        .map_groups(_block_pairs_partition, batch_format="pyarrow")
+    )
+
+
 def block_keys_batch(batch: pa.Table) -> pa.Table:
     """Task-pool form of :class:`BlockKeyer` (process-cached hasher).
 
@@ -300,11 +400,7 @@ def link_entities(mentions_ds, *, concurrency=None, consolidate=None, distinct=N
         universe.extend(zip(tbl.column("type").to_pylist(), tbl.column("surface").to_pylist()))
     universe = [(t, s) for t, s in universe if t in LINKED_TYPES]
 
-    edges_tbl = (
-        distinct.map_batches(block_keys_batch, batch_format="pyarrow")
-        .groupby("block")
-        .map_groups(block_pairs, batch_format="pyarrow")
-    )
+    edges_tbl = candidate_pair_edges(distinct)
     edges: list[tuple[str, str, str]] = []
     for batch in edges_tbl.iter_batches(batch_format="pyarrow"):
         if batch.num_rows == 0 or "type" not in batch.column_names:
@@ -640,6 +736,70 @@ def _cluster_assign(group: pa.Table, consolidate=None) -> pa.Table:
     )
 
 
+_ASSIGN_SCHEMA = pa.schema(
+    [
+        ("type", pa.string()),
+        ("surface", pa.string()),
+        ("node_id", pa.int64()),
+        ("canonical", pa.string()),
+    ]
+)
+
+
+def _cluster_assign_partition(group: pa.Table, consolidate=None) -> pa.Table:
+    """One coarse hash partition (MANY component labels) -> assignment
+    rows.  The per-label analog of :func:`_block_pairs_partition`: at
+    >10^6 clusters, per-label ``map_groups(_cluster_assign)`` pays the
+    UDF + table-construction overhead once per cluster; here labels are
+    detected as vectorized run boundaries and only the representative
+    choice runs in Python.  Output rows identical to per-label
+    :func:`_cluster_assign` (labels never split across hash partitions)."""
+    import numpy as np
+
+    if group.num_rows == 0 or "label" not in group.column_names:
+        return _ASSIGN_SCHEMA.empty_table()
+    tbl = group.sort_by([("label", "ascending"), ("surface", "ascending")])
+    labels = np.asarray(tbl.column("label").to_pylist(), dtype=np.int64)
+    starts = np.flatnonzero(np.r_[True, np.diff(labels) != 0])
+    ends = np.r_[starts[1:], len(labels)]
+    surfaces = tbl.column("surface").to_pylist()
+    types = tbl.column("type").to_pylist()
+    out_t: list[str] = []
+    out_s: list[str] = []
+    out_n: list[int] = []
+    out_c: list[str] = []
+    for s, e in zip(starts, ends):
+        surs = sorted(set(surfaces[s:e]))
+        typ = types[s]
+        if consolidate is None or len(surs) == 1:
+            canon = representative(surs)
+        else:
+            canon = consolidate(surs)
+            if canon is not None and canon not in surs:
+                raise ValueError(f"consolidator invented surface {canon!r} not in group")
+        if canon is None:  # left unmerged (reference A9 contract)
+            for sur in surs:
+                out_t.append(typ)
+                out_s.append(sur)
+                out_n.append(node_id_of(typ, sur))
+                out_c.append(sur)
+        else:
+            nid = node_id_of(typ, canon)
+            for sur in surs:
+                out_t.append(typ)
+                out_s.append(sur)
+                out_n.append(nid)
+                out_c.append(canon)
+    return pa.table(
+        {
+            "type": pa.array(out_t, pa.string()),
+            "surface": pa.array(out_s, pa.string()),
+            "node_id": pa.array(out_n, pa.int64()),
+            "canonical": pa.array(out_c, pa.string()),
+        }
+    )
+
+
 def _singleton_rows(batch: pa.Table) -> pa.Table:
     if batch.num_rows == 0 or "type" not in batch.column_names:
         return pa.table(
@@ -699,12 +859,7 @@ def link_entities_distributed(
         .materialize()
     )
 
-    edges = (
-        distinct.map_batches(block_keys_batch, batch_format="pyarrow")
-        .groupby("block")
-        .map_groups(block_pairs, batch_format="pyarrow")
-        .materialize()
-    )
+    edges = candidate_pair_edges(distinct).materialize()
 
     comp = label_propagation_components(edges)
     members = (
@@ -712,11 +867,31 @@ def link_entities_distributed(
         .groupby("node")
         .aggregate(Min("type", alias_name="type"), Min("surface", alias_name="surface"))
     )  # (node, type, surface) dedup — node key determines both
+    def _label_part(batch: pa.Table, parts: int) -> pa.Table:
+        if batch.num_rows == 0 or "label" not in batch.column_names:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "type": pa.array([], pa.string()),
+                    "surface": pa.array([], pa.string()),
+                    "label": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int32()),
+                }
+            )
+        import numpy as np
+
+        lab = np.asarray(batch.column("label").to_numpy(zero_copy_only=False), np.int64)
+        return batch.append_column(
+            "part", pa.array((lab % parts).astype(np.int32), pa.int32())
+        )
+
+    parts = _coarse_parts()
     clustered = (
         members.join(comp, join_type="inner", num_partitions=n_part, on=("node",))
-        .groupby("label")
+        .map_batches(_label_part, fn_kwargs={"parts": parts}, batch_format="pyarrow")
+        .groupby("part")
         .map_groups(
-            lambda g: _cluster_assign(g, consolidate), batch_format="pyarrow"
+            lambda g: _cluster_assign_partition(g, consolidate), batch_format="pyarrow"
         )
     )
 
