@@ -25,14 +25,35 @@ _MONTHS_ES = {
     "julio": 7, "agosto": 8, "septiembre": 9, "octubre": 10, "noviembre": 11,
     "diciembre": 12,
 }
-_MONTHS = {**_MONTHS_EN, **_MONTHS_ES}
+# the other web-major locales the corpus's ``lang`` column carries
+# (dateparser's zoo covers these via languages=[...]; the deterministic
+# grammar lists each month name plus its accent-stripped variant, since
+# real crawl text is sloppy about diacritics)
+_MONTHS_FR = {
+    "janvier": 1, "février": 2, "fevrier": 2, "mars": 3, "avril": 4,
+    "mai": 5, "juin": 6, "juillet": 7, "août": 8, "aout": 8,
+    "septembre": 9, "octobre": 10, "novembre": 11, "décembre": 12,
+    "decembre": 12,
+}
+_MONTHS_DE = {
+    "januar": 1, "februar": 2, "märz": 3, "marz": 3, "april": 4, "mai": 5,
+    "juni": 6, "juli": 7, "august": 8, "september": 9, "oktober": 10,
+    "november": 11, "dezember": 12,
+}
+_MONTHS_PT = {
+    "janeiro": 1, "fevereiro": 2, "março": 3, "marco": 3, "abril": 4,
+    "maio": 5, "junho": 6, "julho": 7, "agosto": 8, "setembro": 9,
+    "outubro": 10, "novembro": 11, "dezembro": 12,
+}
+_MONTHS = {**_MONTHS_EN, **_MONTHS_ES, **_MONTHS_FR, **_MONTHS_DE, **_MONTHS_PT}
 _MONTH_ALT = "|".join(sorted(_MONTHS, key=len, reverse=True))
 
 # "November 5, 2004" | "5 November 2004" | "5 de noviembre de 2004" |
+# "5 mai 2004" | "5. Mai 2004" (German ordinal dot) | "5 de maio de 2004" |
 # "2004-11-05" | "11/05/2004"
 DATE_RE = re.compile(
     r"(?:(?P<m1>%(m)s)\s+(?P<d1>\d{1,2})(?:\s*,)?\s+(?P<y1>\d{4}))"
-    r"|(?:(?P<d2>\d{1,2})\s+(?:de\s+)?(?P<m2>%(m)s)(?:\s+de)?\s+(?P<y2>\d{4}))"
+    r"|(?:(?P<d2>\d{1,2})\.?\s+(?:de\s+)?(?P<m2>%(m)s)(?:\s+de)?\s+(?P<y2>\d{4}))"
     r"|(?P<y3>\d{4})-(?P<mo3>\d{2})-(?P<d3>\d{2})"
     r"|(?P<mo4>\d{1,2})/(?P<d4>\d{1,2})/(?P<y4>\d{4})" % {"m": _MONTH_ALT},
     re.IGNORECASE,

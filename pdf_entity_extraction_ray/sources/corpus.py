@@ -113,12 +113,33 @@ PRED_PHRASES = {
         "visited": "visitó",
         "cites": "cita",
     },
+    "fr": {
+        "works_for": "travaille pour",
+        "born_on": "est né le",
+        "located_in": "est située à",
+        "visited": "a visité",
+        "cites": "invoque",
+    },
+    "de": {
+        "works_for": "arbeitet für",
+        "born_on": "wurde geboren am",
+        "located_in": "befindet sich in",
+        "visited": "besuchte",
+        "cites": "zitiert",
+    },
+    "pt": {
+        "works_for": "trabalha para",
+        "born_on": "nasceu em",
+        "located_in": "está localizada em",
+        "visited": "visitou",
+        "cites": "menciona",
+    },
 }
 
 PAGES_EPOCH = _dt.datetime(2020, 1, 1)
 
 #: bump when synthesis output changes (consumers regenerate stale caches)
-CORPUS_VERSION_MARKER = "_corpus_v2"
+CORPUS_VERSION_MARKER = "_corpus_v3"  # v3: fr/de/pt pages + tail_every
 
 
 # ---------------------------------------------------------------------------
@@ -298,13 +319,26 @@ def _pick_cluster(clusters_of_type: list[Cluster], rng: random.Random) -> Cluste
     return rng.choice(clusters_of_type)
 
 
+_MONTHS_BY_LANG = {
+    "es": ["enero", "febrero", "marzo", "abril", "mayo", "junio", "julio",
+           "agosto", "septiembre", "octubre", "noviembre", "diciembre"],
+    "fr": ["janvier", "février", "mars", "avril", "mai", "juin", "juillet",
+           "août", "septembre", "octobre", "novembre", "décembre"],
+    "de": ["Januar", "Februar", "März", "April", "Mai", "Juni", "Juli",
+           "August", "September", "Oktober", "November", "Dezember"],
+    "pt": ["janeiro", "fevereiro", "março", "abril", "maio", "junho", "julho",
+           "agosto", "setembro", "outubro", "novembro", "dezembro"],
+}
+
+
 def _fmt_date(d: _dt.date, lang: str, rng: random.Random) -> str:
-    if lang == "es":
-        months = [
-            "enero", "febrero", "marzo", "abril", "mayo", "junio", "julio",
-            "agosto", "septiembre", "octubre", "noviembre", "diciembre",
-        ]
+    if lang in ("es", "pt"):
+        months = _MONTHS_BY_LANG[lang]
         return f"{d.day} de {months[d.month - 1]} de {d.year}"
+    if lang == "fr":
+        return f"{d.day} {_MONTHS_BY_LANG['fr'][d.month - 1]} {d.year}"
+    if lang == "de":
+        return f"{d.day}. {_MONTHS_BY_LANG['de'][d.month - 1]} {d.year}"
     style = rng.randrange(3)
     months = [
         "January", "February", "March", "April", "May", "June", "July",
@@ -395,7 +429,9 @@ def generate_page(
     byte-identical (empty anchors whitespace-collapse away) while the
     corpus gains a real web link graph for the link-extraction ops."""
     rng = random.Random(f"page:{seed}:{page_idx}")
-    lang = "es" if page_idx % 10 == 7 else "en"
+    # web-major language mix: ~60% en, 10% each es/fr/de/pt (deterministic
+    # by page index; drives multilingual date parsing + relation phrases)
+    lang = {7: "es", 3: "fr", 5: "de", 9: "pt"}.get(page_idx % 10, "en")
     by_type: dict[str, list[Cluster]] = {}
     for c in clusters:
         by_type.setdefault(c.type, []).append(c)

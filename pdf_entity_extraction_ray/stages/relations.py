@@ -7,7 +7,7 @@ north_star requires "dependency/pattern-based relation extraction emitting
 (subj, pred, obj) triples"; this stage implements the deterministic pattern
 half: for each pair of CONSECUTIVE mentions within a segment, the text
 between them is matched against a closed predicate-phrase table (typed:
-``(subj_type, obj_type, phrase) -> pred``, English + Spanish).  Matching on
+``(subj_type, obj_type, phrase) -> pred``, en/es/fr/de/pt).  Matching on
 the inter-mention text makes the scope sentence-local in effect (crossing a
 sentence boundary leaves ". " residue no phrase matches) while being immune
 to the regex sentence splitter's abbreviation failure mode (a surface form
@@ -33,15 +33,18 @@ from .tagger import TITLE_CASED_TYPES, GazetteerTagger
 # (subj_type, obj_type, phrase) -> predicate; phrases are matched against
 # the whitespace-stripped text between two consecutive mentions.
 PATTERNS: dict[tuple[str, str, str], str] = {}
-for _phr in ("works for", "trabaja para"):
+for _phr in ("works for", "trabaja para", "travaille pour", "arbeitet für",
+             "trabalha para"):
     PATTERNS[("PERSON", "ORG", _phr)] = "works_for"
-for _phr in ("was born on", "nació el"):
+for _phr in ("was born on", "nació el", "est né le", "wurde geboren am",
+             "nasceu em"):
     PATTERNS[("PERSON", "DATE", _phr)] = "born_on"
-for _phr in ("is located in", "is headquartered in", "está ubicada en"):
+for _phr in ("is located in", "is headquartered in", "está ubicada en",
+             "est située à", "befindet sich in", "está localizada em"):
     PATTERNS[("ORG", "GPE", _phr)] = "located_in"
-for _phr in ("visited", "visitó"):
+for _phr in ("visited", "visitó", "a visité", "besuchte", "visitou"):
     PATTERNS[("PERSON", "GPE", _phr)] = "visited"
-for _phr in ("cites", "cita"):
+for _phr in ("cites", "cita", "invoque", "zitiert", "menciona"):
     PATTERNS[("LAW", "LAW", _phr)] = "cites"
 
 TRIPLES_SCHEMA = pa.schema(

@@ -32,7 +32,7 @@ HOLDOUT = 120  # last pages are eval-only
 CORPUS_DIR = "/tmp/np_tagger_train_corpus"
 SEED = 42
 
-EPOCHS = 20
+EPOCHS = int(os.environ.get("NP_TAGGER_EPOCHS", "20"))
 LR = 1.0
 BATCH = 512
 ENTITY_WEIGHT = 4.0
