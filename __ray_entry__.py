@@ -354,6 +354,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         name = os.path.basename(os.path.normpath(sf_dir)) or "default"
         return latest_crawl(ray.data.read_parquet(f"/tmp/graft_kg/{name}/pages"))
 
+    def _kg_lang_stats(sf_dir):
+        """Mention volume per (lang, type) over the multilingual corpus —
+        the visible gate that non-English pages (es/fr/de/pt) flow through
+        tagging, date parsing, and relation phrases: a locale whose dates
+        fail M9 or whose predicate phrases are unknown shows up as missing
+        (lang, DATE) rows vs the gold join."""
+        import ray.data
+
+        res = _kg_artifacts(sf_dir)
+        ds = ray.data.read_parquet(res["mentions"], columns=["lang", "type"])
+        out = ds.groupby(["lang", "type"]).count()
+        return out.map_batches(
+            lambda b: b.rename_columns(["lang", "type", "n_mentions"]),
+            batch_format="pyarrow",
+        )
+
     def _kg_pagerank_ppm(sf_dir):
         """Engine PageRank over the KG edges, ranks scaled to integer ppm
         (the repo's float-hash trick: cross-engine float noise ~1e-15 vs
@@ -476,6 +492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "kg_host_stats": _kg_host_stats,
         "kg_latest_crawl": _kg_latest_crawl,
+        "kg_lang_stats": _kg_lang_stats,
         "kg_coreness": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["coreness"]
         ).coreness(
@@ -623,7 +640,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # has never itself checked (judge-run only in r3), then the long-green
     # remainder in their original order.
     front = [
-        # changed this round (jpeg rows in the media corpus; scale-path work)
+        # new / changed this round (png+jpeg media rows; multilingual corpus)
+        "kg_lang_stats",
         "multimodal_image_features",
         "multimodal_frame_sample",
         # never driver-sampled through r3 (judge-run only)
@@ -739,6 +757,12 @@ def oracle_sql() -> dict[str, str]:
         "emb_kmeans": f"""
             select vec_id, cluster
             from read_parquet('{gold}/gold_kmeans/*.parquet')
+        """,
+        "kg_lang_stats": f"""
+            with {kg_cte}
+            select p.lang, m.type, count(*) as n_mentions
+            from gm m join read_parquet('{gold}/pages/*.parquet') p using (url)
+            group by 1, 2
         """,
         "kg_latest_crawl": f"""
             with n as (
