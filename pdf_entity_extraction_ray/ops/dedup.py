@@ -1265,7 +1265,21 @@ def duplicated_spans(
     groupby -> one hash join marks duplicated occurrences -> coarse
     doc-shard groupby merges consecutive positions vectorized (sort +
     diff islands).  Text never travels; only (doc, pos, token) triples
-    shuffle."""
+    shuffle.
+
+    EQUIVALENCE TO THE SUFFIX-ARRAY TOOL (why no distributed SA pass):
+    Lee et al.'s ExactSubstr cuts every character covered by some
+    duplicated substring of length >= threshold.  At fixed threshold k
+    the cut set is IDENTICAL to this k-gram formulation: (=>) every
+    length-k window of a duplicated substring of length >= k is itself a
+    duplicated k-gram, so the whole substring is covered by duplicated
+    k-gram spans; (<=) a duplicated k-gram IS a duplicated substring of
+    length k.  The suffix array buys maximal-match REPORTING at arbitrary
+    lengths, not a different cut set — and execution-wise the SA path
+    (prefix-doubling: O(log n) all-to-all exchanges of (pos, rank) rows)
+    moves strictly more data than this form's single (doc, pos, token)
+    shuffle + one count groupby + one join, all linear in corpus tokens.
+    At 100 TB the k-gram form IS the scale path."""
     rows = docs_ds.select_columns(["doc_id", "text"]).map_batches(
         gram_pos_rows_batch, fn_kwargs={"k": k}, batch_format="pyarrow"
     )
