@@ -57,17 +57,33 @@ def _spill_bytes() -> int:
     return total
 
 
+def _system_used_bytes() -> int:
+    """MemTotal - MemAvailable: true physical pressure.  The RSS sum above
+    double-counts object-store /dev/shm pages mapped by many workers, so
+    report both."""
+    total = avail = 0
+    with open("/proc/meminfo") as f:
+        for line in f:
+            if line.startswith("MemTotal:"):
+                total = int(line.split()[1]) * 1024
+            elif line.startswith("MemAvailable:"):
+                avail = int(line.split()[1]) * 1024
+    return max(0, total - avail)
+
+
 class PeakSampler(threading.Thread):
     def __init__(self, interval: float = 2.0):
         super().__init__(daemon=True)
         self.interval = interval
         self.peak_rss = 0
+        self.peak_used = 0
         self.peak_spill = 0
         self._halt = threading.Event()
 
     def run(self):
         while not self._halt.is_set():
             self.peak_rss = max(self.peak_rss, _tree_rss_bytes())
+            self.peak_used = max(self.peak_used, _system_used_bytes())
             self.peak_spill = max(self.peak_spill, _spill_bytes())
             self._halt.wait(self.interval)
 
@@ -146,6 +162,7 @@ def main() -> None:
         "n_edges": res["n_edges"],
         "phases": phases,
         "peak_rss_gib": round(sampler.peak_rss / 2**30, 2),
+        "peak_used_gib": round(sampler.peak_used / 2**30, 2),
         "peak_spill_gib": round(sampler.peak_spill / 2**30, 2),
     }
     print(json.dumps(result))
