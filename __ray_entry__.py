@@ -404,10 +404,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pdf_entity_extraction_ray.ops.multimodal import write_gold_media
 
         if not (
-            os.path.isfile("/tmp/graft_mm_v4/gold_image_features.parquet")
-            and os.path.isfile("/tmp/graft_mm_v4/gold_frames.parquet")
+            os.path.isfile("/tmp/graft_mm_v5/gold_image_features.parquet")
+            and os.path.isfile("/tmp/graft_mm_v5/gold_frames.parquet")
         ):
-            write_gold_media("/tmp/graft_mm_v4", n=300)
+            write_gold_media("/tmp/graft_mm_v5", n=300)
 
     def multimodal_features(sf_dir):
         import numpy as np
@@ -1572,10 +1572,10 @@ qualify rank <= 5
         # (features in integer ppm, frames byte-for-byte)
         "multimodal_image_features": """
             select media_id, features_ppm, n_bytes
-            from read_parquet('/tmp/graft_mm_v4/gold_image_features.parquet')
+            from read_parquet('/tmp/graft_mm_v5/gold_image_features.parquet')
         """,
         "multimodal_frame_sample": """
             select media_id, frame_ms, frame_payload
-            from read_parquet('/tmp/graft_mm_v4/gold_frames.parquet')
+            from read_parquet('/tmp/graft_mm_v5/gold_frames.parquet')
         """,
     }

@@ -24,11 +24,14 @@ Two payload classes:
   numpy codec in ``ops/pngc.py`` (8-bit grey/RGB/RGBA, all five scanline
   filters); 16-bit/palette/interlaced raise NotImplementedError (pngc
   names the gap).
-* REMAINING COMPRESSED format (mp4) — the decode step is import-gated
-  (``NotImplementedError`` naming the library a real cluster would load
-  in ``__init__``), optionally replaced by a deterministic
-  content-derived fake so the Ray-side plumbing stays exercised
-  end-to-end.
+* MP4 VIDEO (``video/mp4``) — the ISO-BMFF container layer is demuxed
+  for REAL (``ops/mp4c``: box walk + stsd/stts/stsc/stsz/stco sample
+  tables) and motion-JPEG samples decode through ``ops/jpegc``; tracks
+  in entropy-coded codecs (avc1/hev1) raise NotImplementedError naming
+  the fourcc — a real cluster loads that decoder per actor.  Every
+  format the multimodal oracle synthesizes now takes a real decode
+  path; the ``fake=True`` stand-in remains only for formats absent from
+  the corpus (e.g. webp).
 
 Batch-size guidance: payload columns dominate memory; callers should pass
 ``batch_size`` such that ``batch_size * max_payload * concurrency`` fits
@@ -61,6 +64,7 @@ BMP_IMAGE = "image/bmp"
 WAV_AUDIO = "audio/wav"
 JPEG_IMAGE = "image/jpeg"
 PNG_IMAGE = "image/png"
+MP4_VIDEO = "video/mp4"
 
 _JPEG_QUALITY = 85  # synthesized-jpeg encode quality (deterministic)
 
@@ -90,6 +94,39 @@ def _raw_audio_payload(i: int, duration_ms: int = 1000) -> bytes:
 
 def _raw_video_payload(i: int, frames: int = _RAW_FRAMES) -> bytes:
     return b"".join(_raw_image_payload(i * 31 + f) for f in range(frames))
+
+
+def mp4_frames_at(payload: bytes, every_ms: int) -> list[tuple[int, bytes]]:
+    """Demux an MJPEG MP4 and decode one frame per ``every_ms`` boundary:
+    (frame_ms, raw RGB8 bytes) rows.  Shared by the Ray FrameSampler stage
+    and the single-process gold writer."""
+    from .jpegc import decode_jpeg
+    from .mp4c import decode_mp4_samples
+
+    info = decode_mp4_samples(payload)
+    ms_per_unit = 1000.0 / max(info["timescale"], 1)
+    out: list[tuple[int, bytes]] = []
+    next_at = 0.0
+    for t, sample in zip(info["sample_times"], info["samples"]):
+        tm = t * ms_per_unit
+        if tm + 1e-9 >= next_at:
+            out.append((int(tm), decode_jpeg(sample).tobytes()))
+            next_at = tm + every_ms
+    return out
+
+
+def _mp4_video_payload(i: int, frames: int = _RAW_FRAMES) -> bytes:
+    """The same deterministic frames as :func:`_raw_video_payload`, carried
+    as a real motion-JPEG MP4 (ops/mp4c container + ops/jpegc samples)."""
+    from .jpegc import encode_jpeg
+    from .mp4c import encode_mp4_mjpeg
+
+    arrs = [
+        decode_raw_rgb8(_raw_image_payload(i * 31 + f), _RAW_W, _RAW_H)
+        for f in range(frames)
+    ]
+    jpegs = [encode_jpeg(a, quality=_JPEG_QUALITY) for a in arrs]
+    return encode_mp4_mjpeg(jpegs, _RAW_W, _RAW_H, frame_delta_ms=1000 // frames)
 
 
 def synthesize_media_batch(batch: pa.Table) -> pa.Table:
@@ -133,8 +170,14 @@ def synthesize_media_batch(batch: pa.Table) -> pa.Table:
             heights.append(-1)
             durs.append(1000)
         else:
-            payloads.append(_raw_video_payload(i))
-            mimes.append(RAW_VIDEO)
+            # video rows alternate raw frame sequences and real MJPEG MP4s
+            # so the container+codec decode path is oracle-covered
+            if (i // 3) % 2 == 1:
+                payloads.append(_mp4_video_payload(i))
+                mimes.append(MP4_VIDEO)
+            else:
+                payloads.append(_raw_video_payload(i))
+                mimes.append(RAW_VIDEO)
             widths.append(_RAW_W)
             heights.append(_RAW_H)
             durs.append(1000)
@@ -191,15 +234,21 @@ def write_gold_media(out_dir: str, n: int = 300, every_ms: int = 250) -> None:
             img_ppm.append([int(x) for x in np.round(np.asarray(feats) * 1e6)])
             img_bytes.append(len(payload))
         elif kind == "video":
-            payload = _raw_video_payload(i)
-            frame_bytes = _RAW_W * _RAW_H * 3
-            n_frames = len(payload) // frame_bytes
-            frame_dur = max(1000, 1) / max(n_frames, 1)
-            step = max(1, int(round(every_ms / frame_dur)))
-            for f in range(0, n_frames, step):
-                frm_id.append(i)
-                frm_off.append(int(f * frame_dur))
-                frm_pay.append(payload[f * frame_bytes : (f + 1) * frame_bytes])
+            if (i // 3) % 2 == 1:  # mp4 rows, mirroring synthesize_media_batch
+                for tm, frame in mp4_frames_at(_mp4_video_payload(i), every_ms):
+                    frm_id.append(i)
+                    frm_off.append(tm)
+                    frm_pay.append(frame)
+            else:
+                payload = _raw_video_payload(i)
+                frame_bytes = _RAW_W * _RAW_H * 3
+                n_frames = len(payload) // frame_bytes
+                frame_dur = max(1000, 1) / max(n_frames, 1)
+                step = max(1, int(round(every_ms / frame_dur)))
+                for f in range(0, n_frames, step):
+                    frm_id.append(i)
+                    frm_off.append(int(f * frame_dur))
+                    frm_pay.append(payload[f * frame_bytes : (f + 1) * frame_bytes])
     pq.write_table(
         pa.table(
             {
@@ -546,6 +595,14 @@ class FrameSampler:
                     out_id.append(mid)
                     out_off.append(int(f * frame_dur))
                     out_frame.append(payload[f * frame_bytes : (f + 1) * frame_bytes])
+            elif mime == MP4_VIDEO:
+                # real container demux (ops/mp4c sample tables) + real
+                # per-sample jpeg decode; emitted frames are raw RGB8,
+                # exactly like the RAW_VIDEO branch's
+                for tm, frame in mp4_frames_at(payload, self.every_ms):
+                    out_id.append(mid)
+                    out_off.append(tm)
+                    out_frame.append(frame)
             else:
                 for off in range(0, max(dur, 0), self.every_ms):
                     out_id.append(mid)
