@@ -459,6 +459,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
             FrameSampler, concurrency=2, batch_size=64, batch_format="pyarrow"
         )
 
+    def _bpe_gold(sf_dir):
+        """Single-process gold merges/encodings for the BPE oracles
+        (written once per scale; deterministic)."""
+        from pdf_entity_extraction_ray.ops.bpe import write_gold_bpe
+
+        name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        out = f"/tmp/graft_bpe_v1/{name}"
+        if not (
+            os.path.isfile(f"{out}/gold_merges.parquet")
+            and os.path.isfile(f"{out}/gold_encodings.parquet")
+        ):
+            write_gold_bpe(
+                os.path.join(sf_dir, "documents.parquet"),
+                out,
+                n_merges=200,
+                min_pair_count=2,
+            )
+        return out
+
+    def docs_bpe_merges(sf_dir):
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.bpe import train_bpe
+
+        _bpe_gold(sf_dir)
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+        )
+        return train_bpe(ds, n_merges=200, min_pair_count=2, num_shards=8)
+
+    def docs_bpe_encode(sf_dir):
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.bpe import encode_bpe
+
+        gold = _bpe_gold(sf_dir)
+        merges = pq.read_table(f"{gold}/gold_merges.parquet")
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        return encode_bpe(ds, merges)
+
     registry = {
         # --- KG pipeline (flagship; gold-table-backed SQL oracles) ---
         "kg_nodes": kg_table("nodes", ["canonical", "type", "aliases", "n_mentions"]),
@@ -628,10 +671,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "lineitem_recent_agg": lambda sf: relational.lineitem_recent_agg(sf, "1998-01-01"),
         "parts_by_brand": lambda sf: relational.parts_by_brand(_read(sf, "part")),
-        # --- multimodal plumbing (real jpeg/bmp/wav decode + deterministic
-        # raw kernels; png/mp4 import-gated) ---
+        # --- multimodal plumbing (real raw/bmp/wav/jpeg/png/mp4 decode
+        # paths; avc1/hev1 tracks import-gated) ---
         "multimodal_image_features": multimodal_features,
         "multimodal_frame_sample": multimodal_frames,
+        # --- BPE tokenizer training (iterative merge learning over the
+        # distinct-word table; shard actors + incremental pair deltas) ---
+        "docs_bpe_merges": docs_bpe_merges,
+        "docs_bpe_encode": docs_bpe_encode,
     }
     # The driver's correctness gate may sample only a prefix of this
     # registry — order the least-proven entries first so the ops with the
@@ -640,7 +687,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # has never itself checked (judge-run only in r3), then the long-green
     # remainder in their original order.
     front = [
-        # new / changed this round (png+jpeg media rows; multilingual corpus)
+        # new / changed this round (BPE trainer; mp4 media rows;
+        # png+jpeg media rows; multilingual corpus)
+        "docs_bpe_merges",
+        "docs_bpe_encode",
         "kg_lang_stats",
         "multimodal_image_features",
         "multimodal_frame_sample",
@@ -1577,5 +1627,16 @@ qualify rank <= 5
         "multimodal_frame_sample": """
             select media_id, frame_ms, frame_payload
             from read_parquet('/tmp/graft_mm_v5/gold_frames.parquet')
+        """,
+        # BPE: iterative merge learning is not SQL-expressible; the gold
+        # tables are a single-process mirror over the SAME documents, so
+        # hash equality proves distributed == single-process byte-exact
+        "docs_bpe_merges": """
+            select merge_rank, lhs, rhs, n
+            from read_parquet('/tmp/graft_bpe_v1/sf0.01/gold_merges.parquet')
+        """,
+        "docs_bpe_encode": """
+            select doc_id, n_tokens, tok_fp
+            from read_parquet('/tmp/graft_bpe_v1/sf0.01/gold_encodings.parquet')
         """,
     }

@@ -27,7 +27,13 @@ import time
 
 
 def _consume(ds) -> int:
-    """Stream a Dataset to completion; return row count (no take_all)."""
+    """Stream a Dataset to completion; return row count (no take_all).
+    Ops that legitimately return a small driver-side Arrow table (e.g.
+    the BPE merge list) count directly."""
+    import pyarrow as pa
+
+    if isinstance(ds, pa.Table):
+        return ds.num_rows
     n = 0
     for batch in ds.iter_batches(batch_format="pyarrow"):
         n += batch.num_rows
@@ -144,6 +150,9 @@ def run_ops(sf_dir: str, repeat: int = 1) -> dict[str, list[float]]:
         "docs_vocab_build": lambda: __import__(
             "pdf_entity_extraction_ray.ops.vocab", fromlist=["vocab_build"]
         ).vocab_build(read("documents")),
+        "docs_bpe_train": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.bpe", fromlist=["train_bpe"]
+        ).train_bpe(read("documents"), n_merges=200, num_shards=8),
         "docs_pii_redact": lambda: read("documents").map_batches(
             text.redact_pii_batch, batch_format="pyarrow"
         ),
