@@ -502,6 +502,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return encode_bpe(ds, merges)
 
+    def _logreg_gold(sf_dir):
+        """Single-process gold IRLS coefficients/scores (written once per
+        scale; deterministic — same arithmetic as the distributed fit)."""
+        from pdf_entity_extraction_ray.ops.logreg import write_gold_logreg
+
+        name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        out = f"/tmp/graft_logreg_v1/{name}"
+        if not (
+            os.path.isfile(f"{out}/gold_logreg_coefs.parquet")
+            and os.path.isfile(f"{out}/gold_logreg_scores.parquet")
+        ):
+            write_gold_logreg(os.path.join(sf_dir, "documents.parquet"), out)
+        return out
+
+    def docs_quality_logreg(sf_dir):
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.logreg import train_logreg
+
+        _logreg_gold(sf_dir)
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        return train_logreg(ds)
+
+    def docs_quality_scores(sf_dir):
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.logreg import logreg_score
+
+        gold = _logreg_gold(sf_dir)
+        coefs = pq.read_table(f"{gold}/gold_logreg_coefs.parquet")
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        return logreg_score(ds, coefs)
+
     registry = {
         # --- KG pipeline (flagship; gold-table-backed SQL oracles) ---
         "kg_nodes": kg_table("nodes", ["canonical", "type", "aliases", "n_mentions"]),
@@ -679,6 +717,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distinct-word table; shard actors + incremental pair deltas) ---
         "docs_bpe_merges": docs_bpe_merges,
         "docs_bpe_encode": docs_bpe_encode,
+        # --- quality-classifier training (distributed IRLS logistic
+        # regression; one streaming pass per Newton round, no shuffle) ---
+        "docs_quality_logreg": docs_quality_logreg,
+        "docs_quality_scores": docs_quality_scores,
     }
     # The driver's correctness gate may sample only a prefix of this
     # registry — order the least-proven entries first so the ops with the
@@ -687,8 +729,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # has never itself checked (judge-run only in r3), then the long-green
     # remainder in their original order.
     front = [
-        # new / changed this round (BPE trainer; mp4 media rows;
-        # png+jpeg media rows; multilingual corpus)
+        # new / changed this round (IRLS quality classifier; BPE trainer;
+        # mp4 media rows; png+jpeg media rows; multilingual corpus)
+        "docs_quality_logreg",
+        "docs_quality_scores",
         "docs_bpe_merges",
         "docs_bpe_encode",
         "kg_lang_stats",
@@ -1638,5 +1682,17 @@ qualify rank <= 5
         "docs_bpe_encode": """
             select doc_id, n_tokens, tok_fp
             from read_parquet('/tmp/graft_bpe_v1/sf0.01/gold_encodings.parquet')
+        """,
+        # IRLS logistic regression: iterative Newton fitting is not
+        # SQL-expressible; the gold tables are a single-process mirror of
+        # the same fixed-iteration arithmetic over the SAME documents, so
+        # hash equality proves distributed == single-process on the ppm grid
+        "docs_quality_logreg": """
+            select feature, coef_ppm
+            from read_parquet('/tmp/graft_logreg_v1/sf0.01/gold_logreg_coefs.parquet')
+        """,
+        "docs_quality_scores": """
+            select doc_id, score_ppm, pred
+            from read_parquet('/tmp/graft_logreg_v1/sf0.01/gold_logreg_scores.parquet')
         """,
     }

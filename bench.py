@@ -153,6 +153,9 @@ def run_ops(sf_dir: str, repeat: int = 1) -> dict[str, list[float]]:
         "docs_bpe_train": lambda: __import__(
             "pdf_entity_extraction_ray.ops.bpe", fromlist=["train_bpe"]
         ).train_bpe(read("documents"), n_merges=200, num_shards=8),
+        "docs_logreg_train": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.logreg", fromlist=["train_logreg"]
+        ).train_logreg(read("documents")),
         "docs_pii_redact": lambda: read("documents").map_batches(
             text.redact_pii_batch, batch_format="pyarrow"
         ),
