@@ -581,6 +581,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _kg_artifacts(sf)["edges"], columns=["src_id", "dst_id"]
             )
         ),
+        "kg_components": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["connected_components"]
+        ).connected_components(
+            __import__("ray.data", fromlist=["read_parquet"]).read_parquet(
+                _kg_artifacts(sf)["edges"],
+                columns=["src_id", "dst_id", "src_canonical", "dst_canonical"],
+            )
+        ),
         # --- text analysis over documents ---
         "docs_token_stats": docs_op(text.token_stats_batch),
         "docs_quality": docs_op(text.quality_batch),
@@ -731,6 +739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     front = [
         # new / changed this round (IRLS quality classifier; BPE trainer;
         # mp4 media rows; png+jpeg media rows; multilingual corpus)
+        "kg_components",
         "docs_quality_logreg",
         "docs_quality_scores",
         "docs_bpe_merges",
@@ -847,6 +856,31 @@ def oracle_sql() -> dict[str, str]:
         "kg_coreness": f"""
             select node, core
             from read_parquet('{gold}/gold_kcore/*.parquet')
+        """,
+        # components re-derived from the gold triples (same graph the
+        # engine's edges table is hash-checked against): recursive-CTE
+        # min-canonical closure — component = lexicographically smallest
+        # canonical transitively reachable
+        "kg_components": f"""
+            with recursive {kg_cte},
+            tri as ({tri_canon}),
+            dir as (select subj_canonical as s, obj_canonical as d from tri),
+            e0 as (select distinct least(s, d) as a, greatest(s, d) as b
+                   from dir where s != d),
+            edges as (select a as u, b as v from e0
+                      union all select b as u, a as v from e0),
+            selfn as (select distinct s as node from dir
+                      union select distinct d from dir),
+            reach(a, b) as (
+                select u, v from edges
+                union
+                select r.a, e.v from reach r join edges e on r.b = e.u
+                where r.a != e.v
+            ),
+            lbl as (select node, least(node, coalesce(min(b), node)) as component
+                    from selfn left join reach on reach.a = node
+                    group by node)
+            select node as canonical, component from lbl
         """,
         "emb_kmeans": f"""
             select vec_id, cluster

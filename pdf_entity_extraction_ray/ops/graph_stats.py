@@ -1142,3 +1142,73 @@ def entity_timeline(mentions_ds, surface_map_ds, pages_ds, num_partitions=None):
         .groupby(["canonical", "day"])
         .aggregate(Sum("n_mentions", alias_name="n_mentions"))
     )
+
+
+def connected_components(edges_ds, num_partitions: int | None = None):
+    """KG edges (src_id, dst_id, src_canonical, dst_canonical) ->
+    (canonical, component) where ``component`` is the lexicographically
+    smallest canonical in the node's connected component — the standard
+    "which entities are transitively related at all" query over the graph.
+
+    Engine shape: the heavy lifting is the BSP min-label propagation loop
+    over hash-co-partitioned int-id shards
+    (stages/linking._propagate_components — diameter-many rounds of tiny
+    vectorized exchanges, per-round checkpointable); what follows is two
+    bounded node-set exchanges: an id->canonical hash join (node rows
+    only, never edges) and a per-label min-canonical ``map_groups`` to
+    re-key the integer labels as stable canonical representatives (int
+    label minima depend on internal id assignment; the min CANONICAL is a
+    pure function of the graph and therefore SQL-mirrorable).
+    """
+    from ..stages.linking import components_from_int_edges
+
+    comp = components_from_int_edges(
+        edges_ds.select_columns(["src_id", "dst_id"]),
+        col_a="src_id",
+        col_b="dst_id",
+        num_partitions=num_partitions,
+    )
+
+    def idmap(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src_id" not in batch.column_names:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "canonical": pa.array([], pa.string())}
+            )
+        seen: dict[int, str] = {}
+        for side in ("src", "dst"):
+            seen.update(
+                zip(
+                    batch.column(f"{side}_id").to_pylist(),
+                    batch.column(f"{side}_canonical").to_pylist(),
+                )
+            )
+        return pa.table(
+            {
+                "node": pa.array(list(seen), pa.int64()),
+                "canonical": pa.array(list(seen.values()), pa.string()),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    from .dedup import _join_partitions
+
+    nodes = (
+        edges_ds.select_columns(
+            ["src_id", "src_canonical", "dst_id", "dst_canonical"]
+        )
+        .map_batches(idmap, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("canonical", alias_name="canonical"))
+    )
+    n_part = num_partitions
+    if n_part is None:
+        n_part = 1 if nodes.count() < 10_000 else _join_partitions()
+    labeled = comp.join(nodes, join_type="inner", num_partitions=n_part, on=("node",))
+    reps = labeled.select_columns(["label", "canonical"]).groupby("label").aggregate(
+        Min("canonical", alias_name="component")
+    )
+    return (
+        labeled.join(reps, join_type="inner", num_partitions=n_part, on=("label",))
+        .select_columns(["canonical", "component"])
+    )

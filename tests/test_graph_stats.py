@@ -475,3 +475,34 @@ def test_triangles_empty_wedges_multi_partition():
     )
     out = triangle_counts(ray.data.from_arrow(edges), num_partitions=4)
     assert out.count() == 0
+
+
+def test_connected_components_canonical_labels():
+    """Two components + a self-loop-only node; component = min canonical,
+    independent of the (arbitrary) int id ordering."""
+    from pdf_entity_extraction_ray.ops.graph_stats import connected_components
+
+    edges = pa.table(
+        {
+            # ids deliberately ordered AGAINST the canonical order so a
+            # min-int-label shortcut would produce the wrong representative
+            "src_id": pa.array([9, 5, 3, 7], pa.int64()),
+            "dst_id": pa.array([5, 3, 3, 1], pa.int64()),
+            "src_canonical": ["Alpha", "Beta", "Gamma", "Delta"],
+            "dst_canonical": ["Beta", "Gamma", "Gamma", "Zeta"],
+        }
+    )
+    out = {}
+    for b in connected_components(ray.data.from_arrow(edges)).iter_batches(
+        batch_format="pyarrow"
+    ):
+        out.update(
+            zip(b.column("canonical").to_pylist(), b.column("component").to_pylist())
+        )
+    assert out == {
+        "Alpha": "Alpha",
+        "Beta": "Alpha",
+        "Gamma": "Alpha",
+        "Delta": "Delta",
+        "Zeta": "Delta",
+    }
