@@ -23,6 +23,10 @@ from typing import Any
 
 _KG_PAGES = {"sf0.001": 300, "sf0.01": 1000, "sf0.1": 4000}
 
+# source-mixing rates for docs_weighted_mix: covers repetition (>1),
+# subsampling (<1), drop (0) and the default-rate path in one query
+_MIX_RATES = {"src0": 2.5, "src1": 0.3, "src2": 1.7, "src3": 0.0}
+
 
 def _read(sf_dir: str, table: str):
     """Read a testdata table, stripping the pandas schema metadata the
@@ -603,6 +607,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_sample": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.sample", fromlist=["stratified_sample"]
         ).stratified_sample(_read(sf, "documents"), "lang", 10),
+        "docs_weighted_mix": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.sample", fromlist=["weighted_mix"]
+        ).weighted_mix(_read(sf, "documents"), _MIX_RATES),
         # --- decontamination / PII / host budget / packing (curation) ---
         "docs_pack": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.packing", fromlist=["pack_sequences"]
@@ -740,6 +747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new / changed this round (IRLS quality classifier; BPE trainer;
         # mp4 media rows; png+jpeg media rows; multilingual corpus)
         "kg_components",
+        "docs_weighted_mix",
         "docs_quality_logreg",
         "docs_quality_scores",
         "docs_bpe_merges",
@@ -1232,6 +1240,9 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, lang as "group" from documents
             qualify row_number() over (partition by lang order by doc_id) <= 10
         """,
+        "docs_weighted_mix": __import__(
+            "pdf_entity_extraction_ray.ops.sample", fromlist=["mix_oracle_sql"]
+        ).mix_oracle_sql(_MIX_RATES),
         # one exact all-pairs Jaccard oracle checks BOTH candidate
         # generators: LSH banding (probabilistic recall ~1-4e-10 at these
         # defaults) and prefix filtering (lossless by theorem)

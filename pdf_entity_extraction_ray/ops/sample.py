@@ -162,3 +162,83 @@ def stratified_sample(docs_ds, group_col: str = "lang", n_per_group: int = 10, s
             lambda g: shard_final(g.drop_columns(["shard"])), batch_format="pyarrow"
         )
     )
+
+
+def _mix_hash_u64(doc_id: int) -> int:
+    """Salted variant of :func:`_doc_hash_u64` for the mixing decision —
+    independent of the split hash so mixing never correlates with
+    train/val membership.  Equals DuckDB
+    ``md5_number_upper('mix:' || cast(doc_id as varchar))``."""
+    return int.from_bytes(
+        hashlib.md5(f"mix:{doc_id}".encode()).digest()[:8], "little"
+    )
+
+
+def mix_cutoff(rate: float) -> tuple[int, int]:
+    """(whole_copies, fractional u64 cutoff) for a sampling rate — the
+    integer literals both engines compare against (bit-exact boundary)."""
+    whole = int(rate)
+    return whole, min(int((rate - whole) * 2**64), 2**64 - 1)
+
+
+def weighted_mix(docs_ds, rates: dict[str, float], default_rate: float = 1.0):
+    """(doc_id, source, rep) — per-source weighted resampling WITH
+    repetition: the source-mixing / epoch-weighting step training-data
+    recipes apply before packing (rate 2.5 = every doc twice plus a
+    deterministic 50% chance of a third copy; rate 0.3 = keep 30%).
+
+    A stateless ``map_batches`` (no shuffle): the rate dict is captured by
+    closure (bytes), the per-doc decision is a salted content hash against
+    precomputed integer cutoffs, so the subset is a pure function of the
+    input — stable under reruns and appends, and SQL-mirrorable
+    (:func:`mix_oracle_sql`).  ``rep`` numbers the repetitions (0-based)
+    so downstream packing can interleave epochs deterministically."""
+    cuts = {s: mix_cutoff(r) for s, r in rates.items()}
+    default_cut = mix_cutoff(default_rate)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        out_id, out_src, out_rep = [], [], []
+        for i, s in zip(ids, srcs):
+            whole, frac_cut = cuts.get(s, default_cut)
+            n = whole + (1 if _mix_hash_u64(i) < frac_cut else 0)
+            for c in range(n):
+                out_id.append(i)
+                out_src.append(s)
+                out_rep.append(c)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "source": pa.array(out_src, pa.string()),
+                "rep": pa.array(out_rep, pa.int64()),
+            }
+        )
+
+    return docs_ds.select_columns(["doc_id", "source"]).map_batches(
+        expand, batch_format="pyarrow"
+    )
+
+
+def mix_oracle_sql(rates: dict[str, float], default_rate: float = 1.0) -> str:
+    """DuckDB equivalent of :func:`weighted_mix`, with the SAME integer
+    cutoffs inlined (float rounding cannot diverge between engines)."""
+    whens_whole = "\n".join(
+        f"when '{s}' then {mix_cutoff(r)[0]}" for s, r in rates.items()
+    )
+    whens_frac = "\n".join(
+        f"when '{s}' then {mix_cutoff(r)[1]}::hugeint" for s, r in rates.items()
+    )
+    dw, df = mix_cutoff(default_rate)
+    return f"""
+        with r as (
+            select doc_id, source,
+                   (case source {whens_whole} else {dw} end)
+                   + case when md5_number_upper('mix:' || cast(doc_id as varchar))::hugeint
+                               < (case source {whens_frac} else {df}::hugeint end)
+                          then 1 else 0 end as n_copies
+            from documents
+        )
+        select doc_id, source, unnest(range(n_copies)) as rep
+        from r where n_copies > 0
+    """

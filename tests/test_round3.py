@@ -619,6 +619,45 @@ class TestCurationOps:
                 expected[g].append(i)
         assert {g: sorted(v) for g, v in got.items()} == expected
 
+    def test_weighted_mix_rates_and_rep_numbering(self):
+        from pdf_entity_extraction_ray.ops.sample import (
+            _mix_hash_u64,
+            mix_cutoff,
+            weighted_mix,
+        )
+
+        srcs = ["a", "b", "c", "d"] * 250
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(1000), pa.int64()),
+                    "source": pa.array(srcs, pa.string()),
+                }
+            )
+        )
+        rates = {"a": 2.5, "b": 0.3, "c": 0.0}  # d falls to default 1.0
+        out = _collect(weighted_mix(ds, rates))
+        got = sorted(
+            zip(
+                out.column("doc_id").to_pylist(),
+                out.column("source").to_pylist(),
+                out.column("rep").to_pylist(),
+            )
+        )
+        expected = []
+        for i, s in enumerate(srcs):
+            whole, frac = mix_cutoff(rates.get(s, 1.0))
+            n = whole + (1 if _mix_hash_u64(i) < frac else 0)
+            expected.extend((i, s, r) for r in range(n))
+        assert got == sorted(expected)
+        # every 'a' doc appears at least twice, no 'c' docs survive, and
+        # the fractional tails land near their rates
+        per_src = {s: sum(1 for _, x, _ in got if x == s) for s in "abcd"}
+        assert per_src["c"] == 0 and per_src["d"] == 250
+        assert 2.2 * 250 < per_src["a"] < 2.8 * 250
+        assert 0.15 * 250 < per_src["b"] < 0.45 * 250
+
+
 
 class TestLinkingJoinParts:
     def test_local_cap(self):
