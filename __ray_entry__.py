@@ -544,6 +544,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return logreg_score(ds, coefs)
 
+    def _lm_gold(sf_dir):
+        """Single-process gold n-gram LM + per-doc perplexities (written
+        once per scale; deterministic)."""
+        from pdf_entity_extraction_ray.ops.ngram_lm import write_gold_ngram_lm
+
+        name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        out = f"/tmp/graft_lm_v1/{name}"
+        if not (
+            os.path.isfile(f"{out}/gold_lm.parquet")
+            and os.path.isfile(f"{out}/gold_ppl.parquet")
+        ):
+            write_gold_ngram_lm(os.path.join(sf_dir, "documents.parquet"), out)
+        return out
+
+    def docs_ngram_lm(sf_dir):
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.ngram_lm import train_ngram_lm
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+        )
+        return train_ngram_lm(ds)
+
+    def docs_perplexity(sf_dir):
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.ngram_lm import perplexity_score
+
+        gold = _lm_gold(sf_dir)
+        lm = pq.read_table(f"{gold}/gold_lm.parquet")
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        return perplexity_score(ds, lm)
+
     registry = {
         # --- KG pipeline (flagship; gold-table-backed SQL oracles) ---
         "kg_nodes": kg_table("nodes", ["canonical", "type", "aliases", "n_mentions"]),
@@ -736,6 +773,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # regression; one streaming pass per Newton round, no shuffle) ---
         "docs_quality_logreg": docs_quality_logreg,
         "docs_quality_scores": docs_quality_scores,
+        # --- CCNet-style n-gram LM perplexity filter (exact count
+        # groupby trainer + broadcast-table streaming scorer) ---
+        "docs_ngram_lm": docs_ngram_lm,
+        "docs_perplexity": docs_perplexity,
     }
     # The driver's correctness gate may sample only a prefix of this
     # registry — order the least-proven entries first so the ops with the
@@ -747,6 +788,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new / changed this round (IRLS quality classifier; BPE trainer;
         # mp4 media rows; png+jpeg media rows; multilingual corpus)
         "kg_components",
+        "docs_ngram_lm",
+        "docs_perplexity",
         "docs_weighted_mix",
         "docs_quality_logreg",
         "docs_quality_scores",
@@ -1739,5 +1782,29 @@ qualify rank <= 5
         "docs_quality_scores": """
             select doc_id, score_ppm, pred
             from read_parquet('/tmp/graft_logreg_v1/sf0.01/gold_logreg_scores.parquet')
+        """,
+        # n-gram LM counts: a DIRECT SQL oracle (1..3-gram enumeration +
+        # min_count>=2 prune) — no gold file involved
+        "docs_ngram_lm": """
+            with w as (select regexp_extract_all(lower(text), '[a-z0-9_]+') as ws
+                       from documents),
+            g1 as (select unnest(ws) as gram, 1 as n from w),
+            g2 as (select ws[i] || ' ' || ws[i+1] as gram, 2 as n
+                   from w, unnest(range(1, greatest(len(ws) - 1, 0) + 1)) as t(i)
+                   where len(ws) >= 2),
+            g3 as (select ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] as gram, 3 as n
+                   from w, unnest(range(1, greatest(len(ws) - 2, 0) + 1)) as t(i)
+                   where len(ws) >= 3),
+            u as (select * from g1 union all select * from g2 union all select * from g3)
+            select gram, n::bigint as n, count(*)::bigint as count
+            from u group by gram, n having count(*) >= 2
+        """,
+        # perplexity: stupid-backoff scoring is not reasonably
+        # SQL-expressible; the gold table is a single-process mirror using
+        # the same shared kernel over the SAME documents, so hash equality
+        # proves distributed == single-process bit-exact (pre-ppm)
+        "docs_perplexity": """
+            select doc_id, n_tokens, logprob_ppm, ppl_ppm
+            from read_parquet('/tmp/graft_lm_v1/sf0.01/gold_ppl.parquet')
         """,
     }

@@ -156,6 +156,9 @@ def run_ops(sf_dir: str, repeat: int = 1) -> dict[str, list[float]]:
         "docs_logreg_train": lambda: __import__(
             "pdf_entity_extraction_ray.ops.logreg", fromlist=["train_logreg"]
         ).train_logreg(read("documents")),
+        "docs_lm_train": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.ngram_lm", fromlist=["train_ngram_lm"]
+        ).train_ngram_lm(read("documents")),
         "docs_pii_redact": lambda: read("documents").map_batches(
             text.redact_pii_batch, batch_format="pyarrow"
         ),
