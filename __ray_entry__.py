@@ -630,6 +630,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 columns=["src_id", "dst_id", "src_canonical", "dst_canonical"],
             )
         ),
+        "kg_common_neighbors": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["common_neighbors"]
+        ).common_neighbors(
+            __import__("ray.data", fromlist=["read_parquet"]).read_parquet(
+                _kg_artifacts(sf)["edges"],
+                columns=["src_canonical", "dst_canonical"],
+            )
+        ),
         # --- text analysis over documents ---
         "docs_token_stats": docs_op(text.token_stats_batch),
         "docs_quality": docs_op(text.quality_batch),
@@ -787,6 +795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     front = [
         # new / changed this round (IRLS quality classifier; BPE trainer;
         # mp4 media rows; png+jpeg media rows; multilingual corpus)
+        "kg_common_neighbors",
         "kg_components",
         "docs_ngram_lm",
         "docs_perplexity",
@@ -932,6 +941,34 @@ def oracle_sql() -> dict[str, str]:
                     from selfn left join reach on reach.a = node
                     group by node)
             select node as canonical, component from lbl
+        """,
+        # common-neighbor / jaccard link-prediction features over the same
+        # canonical undirected graph as kg_components: wedge counting ==
+        # a self-join of the adjacency on the apex; jaccard in exact
+        # integer ppm (// is floor division on both engines, values > 0)
+        "kg_common_neighbors": f"""
+            with {kg_cte},
+            tri as ({tri_canon}),
+            dir as (select subj_canonical as s, obj_canonical as d from tri),
+            e0 as (select distinct least(s, d) as a, greatest(s, d) as b
+                   from dir where s != d),
+            adj as (select a as u, b as v from e0
+                    union all select b as u, a as v from e0),
+            deg as (select u, count(*) as d from adj group by u),
+            wed as (select x.v as a, y.v as b, count(*) as common
+                    from adj x join adj y on x.u = y.u and x.v < y.v
+                    group by 1, 2)
+            select w.a, w.b, w.common,
+                   da.d as deg_a, db.d as deg_b,
+                   (1000000 * w.common) // (da.d + db.d - w.common)
+                       as jaccard_ppm,
+                   cast(case when e.a is null then 0 else 1 end as bigint)
+                       as is_edge
+            from wed w
+            join deg da on da.u = w.a
+            join deg db on db.u = w.b
+            left join e0 e on e.a = w.a and e.b = w.b
+            where w.common >= 1
         """,
         "emb_kmeans": f"""
             select vec_id, cluster

@@ -1212,3 +1212,294 @@ def connected_components(edges_ds, num_partitions: int | None = None):
         labeled.join(reps, join_type="inner", num_partitions=n_part, on=("label",))
         .select_columns(["canonical", "component"])
     )
+
+
+def common_neighbors(
+    edges_ds,
+    min_common: int = 1,
+    max_degree: int | None = None,
+    num_partitions: int | None = None,
+):
+    """Link-prediction features over the UNDIRECTED simple graph induced
+    by the edges table: for every unordered node pair ``(a, b)`` with at
+    least ``min_common`` shared neighbors, emit
+
+        ``(a, b, common, deg_a, deg_b, jaccard_ppm, is_edge)``
+
+    where ``jaccard_ppm = (10^6 * common) // (deg_a + deg_b - common)``
+    (exact integer arithmetic — hash-stable cross-engine) and ``is_edge``
+    marks pairs that are already adjacent (the usual candidate filter:
+    link prediction scores the ``is_edge = 0`` rows).
+
+    Reference anchor: the closest reference precedent is the candidate
+    pair scoring of `src/methods/TransformerReferenceExtractor.py:12-22`
+    (query x candidate similarity); neighborhood-overlap scores are the
+    graph-native analog over the KG this engine materializes.
+
+    Scale shape: exact common-neighbor counting IS wedge enumeration —
+    an apex of degree d contributes d*(d-1)/2 wedge rows, which is also
+    the size of the exact answer, so unlike :func:`triangle_counts` there
+    is no orientation trick that shrinks it.  The standard mitigations
+    are both here: wedges are generated per coarse hash partition of the
+    apex (vectorized boundary scan + ``np.triu_indices``, one UDF call
+    per partition — the stages/linking.py ``_block_pairs_partition``
+    pattern), and ``max_degree`` skips super-node apexes (celebrity
+    hubs), the accepted approximation in production similarity systems.
+    ``is_edge`` costs NO join: undirected edges are unioned into the
+    wedge-pair stream as (common=0, is_edge=1) rows and folded in the
+    same groupby that sums the wedge counts.  Endpoint degrees arrive by
+    the one side-tagged hash join (two plain joins would pay a second
+    aggregator fleet)."""
+    import numpy as np
+    from ray.data.aggregate import Max, Sum
+
+    def to_und(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src_canonical" not in batch.column_names:
+            return pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
+        s = batch.column("src_canonical")
+        d = batch.column("dst_canonical")
+        lt = pc.less(s, d)
+        t = pa.table(
+            {"a": pc.if_else(lt, s, d), "b": pc.if_else(lt, d, s)}
+        ).filter(pc.not_equal(s, d))
+        return t.group_by(["a", "b"]).aggregate([])
+
+    und = (
+        edges_ds.select_columns(["src_canonical", "dst_canonical"])
+        .map_batches(to_und, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+
+    from ..ops.dedup import _join_partitions
+    from ..state.lineage import url_buckets
+    from ..stages.linking import _coarse_parts
+
+    n_part = num_partitions
+    if n_part is None:
+        n_part = 1 if und.count() < 10_000 else _join_partitions()
+    parts = _coarse_parts()
+
+    def adjacency(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "u": pa.array([], pa.string()),
+                "v": pa.array([], pa.string()),
+                "part": pa.array([], pa.int32()),
+            }
+        )
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return empty
+        a = batch.column("a").combine_chunks()
+        b = batch.column("b").combine_chunks()
+        u = pa.concat_arrays([a, b])
+        v = pa.concat_arrays([b, a])
+        return pa.table(
+            {"u": u, "v": v, "part": pa.array(url_buckets(u, parts), pa.int32())}
+        )
+
+    adj = und.map_batches(adjacency, batch_format="pyarrow")
+
+    degrees = (
+        adj.select_columns(["u"])
+        .groupby("u")
+        .count()
+        .rename_columns({"count()": "deg"})
+    )
+
+    def wedge_pairs_partition(group: pa.Table) -> pa.Table:
+        """One coarse hash partition (MANY apexes) -> neighbor-pair rows.
+        Neighbors sorted ascending per apex, so wa < wb always holds and
+        the pair key matches the undirected edge key (a, b)."""
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.string()),
+                "b": pa.array([], pa.string()),
+                "common": pa.array([], pa.int64()),
+                "edge": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "u" not in group.column_names:
+            return empty
+        tbl = group.sort_by([("u", "ascending"), ("v", "ascending")])
+        codes = pc.dictionary_encode(tbl.column("u").combine_chunks()).indices
+        idx = np.asarray(codes)
+        starts = np.flatnonzero(np.r_[True, np.diff(idx) != 0])
+        ends = np.r_[starts[1:], len(idx)]
+        sizes = ends - starts
+        keep = sizes >= 2
+        if max_degree is not None:
+            keep &= sizes <= max_degree
+        if not keep.any():
+            return empty
+        vs = tbl.column("v").combine_chunks()
+        out_a: list[pa.Array] = []
+        out_b: list[pa.Array] = []
+        for s, e in zip(starts[keep], ends[keep]):
+            nbrs = vs.slice(s, e - s)
+            ii, jj = np.triu_indices(e - s, k=1)
+            out_a.append(nbrs.take(pa.array(ii, pa.int64())))
+            out_b.append(nbrs.take(pa.array(jj, pa.int64())))
+        n = sum(len(x) for x in out_a)
+        return pa.table(
+            {
+                "a": pa.concat_arrays(out_a),
+                "b": pa.concat_arrays(out_b),
+                "common": pa.array(np.ones(n, np.int64)),
+                "edge": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    wedges = adj.groupby("part").map_groups(
+        wedge_pairs_partition, batch_format="pyarrow"
+    )
+
+    def und_markers(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "common": pa.array([], pa.int64()),
+                    "edge": pa.array([], pa.int64()),
+                }
+            )
+        n = batch.num_rows
+        return pa.table(
+            {
+                "a": batch.column("a"),
+                "b": batch.column("b"),
+                "common": pa.array(np.zeros(n, np.int64)),
+                "edge": pa.array(np.ones(n, np.int64)),
+            }
+        )
+
+    pairs = (
+        wedges.union(und.map_batches(und_markers, batch_format="pyarrow"))
+        .groupby(["a", "b"])
+        .aggregate(
+            Sum("common", alias_name="common"), Max("edge", alias_name="is_edge")
+        )
+        .filter(expr=f"common >= {int(min_common)}")
+        .materialize()
+    )
+    if pairs.count() == 0:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "common": pa.array([], pa.int64()),
+                    "deg_a": pa.array([], pa.int64()),
+                    "deg_b": pa.array([], pa.int64()),
+                    "jaccard_ppm": pa.array([], pa.int64()),
+                    "is_edge": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    # ONE side-tagged join attaches both endpoint degrees
+    def explode_sides(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "common": pa.array([], pa.int64()),
+                    "is_edge": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int32()),
+                    "key": pa.array([], pa.string()),
+                }
+            )
+        a = batch.column("a").combine_chunks()
+        b = batch.column("b").combine_chunks()
+        common = batch.column("common").cast(pa.int64()).combine_chunks()
+        edge = batch.column("is_edge").cast(pa.int64()).combine_chunks()
+        n = batch.num_rows
+        return pa.table(
+            {
+                "a": pa.concat_arrays([a, a]),
+                "b": pa.concat_arrays([b, b]),
+                "common": pa.concat_arrays([common, common]),
+                "is_edge": pa.concat_arrays([edge, edge]),
+                "side": pa.array([0] * n + [1] * n, pa.int32()),
+                "key": pa.concat_arrays([a, b]),
+            }
+        )
+
+    def split_sides(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "side" not in batch.column_names:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "common": pa.array([], pa.int64()),
+                    "is_edge": pa.array([], pa.int64()),
+                    "deg_a": pa.array([], pa.int64()),
+                    "deg_b": pa.array([], pa.int64()),
+                }
+            )
+        is_a = pc.equal(batch.column("side"), pa.scalar(0, pa.int32()))
+        zero = pa.scalar(0, pa.int64())
+        deg = batch.column("deg").cast(pa.int64())
+        return pa.table(
+            {
+                "a": batch.column("a"),
+                "b": batch.column("b"),
+                "common": batch.column("common"),
+                "is_edge": batch.column("is_edge"),
+                "deg_a": pc.if_else(is_a, deg, zero),
+                "deg_b": pc.if_else(is_a, zero, deg),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "common" not in batch.column_names:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "common": pa.array([], pa.int64()),
+                    "deg_a": pa.array([], pa.int64()),
+                    "deg_b": pa.array([], pa.int64()),
+                    "jaccard_ppm": pa.array([], pa.int64()),
+                    "is_edge": pa.array([], pa.int64()),
+                }
+            )
+        common = batch.column("common").cast(pa.int64())
+        da = batch.column("deg_a").cast(pa.int64())
+        db = batch.column("deg_b").cast(pa.int64())
+        union_sz = pc.subtract(pc.add(da, db), common)
+        jac = pc.divide(
+            pc.multiply(common, pa.scalar(1_000_000, pa.int64())), union_sz
+        )
+        return pa.table(
+            {
+                "a": batch.column("a"),
+                "b": batch.column("b"),
+                "common": common,
+                "deg_a": da,
+                "deg_b": db,
+                "jaccard_ppm": jac,
+                "is_edge": batch.column("is_edge").cast(pa.int64()),
+            }
+        )
+
+    return (
+        pairs.map_batches(explode_sides, batch_format="pyarrow")
+        .join(degrees, join_type="inner", num_partitions=n_part,
+              on=("key",), right_on=("u",))
+        .map_batches(split_sides, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(
+            Max("common", alias_name="common"),
+            Max("is_edge", alias_name="is_edge"),
+            Max("deg_a", alias_name="deg_a"),
+            Max("deg_b", alias_name="deg_b"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )

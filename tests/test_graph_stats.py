@@ -506,3 +506,78 @@ def test_connected_components_canonical_labels():
         "Delta": "Delta",
         "Zeta": "Delta",
     }
+
+
+def _brute_common_neighbors(edge_list, min_common=1, max_degree=None):
+    import itertools
+    from collections import defaultdict
+
+    und = {(min(u, v), max(u, v)) for u, v in edge_list if u != v}
+    nbr = defaultdict(set)
+    for a, b in und:
+        nbr[a].add(b)
+        nbr[b].add(a)
+    rows = {}
+    for apex, ns in nbr.items():
+        if max_degree is not None and len(ns) > max_degree:
+            continue
+        for a, b in itertools.combinations(sorted(ns), 2):
+            rows[(a, b)] = rows.get((a, b), 0) + 1
+    out = {}
+    for (a, b), c in rows.items():
+        if c < min_common:
+            continue
+        da, db = len(nbr[a]), len(nbr[b])
+        out[(a, b)] = (c, da, db, (1_000_000 * c) // (da + db - c),
+                       1 if (a, b) in und else 0)
+    return out
+
+
+def _cn_rows(ds):
+    return {
+        (r["a"], r["b"]): (r["common"], r["deg_a"], r["deg_b"],
+                           r["jaccard_ppm"], r["is_edge"])
+        for r in ds.take_all()
+    }
+
+
+def test_common_neighbors_random_matches_bruteforce():
+    """Random multigraph with self-loops and reverse duplicates: wedge
+    pair counting == brute-force neighborhood intersection, including the
+    exact integer jaccard_ppm and the no-join is_edge marker."""
+    import random
+
+    from pdf_entity_extraction_ray.ops.graph_stats import common_neighbors
+
+    rng = random.Random(11)
+    nodes = [f"n{i:02d}" for i in range(25)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(90)]
+    got = _cn_rows(common_neighbors(_tri_ds(edges)))
+    assert got == _brute_common_neighbors(edges)
+
+
+def test_common_neighbors_min_common_and_max_degree():
+    """min_common filters pairs; max_degree skips super-node APEXES (their
+    wedges vanish) while the skipped node keeps its own pair rows and its
+    true degree wherever it appears as an endpoint."""
+    from pdf_entity_extraction_ray.ops.graph_stats import common_neighbors
+
+    hub_edges = [("hub", f"rim{i:02d}") for i in range(12)]
+    rim = [("rim00", "rim01"), ("rim00", "rim02"), ("rim01", "rim02")]
+    edges = hub_edges + rim
+    got = _cn_rows(common_neighbors(_tri_ds(edges), max_degree=5))
+    assert got == _brute_common_neighbors(edges, max_degree=5)
+    # rim00/rim01 share hub + rim02 without the hub apex contributing
+    assert got[("rim00", "rim01")][0] == 1  # only rim02's apex survives
+    got2 = _cn_rows(common_neighbors(_tri_ds(edges), min_common=2))
+    ref2 = _brute_common_neighbors(edges, min_common=2)
+    assert got2 == ref2 and all(v[0] >= 2 for v in got2.values())
+
+
+def test_common_neighbors_wedge_free_graph():
+    """A perfect matching has no wedges at all -> empty result, no crash
+    (the empty-join guard path)."""
+    from pdf_entity_extraction_ray.ops.graph_stats import common_neighbors
+
+    edges = [(f"a{i}", f"b{i}") for i in range(8)]
+    assert common_neighbors(_tri_ds(edges)).count() == 0
