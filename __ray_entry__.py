@@ -669,6 +669,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_encode": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.vocab", fromlist=["encode_documents"]
         ).encode_documents(_read(sf, "documents")),
+        "docs_inverted_index": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.vocab", fromlist=["inverted_index"]
+        ).inverted_index(
+            _read(sf, "documents").select_columns(["doc_id", "text"])
+        ),
         "docs_vocab_build": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.vocab", fromlist=["vocab_build"]
         ).vocab_build(_read(sf, "documents")),
@@ -796,6 +801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new / changed this round (IRLS quality classifier; BPE trainer;
         # mp4 media rows; png+jpeg media rows; multilingual corpus)
         "kg_common_neighbors",
+        "docs_inverted_index",
         "kg_components",
         "docs_ngram_lm",
         "docs_perplexity",
@@ -1228,6 +1234,18 @@ def oracle_sql() -> dict[str, str]:
             select e.doc_id, e.pos,
                    coalesce(v.token_id, -1)::bigint as token_id
             from e left join v using (token)
+        """,
+        # capped inverted index: one doc = one row, so distinct (token,
+        # doc_id) needs no pre-shuffle; postings are the ascending-doc_id
+        # prefix, df the uncut count
+        "docs_inverted_index": """
+            with tok as (select distinct token, doc_id from (
+                     select unnest(regexp_extract_all(lower(text),
+                                '[a-z0-9_]+')) as token, doc_id
+                     from documents))
+            select token, count(*)::bigint as df,
+                   list_slice(list_sort(list(doc_id)), 1, 32) as postings
+            from tok group by token having count(*) >= 2
         """,
         "docs_vocab_build": """
             with tok as (select unnest(regexp_extract_all(lower(text),

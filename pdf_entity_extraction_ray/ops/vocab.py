@@ -15,6 +15,7 @@ the offsets correct.
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .text import TOKEN_RE
 
@@ -133,4 +134,101 @@ def encode_documents(docs_ds, min_count: int = 1, vocab_size: int | None = None)
 
     return docs_ds.select_columns(["doc_id", "text"]).map_batches(
         encode, batch_format="pyarrow"
+    )
+
+
+def inverted_index(docs_ds, min_df: int = 2, max_postings: int = 32, parts: int | None = None):
+    """(token, df, postings) — a capped inverted index over the corpus:
+    per-term exact document frequency plus the first ``max_postings``
+    doc_ids ascending (the bounded posting-list prefix a retrieval layer
+    seeds from; ``df`` keeps the true count even where the list is cut).
+
+    Shape: one document is ONE input row, so a per-batch distinct over
+    (token, doc_id) is already globally distinct — the only shuffle is
+    the groupby that assembles each term's postings.  That groupby uses
+    the coarse-hash-partition trick (stages/linking.py
+    ``_block_pairs_partition``): one vectorized UDF call per ~4xCPU
+    partition, run-length group detection over the (token, doc_id) sort,
+    postings sliced via repeat/arange index arithmetic — never one Python
+    call per term (a web vocabulary is tens of millions of terms).
+    ``min_df`` prunes the hapax tail INSIDE the partition call, before
+    any list materializes."""
+    import numpy as np
+
+    from ..state.lineage import url_buckets
+
+    if parts is None:
+        import ray
+
+        parts = 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "token": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "part": pa.array([], pa.int32()),
+            }
+        )
+        if batch.num_rows == 0 or "text" not in batch.column_names:
+            return empty
+        toks: list[str] = []
+        docs: list[int] = []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            seen = set(TOKEN_RE.findall(t.lower()))
+            toks.extend(seen)
+            docs.extend([doc_id] * len(seen))
+        tok_arr = pa.array(toks, pa.string())
+        return pa.table(
+            {
+                "token": tok_arr,
+                "doc_id": pa.array(docs, pa.int64()),
+                "part": pa.array(url_buckets(tok_arr, parts), pa.int32()),
+            }
+        )
+
+    def assemble(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "token": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+                "postings": pa.array([], pa.list_(pa.int64())),
+            }
+        )
+        if group.num_rows == 0 or "token" not in group.column_names:
+            return empty
+        tbl = group.sort_by([("token", "ascending"), ("doc_id", "ascending")])
+        codes = pc.dictionary_encode(tbl.column("token").combine_chunks())
+        idx = np.asarray(codes.indices)
+        starts = np.flatnonzero(np.r_[True, np.diff(idx) != 0])
+        ends = np.r_[starts[1:], len(idx)]
+        sizes = ends - starts
+        keep = sizes >= min_df
+        if not keep.any():
+            return empty
+        starts, sizes = starts[keep], sizes[keep]
+        lens = np.minimum(sizes, max_postings)
+        # gather indices: for run r, starts[r] + 0..lens[r]-1  (vectorized)
+        off = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        flat = np.repeat(starts - off, lens) + np.arange(lens.sum())
+        docs = tbl.column("doc_id").combine_chunks().take(pa.array(flat, pa.int64()))
+        postings = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(lens)]), pa.int32()), docs
+        )
+        tokens = codes.dictionary.take(pa.array(idx[starts], pa.int64()))
+        return pa.table(
+            {
+                "token": tokens,
+                "df": pa.array(sizes.astype(np.int64)),
+                "postings": postings,
+            }
+        )
+
+    return (
+        docs_ds.select_columns(["doc_id", "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(assemble, batch_format="pyarrow")
     )

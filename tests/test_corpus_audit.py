@@ -986,3 +986,42 @@ class TestLinkPagerankCheckpoint:
         plain = {r["host"]: r["rank_ppm"] for r in link_pagerank(pages).take_all()}
         assert first == second == plain and first
         shutil.rmtree(ck, ignore_errors=True)
+
+
+class TestInvertedIndex:
+    def test_matches_bruteforce_any_blocking(self):
+        from collections import defaultdict
+
+        from pdf_entity_extraction_ray.ops.text import TOKEN_RE
+        from pdf_entity_extraction_ray.ops.vocab import inverted_index
+
+        texts = [f"w{i % 7} w{i % 7} w{i % 3} shared Hapax{i}" for i in range(40)]
+        ref = defaultdict(set)
+        for d, t in enumerate(texts):
+            for w in set(TOKEN_RE.findall(t.lower())):
+                ref[w].add(d)
+        expected = {
+            w: (len(ds), sorted(ds)[:5]) for w, ds in ref.items() if len(ds) >= 2
+        }
+        for parts in (1, 13):
+            ds = _docs(texts)
+            if parts > 1:
+                ds = ds.repartition(parts)
+            out = _collect(inverted_index(ds, min_df=2, max_postings=5))
+            got = {
+                t: (df, list(p))
+                for t, df, p in zip(
+                    out.column("token").to_pylist(),
+                    out.column("df").to_pylist(),
+                    out.column("postings").to_pylist(),
+                )
+            }
+            assert got == expected
+            # hapaxes pruned, caps respected, df keeps the true count
+            assert all(len(p) <= 5 and df >= len(p) for df, p in got.values())
+
+    def test_all_hapax_is_empty(self):
+        from pdf_entity_extraction_ray.ops.vocab import inverted_index
+
+        out = _collect(inverted_index(_docs(["only one", "two unique"]), min_df=2))
+        assert out.num_rows == 0
