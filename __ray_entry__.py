@@ -674,6 +674,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).inverted_index(
             _read(sf, "documents").select_columns(["doc_id", "text"])
         ),
+        "docs_bigram_pmi": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.vocab", fromlist=["bigram_pmi"]
+        ).bigram_pmi(_read(sf, "documents"), min_count=5, top_n=100),
         "docs_vocab_build": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.vocab", fromlist=["vocab_build"]
         ).vocab_build(_read(sf, "documents")),
@@ -802,6 +805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mp4 media rows; png+jpeg media rows; multilingual corpus)
         "kg_common_neighbors",
         "docs_inverted_index",
+        "docs_bigram_pmi",
         "kg_components",
         "docs_ngram_lm",
         "docs_perplexity",
@@ -1246,6 +1250,29 @@ def oracle_sql() -> dict[str, str]:
             select token, count(*)::bigint as df,
                    list_slice(list_sort(list(doc_id)), 1, 32) as postings
             from tok group by token having count(*) >= 2
+        """,
+        # top-100 collocations by PMI; the engine evaluates the identical
+        # double expression with libm log, so the ppm floor matches bit-exact
+        "docs_bigram_pmi": """
+            with tok as (select regexp_extract_all(lower(text), '[a-z0-9_]+')
+                             as ws from documents),
+            u as (select unnest(ws) as w from tok),
+            uc as (select w, count(*)::bigint as n from u group by w),
+            bi as (select unnest([struct_pack(x := ws[i], y := ws[i+1])
+                                  for i in range(1, len(ws))]) as p from tok),
+            ba as (select p.x as x, p.y as y from bi),
+            bc as (select x, y, count(*)::bigint as n_xy from ba group by x, y),
+            tot as (select (select sum(n) from uc) as T,
+                           (select count(*) from ba) as B)
+            select b.x, b.y, b.n_xy, ux.n as n_x, uy.n as n_y,
+                   floor(1000000 * ln((b.n_xy::double * tot.T * tot.T)
+                                      / (tot.B::double * ux.n * uy.n)))::bigint
+                       as pmi_ppm
+            from bc b, tot
+            join uc ux on ux.w = b.x
+            join uc uy on uy.w = b.y
+            where b.n_xy >= 5
+            order by pmi_ppm desc, x, y limit 100
         """,
         "docs_vocab_build": """
             with tok as (select unnest(regexp_extract_all(lower(text),

@@ -232,3 +232,217 @@ def inverted_index(docs_ds, min_df: int = 2, max_postings: int = 32, parts: int 
         .groupby("part")
         .map_groups(assemble, batch_format="pyarrow")
     )
+
+
+def bigram_pmi(docs_ds, min_count: int = 5, top_n: int = 100):
+    """Collocation mining: the ``top_n`` adjacent-token bigrams by
+    pointwise mutual information — ``(x, y, n_xy, n_x, n_y, pmi_ppm)``,
+    PMI = ln( p(xy) / (p(x) p(y)) ) with p from corpus counts, reported
+    as ``floor(10^6 * pmi)``.
+
+    One pass over the corpus emits BOTH unigram and bigram partial counts
+    (kind-tagged rows folded by a single groupby — no second corpus
+    scan); totals T (tokens) and B (bigrams) reduce from the count table,
+    not the corpus.  Bigrams below ``min_count`` are pruned before the
+    one side-tagged hash join that attaches both unigram counts (the
+    triangle_counts degree-join pattern).  The PMI expression is
+    evaluated with the exact operand order ``(n_xy * T * T) /
+    (B * n_x * n_y)`` in doubles and libm ``math.log`` — bit-identical
+    to DuckDB's ``ln`` on the same machine, so ``floor`` can never
+    disagree with the SQL oracle.  The transcendental runs over the
+    min_count-filtered BIGRAM TABLE (vocab-scale), never the corpus.
+
+    Deterministic ordering: (pmi_ppm desc, x, y) before the top_n cut."""
+    import math
+
+    import numpy as np
+    from ray.data.aggregate import Max, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "kind": pa.array([], pa.int32()),
+                "a": pa.array([], pa.string()),
+                "b": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "text" not in batch.column_names:
+            return empty
+        uni: dict[str, int] = {}
+        bi: dict[tuple[str, str], int] = {}
+        for t in batch.column("text").to_pylist():
+            toks = TOKEN_RE.findall(t.lower())
+            for w in toks:
+                uni[w] = uni.get(w, 0) + 1
+            for x, y in zip(toks, toks[1:]):
+                bi[(x, y)] = bi.get((x, y), 0) + 1
+        return pa.table(
+            {
+                "kind": pa.array([0] * len(uni) + [1] * len(bi), pa.int32()),
+                "a": pa.array([*uni.keys(), *(x for x, _ in bi)], pa.string()),
+                "b": pa.array([""] * len(uni) + [y for _, y in bi], pa.string()),
+                "n": pa.array([*uni.values(), *bi.values()], pa.int64()),
+            }
+        )
+
+    counts = (
+        docs_ds.select_columns(["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["kind", "a", "b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+
+    def tot(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "kind" not in batch.column_names:
+            return pa.table(
+                {"kind": pa.array([], pa.int32()), "n": pa.array([], pa.int64())}
+            )
+        return batch.select(["kind", "n"])
+
+    totals = {
+        r["kind"]: r["sum(n)"]
+        for r in counts.map_batches(tot, batch_format="pyarrow")
+        .groupby("kind")
+        .sum("n")
+        .take_all()
+    }
+    t_tok, t_bi = float(totals.get(0, 0)), float(totals.get(1, 0))
+
+    def keep(kind: int, flt=None):
+        def fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "kind" not in batch.column_names:
+                return pa.table(
+                    {
+                        "a": pa.array([], pa.string()),
+                        "b": pa.array([], pa.string()),
+                        "n": pa.array([], pa.int64()),
+                    }
+                )
+            out = batch.filter(pc.equal(batch.column("kind"), kind))
+            if flt is not None:
+                out = out.filter(pc.greater_equal(out.column("n"), flt))
+            return out.select(["a", "b", "n"])
+
+        return fn
+
+    unigrams = counts.map_batches(keep(0), batch_format="pyarrow").materialize()
+    bigrams = counts.map_batches(keep(1, min_count), batch_format="pyarrow").materialize()
+    import ray.data
+
+    empty = pa.table(
+        {
+            "x": pa.array([], pa.string()),
+            "y": pa.array([], pa.string()),
+            "n_xy": pa.array([], pa.int64()),
+            "n_x": pa.array([], pa.int64()),
+            "n_y": pa.array([], pa.int64()),
+            "pmi_ppm": pa.array([], pa.int64()),
+        }
+    )
+    if bigrams.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    from ..ops.dedup import _join_partitions
+
+    n_part = 1 if unigrams.count() < 10_000 else _join_partitions()
+
+    def explode_sides(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return pa.table(
+                {
+                    "x": pa.array([], pa.string()),
+                    "y": pa.array([], pa.string()),
+                    "n_xy": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int32()),
+                    "key": pa.array([], pa.string()),
+                }
+            )
+        x = batch.column("a").combine_chunks()
+        y = batch.column("b").combine_chunks()
+        n = batch.column("n").cast(pa.int64()).combine_chunks()
+        r = batch.num_rows
+        return pa.table(
+            {
+                "x": pa.concat_arrays([x, x]),
+                "y": pa.concat_arrays([y, y]),
+                "n_xy": pa.concat_arrays([n, n]),
+                "side": pa.array([0] * r + [1] * r, pa.int32()),
+                "key": pa.concat_arrays([x, y]),
+            }
+        )
+
+    def split_sides(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "side" not in batch.column_names:
+            return pa.table(
+                {
+                    "x": pa.array([], pa.string()),
+                    "y": pa.array([], pa.string()),
+                    "n_xy": pa.array([], pa.int64()),
+                    "n_x": pa.array([], pa.int64()),
+                    "n_y": pa.array([], pa.int64()),
+                }
+            )
+        is_x = pc.equal(batch.column("side"), pa.scalar(0, pa.int32()))
+        zero = pa.scalar(0, pa.int64())
+        cnt = batch.column("n_uni").cast(pa.int64())
+        return pa.table(
+            {
+                "x": batch.column("x"),
+                "y": batch.column("y"),
+                "n_xy": batch.column("n_xy"),
+                "n_x": pc.if_else(is_x, cnt, zero),
+                "n_y": pc.if_else(is_x, zero, cnt),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "n_xy" not in batch.column_names:
+            return empty
+        n_xy = batch.column("n_xy").to_pylist()
+        n_x = batch.column("n_x").to_pylist()
+        n_y = batch.column("n_y").to_pylist()
+        # math.log (libm) per row of the SMALL bigram table — not np.log,
+        # whose SIMD path can differ from DuckDB's libm ln by 1 ulp and
+        # flip the floor at a ppm boundary
+        pmi = [
+            math.floor(
+                1_000_000.0
+                * math.log((cxy * t_tok * t_tok) / (t_bi * cx * cy))
+            )
+            for cxy, cx, cy in zip(n_xy, n_x, n_y)
+        ]
+        return pa.table(
+            {
+                "x": batch.column("x"),
+                "y": batch.column("y"),
+                "n_xy": batch.column("n_xy").cast(pa.int64()),
+                "n_x": batch.column("n_x").cast(pa.int64()),
+                "n_y": batch.column("n_y").cast(pa.int64()),
+                "pmi_ppm": pa.array(np.array(pmi, np.int64)),
+            }
+        )
+
+    return (
+        bigrams.map_batches(explode_sides, batch_format="pyarrow")
+        .join(
+            unigrams.select_columns(["a", "n"]).rename_columns(
+                {"a": "key_u", "n": "n_uni"}
+            ),
+            join_type="inner",
+            num_partitions=n_part,
+            on=("key",),
+            right_on=("key_u",),
+        )
+        .map_batches(split_sides, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .aggregate(
+            Max("n_xy", alias_name="n_xy"),
+            Max("n_x", alias_name="n_x"),
+            Max("n_y", alias_name="n_y"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+        .sort(["pmi_ppm", "x", "y"], descending=[True, False, False])
+        .limit(top_n)
+    )

@@ -1025,3 +1025,58 @@ class TestInvertedIndex:
 
         out = _collect(inverted_index(_docs(["only one", "two unique"]), min_df=2))
         assert out.num_rows == 0
+
+
+class TestBigramPMI:
+    def _brute(self, texts, min_count, top_n):
+        import math
+        from collections import Counter
+
+        from pdf_entity_extraction_ray.ops.text import TOKEN_RE
+
+        uni, bi = Counter(), Counter()
+        for t in texts:
+            toks = TOKEN_RE.findall(t.lower())
+            uni.update(toks)
+            bi.update(zip(toks, toks[1:]))
+        T, B = float(sum(uni.values())), float(sum(bi.values()))
+        rows = [
+            (x, y, n, uni[x], uni[y],
+             math.floor(1_000_000.0 * math.log((n * T * T) / (B * uni[x] * uni[y]))))
+            for (x, y), n in bi.items() if n >= min_count
+        ]
+        rows.sort(key=lambda r: (-r[5], r[0], r[1]))
+        return rows[:top_n]
+
+    def test_matches_bruteforce_any_blocking(self):
+        import random
+
+        from pdf_entity_extraction_ray.ops.vocab import bigram_pmi
+
+        rng = random.Random(5)
+        words = [f"w{i}" for i in range(12)]
+        texts = [
+            " ".join(rng.choice(words) for _ in range(rng.randint(3, 40)))
+            + (" strong pair" if i % 4 == 0 else "")
+            for i in range(80)
+        ]
+        expected = self._brute(texts, 2, 25)
+        for parts in (1, 9):
+            ds = _docs(texts)
+            if parts > 1:
+                ds = ds.repartition(parts)
+            out = _collect(bigram_pmi(ds, min_count=2, top_n=25))
+            got = sorted(
+                zip(*(out.column(c).to_pylist()
+                      for c in ("x", "y", "n_xy", "n_x", "n_y", "pmi_ppm"))),
+                key=lambda r: (-r[5], r[0], r[1]),
+            )
+            assert got == expected
+        # the planted collocation ranks first
+        assert expected[0][:2] == ("strong", "pair")
+
+    def test_no_bigrams_above_cut(self):
+        from pdf_entity_extraction_ray.ops.vocab import bigram_pmi
+
+        out = _collect(bigram_pmi(_docs(["a b", "c d"]), min_count=5))
+        assert out.num_rows == 0
