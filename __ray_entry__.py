@@ -655,6 +655,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_mix": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.sample", fromlist=["weighted_mix"]
         ).weighted_mix(_read(sf, "documents"), _MIX_RATES),
+        "docs_dsir": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.sample", fromlist=["dsir_select"]
+        ).dsir_select(_read(sf, "documents"), target_lang="en", hash_buckets=1024),
         # --- decontamination / PII / host budget / packing (curation) ---
         "docs_pack": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.packing", fromlist=["pack_sequences"]
@@ -806,6 +809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_common_neighbors",
         "docs_inverted_index",
         "docs_bigram_pmi",
+        "docs_dsir",
         "kg_components",
         "docs_ngram_lm",
         "docs_perplexity",
@@ -1285,6 +1289,9 @@ def oracle_sql() -> dict[str, str]:
                        as token_id
             from c
         """,
+        "docs_dsir": __import__(
+            "pdf_entity_extraction_ray.ops.sample", fromlist=["dsir_oracle_sql"]
+        ).dsir_oracle_sql(target_lang="en", hash_buckets=1024),
         "docs_vocab_hll": __import__(
             "pdf_entity_extraction_ray.ops.sketch", fromlist=["hll_oracle_sql"]
         ).hll_oracle_sql(),

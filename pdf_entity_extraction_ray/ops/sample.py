@@ -242,3 +242,268 @@ def mix_oracle_sql(rates: dict[str, float], default_rate: float = 1.0) -> str:
         select doc_id, source, unnest(range(n_copies)) as rep
         from r where n_copies > 0
     """
+
+
+def _dsir_bucket(word: str, buckets: int) -> int:
+    """Feature-hash bucket for a token: first 8 md5 hex chars as an int,
+    mod ``buckets`` — equals DuckDB
+    ``('0x' || substr(md5(word), 1, 8))::ubigint % buckets``."""
+    return int(hashlib.md5(word.encode()).hexdigest()[:8], 16) % buckets
+
+
+def dsir_select(
+    docs_ds,
+    target_lang: str = "en",
+    hash_buckets: int | None = 1024,
+    n_part: int | None = None,
+):
+    """DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every document
+    by how much more likely its tokens are under a TARGET distribution
+    than under the raw-corpus distribution, in exact integer ppm —
+    ``(doc_id, score_ppm, keep)`` with ``keep = score_ppm > 0``.
+
+    Target here is the in-corpus slice ``lang == target_lang`` (the
+    recipe's target set is whatever high-quality slice you can identify;
+    a lang slice keeps the demo fully self-contained and SQL-mirrorable).
+    Per-feature log ratio with add-one smoothing over the shared
+    vocabulary V:
+
+        w(f) = ln( ((ct(f)+1) * (Tr+V)) / ((cr(f)+1) * (Tt+V)) )
+
+    quantized to ``floor(10^6 * w)`` — libm log over identical doubles on
+    both engines, so the floor is bit-stable — and the document score is
+    the INTEGER sum of its tokens' ppm weights (order-free, hash-exact).
+
+    ``hash_buckets`` is the paper's memory bound: tokens fold into a
+    fixed md5-bucket feature space, so the weight table (and therefore
+    the join's small side) is O(buckets) at ANY corpus scale; ``None``
+    keeps exact word features.  Shape: one counting pass over the corpus
+    (raw + target counts in the SAME kind-free groupby — target counts
+    are a conditional partial, not a second scan), a vocab-scale weight
+    map, then one scoring pass joined against the weight table and one
+    groupby-sum per doc.  Every doc keeps a zero marker row so empty
+    documents score 0 instead of vanishing in the join."""
+    import math
+
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..ops.text import TOKEN_RE
+
+    def feat(words: list[str]) -> list:
+        if hash_buckets is None:
+            return words
+        return [_dsir_bucket(w, hash_buckets) for w in words]
+
+    feat_type = pa.string() if hash_buckets is None else pa.int64()
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "f": pa.array([], feat_type),
+                "n_raw": pa.array([], pa.int64()),
+                "n_tgt": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "text" not in batch.column_names:
+            return empty
+        raw: dict = {}
+        tgt: dict = {}
+        for t, lang in zip(
+            batch.column("text").to_pylist(), batch.column("lang").to_pylist()
+        ):
+            fs = feat(TOKEN_RE.findall(t.lower()))
+            is_t = lang == target_lang
+            for f in fs:
+                raw[f] = raw.get(f, 0) + 1
+                if is_t:
+                    tgt[f] = tgt.get(f, 0) + 1
+        return pa.table(
+            {
+                "f": pa.array(list(raw), feat_type),
+                "n_raw": pa.array(list(raw.values()), pa.int64()),
+                "n_tgt": pa.array([tgt.get(f, 0) for f in raw], pa.int64()),
+            }
+        )
+
+    counts = (
+        docs_ds.select_columns(["text", "lang"])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("f")
+        .aggregate(Sum("n_raw", alias_name="n_raw"), Sum("n_tgt", alias_name="n_tgt"))
+        .materialize()
+    )
+    tots = counts.sum(["n_raw", "n_tgt"], ignore_nulls=True)
+    t_raw = float(tots["sum(n_raw)"] or 0)
+    t_tgt = float(tots["sum(n_tgt)"] or 0)
+    n_vocab = float(counts.count())
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "f" not in batch.column_names:
+            return pa.table(
+                {"f": pa.array([], feat_type), "w_ppm": pa.array([], pa.int64())}
+            )
+        # math.log (libm) over the vocab-scale count table — bit-parity
+        # with DuckDB ln, never evaluated per corpus token
+        w = [
+            math.floor(
+                1_000_000.0
+                * math.log(
+                    ((ct + 1.0) * (t_raw + n_vocab))
+                    / ((cr + 1.0) * (t_tgt + n_vocab))
+                )
+            )
+            for cr, ct in zip(
+                batch.column("n_raw").to_pylist(), batch.column("n_tgt").to_pylist()
+            )
+        ]
+        return pa.table(
+            {"f": batch.column("f"), "w_ppm": pa.array(np.array(w, np.int64))}
+        )
+
+    weights = counts.map_batches(weigh, batch_format="pyarrow").materialize()
+
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "f": pa.array([], feat_type),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "text" not in batch.column_names:
+            return empty
+        ids: list[int] = []
+        fs: list = []
+        ns: list[int] = []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            cnt: dict = {}
+            for f in feat(TOKEN_RE.findall(t.lower())):
+                cnt[f] = cnt.get(f, 0) + 1
+            ids.extend([doc_id] * len(cnt))
+            fs.extend(cnt.keys())
+            ns.extend(cnt.values())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "f": pa.array(fs, feat_type),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    doc_feats = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        doc_partial, batch_format="pyarrow"
+    )
+
+    if n_part is None:
+        from ..ops.dedup import _join_partitions
+
+        n_part = 1 if weights.count() < 10_000 else _join_partitions()
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "n" not in batch.column_names:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "score_ppm": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "score_ppm": pc.multiply(
+                    batch.column("n").cast(pa.int64()),
+                    batch.column("w_ppm").cast(pa.int64()),
+                ),
+            }
+        )
+
+    def markers(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "score_ppm": pa.array([], pa.int64()),
+                }
+            )
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "score_ppm": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    scored = (
+        doc_feats.join(
+            weights,
+            join_type="inner",
+            num_partitions=n_part,
+            on=("f",),
+        )
+        .map_batches(contrib, batch_format="pyarrow")
+        .union(
+            docs_ds.select_columns(["doc_id"]).map_batches(
+                markers, batch_format="pyarrow"
+            )
+        )
+        .groupby("doc_id")
+        .sum("score_ppm")
+        .rename_columns({"sum(score_ppm)": "score_ppm"})
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "score_ppm" not in batch.column_names:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "score_ppm": pa.array([], pa.int64()),
+                    "keep": pa.array([], pa.int64()),
+                }
+            )
+        s = batch.column("score_ppm").cast(pa.int64())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "score_ppm": s,
+                "keep": pc.greater(s, 0).cast(pa.int64()),
+            }
+        )
+
+    return scored.map_batches(finish, batch_format="pyarrow")
+
+
+def dsir_oracle_sql(target_lang: str = "en", hash_buckets: int | None = 1024) -> str:
+    """DuckDB mirror of :func:`dsir_select` — identical feature hash,
+    identical double operand order inside ln, identical ppm floor."""
+    if hash_buckets is None:
+        f_expr = "w"
+    else:
+        f_expr = f"('0x' || substr(md5(w), 1, 8))::ubigint % {hash_buckets}"
+    return f"""
+        with tok as (select doc_id, lang,
+                            unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) as w
+                     from documents),
+        ft as (select doc_id, lang, {f_expr} as f from tok),
+        c as (select f, count(*)::bigint as n_raw,
+                     sum(case when lang = '{target_lang}' then 1 else 0 end)::bigint
+                         as n_tgt
+              from ft group by f),
+        tot as (select sum(n_raw)::double as t_raw, sum(n_tgt)::double as t_tgt,
+                       count(*)::double as v from c),
+        wt as (select f,
+                      floor(1000000 * ln(((n_tgt + 1.0) * (tot.t_raw + tot.v))
+                                         / ((n_raw + 1.0) * (tot.t_tgt + tot.v))))::bigint
+                          as w_ppm
+               from c, tot),
+        dfc as (select doc_id, f, count(*)::bigint as n from ft group by doc_id, f),
+        s as (select d.doc_id, sum(d.n * w.w_ppm)::bigint as score_ppm
+              from dfc d join wt w using (f) group by d.doc_id)
+        select doc_id, coalesce(s.score_ppm, 0) as score_ppm,
+               cast(coalesce(s.score_ppm, 0) > 0 as bigint) as keep
+        from documents left join s using (doc_id)
+    """

@@ -701,3 +701,86 @@ class TestAutoScalePathSwitch:
             ("edges", ["src_id", "pred", "dst_id", "weight"]),
         ]:
             assert table_key(out_small, name, cols) == table_key(out_scale, name, cols), name
+
+
+class TestDsirSelect:
+    def _docs(self):
+        import pyarrow as pa
+        import ray.data
+
+        rows = [
+            (0, "clean prose article quality prose", "en"),
+            (1, "spamword zz zz noise", "fr"),
+            (2, "clean article clean", "en"),
+            (3, "noise spamword garble", "fr"),
+            (4, "", "en"),  # empty doc must score 0, not vanish
+            (5, "clean prose noise", "fr"),
+        ]
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                    "lang": pa.array([r[2] for r in rows], pa.string()),
+                }
+            )
+        ), rows
+
+    def _brute(self, rows, target_lang, hash_buckets):
+        import math
+        from collections import Counter
+
+        from pdf_entity_extraction_ray.ops.sample import _dsir_bucket
+        from pdf_entity_extraction_ray.ops.text import TOKEN_RE
+
+        def feats(t):
+            ws = TOKEN_RE.findall(t.lower())
+            return ws if hash_buckets is None else [
+                _dsir_bucket(w, hash_buckets) for w in ws
+            ]
+
+        raw, tgt = Counter(), Counter()
+        for _, t, lang in rows:
+            fs = feats(t)
+            raw.update(fs)
+            if lang == target_lang:
+                tgt.update(fs)
+        t_raw, t_tgt, v = (
+            float(sum(raw.values())),
+            float(sum(tgt.values())),
+            float(len(raw)),
+        )
+        w = {
+            f: math.floor(
+                1_000_000.0
+                * math.log(((tgt[f] + 1.0) * (t_raw + v)) / ((cr + 1.0) * (t_tgt + v)))
+            )
+            for f, cr in raw.items()
+        }
+        out = {}
+        for doc_id, t, _ in rows:
+            s = sum(w[f] for f in feats(t))
+            out[doc_id] = (s, 1 if s > 0 else 0)
+        return out
+
+    def test_matches_bruteforce_both_feature_spaces(self):
+        from pdf_entity_extraction_ray.ops.sample import dsir_select
+
+        ds, rows = self._docs()
+        for hb in (None, 16):
+            got = {
+                r["doc_id"]: (r["score_ppm"], r["keep"])
+                for r in dsir_select(ds, target_lang="en", hash_buckets=hb).take_all()
+            }
+            assert got == self._brute(rows, "en", hb)
+            assert got[4] == (0, 0)  # empty doc survived with score 0
+
+    def test_target_slice_scores_higher(self):
+        """Docs made of target-language-dominant tokens must outscore the
+        non-target-dominant ones (the selection property DSIR exists for)."""
+        from pdf_entity_extraction_ray.ops.sample import dsir_select
+
+        ds, _ = self._docs()
+        got = {r["doc_id"]: r["score_ppm"] for r in dsir_select(ds).take_all()}
+        assert got[0] > 0 and got[2] > 0  # en-vocabulary docs
+        assert got[1] < 0 and got[3] < 0  # fr-vocabulary docs
