@@ -544,6 +544,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return logreg_score(ds, coefs)
 
+    def _semdedup_gold(sf_dir):
+        """Single-process gold SemDeDup keep flags (written once per
+        scale; shared prune kernel with the distributed op)."""
+        from pdf_entity_extraction_ray.ops.kmeans import write_gold_semdedup
+
+        name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        out = f"/tmp/graft_semdedup_v1/{name}"
+        if not os.path.isfile(f"{out}/gold_semdedup.parquet"):
+            write_gold_semdedup(
+                os.path.join(sf_dir, "embeddings.parquet"), out,
+                k=8, iterations=10, threshold=0.35,
+            )
+        return out
+
+    def emb_semdedup(sf_dir):
+        from pdf_entity_extraction_ray.ops.kmeans import semdedup
+
+        _semdedup_gold(sf_dir)
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        # threshold 0.35: the synthetic embedding space's near-dup band
+        # (max pairwise cosine ~0.51; 0.97 would never fire and the gate
+        # would be trivially all-keep)
+        return semdedup(
+            _read(sf_dir, "embeddings"), k=8, iterations=10, threshold=0.35,
+            source_path=path,
+        )
+
     def _lm_gold(sf_dir):
         """Single-process gold n-gram LM + per-doc perplexities (written
         once per scale; deterministic)."""
@@ -655,6 +682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_mix": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.sample", fromlist=["weighted_mix"]
         ).weighted_mix(_read(sf, "documents"), _MIX_RATES),
+        "emb_semdedup": emb_semdedup,
         "docs_dsir": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.sample", fromlist=["dsir_select"]
         ).dsir_select(_read(sf, "documents"), target_lang="en", hash_buckets=1024),
@@ -810,6 +838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_inverted_index",
         "docs_bigram_pmi",
         "docs_dsir",
+        "emb_semdedup",
         "kg_components",
         "docs_ngram_lm",
         "docs_perplexity",
@@ -1848,6 +1877,14 @@ qualify rank <= 5
         "multimodal_frame_sample": """
             select media_id, frame_ms, frame_payload
             from read_parquet('/tmp/graft_mm_v5/gold_frames.parquet')
+        """,
+        # SemDeDup: iterative k-means + per-cluster cosine pruning is not
+        # SQL-expressible; the gold is a single-process mirror sharing the
+        # prune kernel verbatim, so hash equality proves distributed ==
+        # single-process bit-exact
+        "emb_semdedup": """
+            select vec_id, cluster, keep
+            from read_parquet('/tmp/graft_semdedup_v1/sf0.01/gold_semdedup.parquet')
         """,
         # BPE: iterative merge learning is not SQL-expressible; the gold
         # tables are a single-process mirror over the SAME documents, so

@@ -219,3 +219,149 @@ def emb_dim_stats(emb_ds):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _semdedup_prune(ids: np.ndarray, X: np.ndarray, threshold: float) -> np.ndarray:
+    """Shared SemDeDup kernel (engine AND gold call THIS, so the float
+    path is bit-identical): vectors sorted by vec_id ascending, L2
+    normalized, one gram matmul; row j is a duplicate iff some EARLIER
+    row i has cos(i, j) >= threshold.  Returns keep flags aligned to the
+    sorted order."""
+    order = np.argsort(ids, kind="stable")
+    Xs = np.asarray(X, dtype=np.float64)[order]
+    norms = np.linalg.norm(Xs, axis=1)
+    norms[norms == 0.0] = 1.0  # zero vectors: cos 0 with everything
+    Xn = Xs / norms[:, None]
+    G = Xn @ Xn.T
+    n = len(Xs)
+    dup = np.zeros(n, dtype=bool)
+    if n > 1:
+        hit = np.triu(G >= threshold, k=1)
+        dup = hit.any(axis=0)
+    keep = np.ones(n, dtype=bool)
+    keep[dup] = False
+    out = np.empty(n, dtype=bool)
+    out[order] = keep
+    return out
+
+
+def semdedup(
+    emb_ds, k: int = 8, iterations: int = 10, threshold: float = 0.97, *, source_path=None
+):
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embedding
+    space with k-means, then prune near-duplicate pairs WITHIN each
+    cluster by cosine similarity — ``(vec_id, cluster, keep)`` with the
+    deterministic keep rule "a vector is dropped iff an earlier-vec_id
+    member of its cluster is >= threshold similar".
+
+    Scale shape: the k-means fit never moves the corpus (per-batch
+    partial sums, O(k x d) driver state — :func:`kmeans_fit`); the prune
+    is embarrassingly parallel per cluster via ``groupby(cluster)``,
+    which is the paper's whole point — k is chosen so a cluster's
+    pairwise gram matrix fits one worker (cluster_size^2 floats), turning
+    an O(n^2) corpus problem into k independent O((n/k)^2) tasks.  The
+    per-cluster kernel is shared verbatim with the single-process gold
+    (:func:`semdedup_reference`), so keep flags are bit-identical."""
+
+    centroids = kmeans_fit(emb_ds, k, iterations, source_path=source_path)
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def assign_with_vec(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "embedding" not in batch.column_names:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        M = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (M @ C.T)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cluster": pa.array(np.argmin(d2, axis=1).astype(np.int64), pa.int64()),
+                "embedding": batch.column("embedding"),
+            }
+        )
+
+    def prune(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "vec_id" not in group.column_names:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "keep": pa.array([], pa.int64()),
+                }
+            )
+        ids = np.asarray(group.column("vec_id").to_pylist(), dtype=np.int64)
+        X = np.asarray(group.column("embedding").to_pylist(), dtype=np.float64)
+        keep = _semdedup_prune(ids, X, threshold)
+        return pa.table(
+            {
+                "vec_id": group.column("vec_id"),
+                "cluster": group.column("cluster"),
+                "keep": pa.array(keep.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        emb_ds.select_columns(["vec_id", "embedding"])
+        .map_batches(assign_with_vec, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pyarrow")
+    )
+
+
+def semdedup_reference(
+    vec_ids: np.ndarray,
+    M: np.ndarray,
+    k: int = 8,
+    iterations: int = 10,
+    threshold: float = 0.97,
+):
+    """Single-process gold: same init/update as :func:`kmeans_reference`,
+    same assignment arithmetic, same shared prune kernel.  Returns
+    (vec_id, cluster, keep) arrays sorted by vec_id."""
+    ids = np.asarray(vec_ids, dtype=np.int64)
+    X = np.asarray(M, dtype=np.float64)
+    C = kmeans_reference(ids, X, k, iterations)
+    d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+    assign = np.argmin(d2, axis=1).astype(np.int64)
+    keep = np.zeros(len(ids), dtype=np.int64)
+    for c in np.unique(assign):
+        m = assign == c
+        keep[m] = _semdedup_prune(ids[m], X[m], threshold).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    return ids[order], assign[order], keep[order]
+
+
+def write_gold_semdedup(
+    emb_path: str,
+    out_dir: str,
+    k: int = 8,
+    iterations: int = 10,
+    threshold: float = 0.97,
+) -> None:
+    """Write the single-process gold (vec_id, cluster, keep) parquet for
+    the ``emb_semdedup`` oracle (the pagerank-style gold pattern)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    M = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    vid, cl, keep = semdedup_reference(ids, M, k, iterations, threshold)
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(vid, pa.int64()),
+                "cluster": pa.array(cl, pa.int64()),
+                "keep": pa.array(keep, pa.int64()),
+            }
+        ),
+        os.path.join(out_dir, "gold_semdedup.parquet"),
+    )

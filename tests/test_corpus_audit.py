@@ -1080,3 +1080,70 @@ class TestBigramPMI:
 
         out = _collect(bigram_pmi(_docs(["a b", "c d"]), min_count=5))
         assert out.num_rows == 0
+
+
+class TestSemDeDup:
+    def _emb(self, vecs):
+        import numpy as np
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                    "embedding": pa.array(
+                        [list(map(float, v)) for v in vecs], pa.list_(pa.float64())
+                    ),
+                }
+            )
+        )
+
+    def test_planted_neardups_pruned_earliest_kept(self):
+        import numpy as np
+
+        from pdf_entity_extraction_ray.ops.kmeans import semdedup
+
+        rng = np.random.default_rng(4)
+        base = rng.normal(size=(20, 8))
+        vecs = list(base)
+        # plant: vec 20/21 are tiny perturbations of vec 3 -> same cluster,
+        # cosine ~1 -> both pruned, vec 3 (earliest id) kept
+        vecs.append(base[3] + 1e-4)
+        vecs.append(base[3] - 1e-4)
+        out = {
+            r["vec_id"]: r["keep"]
+            for r in semdedup(self._emb(vecs), k=4, iterations=5, threshold=0.95).take_all()
+        }
+        assert len(out) == 22
+        assert out[3] == 1 and out[20] == 0 and out[21] == 0
+        # everything else is random-normal in 8d: nothing near cosine 0.95
+        assert sum(out.values()) == 20
+
+    def test_matches_reference_mirror(self):
+        import numpy as np
+
+        from pdf_entity_extraction_ray.ops.kmeans import semdedup, semdedup_reference
+
+        rng = np.random.default_rng(7)
+        # well-separated blobs: assignment margins dwarf the ~1e-13
+        # centroid float-fold noise between the distributed fit and the
+        # single-process mirror (the emb_kmeans margin argument)
+        centers = np.array([[10, 0, 0, 0, 0, 0], [0, 10, 0, 0, 0, 0],
+                            [0, 0, 10, 0, 0, 0]], dtype=float)
+        X = centers[np.arange(60) % 3] + 0.1 * rng.normal(size=(60, 6))
+        X[50:] = X[:10] * 1.001  # ten scaled copies (cosine 1 exactly-ish)
+        ids = np.arange(60)
+        vid, cl, keep = semdedup_reference(ids, X, k=3, iterations=4, threshold=0.9)
+        got = sorted(
+            (r["vec_id"], r["cluster"], r["keep"])
+            for r in semdedup(self._emb(list(X)), k=3, iterations=4, threshold=0.9).take_all()
+        )
+        assert got == list(zip(vid.tolist(), cl.tolist(), keep.tolist()))
+        # blob geometry: every same-blob pair has cosine ~1 (direction ==
+        # center direction), so exactly the earliest vec_id per cluster
+        # survives
+        assert int(keep.sum()) == 3
+        kept = {int(v) for v, kp in zip(vid, keep) if kp}
+        first_per_cluster = {}
+        for v, c in zip(vid.tolist(), cl.tolist()):
+            first_per_cluster.setdefault(c, v)
+        assert kept == set(first_per_cluster.values())
