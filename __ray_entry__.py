@@ -571,6 +571,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             source_path=path,
         )
 
+    def _pq_gold(sf_dir):
+        """Single-process gold PQ top-k (written once per scale; shared
+        encode/ADC kernels with the distributed op)."""
+        from pdf_entity_extraction_ray.ops.pq import write_gold_pq
+
+        name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        out = f"/tmp/graft_pq_v1/{name}"
+        if not os.path.isfile(f"{out}/gold_pq.parquet"):
+            write_gold_pq(
+                os.path.join(sf_dir, "embeddings.parquet"), out,
+                query_ids=[0, 1, 2, 3, 4], k=10, m=16, n_codes=32, iterations=5,
+            )
+        return out
+
+    def emb_knn_pq(sf_dir):
+        from pdf_entity_extraction_ray.ops.pq import knn_pq
+
+        _pq_gold(sf_dir)
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        return knn_pq(
+            _read(sf_dir, "embeddings"), [0, 1, 2, 3, 4], 10,
+            m=16, n_codes=32, iterations=5, source_path=path,
+        )
+
     def _lm_gold(sf_dir):
         """Single-process gold n-gram LM + per-doc perplexities (written
         once per scale; deterministic)."""
@@ -683,6 +707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pdf_entity_extraction_ray.ops.sample", fromlist=["weighted_mix"]
         ).weighted_mix(_read(sf, "documents"), _MIX_RATES),
         "emb_semdedup": emb_semdedup,
+        "emb_knn_pq": emb_knn_pq,
         "docs_dsir": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.sample", fromlist=["dsir_select"]
         ).dsir_select(_read(sf, "documents"), target_lang="en", hash_buckets=1024),
@@ -839,6 +864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bigram_pmi",
         "docs_dsir",
         "emb_semdedup",
+        "emb_knn_pq",
         "kg_components",
         "docs_ngram_lm",
         "docs_perplexity",
@@ -1885,6 +1911,13 @@ qualify rank <= 5
         "emb_semdedup": """
             select vec_id, cluster, keep
             from read_parquet('/tmp/graft_semdedup_v1/sf0.01/gold_semdedup.parquet')
+        """,
+        # PQ: iterative codebook training is not SQL-expressible; the gold
+        # is a single-process mirror sharing the encode/ADC kernels, so
+        # hash equality proves distributed == single-process
+        "emb_knn_pq": """
+            select query_id, neighbor_id, rank
+            from read_parquet('/tmp/graft_pq_v1/sf0.01/gold_pq.parquet')
         """,
         # BPE: iterative merge learning is not SQL-expressible; the gold
         # tables are a single-process mirror over the SAME documents, so

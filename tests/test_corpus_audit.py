@@ -1147,3 +1147,67 @@ class TestSemDeDup:
         for v, c in zip(vid.tolist(), cl.tolist()):
             first_per_cluster.setdefault(c, v)
         assert kept == set(first_per_cluster.values())
+
+
+class TestProductQuantization:
+    def _blobs(self, n=90, d=8, n_blobs=3, seed=2):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        centers = rng.normal(size=(n_blobs, d)) * 5.0
+        X = centers[np.arange(n) % n_blobs] + 0.3 * rng.normal(size=(n, d))
+        return np.arange(n, dtype=np.int64), X
+
+    def _ds(self, ids, X):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(
+                        [list(map(float, v)) for v in X], pa.list_(pa.float64())
+                    ),
+                }
+            )
+        )
+
+    def test_matches_reference_mirror_any_blocking(self):
+        from pdf_entity_extraction_ray.ops.pq import knn_pq, pq_reference
+
+        ids, X = self._blobs()
+        q, n, r = pq_reference(ids, X, [0, 1, 2], k=5, m=4, n_codes=8, iterations=4)
+        ref = set(zip(q, n, r))
+        for parts in (1, 7):
+            ds = self._ds(ids, X)
+            if parts > 1:
+                ds = ds.repartition(parts)
+            got = {
+                (x["query_id"], x["neighbor_id"], x["rank"])
+                for x in knn_pq(ds, [0, 1, 2], 5, m=4, n_codes=8, iterations=4).take_all()
+            }
+            assert got == ref
+
+    def test_blob_structure_preserved(self):
+        """With separated blobs every PQ neighbor must come from the
+        query's own blob (within-blob members are cosine near-ties, so
+        exact-RANK recall is the wrong property for a lossy code — blob
+        membership is the semantic one)."""
+        from pdf_entity_extraction_ray.ops.pq import knn_pq
+
+        ids, X = self._blobs(n=120, d=16, n_blobs=4)
+        ds = self._ds(ids, X)
+        for x in knn_pq(ds, [0, 1, 2, 3], 5, m=4, n_codes=16, iterations=5).take_all():
+            assert x["neighbor_id"] % 4 == x["query_id"] % 4
+
+    def test_encode_shape_and_code_range(self):
+        import numpy as np
+
+        from pdf_entity_extraction_ray.ops.pq import pq_encode, pq_fit
+
+        ids, X = self._blobs(n=40, d=8)
+        ds = self._ds(ids, X)
+        books = pq_fit(ds, m=4, n_codes=8, iterations=3)
+        assert books.shape == (4, 8, 2)
+        out = _collect(pq_encode(ds, books))
+        assert out.num_rows == 40
+        codes = out.column("codes").to_pylist()
+        assert all(len(c) == 4 and all(0 <= v < 8 for v in c) for c in codes)
