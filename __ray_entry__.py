@@ -632,6 +632,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return perplexity_score(ds, lm)
 
+    def docs_ccnet_buckets(sf_dir):
+        import pyarrow.parquet as pq
+
+        from pdf_entity_extraction_ray.ops.ngram_lm import ccnet_buckets
+
+        gold = _lm_gold(sf_dir)
+        lm = pq.read_table(f"{gold}/gold_lm.parquet")
+        ds = ray_read_docs(sf_dir)
+        return ccnet_buckets(ds, lm)
+
+    def ray_read_docs(sf_dir):
+        import ray.data
+
+        return ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+
     registry = {
         # --- KG pipeline (flagship; gold-table-backed SQL oracles) ---
         "kg_nodes": kg_table("nodes", ["canonical", "type", "aliases", "n_mentions"]),
@@ -708,6 +725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).weighted_mix(_read(sf, "documents"), _MIX_RATES),
         "emb_semdedup": emb_semdedup,
         "emb_knn_pq": emb_knn_pq,
+        "docs_ccnet_buckets": docs_ccnet_buckets,
         "docs_dsir": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.sample", fromlist=["dsir_select"]
         ).dsir_select(_read(sf, "documents"), target_lang="en", hash_buckets=1024),
@@ -865,6 +883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dsir",
         "emb_semdedup",
         "emb_knn_pq",
+        "docs_ccnet_buckets",
         "kg_components",
         "docs_ngram_lm",
         "docs_perplexity",
@@ -1941,6 +1960,20 @@ qualify rank <= 5
         "docs_quality_scores": """
             select doc_id, score_ppm, pred
             from read_parquet('/tmp/graft_logreg_v1/sf0.01/gold_logreg_scores.parquet')
+        """,
+        # CCNet head/middle/tail: thresholds are exact order statistics
+        # over the gold ppm scores — quantile_disc matches the engine's
+        # ceil-rank cumulative walk (the event_quantiles convention)
+        "docs_ccnet_buckets": """
+            with s as (select doc_id, ppl_ppm
+                       from read_parquet('/tmp/graft_lm_v1/sf0.01/gold_ppl.parquet')),
+            t as (select quantile_disc(ppl_ppm, 1.0/3) as t1,
+                         quantile_disc(ppl_ppm, 2.0/3) as t2 from s)
+            select doc_id, ppl_ppm,
+                   case when ppl_ppm <= t.t1 then 'head'
+                        when ppl_ppm <= t.t2 then 'middle'
+                        else 'tail' end as bucket
+            from s, t
         """,
         # n-gram LM counts: a DIRECT SQL oracle (1..3-gram enumeration +
         # min_count>=2 prune) — no gold file involved

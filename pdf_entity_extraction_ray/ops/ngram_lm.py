@@ -251,3 +251,81 @@ def write_gold_ngram_lm(
         ),
         f"{out_dir}/gold_ppl.parquet",
     )
+
+
+def ccnet_buckets(docs_ds, lm_table: pa.Table, fractions=(1.0 / 3, 2.0 / 3)):
+    """CCNet's actual output step (Wenzek et al. 2020): partition the
+    corpus into head / middle / tail by GLOBAL perplexity terciles —
+    ``(doc_id, ppl_ppm, bucket)``, lower perplexity = "head" (the slice
+    CCNet keeps for LM training).
+
+    Thresholds are EXACT order statistics over the integer ppm scores via
+    the ops/relational value-histogram shape: a per-batch
+    ``(ppl_ppm -> count)`` combiner, one global count groupby, and a
+    single cumulative walk with ``percentile_disc`` semantics (smallest
+    value whose cumulative count reaches ``ceil(q * n)``) — so the cut
+    points hash-compare exactly against DuckDB ``quantile_disc``.  The
+    histogram is bounded by the DISTINCT score count (the ppm grid), not
+    the corpus; the bucket assignment itself is a stateless second pass."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    scores = perplexity_score(docs_ds, lm_table).materialize()
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "ppl_ppm" not in batch.column_names:
+            return pa.table(
+                {"ppl_ppm": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        g = batch.select(["ppl_ppm"]).group_by("ppl_ppm").aggregate([("ppl_ppm", "count")])
+        return pa.table(
+            {
+                "ppl_ppm": g.column("ppl_ppm"),
+                "n": g.column("ppl_ppm_count").cast(pa.int64()),
+            }
+        )
+
+    hist = (
+        scores.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("ppl_ppm")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort("ppl_ppm")
+    )
+    vals: list[int] = []
+    cnts: list[int] = []
+    for b in hist.iter_batches(batch_format="pyarrow"):
+        vals.extend(b.column("ppl_ppm").to_pylist())
+        cnts.extend(b.column("n").to_pylist())
+    cum = np.cumsum(np.asarray(cnts, dtype=np.int64))
+    n = int(cum[-1]) if len(cum) else 0
+    cuts = []
+    for q in fractions:
+        rank = int(np.ceil(q * n)) or 1
+        cuts.append(int(np.asarray(vals)[np.searchsorted(cum, rank)]))
+    t1, t2 = cuts
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "ppl_ppm" not in batch.column_names:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "ppl_ppm": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.string()),
+                }
+            )
+        p = batch.column("ppl_ppm")
+        bucket = pc.if_else(
+            pc.less_equal(p, t1),
+            pa.scalar("head"),
+            pc.if_else(pc.less_equal(p, t2), pa.scalar("middle"), pa.scalar("tail")),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "ppl_ppm": p,
+                "bucket": bucket,
+            }
+        )
+
+    return scores.map_batches(bucketize, batch_format="pyarrow")

@@ -118,3 +118,59 @@ def test_distributed_scoring_matches_mirror(ray_session):
     )
     sc = sc.take(pc.sort_indices(sc, sort_keys=[("doc_id", "ascending")]))
     assert sc.equals(gold_ppl)
+
+
+class TestCcnetBuckets:
+    def test_terciles_and_duckdb_parity(self):
+        import duckdb
+        import pyarrow as pa
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.ngram_lm import (
+            ccnet_buckets,
+            train_ngram_lm,
+        )
+
+        # repetitive docs -> low perplexity (head); diverse -> tail
+        texts = (
+            ["the cat sat the cat sat the cat sat"] * 6
+            + ["the dog ran the dog ran fast today"] * 6
+            + [f"unique words here w{i} x{i} y{i} z{i} q{i}" for i in range(6)]
+        )
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        ds = ray.data.from_arrow(docs)
+        lm_rows = list(
+            train_ngram_lm(ds.select_columns(["text"])).iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+        lm = pa.concat_tables(lm_rows)
+        out = pa.concat_tables(
+            ccnet_buckets(ds, lm).iter_batches(batch_format="pyarrow")
+        ).to_pandas()
+
+        con = duckdb.connect()
+        con.register("s", out[["doc_id", "ppl_ppm"]])
+        ref = con.execute(
+            """
+            with t as (select quantile_disc(ppl_ppm, 1.0/3) as t1,
+                              quantile_disc(ppl_ppm, 2.0/3) as t2 from s)
+            select doc_id,
+                   case when ppl_ppm <= t.t1 then 'head'
+                        when ppl_ppm <= t.t2 then 'middle'
+                        else 'tail' end as bucket
+            from s, t
+            """
+        ).fetch_df()
+        got = dict(zip(out.doc_id, out.bucket))
+        exp = dict(zip(ref.doc_id, ref.bucket))
+        assert got == exp
+        # the semantic property CCNet wants: repetitive docs in head,
+        # unique-vocab docs in tail
+        assert all(got[i] == "head" for i in range(6))
+        assert all(got[i] == "tail" for i in range(12, 18))
