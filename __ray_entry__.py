@@ -358,6 +358,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         name = os.path.basename(os.path.normpath(sf_dir)) or "default"
         return latest_crawl(ray.data.read_parquet(f"/tmp/graft_kg/{name}/pages"))
 
+    def _kg_heavy_tokens(sf_dir):
+        """Exact phi-heavy tokens over the pages corpus via the two-pass
+        Misra-Gries sketch (ops/sketch.heavy_tokens): bounded per-block
+        summaries + broadcast-candidate exact verify — never the
+        full-vocabulary shuffle."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.sketch import heavy_tokens
+
+        _kg_artifacts(sf_dir)
+        name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        return heavy_tokens(
+            ray.data.read_parquet(f"/tmp/graft_kg/{name}/pages", columns=["text"]),
+            phi=0.005,
+        )
+
     def _kg_lang_stats(sf_dir):
         """Mention volume per (lang, type) over the multilingual corpus —
         the visible gate that non-English pages (es/fr/de/pt) flow through
@@ -867,6 +883,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # groupby trainer + broadcast-table streaming scorer) ---
         "docs_ngram_lm": docs_ngram_lm,
         "docs_perplexity": docs_perplexity,
+        # --- exact heavy hitters without a vocabulary shuffle (two-pass
+        # Misra-Gries sketch + broadcast-candidate verify) ---
+        "kg_heavy_tokens": _kg_heavy_tokens,
     }
     # The driver's correctness gate may sample only a prefix of this
     # registry — order the least-proven entries first so the ops with the
@@ -876,7 +895,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remainder in their original order.
     front = [
         # new / changed this round (IRLS quality classifier; BPE trainer;
-        # mp4 media rows; png+jpeg media rows; multilingual corpus)
+        # mp4 media rows; png+jpeg media rows; multilingual corpus;
+        # Misra-Gries heavy hitters)
+        "kg_heavy_tokens",
         "kg_common_neighbors",
         "docs_inverted_index",
         "docs_bigram_pmi",
@@ -966,6 +987,12 @@ def oracle_sql() -> dict[str, str]:
         left join rep ro on ro.cluster_id = alo.cluster_id
     """
     return {
+        "kg_heavy_tokens": __import__(
+            "pdf_entity_extraction_ray.ops.sketch",
+            fromlist=["heavy_tokens_oracle_sql"],
+        ).heavy_tokens_oracle_sql(
+            f"select text from read_parquet('{gold}/pages/*.parquet')", 0.005
+        ),
         "kg_mentions": f"""
             with {kg_cte}
             select url, seg_id, text, type, "start", "end", page_start, page_end

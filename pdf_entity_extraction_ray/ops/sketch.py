@@ -171,3 +171,134 @@ def bottomk_oracle_sql(k: int = 50) -> str:
                (row_number() over (order by hv, doc_id) - 1)::bigint as sample_rank
         from h order by hv, doc_id limit {k}
     """
+
+def heavy_tokens(ds, phi: float = 0.005, text_col: str = "text",
+                 capacity: int | None = None):
+    """EXACT heavy hitters — every token whose global occurrence count is
+    >= ceil(phi * N) (N = total token occurrences) — found WITHOUT the
+    full-vocabulary shuffle :func:`vocab_build` pays.
+
+    Two streaming passes, both with bounded state:
+
+    1. **Sketch.**  Each block folds its token counts into a batched
+       Misra-Gries summary of ``capacity`` counters (exact ``np.unique``
+       counts, then subtract the (capacity+1)-th largest count and drop
+       non-positives — the classic batch decrement).  Per-block estimate
+       error is <= n_block/(capacity+1); summing per-block summaries in a
+       tiny groupby keeps total error <= N/(capacity+1).  With
+       ``capacity >= 2/phi`` (the default) every phi-heavy token provably
+       survives with summed estimate >= thresh - N/(capacity+1) > 0, and
+       the candidate set is <= ~2/phi tokens — a few hundred rows on the
+       driver no matter the corpus size.
+    2. **Verify.**  The candidate token set is broadcast once via
+       ``ray.put``; a second pass counts ONLY candidate tokens exactly
+       (per-block state bounded by the candidate count), one small
+       groupby merges, and ``n >= thresh`` filters to the exact answer.
+
+    Tokens are ASCII-explicit ``[A-Za-z0-9_]+`` matches lowercased
+    per-token (all-ASCII, so Python and DuckDB ``lower()`` agree
+    byte-for-byte).  Emits (token, n) with n exact."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cap = capacity or max(64, int(np.ceil(2.0 / phi)))
+    sentinel = "\x00total"  # NUL-prefixed: cannot collide with a token
+
+    def tokens_of(batch: pa.Table) -> np.ndarray:
+        toks: list[str] = []
+        for t in batch.column(text_col).to_pylist():
+            if t:
+                toks.extend(w.lower() for w in TOKEN_RE.findall(t))
+        return np.asarray(toks, dtype=object)
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        toks = tokens_of(batch)
+        n_blk = int(toks.size)
+        if n_blk == 0:
+            uniq = np.empty(0, dtype=object)
+            est = np.empty(0, dtype=np.int64)
+        else:
+            uniq, counts = np.unique(toks, return_counts=True)
+            if uniq.size > cap:
+                kth = np.partition(counts, -(cap + 1))[-(cap + 1)]
+                keep = counts > kth
+                uniq, est = uniq[keep], (counts[keep] - kth).astype(np.int64)
+            else:
+                est = counts.astype(np.int64)
+        return pa.table(
+            {
+                "token": pa.array(list(uniq) + [sentinel], pa.string()),
+                "mg": pa.array(np.append(est, n_blk), pa.int64()),
+            }
+        )
+
+    summary = (
+        ds.select_columns([text_col])
+        .map_batches(mg_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("mg", alias_name="mg"))
+        .materialize()  # <= capacity x blocks rows + 1 — bounded by design
+    )
+    total_tbl = summary.filter(lambda r: r["token"] == sentinel).take_all()
+    n_total = int(total_tbl[0]["mg"]) if total_tbl else 0
+    if n_total == 0:
+        return ray.data.from_arrow(
+            pa.table({"token": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+        )
+    thresh = int(np.ceil(phi * n_total))
+    floor_est = thresh - n_total / (cap + 1)
+    cand_rows = summary.filter(
+        lambda r: r["token"] != sentinel and r["mg"] >= floor_est
+    ).take_all()  # provably <= ~2/phi rows (see docstring)
+    candidates = {r["token"] for r in cand_rows}
+    if not candidates:
+        return ray.data.from_arrow(
+            pa.table({"token": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+        )
+    cand_ref = ray.put(np.asarray(sorted(candidates), dtype=object))
+
+    def count_candidates(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)  # zero-copy from the local object store
+        toks = tokens_of(batch)
+        if toks.size == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        idx = np.searchsorted(cand, toks)
+        idx[idx == cand.size] = 0
+        hit = cand[idx] == toks
+        uniq, counts = np.unique(toks[hit], return_counts=True)
+        return pa.table(
+            {
+                "token": pa.array(list(uniq), pa.string()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    exact = (
+        ds.select_columns([text_col])
+        .map_batches(count_candidates, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return exact.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n"), thresh))
+        if b.num_rows and "n" in b.column_names
+        else b,
+        batch_format="pyarrow",
+    )
+
+
+def heavy_tokens_oracle_sql(source_sql: str, phi: float = 0.005) -> str:
+    """DuckDB mirror: exact counts over the same ASCII token rule, HAVING
+    count >= ceil(phi * total)."""
+    return f"""
+        with tok as (select lower(unnest(regexp_extract_all(text,
+                         '[A-Za-z0-9_]+'))) as token
+                     from ({source_sql})),
+             n as (select count(*)::bigint as total from tok)
+        select token, count(*)::bigint as n
+        from tok group by token
+        having count(*) >= ceil({phi} * (select total from n))
+    """

@@ -1211,3 +1211,52 @@ class TestProductQuantization:
         assert out.num_rows == 40
         codes = out.column("codes").to_pylist()
         assert all(len(c) == 4 and all(0 <= v < 8 for v in c) for c in codes)
+
+
+class TestHeavyTokens:
+    """Two-pass Misra-Gries exact heavy hitters (ops/sketch.heavy_tokens)."""
+
+    def test_matches_bruteforce_on_zipf_stream(self):
+        import collections
+
+        import numpy as np
+
+        from pdf_entity_extraction_ray.ops.sketch import heavy_tokens
+
+        rng = np.random.default_rng(7)
+        vocab = [f"w{i}" for i in range(400)]
+        # zipf-ish: token i drawn with weight 1/(i+1)
+        w = 1.0 / (np.arange(len(vocab)) + 1)
+        draws = rng.choice(len(vocab), size=20000, p=w / w.sum())
+        texts = [
+            " ".join(vocab[j] for j in draws[k : k + 50])
+            for k in range(0, len(draws), 50)
+        ]
+        phi = 0.01
+        out = _collect(heavy_tokens(_docs(texts), phi=phi, capacity=64))
+        got = dict(zip(out.column("token").to_pylist(), out.column("n").to_pylist()))
+
+        truth = collections.Counter(t for s in texts for t in s.split())
+        thresh = int(np.ceil(phi * sum(truth.values())))
+        want = {t: c for t, c in truth.items() if c >= thresh}
+        assert got == want  # exact set AND exact counts
+
+    def test_block_split_invariant(self):
+        from pdf_entity_extraction_ray.ops.sketch import heavy_tokens
+
+        texts = ["alpha beta alpha"] * 30 + ["gamma delta"] * 3
+        a = _collect(heavy_tokens(_docs(texts), phi=0.05, capacity=64))
+        b = _collect(
+            heavy_tokens(_docs(texts).repartition(13), phi=0.05, capacity=64)
+        )
+        assert sorted(zip(a.column("token").to_pylist(), a.column("n").to_pylist())) == \
+            sorted(zip(b.column("token").to_pylist(), b.column("n").to_pylist()))
+
+    def test_empty_and_no_heavy(self):
+        from pdf_entity_extraction_ray.ops.sketch import heavy_tokens
+
+        out = _collect(heavy_tokens(_docs([""] * 4), phi=0.5))
+        assert out.num_rows == 0
+        # uniform stream where nothing reaches phi=0.9
+        out2 = _collect(heavy_tokens(_docs([f"u{i}" for i in range(40)]), phi=0.9))
+        assert out2.num_rows == 0
