@@ -374,6 +374,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             phi=0.005,
         )
 
+    def _kg_boilerplate_strip(sf_dir):
+        """Cross-document boilerplate removal over the pages corpus
+        (ops/web.strip_boilerplate): sentences on >= 5% of pages are
+        dropped and pages reassembled — one sentence-df groupby plus a
+        bounded broadcast set, never an all-pairs comparison."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.web import strip_boilerplate
+
+        _kg_artifacts(sf_dir)
+        name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        return strip_boilerplate(
+            ray.data.read_parquet(
+                f"/tmp/graft_kg/{name}/pages", columns=["url", "text"]
+            )
+        )
+
     def _kg_lang_stats(sf_dir):
         """Mention volume per (lang, type) over the multilingual corpus —
         the visible gate that non-English pages (es/fr/de/pt) flow through
@@ -886,6 +903,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- exact heavy hitters without a vocabulary shuffle (two-pass
         # Misra-Gries sketch + broadcast-candidate verify) ---
         "kg_heavy_tokens": _kg_heavy_tokens,
+        # --- cross-document sentence-df boilerplate strip (CCNet/
+        # RefinedWeb paragraph-hash dedup at sentence granularity) ---
+        "kg_boilerplate_strip": _kg_boilerplate_strip,
     }
     # The driver's correctness gate may sample only a prefix of this
     # registry — order the least-proven entries first so the ops with the
@@ -896,7 +916,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     front = [
         # new / changed this round (IRLS quality classifier; BPE trainer;
         # mp4 media rows; png+jpeg media rows; multilingual corpus;
-        # Misra-Gries heavy hitters)
+        # Misra-Gries heavy hitters; sentence-df boilerplate strip)
+        "kg_boilerplate_strip",
         "kg_heavy_tokens",
         "kg_common_neighbors",
         "docs_inverted_index",
@@ -992,6 +1013,12 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["heavy_tokens_oracle_sql"],
         ).heavy_tokens_oracle_sql(
             f"select text from read_parquet('{gold}/pages/*.parquet')", 0.005
+        ),
+        "kg_boilerplate_strip": __import__(
+            "pdf_entity_extraction_ray.ops.web",
+            fromlist=["strip_boilerplate_oracle_sql"],
+        ).strip_boilerplate_oracle_sql(
+            f"select url, text from read_parquet('{gold}/pages/*.parquet')"
         ),
         "kg_mentions": f"""
             with {kg_cte}

@@ -389,3 +389,117 @@ def link_pagerank(
         num_partitions=n_part or _join_parts(),
         on=("node",),
     ).map_batches(to_ppm, batch_format="pyarrow")
+
+
+def strip_boilerplate(pages_ds, df_frac: float = 0.05, min_df: int = 2):
+    """Cross-document boilerplate removal (the CCNet/RefinedWeb
+    paragraph-hash dedup applied at sentence granularity): drop every
+    sentence that appears on >= max(min_df, ceil(df_frac * n_pages))
+    DISTINCT pages — nav bars, footers, terms-of-service lines — and
+    reassemble each page from its surviving sentences.
+
+    Sentence unit = ``'. '`` split (no regex, so DuckDB ``string_split``
+    mirrors byte-for-byte).  Scale shape, in three bounded steps:
+
+    1. **df count** — pages are row-granular, so per-page sentence
+       de-duplication happens inside the row (no distinct-shuffle);
+       the groupby then moves one (sentence, 1) partial per page-sentence
+       and folds to document frequency.  A per-batch combiner pre-sums
+       duplicate sentences within the block, so the boilerplate (which by
+       definition repeats in every block) ships O(distinct/block) rows.
+    2. **threshold + collect** — sentences at df >= T number at most
+       total_sentence_instances / T <= n_pages * avg_sents / (df_frac *
+       n_pages) = avg_sents / df_frac, a corpus-size-INDEPENDENT bound
+       (a few hundred rows), so collecting them to the driver and
+       broadcasting via ``ray.put`` is O(1) at any scale.
+    3. **strip** — a second stateless pass filters each page's sentence
+       list against the broadcast set and rejoins with ``'. '``.  Pages
+       whose every sentence is boilerplate drop out (mirroring SQL
+       group-by reassembly, where an empty group vanishes).
+
+    Emits (url, clean_text, n_kept, n_removed)."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    n_pages = pages_ds.count()
+    thresh = max(min_df, int(np.ceil(df_frac * n_pages)))
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch.column("text").to_pylist():
+            if not t:
+                continue
+            for s in dict.fromkeys(t.split(". ")):  # per-page distinct
+                counts[s] = counts.get(s, 0) + 1
+        return pa.table(
+            {
+                "sent": pa.array(list(counts), pa.string()),
+                "df": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    dfs = (
+        pages_ds.select_columns(["text"])
+        .map_batches(df_partial, batch_format="pyarrow")
+        .groupby("sent")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    boiler_rows = dfs.filter(lambda r: r["df"] >= thresh).take_all()
+    boiler = frozenset(r["sent"] for r in boiler_rows)  # bounded (step 2)
+    boiler_ref = ray.put(boiler)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        bset = ray.get(boiler_ref)
+        urls, cleans, kept_n, rem_n = [], [], [], []
+        for u, t in zip(
+            batch.column("url").to_pylist(), batch.column("text").to_pylist()
+        ):
+            sents = t.split(". ") if t else []
+            kept = [s for s in sents if s not in bset]
+            if not kept:
+                continue  # fully-boilerplate page drops (SQL empty group)
+            urls.append(u)
+            cleans.append(". ".join(kept))
+            kept_n.append(len(kept))
+            rem_n.append(len(sents) - len(kept))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "clean_text": pa.array(cleans, pa.string()),
+                "n_kept": pa.array(kept_n, pa.int64()),
+                "n_removed": pa.array(rem_n, pa.int64()),
+            }
+        )
+
+    return pages_ds.select_columns(["url", "text"]).map_batches(
+        strip, batch_format="pyarrow"
+    )
+
+
+def strip_boilerplate_oracle_sql(
+    pages_source: str, df_frac: float = 0.05, min_df: int = 2
+) -> str:
+    """DuckDB mirror of :func:`strip_boilerplate`: explode sentences with
+    ordinality, count distinct-url document frequency, anti-join the
+    high-df set, re-aggregate in original order."""
+    return f"""
+        with p as ({pages_source}),
+             s as (select url,
+                          unnest(string_split(text, '. ')) as sent,
+                          generate_subscripts(string_split(text, '. '), 1) as idx,
+                          len(string_split(text, '. '))::bigint as total
+                   from p),
+             df as (select sent, count(distinct url)::bigint as df
+                    from s group by sent),
+             t as (select greatest({min_df},
+                       ceil({df_frac} * (select count(*) from p))) as thresh),
+             b as (select sent from df where df >= (select thresh from t))
+        select url,
+               string_agg(sent, '. ' order by idx) as clean_text,
+               count(*)::bigint as n_kept,
+               (any_value(total) - count(*))::bigint as n_removed
+        from s
+        where sent not in (select sent from b)
+        group by url
+    """

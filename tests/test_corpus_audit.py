@@ -1260,3 +1260,67 @@ class TestHeavyTokens:
         # uniform stream where nothing reaches phi=0.9
         out2 = _collect(heavy_tokens(_docs([f"u{i}" for i in range(40)]), phi=0.9))
         assert out2.num_rows == 0
+
+
+class TestStripBoilerplate:
+    """Cross-document sentence-df boilerplate removal (ops/web)."""
+
+    @staticmethod
+    def _pages(texts):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array(
+                        [f"https://h{i}.test/p" for i in range(len(texts))],
+                        pa.string(),
+                    ),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        )
+
+    def test_planted_boilerplate_stripped_order_kept(self):
+        from pdf_entity_extraction_ray.ops.web import strip_boilerplate
+
+        texts = [f"FOOTER. unique {i} body. MID. tail {i}" for i in range(20)]
+        out = _collect(strip_boilerplate(self._pages(texts), df_frac=0.5))
+        assert out.num_rows == 20
+        for u, c, k, r in zip(
+            out.column("url").to_pylist(),
+            out.column("clean_text").to_pylist(),
+            out.column("n_kept").to_pylist(),
+            out.column("n_removed").to_pylist(),
+        ):
+            i = int(u.split("//h")[1].split(".")[0])
+            assert c == f"unique {i} body. tail {i}"  # order preserved
+            assert (k, r) == (2, 2)
+
+    def test_fully_boilerplate_page_drops(self):
+        from pdf_entity_extraction_ray.ops.web import strip_boilerplate
+
+        texts = ["SAME. SAME2"] * 10 + ["SAME. keep me"]
+        out = _collect(strip_boilerplate(self._pages(texts), df_frac=0.5))
+        assert out.num_rows == 1
+        assert out.column("clean_text").to_pylist() == ["keep me"]
+
+    def test_rare_sentences_survive_and_split_invariant(self):
+        from pdf_entity_extraction_ray.ops.web import strip_boilerplate
+
+        texts = [f"only {i} here. also {i}" for i in range(12)]
+        a = _collect(strip_boilerplate(self._pages(texts), df_frac=0.5))
+        assert a.column("clean_text").to_pylist() == texts  # nothing df>=6
+        b = _collect(
+            strip_boilerplate(self._pages(texts).repartition(7), df_frac=0.5)
+        )
+        assert sorted(a.column("url").to_pylist()) == sorted(b.column("url").to_pylist())
+        assert dict(zip(a.column("url").to_pylist(), a.column("clean_text").to_pylist())) == \
+            dict(zip(b.column("url").to_pylist(), b.column("clean_text").to_pylist()))
+
+    def test_within_page_repeat_counts_once(self):
+        from pdf_entity_extraction_ray.ops.web import strip_boilerplate
+
+        # "dup" repeats within ONE page only -> df=1 -> kept everywhere
+        texts = ["dup. dup. x"] + [f"y {i}" for i in range(9)]
+        out = _collect(strip_boilerplate(self._pages(texts), df_frac=0.3))
+        m = dict(zip(out.column("url").to_pylist(), out.column("clean_text").to_pylist()))
+        assert m["https://h0.test/p"] == "dup. dup. x"
