@@ -391,6 +391,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def _kg_latest_assertions(sf_dir):
+        """Temporal-KG snapshot (ops/graph_stats.latest_assertions):
+        newest crawled object per (subject, predicate) — narrow url join
+        to pages for warc_ts, then a combiner-backed per-key argmax."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import latest_assertions
+
+        res = _kg_artifacts(sf_dir)
+        name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        return latest_assertions(
+            ray.data.read_parquet(res["triples_canonical"]),
+            ray.data.read_parquet(
+                f"/tmp/graft_kg/{name}/pages", columns=["url", "warc_ts"]
+            ),
+        )
+
     def _kg_lang_stats(sf_dir):
         """Mention volume per (lang, type) over the multilingual corpus —
         the visible gate that non-English pages (es/fr/de/pt) flow through
@@ -906,6 +923,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- cross-document sentence-df boilerplate strip (CCNet/
         # RefinedWeb paragraph-hash dedup at sentence granularity) ---
         "kg_boilerplate_strip": _kg_boilerplate_strip,
+        # --- temporal-KG snapshot: newest crawled assertion per
+        # (subject, predicate) ---
+        "kg_latest_assertions": _kg_latest_assertions,
     }
     # The driver's correctness gate may sample only a prefix of this
     # registry — order the least-proven entries first so the ops with the
@@ -916,7 +936,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     front = [
         # new / changed this round (IRLS quality classifier; BPE trainer;
         # mp4 media rows; png+jpeg media rows; multilingual corpus;
-        # Misra-Gries heavy hitters; sentence-df boilerplate strip)
+        # Misra-Gries heavy hitters; sentence-df boilerplate strip;
+        # temporal snapshot)
+        "kg_latest_assertions",
         "kg_boilerplate_strip",
         "kg_heavy_tokens",
         "kg_common_neighbors",
@@ -1020,6 +1042,19 @@ def oracle_sql() -> dict[str, str]:
         ).strip_boilerplate_oracle_sql(
             f"select url, text from read_parquet('{gold}/pages/*.parquet')"
         ),
+        "kg_latest_assertions": f"""
+            with {kg_cte},
+            tri as ({tri_canon}),
+            p as (select url, epoch_us(warc_ts)::bigint as ts
+                  from read_parquet('{gold}/pages/*.parquet')),
+            j as (select tri.subj_canonical, tri.pred, tri.obj_canonical,
+                         p.ts as asserted_ts_us, tri.url, tri.seg_id
+                  from tri join p using (url))
+            select subj_canonical, pred, obj_canonical, asserted_ts_us, url
+            from j
+            qualify row_number() over (partition by subj_canonical, pred
+                order by asserted_ts_us desc, url, seg_id, obj_canonical) = 1
+        """,
         "kg_mentions": f"""
             with {kg_cte}
             select url, seg_id, text, type, "start", "end", page_start, page_end

@@ -1503,3 +1503,89 @@ def common_neighbors(
         )
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def latest_assertions(triples_ds, pages_ds, num_partitions: int | None = None):
+    """Temporal-KG snapshot: for each (subject, predicate) the most
+    recently CRAWLED assertion — the "current state of the graph" view a
+    Common-Crawl-style KG serves, where the same fact is re-asserted
+    across monthly crawls and only the newest object should win.
+
+    Triples carry provenance urls but no timestamps; the crawl time lives
+    on the pages table, so the op is a narrow hash join (triple rows
+    pruned to key+payload, pages pruned to ``(url, warc_ts)``) followed
+    by a per-(subj, pred) argmax with the repo's standard two-stage
+    shape: a per-batch combiner keeps ONE candidate row per key per
+    block — a head entity re-asserted in every crawl ships O(blocks)
+    rows, not every assertion — then a tiny groupby picks the global
+    winner.  Tie-break is fully deterministic: newest warc_ts, then
+    smallest (url, seg_id, obj_canonical).
+
+    Emits (subj_canonical, pred, obj_canonical, asserted_ts_us, url)."""
+    import numpy as np
+
+    from .relational import _join_parts
+
+    cols = ["subj_canonical", "pred", "obj_canonical", "url", "seg_id"]
+    n_part = num_partitions or _join_parts()
+    joined = triples_ds.select_columns(cols).join(
+        pages_ds.select_columns(["url", "warc_ts"]),
+        join_type="inner",
+        num_partitions=n_part,
+        on=("url",),
+    )
+
+    _SORT = [
+        ("subj_canonical", "ascending"),
+        ("pred", "ascending"),
+        ("asserted_ts_us", "descending"),
+        ("url", "ascending"),
+        ("seg_id", "ascending"),
+        ("obj_canonical", "ascending"),
+    ]
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "warc_ts" not in batch.column_names:
+            return pa.table(
+                {
+                    "subj_canonical": pa.array([], pa.string()),
+                    "pred": pa.array([], pa.string()),
+                    "obj_canonical": pa.array([], pa.string()),
+                    "asserted_ts_us": pa.array([], pa.int64()),
+                    "url": pa.array([], pa.string()),
+                    "seg_id": pa.array([], pa.int64()),
+                }
+            )
+        t = pa.table(
+            {
+                "subj_canonical": batch.column("subj_canonical"),
+                "pred": batch.column("pred"),
+                "obj_canonical": batch.column("obj_canonical"),
+                "asserted_ts_us": batch.column("warc_ts").cast(pa.int64()),
+                "url": batch.column("url"),
+                "seg_id": batch.column("seg_id").cast(pa.int64()),
+            }
+        )
+        t = t.take(pc.sort_indices(t, sort_keys=_SORT))
+        s = np.asarray(t.column("subj_canonical").to_pylist(), dtype=object)
+        p = np.asarray(t.column("pred").to_pylist(), dtype=object)
+        keep = np.ones(len(s), dtype=bool)
+        if len(s) > 1:
+            keep[1:] = (s[1:] != s[:-1]) | (p[1:] != p[:-1])
+        return t.filter(pa.array(keep))
+
+    def winner(group: pa.Table) -> pa.Table:
+        g = group.take(pc.sort_indices(group, sort_keys=_SORT))
+        s = np.asarray(g.column("subj_canonical").to_pylist(), dtype=object)
+        p = np.asarray(g.column("pred").to_pylist(), dtype=object)
+        keep = np.ones(len(s), dtype=bool)
+        if len(s) > 1:
+            keep[1:] = (s[1:] != s[:-1]) | (p[1:] != p[:-1])
+        g = g.filter(pa.array(keep))
+        return g.drop_columns(["seg_id"])
+
+    return (
+        joined.map_batches(candidates, batch_format="pyarrow")
+        .groupby(["subj_canonical", "pred"])
+        .map_groups(winner, batch_format="pyarrow")
+    )

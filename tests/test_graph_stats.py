@@ -581,3 +581,68 @@ def test_common_neighbors_wedge_free_graph():
 
     edges = [(f"a{i}", f"b{i}") for i in range(8)]
     assert common_neighbors(_tri_ds(edges)).count() == 0
+
+
+class TestLatestAssertions:
+    """Temporal-KG snapshot: newest crawled object per (subj, pred)."""
+
+    @staticmethod
+    def _run(tri_rows, page_rows):
+        from pdf_entity_extraction_ray.ops.graph_stats import latest_assertions
+
+        tri = pa.table(
+            {
+                "subj_canonical": pa.array([r[0] for r in tri_rows]),
+                "pred": pa.array([r[1] for r in tri_rows]),
+                "obj_canonical": pa.array([r[2] for r in tri_rows]),
+                "url": pa.array([r[3] for r in tri_rows]),
+                "seg_id": pa.array([r[4] for r in tri_rows], pa.int64()),
+            }
+        )
+        pages = pa.table(
+            {
+                "url": pa.array([r[0] for r in page_rows]),
+                "warc_ts": pa.array([r[1] for r in page_rows], pa.timestamp("us")),
+            }
+        )
+        out = latest_assertions(
+            ray.data.from_arrow(tri), ray.data.from_arrow(pages)
+        )
+        rows = []
+        for b in out.iter_batches(batch_format="pyarrow"):
+            if b.num_rows:
+                rows.extend(b.to_pylist())
+        return {
+            (r["subj_canonical"], r["pred"]): (r["obj_canonical"], r["asserted_ts_us"], r["url"])
+            for r in rows
+        }
+
+    def test_newest_crawl_wins(self):
+        got = self._run(
+            tri_rows=[
+                ("Acme", "located_in", "Lima", "u1", 0),
+                ("Acme", "located_in", "Quito", "u2", 0),  # newer crawl
+                ("Bob", "works_for", "Acme", "u1", 1),
+            ],
+            page_rows=[("u1", 1_000_000), ("u2", 2_000_000)],
+        )
+        assert got[("Acme", "located_in")] == ("Quito", 2_000_000, "u2")
+        assert got[("Bob", "works_for")] == ("Acme", 1_000_000, "u1")
+
+    def test_tie_breaks_deterministic_and_split_invariant(self):
+        tri = [
+            ("S", "p", "B", "u2", 0),  # same ts: url u1 < u2 wins
+            ("S", "p", "A", "u1", 5),
+            ("S", "p", "Z", "u1", 1),  # same ts+url: seg 1 < 5? no — seg asc
+        ]
+        pages = [("u1", 7), ("u2", 7)]
+        got = self._run(tri, pages)
+        # u1 wins over u2; within u1, seg_id 1 < 5 -> obj Z
+        assert got[("S", "p")] == ("Z", 7, "u1")
+
+    def test_unjoined_triples_drop(self):
+        got = self._run(
+            tri_rows=[("X", "p", "Y", "missing", 0), ("A", "p", "B", "u1", 0)],
+            page_rows=[("u1", 1)],
+        )
+        assert set(got) == {("A", "p")}
