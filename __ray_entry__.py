@@ -926,6 +926,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- temporal-KG snapshot: newest crawled assertion per
         # (subject, predicate) ---
         "kg_latest_assertions": _kg_latest_assertions,
+        # --- per-group HLL: approx distinct users per event type with
+        # 2^p-bounded state (registers exact => oracle-checkable) ---
+        "events_user_hll": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.sketch", fromlist=["groupwise_hll"]
+        ).groupwise_hll(_read(sf, "events"), "event_type", "user_id"),
     }
     # The driver's correctness gate may sample only a prefix of this
     # registry — order the least-proven entries first so the ops with the
@@ -937,7 +942,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new / changed this round (IRLS quality classifier; BPE trainer;
         # mp4 media rows; png+jpeg media rows; multilingual corpus;
         # Misra-Gries heavy hitters; sentence-df boilerplate strip;
-        # temporal snapshot)
+        # temporal snapshot; per-group HLL)
+        "events_user_hll",
         "kg_latest_assertions",
         "kg_boilerplate_strip",
         "kg_heavy_tokens",
@@ -1042,6 +1048,10 @@ def oracle_sql() -> dict[str, str]:
         ).strip_boilerplate_oracle_sql(
             f"select url, text from read_parquet('{gold}/pages/*.parquet')"
         ),
+        "events_user_hll": __import__(
+            "pdf_entity_extraction_ray.ops.sketch",
+            fromlist=["groupwise_hll_oracle_sql"],
+        ).groupwise_hll_oracle_sql("events", "event_type", "user_id"),
         "kg_latest_assertions": f"""
             with {kg_cte},
             tri as ({tri_canon}),

@@ -302,3 +302,80 @@ def heavy_tokens_oracle_sql(source_sql: str, phi: float = 0.005) -> str:
         from tok group by token
         having count(*) >= ceil({phi} * (select total from n))
     """
+
+
+def groupwise_hll(ds, group_col: str, value_col: str, p: int = HLL_P):
+    """Per-group HyperLogLog registers — approximate COUNT(DISTINCT value)
+    BY group with per-group state bounded at 2^p registers, the way a
+    10^12-row table answers "distinct users per event type" without a
+    (group, value) distinct-shuffle.
+
+    Each block folds its (group, distinct-values) into sparse
+    (group, bucket, rho_max) partial rows (<= groups x 2^p per block, in
+    practice ~groups x distinct-ish); registers merge with MAX in one
+    small groupby.  Registers are EXACT integers under the fixed md5
+    hash, so the distributed result is deterministic and the DuckDB
+    oracle re-derives every register with integer bit logic.  Feed the
+    per-group register table to :func:`hll_estimate` (filtered to one
+    group) for the cardinality estimate."""
+    from ray.data.aggregate import Max
+
+    w_bits = 64 - p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        per_group: dict[str, dict[int, int]] = {}
+        for g, v in zip(
+            batch.column(group_col).to_pylist(),
+            batch.column(value_col).to_pylist(),
+        ):
+            h = _md5_hash64(str(v).encode("utf-8"))
+            bucket = h >> w_bits
+            w = h & ((1 << w_bits) - 1)
+            rho = w_bits - w.bit_length() + 1 if w else 0
+            if rho:
+                regs = per_group.setdefault(str(g), {})
+                if rho > regs.get(bucket, 0):
+                    regs[bucket] = rho
+        gs, bs, rs = [], [], []
+        for g, regs in per_group.items():
+            for b, r in regs.items():
+                gs.append(g)
+                bs.append(b)
+                rs.append(r)
+        return pa.table(
+            {
+                group_col: pa.array(gs, pa.string()),
+                "bucket": pa.array(np.array(bs, dtype=np.int64), pa.int64()),
+                "rho_max": pa.array(np.array(rs, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([group_col, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "bucket"])
+        .aggregate(Max("rho_max", alias_name="rho_max"))
+    )
+
+
+def groupwise_hll_oracle_sql(
+    table: str, group_col: str, value_col: str, p: int = HLL_P
+) -> str:
+    """DuckDB mirror of :func:`groupwise_hll`: the exact register bit
+    logic of :func:`hll_oracle_sql`, partitioned by the group column."""
+    w_bits = 64 - p
+    return f"""
+        with v as (select distinct {group_col}::varchar as g,
+                          {value_col}::varchar as val
+                   from {table}),
+             h as (select g, md5_number_upper(val) as hv from v),
+             r as (select g, (hv >> {w_bits})::bigint as bucket,
+                          case when (hv & {(1 << w_bits) - 1}) = 0 then 0
+                               else list_position(
+                                   [((hv >> ({w_bits} - b)) & 1)::bigint
+                                    for b in range(1, {w_bits + 1})], 1)
+                          end as rho
+                   from h)
+        select g as {group_col}, bucket, max(rho)::bigint as rho_max
+        from r group by g, bucket having max(rho) > 0
+    """

@@ -1324,3 +1324,66 @@ class TestStripBoilerplate:
         out = _collect(strip_boilerplate(self._pages(texts), df_frac=0.3))
         m = dict(zip(out.column("url").to_pylist(), out.column("clean_text").to_pylist()))
         assert m["https://h0.test/p"] == "dup. dup. x"
+
+
+class TestGroupwiseHLL:
+    """Per-group HyperLogLog registers (ops/sketch.groupwise_hll)."""
+
+    @staticmethod
+    def _events(rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.array([r[0] for r in rows], pa.string()),
+                    "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                }
+            )
+        )
+
+    def test_registers_match_single_process_and_split_invariant(self):
+        from pdf_entity_extraction_ray.functions.similarity import _md5_hash64
+        from pdf_entity_extraction_ray.ops.sketch import groupwise_hll
+
+        rows = [("click", i % 37) for i in range(200)] + [
+            ("view", i % 113) for i in range(300)
+        ]
+        p = 8
+        out = _collect(groupwise_hll(self._events(rows), "event_type", "user_id", p=p))
+        got = {
+            (g, b): r
+            for g, b, r in zip(
+                out.column("event_type").to_pylist(),
+                out.column("bucket").to_pylist(),
+                out.column("rho_max").to_pylist(),
+            )
+        }
+        # single-process reference registers
+        want: dict = {}
+        w_bits = 64 - p
+        for g, u in set(rows):
+            h = _md5_hash64(str(u).encode())
+            b, w = h >> w_bits, h & ((1 << w_bits) - 1)
+            rho = w_bits - w.bit_length() + 1 if w else 0
+            if rho and rho > want.get((g, b), 0):
+                want[(g, b)] = rho
+        assert got == want
+        out2 = _collect(
+            groupwise_hll(self._events(rows).repartition(11), "event_type", "user_id", p=p)
+        )
+        got2 = {
+            (g, b): r
+            for g, b, r in zip(
+                out2.column("event_type").to_pylist(),
+                out2.column("bucket").to_pylist(),
+                out2.column("rho_max").to_pylist(),
+            )
+        }
+        assert got2 == got
+
+    def test_estimate_close_to_exact(self):
+        from pdf_entity_extraction_ray.ops.sketch import groupwise_hll, hll_estimate
+
+        rows = [("t", i) for i in range(1000)]
+        out = _collect(groupwise_hll(self._events(rows), "event_type", "user_id"))
+        est = hll_estimate(out.drop_columns(["event_type"]))
+        assert abs(est - 1000) / 1000 < 0.08
