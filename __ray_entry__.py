@@ -408,6 +408,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
         )
 
+    def _kg_bfs(sf_dir):
+        """k-hop neighborhood: multi-source BFS depths (<= 4 hops) from
+        the 3 lexicographically smallest canonical entities, run as the
+        frontier-only BSP loop in ops/graph_stats.bfs_depths.  Seeds are
+        found with a per-batch min-3 combiner (<= 3 rows/block) so the
+        seed sort never touches the full node set."""
+        import pyarrow as pa
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import bfs_depths
+
+        res = _kg_artifacts(sf_dir)
+        edges = ray.data.read_parquet(
+            res["edges"],
+            columns=["src_id", "dst_id", "src_canonical", "dst_canonical"],
+        )
+
+        def min3(batch: pa.Table) -> pa.Table:
+            cs = sorted(
+                set(batch.column("src_canonical").to_pylist())
+                | set(batch.column("dst_canonical").to_pylist())
+            )[:3]
+            return pa.table({"canonical": pa.array(cs, pa.string())})
+
+        seeds = sorted(
+            {
+                r["canonical"]
+                for r in edges.select_columns(["src_canonical", "dst_canonical"])
+                .map_batches(min3, batch_format="pyarrow")
+                .take_all()
+            }
+        )[:3]
+        return bfs_depths(edges, seeds, max_depth=4)
+
     def _kg_lang_stats(sf_dir):
         """Mention volume per (lang, type) over the multilingual corpus —
         the visible gate that non-English pages (es/fr/de/pt) flow through
@@ -931,6 +965,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_hll": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.sketch", fromlist=["groupwise_hll"]
         ).groupwise_hll(_read(sf, "events"), "event_type", "user_id"),
+        # --- k-hop BFS neighborhood over the entity graph (frontier-only
+        # BSP; oracle = bounded recursive CTE) ---
+        "kg_bfs": _kg_bfs,
     }
     # The driver's correctness gate may sample only a prefix of this
     # registry — order the least-proven entries first so the ops with the
@@ -942,7 +979,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new / changed this round (IRLS quality classifier; BPE trainer;
         # mp4 media rows; png+jpeg media rows; multilingual corpus;
         # Misra-Gries heavy hitters; sentence-df boilerplate strip;
-        # temporal snapshot; per-group HLL)
+        # temporal snapshot; per-group HLL; BFS)
+        "kg_bfs",
         "events_user_hll",
         "kg_latest_assertions",
         "kg_boilerplate_strip",
@@ -1052,6 +1090,25 @@ def oracle_sql() -> dict[str, str]:
             "pdf_entity_extraction_ray.ops.sketch",
             fromlist=["groupwise_hll_oracle_sql"],
         ).groupwise_hll_oracle_sql("events", "event_type", "user_id"),
+        "kg_bfs": f"""
+            with recursive {kg_cte},
+            tri as ({tri_canon}),
+            e0 as (select distinct subj_canonical as u, obj_canonical as v
+                   from tri),
+            edges as (select u, v from e0 union select v, u from e0),
+            seeds as (select u as node from (
+                          select u from edges union select v from edges)
+                      order by node limit 3),
+            reach(node, depth) as (
+                select node, 0 from seeds
+                union
+                select e.v, r.depth + 1 from reach r
+                join edges e on e.u = r.node
+                where r.depth < 4
+            )
+            select node as canonical, min(depth)::bigint as depth
+            from reach group by node
+        """,
         "kg_latest_assertions": f"""
             with {kg_cte},
             tri as ({tri_canon}),

@@ -1589,3 +1589,211 @@ def latest_assertions(triples_ds, pages_ds, num_partitions: int | None = None):
         .groupby(["subj_canonical", "pred"])
         .map_groups(winner, batch_format="pyarrow")
     )
+
+
+def _bfs_remotes():
+    """BSP worker tasks for multi-source BFS (lazy so import never
+    touches Ray)."""
+    import numpy as np
+
+    import ray
+
+    @ray.remote
+    def split_edges(tbl: pa.Table, P: int):
+        if tbl.num_rows == 0 or "u" not in tbl.column_names:
+            empty = np.empty(0, np.int64)
+            return [(empty, empty)] * P
+        u = np.asarray(tbl.column("u").to_pylist(), dtype=np.int64)
+        v = np.asarray(tbl.column("v").to_pylist(), dtype=np.int64)
+        dest = u % P
+        order = np.argsort(dest, kind="stable")
+        u, v, dest = u[order], v[order], dest[order]
+        bounds = np.searchsorted(dest, np.arange(P + 1))
+        return [(u[bounds[p]: bounds[p + 1]], v[bounds[p]: bounds[p + 1]]) for p in range(P)]
+
+    @ray.remote
+    def concat_part(seed_ids, *edge_parts):
+        """Partition state: u-sorted out-edges, sorted node array (u
+        endpoints owned by this partition under u % P), per-node depth
+        (0 for seeds, "infinity" otherwise) and an all-seeds frontier."""
+        INF = np.iinfo(np.int64).max
+        # P == 1 ships the un-split 1-element list (num_returns=1 does
+        # not unwrap); normalize to the (u, v) tuple
+        edge_parts = [s[0] if isinstance(s, list) else s for s in edge_parts]
+        u = np.concatenate([s[0] for s in edge_parts]) if edge_parts else np.empty(0, np.int64)
+        v = np.concatenate([s[1] for s in edge_parts]) if edge_parts else np.empty(0, np.int64)
+        order = np.argsort(u, kind="stable")
+        u, v = u[order], v[order]
+        nodes = np.unique(u)
+        depth = np.full(len(nodes), INF, dtype=np.int64)
+        idx = np.searchsorted(nodes, seed_ids)
+        ok = (idx < len(nodes))
+        sub = idx[ok]
+        sub = sub[nodes[sub] == seed_ids[ok]]
+        depth[sub] = 0
+        frontier = np.zeros(len(nodes), dtype=bool)
+        frontier[sub] = True
+        return u, v, nodes, depth, frontier
+
+    @ray.remote
+    def msgs(part, P: int):
+        """(dst, depth+1) shards from this round's FRONTIER nodes only —
+        message volume per round is O(frontier out-degree), not O(V)."""
+        u, v, nodes, depth, frontier = part
+        if not frontier.any():
+            ei = np.empty(0, np.int64)
+            return [(ei, ei)] * P
+        lo = np.searchsorted(u, nodes[frontier], side="left")
+        hi = np.searchsorted(u, nodes[frontier], side="right")
+        # gather each frontier node's edge range
+        vs = np.concatenate([v[a:b] for a, b in zip(lo, hi)]) if len(lo) else np.empty(0, np.int64)
+        ds_ = np.concatenate(
+            [np.full(b - a, d, dtype=np.int64) for a, b, d in zip(lo, hi, depth[frontier])]
+        ) if len(lo) else np.empty(0, np.int64)
+        ds_ = ds_ + 1
+        dest = vs % P
+        order = np.argsort(dest, kind="stable")
+        vs, ds_, dest = vs[order], ds_[order], dest[order]
+        bounds = np.searchsorted(dest, np.arange(P + 1))
+        return [(vs[bounds[p]: bounds[p + 1]], ds_[bounds[p]: bounds[p + 1]]) for p in range(P)]
+
+    @ray.remote
+    def reduce_part(part, *incoming):
+        u, v, nodes, depth, _ = part
+        new = depth.copy()
+        incoming = [s[0] if isinstance(s, list) else s for s in incoming]
+        for mv, md in incoming:
+            if len(mv):
+                idx = np.searchsorted(nodes, mv)
+                np.minimum.at(new, idx, md)
+        frontier = new < depth
+        return (u, v, nodes, new, frontier), bool(frontier.any())
+
+    @ray.remote
+    def to_table(part) -> pa.Table:
+        INF = np.iinfo(np.int64).max
+        _, _, nodes, depth, _ = part
+        fin = depth < INF
+        return pa.table(
+            {
+                "node": pa.array(nodes[fin], pa.int64()),
+                "depth": pa.array(depth[fin], pa.int64()),
+            }
+        )
+
+    return split_edges, concat_part, msgs, reduce_part, to_table
+
+
+def bfs_depths(edges_ds, seeds, *, max_depth: int = 6,
+               num_partitions: int | None = None):
+    """Multi-source BFS: hop distance (<= ``max_depth``) from a seed set
+    of canonical entities over the UNDIRECTED entity graph — the k-hop
+    neighborhood query a KG serves ("everything within 3 hops of X").
+
+    Same BSP shape as components/PageRank (iterative algorithms are the
+    one place the Dataset API genuinely can't express the semantics):
+    symmetric int-id edges hash-partition ONCE by source; each round only
+    the FRONTIER (nodes whose depth improved last round) sends
+    (dst, depth+1) messages to peer partitions, minima fold vectorized —
+    so total message volume across the whole run is O(sum of frontier
+    degrees) = O(E), matching sequential BFS work.  Exactly ``max_depth``
+    rounds bound the loop (round r settles depth r+1), with early exit
+    when every frontier empties.
+
+    ``seeds`` are canonical strings (resolved to int ids through the
+    edges' own id columns).  Emits (canonical, depth) for reached nodes
+    only.  Depths are a pure function of the graph, so a DuckDB
+    recursive CTE mirrors exactly."""
+    import numpy as np
+    import ray
+    import ray.data
+    from ray.data.aggregate import Min
+
+    from .dedup import _join_partitions
+
+    # ---- id <-> canonical map (node rows only, never edges) ----
+    def idmap(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src_id" not in batch.column_names:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "canonical": pa.array([], pa.string())}
+            )
+        seen: dict[int, str] = {}
+        for side in ("src", "dst"):
+            seen.update(
+                zip(
+                    batch.column(f"{side}_id").to_pylist(),
+                    batch.column(f"{side}_canonical").to_pylist(),
+                )
+            )
+        return pa.table(
+            {
+                "node": pa.array(list(seen), pa.int64()),
+                "canonical": pa.array(list(seen.values()), pa.string()),
+            }
+        )
+
+    nodes = (
+        edges_ds.select_columns(["src_id", "src_canonical", "dst_id", "dst_canonical"])
+        .map_batches(idmap, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("canonical", alias_name="canonical"))
+        .materialize()  # node rows; reused for seed lookup and re-keying
+    )
+    seed_set = set(seeds)
+    seed_rows = nodes.filter(lambda r: r["canonical"] in seed_set).take_all()
+    seed_ids = np.asarray(sorted(r["node"] for r in seed_rows), dtype=np.int64)
+
+    def sym(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src_id" not in batch.column_names:
+            return pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+        a = np.asarray(batch.column("src_id").to_pylist(), dtype=np.int64)
+        b = np.asarray(batch.column("dst_id").to_pylist(), dtype=np.int64)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([a, b]), pa.int64()),
+                "v": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    P = num_partitions or max(4, int(ray.cluster_resources().get("CPU", 4)))
+    split_edges, concat_part, msgs, reduce_part, to_table = _bfs_remotes()
+
+    sym_ds = edges_ds.select_columns(["src_id", "dst_id"]).map_batches(
+        sym, batch_format="pyarrow"
+    ).materialize()
+    block_refs = list(sym_ds.to_arrow_refs())
+    shard_lists = [split_edges.options(num_returns=P).remote(r, P) for r in block_refs]
+    if P == 1:
+        shard_lists = [[s] for s in shard_lists]
+    seed_ref = ray.put(seed_ids)
+    parts = [
+        concat_part.remote(seed_ref, *[shard_lists[i][p] for i in range(len(block_refs))])
+        for p in range(P)
+    ]
+
+    for _ in range(max_depth):
+        msg_lists = [msgs.options(num_returns=P).remote(parts[p], P) for p in range(P)]
+        if P == 1:
+            msg_lists = [[m] for m in msg_lists]
+        new = [
+            reduce_part.options(num_returns=2).remote(
+                parts[p], *[msg_lists[q][p] for q in range(P)]
+            )
+            for p in range(P)
+        ]
+        parts = [n[0] for n in new]
+        changed = ray.get([n[1] for n in new])
+        if not any(changed):
+            break
+
+    depths = ray.data.from_arrow_refs([to_table.remote(p) for p in parts]).materialize()
+    empty = pa.table(
+        {"canonical": pa.array([], pa.string()), "depth": pa.array([], pa.int64())}
+    )
+    if len(seed_ids) == 0 or depths.count() == 0:
+        # unknown seeds reach nothing; short-circuit unconditionally — an
+        # empty side crashes Ray's hash join (see triangle_counts)
+        return ray.data.from_arrow(empty)
+    n_part = 1 if nodes.count() < 10_000 else _join_partitions()
+    out = depths.join(nodes, join_type="inner", num_partitions=n_part, on=("node",))
+    return out.select_columns(["canonical", "depth"])

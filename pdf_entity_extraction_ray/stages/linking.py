@@ -504,6 +504,9 @@ def _lp_remotes():
         """Assemble one partition: edges sorted by u + its node/label state.
         Nodes are the unique u values (u is the partition key, and sym
         edges contain every node as a source)."""
+        # P == 1 ships the un-split 1-element list (num_returns=1 does
+        # not unwrap); normalize each shard to its (u, v) tuple
+        shards = [s[0] if isinstance(s, list) else s for s in shards]
         u = np.concatenate([s[0] for s in shards]) if shards else np.empty(0, np.int64)
         v = np.concatenate([s[1] for s in shards]) if shards else np.empty(0, np.int64)
         order = np.argsort(u, kind="stable")
@@ -527,6 +530,7 @@ def _lp_remotes():
         """Fold incoming min-label messages into one partition's state."""
         u, v, nodes, labels = part
         new = labels.copy()
+        incoming = [s[0] if isinstance(s, list) else s for s in incoming]
         for mv, ml in incoming:
             if len(mv):
                 idx = np.searchsorted(nodes, mv)

@@ -646,3 +646,84 @@ class TestLatestAssertions:
             page_rows=[("u1", 1)],
         )
         assert set(got) == {("A", "p")}
+
+
+class TestBfsDepths:
+    """Frontier-only BSP multi-source BFS (ops/graph_stats.bfs_depths)."""
+
+    @staticmethod
+    def _edges(pairs):
+        names = sorted({x for p in pairs for x in p})
+        ids = {c: i + 100 for i, c in enumerate(names)}
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "src_id": pa.array([ids[a] for a, _ in pairs], pa.int64()),
+                    "dst_id": pa.array([ids[b] for _, b in pairs], pa.int64()),
+                    "src_canonical": pa.array([a for a, _ in pairs], pa.string()),
+                    "dst_canonical": pa.array([b for _, b in pairs], pa.string()),
+                }
+            )
+        )
+
+    @staticmethod
+    def _depths(ds):
+        from pdf_entity_extraction_ray.ops.graph_stats import bfs_depths
+        return bfs_depths, ds
+
+    def test_chain_and_unreachable(self):
+        from pdf_entity_extraction_ray.ops.graph_stats import bfs_depths
+
+        ds = self._edges([("A", "B"), ("B", "C"), ("C", "D"), ("X", "Y")])
+        out = {r["canonical"]: r["depth"] for r in bfs_depths(ds, ["A"]).take_all()}
+        assert out == {"A": 0, "B": 1, "C": 2, "D": 3}  # X, Y unreached
+
+    def test_max_depth_cuts_and_multi_source(self):
+        from pdf_entity_extraction_ray.ops.graph_stats import bfs_depths
+
+        chain = [(f"n{i}", f"n{i+1}") for i in range(8)]
+        ds = self._edges(chain)
+        out = {r["canonical"]: r["depth"]
+               for r in bfs_depths(ds, ["n0"], max_depth=3).take_all()}
+        assert out == {"n0": 0, "n1": 1, "n2": 2, "n3": 3}
+        # two seeds meet in the middle; undirected edges walk both ways
+        out2 = {r["canonical"]: r["depth"]
+                for r in bfs_depths(ds, ["n0", "n8"], max_depth=4).take_all()}
+        assert out2["n4"] == 4 and out2["n8"] == 0 and out2["n5"] == 3
+
+    def test_cycle_and_partition_invariance(self):
+        from pdf_entity_extraction_ray.ops.graph_stats import bfs_depths
+
+        cyc = [(f"c{i}", f"c{(i+1) % 6}") for i in range(6)]
+        ds = self._edges(cyc)
+        a = {r["canonical"]: r["depth"]
+             for r in bfs_depths(ds, ["c0"], num_partitions=1).take_all()}
+        b = {r["canonical"]: r["depth"]
+             for r in bfs_depths(ds.repartition(5), ["c0"], num_partitions=7).take_all()}
+        assert a == b == {"c0": 0, "c1": 1, "c5": 1, "c2": 2, "c4": 2, "c3": 3}
+
+
+def test_components_single_partition_explicit():
+    """num_partitions=1 ships un-split shard lists (Ray num_returns=1
+    does not unwrap); the BSP loop must normalize and still converge."""
+    from pdf_entity_extraction_ray.stages.linking import components_from_int_edges
+
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([1, 2, 10], pa.int64()),
+                "b": pa.array([2, 3, 11], pa.int64()),
+            }
+        )
+    )
+    out = {r["node"]: r["label"]
+           for r in components_from_int_edges(edges, num_partitions=1).take_all()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_bfs_unknown_seed_returns_empty():
+    from pdf_entity_extraction_ray.ops.graph_stats import bfs_depths
+
+    edges = TestBfsDepths._edges([("A", "B")])
+    out = bfs_depths(edges, ["NOT_IN_GRAPH"]).take_all()
+    assert out == []
