@@ -968,6 +968,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- k-hop BFS neighborhood over the entity graph (frontier-only
         # BSP; oracle = bounded recursive CTE) ---
         "kg_bfs": _kg_bfs,
+        # --- overlap-coefficient (containment) near-dup pairs: the
+        # doc-inside-doc duplicates Jaccard structurally misses ---
+        "docs_containment_dedup": lambda sf: dedup.ngram_containment_pairs(
+            _read(sf, "documents"), 0.8
+        ),
     }
     # The driver's correctness gate may sample only a prefix of this
     # registry — order the least-proven entries first so the ops with the
@@ -979,7 +984,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new / changed this round (IRLS quality classifier; BPE trainer;
         # mp4 media rows; png+jpeg media rows; multilingual corpus;
         # Misra-Gries heavy hitters; sentence-df boilerplate strip;
-        # temporal snapshot; per-group HLL; BFS)
+        # temporal snapshot; per-group HLL; BFS; containment dedup)
+        "docs_containment_dedup",
         "kg_bfs",
         "events_user_hll",
         "kg_latest_assertions",
@@ -1090,6 +1096,10 @@ def oracle_sql() -> dict[str, str]:
             "pdf_entity_extraction_ray.ops.sketch",
             fromlist=["groupwise_hll_oracle_sql"],
         ).groupwise_hll_oracle_sql("events", "event_type", "user_id"),
+        "docs_containment_dedup": __import__(
+            "pdf_entity_extraction_ray.ops.dedup",
+            fromlist=["containment_pairs_oracle_sql"],
+        ).containment_pairs_oracle_sql(0.8),
         "kg_bfs": f"""
             with recursive {kg_cte},
             tri as ({tri_canon}),

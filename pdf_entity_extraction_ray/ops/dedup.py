@@ -286,10 +286,13 @@ def minhash_lsh_pairs(
     return exact_jaccard_verify(candidates, docs_ds, threshold, num_partitions)
 
 
-def exact_jaccard_verify(candidates, docs_ds, threshold: float, num_partitions: int | None = None):
+def exact_jaccard_verify(candidates, docs_ds, threshold: float, num_partitions: int | None = None,
+                         sim_fn=None):
     """(doc_a, doc_b) candidate pairs -> the subset with exact word-shingle
-    Jaccard >= ``threshold`` (shared verify stage of the blocking-based
-    near-dup ops: :func:`minhash_lsh_pairs`, :func:`ngram_jaccard_pairs`).
+    similarity >= ``threshold`` (shared verify stage of the blocking-based
+    near-dup ops: :func:`minhash_lsh_pairs`, :func:`ngram_jaccard_pairs`,
+    :func:`ngram_containment_pairs`).  ``sim_fn(set_a, set_b) -> float``
+    picks the set similarity; default Jaccard.
 
     Both texts are fetched through ONE hash-shuffle ``Dataset.join``
     against the (doc_id, text) projection: pairs explode into side-tagged
@@ -378,6 +381,7 @@ def exact_jaccard_verify(candidates, docs_ds, threshold: float, num_partitions: 
         # memoize per batch: a doc in k candidate pairs shingles once, not
         # k times (candidate volume >> doc count on dup-heavy corpora)
         cache: dict[str, set] = {}
+        fn = sim_fn or jaccard
 
         def sh(t: str) -> set:
             s = cache.get(t)
@@ -389,7 +393,7 @@ def exact_jaccard_verify(candidates, docs_ds, threshold: float, num_partitions: 
         for i, (ta, tb) in enumerate(
             zip(batch.column("text_a").to_pylist(), batch.column("text_b").to_pylist())
         ):
-            if jaccard(sh(ta), sh(tb)) >= threshold:
+            if fn(sh(ta), sh(tb)) >= threshold:
                 keep.append(i)
         return batch.take(pa.array(keep, pa.int64())).select(["doc_a", "doc_b"])
 
@@ -1486,3 +1490,171 @@ def remove_duplicated_spans(
         n_part = 1
     joined = docs.join(span_lists, join_type="left_outer", num_partitions=n_part, on=("doc_id",))
     return joined.map_batches(cut, fn_kwargs={"with_spans": True}, batch_format="pyarrow")
+
+
+def overlap_coefficient(a: set, b: set) -> float:
+    """|A n B| / min(|A|, |B|) — the symmetric containment ("is the
+    smaller document essentially inside the larger one").  0.0 when
+    either set is empty."""
+    if not a or not b:
+        return 0.0
+    small, large = (a, b) if len(a) <= len(b) else (b, a)
+    return len(small & large) / len(small)
+
+
+def ngram_containment_pairs(
+    docs_ds, threshold: float = 0.8, num_partitions: int | None = None
+):
+    """EXACT (doc_a, doc_b) pairs (doc_a < doc_b) whose word-3-gram
+    OVERLAP COEFFICIENT |A n B| / min(|A|, |B|) >= ``threshold`` — the
+    doc-inside-doc near-dups Jaccard structurally misses (a page embedded
+    verbatim in a 10x longer page has containment 1.0 but Jaccard ~0.1).
+
+    Blocking is the one-sided prefix-filter analog of
+    :func:`ngram_jaccard_pairs`: containment >= t forces overlap >=
+    ceil(t * n_small), so the SMALLER side's rarest-first prefix
+    (``n - ceil(t*n) + 1`` shingles under the CMS-estimated-DF order)
+    must intersect the larger side's FULL shingle set — the container
+    side admits no prefix (its size is unbounded relative to the
+    contained side), which is the classic containment-join asymmetry.
+    Candidate volume is therefore sum over prefix rows of df(token);
+    the rarest-first order keeps probed posting lists small by
+    construction (a prefix token is by definition among its document's
+    rarest).  The same one-join text fetch verifies exactly with
+    :func:`overlap_coefficient`.  Full-side rows cost one (token, doc,
+    size) row per shingle — the same exploded volume the ``"df"``
+    Jaccard order already ships."""
+    import math
+
+    import ray
+
+    sketch_ref = ray.put(build_df_sketch(docs_ds))
+
+    def rows(batch: pa.Table) -> pa.Table:
+        """Prefix rows (kind=0, with position) + full rows (kind=1)."""
+        import ray as _ray
+
+        sketch = _ray.get(sketch_ref)
+        tok_p, doc_p, size_p, pos_p, kind_p = [], [], [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            sh = _word_shingles(text)
+            n = len(sh)
+            if n == 0:
+                continue
+            hvs = np.fromiter(
+                (_stable_hash64(s.encode("utf-8")) for s in sh),
+                dtype=np.uint64, count=n,
+            )
+            order = np.lexsort((hvs, _cms_estimate(hvs, sketch)))
+            p = n - math.ceil(threshold * n - 1e-9) + 1
+            pref = hvs[order[:p]]
+            tok_p.append(pref)
+            doc_p.append(np.full(len(pref), doc_id, dtype=np.int64))
+            size_p.append(np.full(len(pref), n, dtype=np.int64))
+            pos_p.append(np.arange(len(pref), dtype=np.int32))
+            kind_p.append(np.zeros(len(pref), dtype=np.int8))
+            tok_p.append(hvs)
+            doc_p.append(np.full(n, doc_id, dtype=np.int64))
+            size_p.append(np.full(n, n, dtype=np.int64))
+            pos_p.append(np.full(n, -1, dtype=np.int32))
+            kind_p.append(np.ones(n, dtype=np.int8))
+        if not tok_p:
+            return pa.table(
+                {
+                    "shard": pa.array([], pa.int32()),
+                    "token": pa.array([], pa.uint64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "size": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int32()),
+                    "kind": pa.array([], pa.int8()),
+                }
+            )
+        toks = np.concatenate(tok_p)
+        return pa.table(
+            {
+                "shard": pa.array(
+                    (toks % np.uint64(BAND_SHARDS)).astype(np.int32), pa.int32()
+                ),
+                "token": pa.array(toks, pa.uint64()),
+                "doc_id": pa.array(np.concatenate(doc_p), pa.int64()),
+                "size": pa.array(np.concatenate(size_p), pa.int64()),
+                "pos": pa.array(np.concatenate(pos_p), pa.int32()),
+                "kind": pa.array(np.concatenate(kind_p), pa.int8()),
+            }
+        )
+
+    def shard_candidates(group: pa.Table) -> pa.Table:
+        import math
+
+        if group.num_rows == 0 or "token" not in group.column_names:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+            )
+        prefs: dict[int, list] = {}
+        fulls: dict[int, list] = {}
+        for tok, doc, size, pos, kind in zip(
+            group.column("token").to_pylist(),
+            group.column("doc_id").to_pylist(),
+            group.column("size").to_pylist(),
+            group.column("pos").to_pylist(),
+            group.column("kind").to_pylist(),
+        ):
+            (prefs if kind == 0 else fulls).setdefault(tok, []).append(
+                (doc, size, pos)
+            )
+        a, b = [], []
+        seen: set[tuple[int, int]] = set()
+        for tok, plist in prefs.items():
+            flist = fulls.get(tok)
+            if not flist:
+                continue
+            for dp, np_, pos in plist:
+                need = math.ceil(threshold * np_ - 1e-9)
+                # positional filter: tokens of dp at or after this prefix
+                # position number np_ - pos; fewer than `need` can't reach
+                if np_ - pos < need:
+                    continue
+                for df_, nf, _ in flist:
+                    if df_ == dp or nf < np_:
+                        continue  # the prefix side must be the smaller
+                    pair = (dp, df_) if dp < df_ else (df_, dp)
+                    if pair not in seen:
+                        seen.add(pair)
+                        a.append(pair[0])
+                        b.append(pair[1])
+        return pa.table(
+            {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())}
+        )
+
+    candidates = (
+        docs_ds.select_columns(["doc_id", "text"])
+        .map_batches(rows, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_candidates, batch_format="pyarrow")
+    )
+    return exact_jaccard_verify(
+        candidates, docs_ds, threshold, num_partitions, sim_fn=overlap_coefficient
+    )
+
+
+def containment_pairs_oracle_sql(threshold: float = 0.8) -> str:
+    """DuckDB mirror of :func:`ngram_containment_pairs`: brute-force
+    overlap coefficient over the same distinct word-3-gram sets."""
+    return f"""
+        with w as (select doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') as ws
+                   from documents),
+             t as (select doc_id,
+                          case when len(ws) >= 3 then
+                                 list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                                for i in range(1, len(ws) - 1)])
+                               when len(ws) > 0 then [list_aggregate(ws, 'string_agg', ' ')]
+                               else [] end as sh
+                   from w)
+        select a.doc_id as doc_a, b.doc_id as doc_b
+        from t a join t b on a.doc_id < b.doc_id
+        where len(a.sh) > 0 and len(b.sh) > 0
+          and len(list_intersect(a.sh, b.sh))::double
+              / least(len(a.sh), len(b.sh)) >= {threshold}
+    """

@@ -1387,3 +1387,62 @@ class TestGroupwiseHLL:
         out = _collect(groupwise_hll(self._events(rows), "event_type", "user_id"))
         est = hll_estimate(out.drop_columns(["event_type"]))
         assert abs(est - 1000) / 1000 < 0.08
+
+
+class TestContainmentPairs:
+    """Overlap-coefficient near-dup pairs (ops/dedup.ngram_containment_pairs)."""
+
+    def test_doc_inside_doc_found_jaccard_misses(self):
+        from pdf_entity_extraction_ray.ops.dedup import (
+            ngram_containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        small = "alpha beta gamma delta epsilon zeta eta theta"
+        big = ("intro words here " + small + " then a long unrelated tail "
+               + " ".join(f"w{i}" for i in range(60)))
+        ds = _docs([small, big, "totally different text entirely now"])
+        cont = _collect(ngram_containment_pairs(ds, 0.8))
+        assert sorted(zip(cont.column("doc_a").to_pylist(),
+                          cont.column("doc_b").to_pylist())) == [(0, 1)]
+        jac = _collect(ngram_jaccard_pairs(ds, 0.8))
+        assert jac.num_rows == 0  # Jaccard structurally misses it
+
+    def test_matches_bruteforce(self):
+        import itertools
+
+        from pdf_entity_extraction_ray.ops.dedup import (
+            _word_shingles,
+            ngram_containment_pairs,
+            overlap_coefficient,
+        )
+
+        base = "one two three four five six seven eight nine ten"
+        texts = [
+            base,
+            base + " eleven twelve",
+            "one two three four five STOP completely different tail here",
+            "unrelated words entirely " + " ".join(f"z{i}" for i in range(10)),
+            base,  # exact dup of 0
+        ]
+        t = 0.7
+        out = _collect(ngram_containment_pairs(_docs(texts), t))
+        got = sorted(zip(out.column("doc_a").to_pylist(), out.column("doc_b").to_pylist()))
+        want = sorted(
+            (i, j)
+            for i, j in itertools.combinations(range(len(texts)), 2)
+            if overlap_coefficient(_word_shingles(texts[i]), _word_shingles(texts[j])) >= t
+        )
+        assert got == want and len(want) >= 2
+
+    def test_split_invariant_and_empty(self):
+        from pdf_entity_extraction_ray.ops.dedup import ngram_containment_pairs
+
+        texts = ["a b c d e f g", "x a b c d e f g y", ""] * 4
+        a = _collect(ngram_containment_pairs(_docs(texts), 0.9))
+        b = _collect(ngram_containment_pairs(_docs(texts).repartition(9), 0.9))
+        pa_ = sorted(zip(a.column("doc_a").to_pylist(), a.column("doc_b").to_pylist()))
+        pb_ = sorted(zip(b.column("doc_a").to_pylist(), b.column("doc_b").to_pylist()))
+        assert pa_ == pb_ and len(pa_) > 0
+        none = _collect(ngram_containment_pairs(_docs(["", ""]), 0.5))
+        assert none.num_rows == 0
