@@ -442,6 +442,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )[:3]
         return bfs_depths(edges, seeds, max_depth=4)
 
+    def _kg_path_counts(sf_dir):
+        """Length-2 predicate-composition census (rule-mining signal) via
+        per-node degree products — never a path-materializing self-join,
+        so hub entities cost nothing extra (ops/graph_stats.path_counts)."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import path_counts
+
+        res = _kg_artifacts(sf_dir)
+        return path_counts(
+            ray.data.read_parquet(
+                res["edges"], columns=["src_canonical", "pred", "dst_canonical"]
+            )
+        )
+
     def _kg_lang_stats(sf_dir):
         """Mention volume per (lang, type) over the multilingual corpus —
         the visible gate that non-English pages (es/fr/de/pt) flow through
@@ -973,6 +988,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_containment_dedup": lambda sf: dedup.ngram_containment_pairs(
             _read(sf, "documents"), 0.8
         ),
+        # --- predicate-composition path census (AMIE-style rule mining
+        # signal; degree products, no path materialization) ---
+        "kg_path_counts": _kg_path_counts,
     }
     # The driver's correctness gate may sample only a prefix of this
     # registry — order the least-proven entries first so the ops with the
@@ -984,7 +1002,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new / changed this round (IRLS quality classifier; BPE trainer;
         # mp4 media rows; png+jpeg media rows; multilingual corpus;
         # Misra-Gries heavy hitters; sentence-df boilerplate strip;
-        # temporal snapshot; per-group HLL; BFS; containment dedup)
+        # temporal snapshot; per-group HLL; BFS; containment dedup;
+        # path census)
+        "kg_path_counts",
         "docs_containment_dedup",
         "kg_bfs",
         "events_user_hll",
@@ -1100,6 +1120,16 @@ def oracle_sql() -> dict[str, str]:
             "pdf_entity_extraction_ray.ops.dedup",
             fromlist=["containment_pairs_oracle_sql"],
         ).containment_pairs_oracle_sql(0.8),
+        "kg_path_counts": f"""
+            with {kg_cte},
+            tri as ({tri_canon}),
+            e as (select distinct subj_canonical as s, pred,
+                         obj_canonical as o from tri)
+            select e1.pred as pred_a, e2.pred as pred_b,
+                   count(*)::bigint as n_paths
+            from e e1 join e e2 on e1.o = e2.s
+            group by e1.pred, e2.pred
+        """,
         "kg_bfs": f"""
             with recursive {kg_cte},
             tri as ({tri_canon}),

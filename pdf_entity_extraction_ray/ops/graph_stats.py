@@ -1797,3 +1797,114 @@ def bfs_depths(edges_ds, seeds, *, max_depth: int = 6,
     n_part = 1 if nodes.count() < 10_000 else _join_partitions()
     out = depths.join(nodes, join_type="inner", num_partitions=n_part, on=("node",))
     return out.select_columns(["canonical", "depth"])
+
+
+def path_counts(edges_ds, num_partitions: int | None = None):
+    """Length-2 directed path census by predicate composition: for every
+    ordered predicate pair (pred_a, pred_b), how many paths
+    s -pred_a-> m -pred_b-> o exist — the signal rule-mining (AMIE-style
+    "works_for o located_in => lives_near") starts from.
+
+    The naive form is a self-join of edges on the middle node, which
+    explodes quadratically through hub entities (countries, celebrities —
+    exactly the head-skew the brief calls out).  This op never
+    materializes a path: paths through m with labels (a, b) =
+    in_deg_a(m) * out_deg_b(m), so it computes per-node per-predicate
+    in/out degree tables (two-stage combiner aggregation), joins the two
+    small per-node tables on the node key, and sums the products per
+    (pred_a, pred_b) — cost linear in edges + distinct (node, pred)
+    pairs, flat through any hub.  Emits (pred_a, pred_b, n_paths)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .relational import _join_parts
+
+    def in_partial(batch: pa.Table) -> pa.Table:
+        cols = {
+            "node": pa.array([], pa.string()),
+            "pred_a": pa.array([], pa.string()),
+            "n_in": pa.array([], pa.int64()),
+        }
+        if batch.num_rows == 0 or "dst_canonical" not in batch.column_names:
+            return pa.table(cols)
+        g = batch.group_by(["dst_canonical", "pred"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "node": g.column("dst_canonical"),
+                "pred_a": g.column("pred"),
+                "n_in": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    def out_partial(batch: pa.Table) -> pa.Table:
+        cols = {
+            "node": pa.array([], pa.string()),
+            "pred_b": pa.array([], pa.string()),
+            "n_out": pa.array([], pa.int64()),
+        }
+        if batch.num_rows == 0 or "src_canonical" not in batch.column_names:
+            return pa.table(cols)
+        g = batch.group_by(["src_canonical", "pred"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "node": g.column("src_canonical"),
+                "pred_b": g.column("pred"),
+                "n_out": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    ein = (
+        edges_ds.select_columns(["dst_canonical", "pred"])
+        .map_batches(in_partial, batch_format="pyarrow")
+        .groupby(["node", "pred_a"])
+        .aggregate(Sum("n_in", alias_name="n_in"))
+    )
+    eout = (
+        edges_ds.select_columns(["src_canonical", "pred"])
+        .map_batches(out_partial, batch_format="pyarrow")
+        .groupby(["node", "pred_b"])
+        .aggregate(Sum("n_out", alias_name="n_out"))
+    ).materialize()
+    if eout.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "pred_a": pa.array([], pa.string()),
+                    "pred_b": pa.array([], pa.string()),
+                    "n_paths": pa.array([], pa.int64()),
+                }
+            )
+        )
+    n_part = num_partitions or _join_parts()
+    joined = ein.join(eout, join_type="inner", num_partitions=n_part, on=("node",))
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        cols = {
+            "pred_a": pa.array([], pa.string()),
+            "pred_b": pa.array([], pa.string()),
+            "n_paths": pa.array([], pa.int64()),
+        }
+        if batch.num_rows == 0 or "n_in" not in batch.column_names:
+            return pa.table(cols)
+        prod = pc.multiply(batch.column("n_in"), batch.column("n_out"))
+        t = pa.table(
+            {
+                "pred_a": batch.column("pred_a"),
+                "pred_b": batch.column("pred_b"),
+                "prod": prod,
+            }
+        )
+        g = t.group_by(["pred_a", "pred_b"]).aggregate([("prod", "sum")])
+        return pa.table(
+            {
+                "pred_a": g.column("pred_a"),
+                "pred_b": g.column("pred_b"),
+                "n_paths": g.column("prod_sum").cast(pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["pred_a", "pred_b"])
+        .aggregate(Sum("n_paths", alias_name="n_paths"))
+    )

@@ -727,3 +727,43 @@ def test_bfs_unknown_seed_returns_empty():
     edges = TestBfsDepths._edges([("A", "B")])
     out = bfs_depths(edges, ["NOT_IN_GRAPH"]).take_all()
     assert out == []
+
+
+class TestPathCounts:
+    """Predicate-composition path census (ops/graph_stats.path_counts)."""
+
+    @staticmethod
+    def _edges(rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "src_canonical": pa.array([r[0] for r in rows], pa.string()),
+                    "pred": pa.array([r[1] for r in rows], pa.string()),
+                    "dst_canonical": pa.array([r[2] for r in rows], pa.string()),
+                }
+            )
+        )
+
+    def test_matches_selfjoin_bruteforce_through_hub(self):
+        import collections
+
+        from pdf_entity_extraction_ray.ops.graph_stats import path_counts
+
+        # hub m: many in-edges x many out-edges (the skew case)
+        rows = [(f"s{i}", "works_for", "HUB") for i in range(7)]
+        rows += [("HUB", "located_in", f"c{j}") for j in range(5)]
+        rows += [("s0", "cites", "s1"), ("s1", "cites", "s2"), ("x", "p", "y")]
+        out = {(r["pred_a"], r["pred_b"]): r["n_paths"]
+               for r in path_counts(self._edges(rows)).take_all()}
+        want = collections.Counter()
+        for s1, p1, m1 in rows:
+            for s2, p2, m2 in rows:
+                if m1 == s2:
+                    want[(p1, p2)] += 1
+        assert out == dict(want)
+        assert out[("works_for", "located_in")] == 35  # 7 x 5 through HUB
+
+    def test_empty_graph(self):
+        from pdf_entity_extraction_ray.ops.graph_stats import path_counts
+
+        assert path_counts(self._edges([("a", "p", "b")])).take_all() == []
