@@ -991,6 +991,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- predicate-composition path census (AMIE-style rule mining
         # signal; degree products, no path materialization) ---
         "kg_path_counts": _kg_path_counts,
+        # --- ordered conversion funnel (greedy earliest-match per user,
+        # coarse user shards) ---
+        "events_funnel": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.relational", fromlist=["events_funnel"]
+        ).events_funnel(_read(sf, "events")),
     }
     # The driver's correctness gate may sample only a prefix of this
     # registry — order the least-proven entries first so the ops with the
@@ -1003,7 +1008,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mp4 media rows; png+jpeg media rows; multilingual corpus;
         # Misra-Gries heavy hitters; sentence-df boilerplate strip;
         # temporal snapshot; per-group HLL; BFS; containment dedup;
-        # path census)
+        # path census; funnel)
+        "events_funnel",
         "kg_path_counts",
         "docs_containment_dedup",
         "kg_bfs",
@@ -1129,6 +1135,27 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::bigint as n_paths
             from e e1 join e e2 on e1.o = e2.s
             group by e1.pred, e2.pred
+        """,
+        "events_funnel": """
+            with u1 as (select user_id, min(ts) as t from events
+                        where event_type = 'signup' group by user_id),
+                 u2 as (select e.user_id, min(e.ts) as t from events e
+                        join u1 using (user_id)
+                        where e.event_type = 'view' and e.ts > u1.t
+                        group by e.user_id),
+                 u3 as (select e.user_id, min(e.ts) as t from events e
+                        join u2 using (user_id)
+                        where e.event_type = 'click' and e.ts > u2.t
+                        group by e.user_id),
+                 u4 as (select e.user_id, min(e.ts) as t from events e
+                        join u3 using (user_id)
+                        where e.event_type = 'purchase' and e.ts > u3.t
+                        group by e.user_id)
+            select 1::bigint as step, 'signup' as event_type,
+                   count(*)::bigint as n_users from u1
+            union all select 2, 'view', count(*) from u2
+            union all select 3, 'click', count(*) from u3
+            union all select 4, 'purchase', count(*) from u4
         """,
         "kg_bfs": f"""
             with recursive {kg_cte},

@@ -1058,3 +1058,92 @@ def lineitem_rollup(lineitem_ds):
         .aggregate(Sum("sum_qty", alias_name="sum_qty"), Sum("n_rows", alias_name="n_rows"))
     )
     return finest.union(level1).union(level0)
+
+
+def events_funnel(events_ds, steps: tuple[str, ...] = ("signup", "view", "click", "purchase"),
+                  shards: int = 256):
+    """Ordered funnel: how many users performed ``steps[0]``, then
+    ``steps[1]`` STRICTLY after it, then ``steps[2]`` after that, ... —
+    the conversion query every event pipeline serves.  Greedy
+    earliest-match per user (take the first occurrence of each step after
+    the previous step's match) is complete: if any ordered subsequence
+    exists, the greedy one does, so per-user state is one timestamp.
+
+    Same coarse-shard shape as :func:`event_sessions`: users hash into
+    ``shards`` groups so one ``map_groups`` call scans many users; inside
+    a shard, per-step rows are (user, ts)-sorted once and each user's
+    "first ts after prev" lookup is a bounded binary search.  Emits one
+    row per step: (step, event_type, n_users)."""
+    import numpy as np
+
+    step_list = list(steps)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return batch
+        shard = pc.bit_wise_and(batch.column("user_id"), pa.scalar(shards - 1))
+        return batch.append_column("shard", shard.cast(pa.int32()))
+
+    def shard_funnel(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "user_id" not in group.column_names:
+            return pa.table(
+                {
+                    "step": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        users = np.asarray(group.column("user_id").to_pylist(), dtype=np.int64)
+        ts = np.asarray(group.column("ts").cast(pa.int64()).to_pylist(), dtype=np.int64)
+        types = np.asarray(group.column("event_type").to_pylist(), dtype=object)
+        # per step: (user, ts)-sorted arrays for binary-search probing
+        per_step = []
+        for st in step_list:
+            m = types == st
+            u_s, t_s = users[m], ts[m]
+            order = np.lexsort((t_s, u_s))
+            per_step.append((u_s[order], t_s[order]))
+        # step 0: first occurrence per user
+        u0, t0 = per_step[0]
+        if len(u0) == 0:
+            counts = [0] * len(step_list)
+            cur_users = np.empty(0, np.int64)
+        else:
+            first = np.r_[True, u0[1:] != u0[:-1]]
+            cur_users, prev_ts = u0[first], t0[first]
+            counts = [len(cur_users)]
+            for k in range(1, len(step_list)):
+                uk, tk = per_step[k]
+                lo = np.searchsorted(uk, cur_users, side="left")
+                hi = np.searchsorted(uk, cur_users, side="right")
+                nxt_u, nxt_t = [], []
+                for u, p, a, b in zip(cur_users, prev_ts, lo, hi):
+                    j = a + np.searchsorted(tk[a:b], p, side="right")
+                    if j < b:
+                        nxt_u.append(u)
+                        nxt_t.append(tk[j])
+                cur_users = np.asarray(nxt_u, dtype=np.int64)
+                prev_ts = np.asarray(nxt_t, dtype=np.int64)
+                counts.append(len(cur_users))
+        return pa.table(
+            {
+                "step": pa.array(np.arange(1, len(step_list) + 1), pa.int64()),
+                "event_type": pa.array(step_list, pa.string()),
+                "n_users": pa.array(counts, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    per_shard = (
+        events_ds.select_columns(["user_id", "ts", "event_type"])
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_funnel(g.drop_columns(["shard"])), batch_format="pyarrow"
+        )
+    )
+    # shards partition users, so per-shard counts SUM to the global funnel
+    return per_shard.groupby(["step", "event_type"]).aggregate(
+        Sum("n_users", alias_name="n_users")
+    )

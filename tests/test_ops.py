@@ -708,3 +708,63 @@ def test_embedding_lsh_matches_exact(ray_session):
     lsh = pairs(embedding_cosine_pairs_lsh(_read("embeddings"), 0.3))
     assert exact  # threshold 0.3 yields pairs even at sf0.001
     assert lsh == exact
+
+
+class TestEventsFunnel:
+    """Ordered conversion funnel (ops/relational.events_funnel)."""
+
+    @staticmethod
+    def _events(rows):
+        import datetime
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [datetime.datetime(2024, 1, 1, 0, 0, r[1]) for r in rows],
+                        pa.timestamp("us"),
+                    ),
+                    "event_type": pa.array([r[2] for r in rows], pa.string()),
+                }
+            )
+        )
+
+    def test_attrition_and_order_strictness(self):
+        from pdf_entity_extraction_ray.ops.relational import events_funnel
+
+        rows = [
+            # user 1 completes A -> B -> C in order
+            (1, 1, "A"), (1, 2, "B"), (1, 3, "C"),
+            # user 2 does B before A: B must not count (strictly after A)
+            (2, 1, "B"), (2, 2, "A"),
+            # user 3 does A, B but no C
+            (3, 5, "A"), (3, 6, "B"),
+            # user 4 same-second A and B: strict > excludes the tie
+            (4, 7, "A"), (4, 7, "B"),
+        ]
+        out = {r["step"]: (r["event_type"], r["n_users"])
+               for r in events_funnel(self._events(rows), steps=("A", "B", "C")).take_all()}
+        assert out == {1: ("A", 4), 2: ("B", 2), 3: ("C", 1)}
+
+    def test_greedy_earliest_is_complete(self):
+        from pdf_entity_extraction_ray.ops.relational import events_funnel
+
+        # A@1, B@2, A@3, C@4: greedy (A@1 -> B@2 -> C@4) completes
+        rows = [(9, 1, "A"), (9, 2, "B"), (9, 3, "A"), (9, 4, "C")]
+        out = {r["step"]: r["n_users"]
+               for r in events_funnel(self._events(rows), steps=("A", "B", "C")).take_all()}
+        assert out == {1: 1, 2: 1, 3: 1}
+
+    def test_split_invariant(self):
+        from pdf_entity_extraction_ray.ops.relational import events_funnel
+
+        rows = [(u, s, t) for u in range(40)
+                for s, t in [(u % 7, "A"), (u % 7 + 2, "B"), (u % 7 + 4, "C")]
+                if (u % 3 != 0 or t != "C")]
+        a = sorted((r["step"], r["n_users"])
+                   for r in events_funnel(self._events(rows), steps=("A", "B", "C")).take_all())
+        b = sorted((r["step"], r["n_users"])
+                   for r in events_funnel(self._events(rows).repartition(11),
+                                          steps=("A", "B", "C")).take_all())
+        assert a == b and a[0][1] == 40
