@@ -179,6 +179,13 @@ def run_ops(sf_dir: str, repeat: int = 1) -> dict[str, list[float]]:
             read("lineitem"), read("orders")
         ),
         "event_sessions": lambda: relational.event_sessions(read("events"), 30),
+        "events_funnel": lambda: relational.events_funnel(read("events")),
+        "events_user_hll": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.sketch", fromlist=["groupwise_hll"]
+        ).groupwise_hll(read("events"), "event_type", "user_id"),
+        "docs_containment_dedup": lambda: dedup.ngram_containment_pairs(
+            read("documents"), 0.8
+        ),
     }
     times: dict[str, list[float]] = {}
     for name, make in ops.items():
@@ -314,6 +321,34 @@ def main() -> None:
         "kg_link_pagerank": lambda: __import__(
             "pdf_entity_extraction_ray.ops.web", fromlist=["link_pagerank"]
         ).link_pagerank(ray.data.read_parquet(f"{pages_path}/pages")),
+        "kg_heavy_tokens": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.sketch", fromlist=["heavy_tokens"]
+        ).heavy_tokens(
+            ray.data.read_parquet(f"{pages_path}/pages", columns=["text"]), phi=0.005
+        ),
+        "kg_boilerplate_strip": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.web", fromlist=["strip_boilerplate"]
+        ).strip_boilerplate(
+            ray.data.read_parquet(f"{pages_path}/pages", columns=["url", "text"])
+        ),
+        "kg_path_counts": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["path_counts"]
+        ).path_counts(
+            ray.data.read_parquet(
+                kg_edges, columns=["src_canonical", "pred", "dst_canonical"]
+            )
+        ),
+        "kg_bfs": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["bfs_depths"]
+        ).bfs_depths(
+            ray.data.read_parquet(kg_edges),
+            sorted(
+                r["src_canonical"]
+                for r in ray.data.read_parquet(kg_edges, columns=["src_canonical"])
+                .take(2048)
+            )[:3],
+            max_depth=4,
+        ),
     }.items():
         walls = []
         for _ in range(repeat):

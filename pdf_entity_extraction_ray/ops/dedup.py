@@ -1520,10 +1520,16 @@ def ngram_containment_pairs(
     Candidate volume is therefore sum over prefix rows of df(token);
     the rarest-first order keeps probed posting lists small by
     construction (a prefix token is by definition among its document's
-    rarest).  The same one-join text fetch verifies exactly with
-    :func:`overlap_coefficient`.  Full-side rows cost one (token, doc,
-    size) row per shingle — the same exploded volume the ``"df"``
-    Jaccard order already ships."""
+    rarest), and rows whose CMS df-estimate is <= 1 are dropped from
+    both sides (estimate >= true df, so such tokens are provably
+    unshared) — on diverse corpora that removes most of the exploded
+    volume.  The same one-join text fetch verifies exactly with
+    :func:`overlap_coefficient`.  Caveat (shared with the Jaccard
+    ``"df"`` order): on pathologically low-diversity corpora every
+    shingle is hot, no row prunes, and the posting-list pairing
+    dominates — containment admits no size filter, so its constant is
+    larger than Jaccard's (sf0.1 documents, 31-token vocabulary:
+    ~19 s vs ~13 s)."""
     import math
 
     import ray
@@ -1547,19 +1553,31 @@ def ngram_containment_pairs(
                 (_stable_hash64(s.encode("utf-8")) for s in sh),
                 dtype=np.uint64, count=n,
             )
-            order = np.lexsort((hvs, _cms_estimate(hvs, sketch)))
+            est = _cms_estimate(hvs, sketch)
+            order = np.lexsort((hvs, est))
             p = n - math.ceil(threshold * n - 1e-9) + 1
-            pref = hvs[order[:p]]
+            # a token with CMS df-ESTIMATE <= 1 has true df <= 1 (CMS only
+            # overestimates): it is shared by no other document, so rows
+            # carrying it can never produce a candidate — drop them from
+            # BOTH sides (positions keep their full-order index, so the
+            # positional filter's n - pos bound is untouched).  On diverse
+            # corpora this removes most of the exploded volume.
+            head = order[:p]
+            keep = est[head] > 1
+            pref = hvs[head[keep]]
+            # each kept token keeps its position within the sorted prefix
+            pos = np.flatnonzero(keep).astype(np.int32)
             tok_p.append(pref)
             doc_p.append(np.full(len(pref), doc_id, dtype=np.int64))
             size_p.append(np.full(len(pref), n, dtype=np.int64))
-            pos_p.append(np.arange(len(pref), dtype=np.int32))
+            pos_p.append(pos)
             kind_p.append(np.zeros(len(pref), dtype=np.int8))
-            tok_p.append(hvs)
-            doc_p.append(np.full(n, doc_id, dtype=np.int64))
-            size_p.append(np.full(n, n, dtype=np.int64))
-            pos_p.append(np.full(n, -1, dtype=np.int32))
-            kind_p.append(np.ones(n, dtype=np.int8))
+            full = hvs[est > 1]
+            tok_p.append(full)
+            doc_p.append(np.full(len(full), doc_id, dtype=np.int64))
+            size_p.append(np.full(len(full), n, dtype=np.int64))
+            pos_p.append(np.full(len(full), -1, dtype=np.int32))
+            kind_p.append(np.ones(len(full), dtype=np.int8))
         if not tok_p:
             return pa.table(
                 {
