@@ -996,6 +996,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.relational", fromlist=["events_funnel"]
         ).events_funnel(_read(sf, "events")),
+        # --- cohort retention matrix (volume bounded by distinct
+        # user-days, never raw events) ---
+        "events_retention": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.relational", fromlist=["events_retention"]
+        ).events_retention(_read(sf, "events")),
     }
     # The driver's correctness gate may sample only a prefix of this
     # registry — order the least-proven entries first so the ops with the
@@ -1008,7 +1013,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mp4 media rows; png+jpeg media rows; multilingual corpus;
         # Misra-Gries heavy hitters; sentence-df boilerplate strip;
         # temporal snapshot; per-group HLL; BFS; containment dedup;
-        # path census; funnel)
+        # path census; funnel; retention)
+        "events_retention",
         "events_funnel",
         "kg_path_counts",
         "docs_containment_dedup",
@@ -1156,6 +1162,17 @@ def oracle_sql() -> dict[str, str]:
             union all select 2, 'view', count(*) from u2
             union all select 3, 'click', count(*) from u3
             union all select 4, 'purchase', count(*) from u4
+        """,
+        "events_retention": """
+            with ud as (select distinct user_id,
+                               epoch_us(ts) // 86400000000 as day
+                        from events),
+                 c as (select user_id, min(day) as cohort_day
+                       from ud group by user_id)
+            select c.cohort_day, ud.day - c.cohort_day as day_offset,
+                   count(*)::bigint as n_users
+            from ud join c using (user_id)
+            group by 1, 2
         """,
         "kg_bfs": f"""
             with recursive {kg_cte},

@@ -1147,3 +1147,75 @@ def events_funnel(events_ds, steps: tuple[str, ...] = ("signup", "view", "click"
     return per_shard.groupby(["step", "event_type"]).aggregate(
         Sum("n_users", alias_name="n_users")
     )
+
+
+def events_retention(events_ds, num_partitions: int | None = None):
+    """Cohort retention: users are cohorted by their FIRST active day;
+    for each (cohort_day, day_offset) the number of cohort users active
+    exactly ``offset`` days after joining — the activation/retention
+    matrix every product pipeline reports.
+
+    Three bounded exchanges: per-batch distinct (user, epoch-day)
+    combiners feed one groupby that makes the pairs globally distinct
+    (user-days, far smaller than raw events); a Min aggregate over those
+    same rows yields each user's cohort day; a user-keyed hash join
+    brings the cohort day back to the user-day rows, and a two-stage
+    count per (cohort_day, offset) emits the matrix.  Every stage's
+    volume is bounded by distinct user-days, never raw event count.
+    Emits (cohort_day, day_offset, n_users); days are integer epoch
+    days so the SQL mirror is exact integer arithmetic."""
+    from ray.data.aggregate import Min, Sum
+
+    US_PER_DAY = 86_400_000_000
+
+    def ud_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()), "day": pa.array([], pa.int64())}
+            )
+        days = pc.divide(batch.column("ts").cast(pa.int64()), US_PER_DAY)
+        t = pa.table({"user_id": batch.column("user_id"), "day": days})
+        g = t.group_by(["user_id", "day"]).aggregate([([], "count_all")])
+        return g.select(["user_id", "day"])
+
+    ud = (
+        events_ds.select_columns(["user_id", "ts"])
+        .map_batches(ud_partial, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .count()
+        .select_columns(["user_id", "day"])
+        .materialize()  # user-day rows; consumed twice (cohort + join)
+    )
+    cohort = ud.groupby("user_id").aggregate(Min("day", alias_name="cohort_day"))
+    n_part = num_partitions or _join_parts()
+    joined = ud.join(cohort, join_type="inner", num_partitions=n_part, on=("user_id",))
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "cohort_day" not in batch.column_names:
+            return pa.table(
+                {
+                    "cohort_day": pa.array([], pa.int64()),
+                    "day_offset": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        t = pa.table(
+            {
+                "cohort_day": batch.column("cohort_day"),
+                "day_offset": pc.subtract(batch.column("day"), batch.column("cohort_day")),
+            }
+        )
+        g = t.group_by(["cohort_day", "day_offset"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "cohort_day": g.column("cohort_day"),
+                "day_offset": g.column("day_offset"),
+                "n_users": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )

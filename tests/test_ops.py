@@ -768,3 +768,53 @@ class TestEventsFunnel:
                    for r in events_funnel(self._events(rows).repartition(11),
                                           steps=("A", "B", "C")).take_all())
         assert a == b and a[0][1] == 40
+
+
+class TestEventsRetention:
+    """Cohort retention matrix (ops/relational.events_retention)."""
+
+    @staticmethod
+    def _events(rows):
+        import datetime
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [datetime.datetime(2024, 1, r[1], r[2] if len(r) > 2 else 12)
+                         for r in rows],
+                        pa.timestamp("us"),
+                    ),
+                }
+            )
+        )
+
+    def test_hand_computed_matrix(self):
+        from pdf_entity_extraction_ray.ops.relational import events_retention
+
+        rows = [
+            (1, 1), (1, 2), (1, 4),       # cohort d1: offsets 0, 1, 3
+            (2, 1), (2, 4),               # cohort d1: offsets 0, 3
+            (3, 2), (3, 3),               # cohort d2: offsets 0, 1
+            (1, 1, 23),                   # same-day repeat: still one user-day
+        ]
+        out = {(r["day_offset"],): 0 for r in []}
+        got = {}
+        for r in events_retention(self._events(rows)).take_all():
+            got[(r["cohort_day"], r["day_offset"])] = r["n_users"]
+        d1 = 19723  # 2024-01-01 epoch day
+        assert got == {
+            (d1, 0): 2, (d1, 1): 1, (d1, 3): 2,
+            (d1 + 1, 0): 1, (d1 + 1, 1): 1,
+        }
+
+    def test_split_invariant(self):
+        from pdf_entity_extraction_ray.ops.relational import events_retention
+
+        rows = [(u, 1 + (u + k) % 20) for u in range(50) for k in range(6)]
+        a = sorted((r["cohort_day"], r["day_offset"], r["n_users"])
+                   for r in events_retention(self._events(rows)).take_all())
+        b = sorted((r["cohort_day"], r["day_offset"], r["n_users"])
+                   for r in events_retention(self._events(rows).repartition(13)).take_all())
+        assert a == b and sum(n for _, o, n in a if o == 0) == 50
