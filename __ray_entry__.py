@@ -442,6 +442,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )[:3]
         return bfs_depths(edges, seeds, max_depth=4)
 
+    def _kg_host_quality(sf_dir):
+        """Domain-level curation: per-host page-quality keep rates in
+        pure integer arithmetic (ops/web.host_quality)."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.web import host_quality
+
+        _kg_artifacts(sf_dir)
+        name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        return host_quality(
+            ray.data.read_parquet(
+                f"/tmp/graft_kg/{name}/pages", columns=["url", "text"]
+            )
+        )
+
     def _kg_path_counts(sf_dir):
         """Length-2 predicate-composition census (rule-mining signal) via
         per-node degree products — never a path-materializing self-join,
@@ -1001,6 +1016,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.relational", fromlist=["events_retention"]
         ).events_retention(_read(sf, "events")),
+        # --- domain-level curation: per-host quality keep rates ---
+        "kg_host_quality": _kg_host_quality,
     }
     # The driver's correctness gate may sample only a prefix of this
     # registry — order the least-proven entries first so the ops with the
@@ -1013,7 +1030,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mp4 media rows; png+jpeg media rows; multilingual corpus;
         # Misra-Gries heavy hitters; sentence-df boilerplate strip;
         # temporal snapshot; per-group HLL; BFS; containment dedup;
-        # path census; funnel; retention)
+        # path census; funnel; retention; host quality)
+        "kg_host_quality",
         "events_retention",
         "events_funnel",
         "kg_path_counts",
@@ -1163,6 +1181,12 @@ def oracle_sql() -> dict[str, str]:
             union all select 3, 'click', count(*) from u3
             union all select 4, 'purchase', count(*) from u4
         """,
+        "kg_host_quality": __import__(
+            "pdf_entity_extraction_ray.ops.web",
+            fromlist=["host_quality_oracle_sql"],
+        ).host_quality_oracle_sql(
+            f"select url, text from read_parquet('{gold}/pages/*.parquet')"
+        ),
         "events_retention": """
             with ud as (select distinct user_id,
                                epoch_us(ts) // 86400000000 as day

@@ -503,3 +503,100 @@ def strip_boilerplate_oracle_sql(
         where sent not in (select sent from b)
         group by url
     """
+
+
+def host_quality(pages_ds, min_keep_ppm: int = 500_000):
+    """Domain-level curation signal (the RefinedWeb/C4 move of judging
+    HOSTS, not just pages): per host, how many pages pass the integer
+    C4/Gopher-style quality gates, and whether the host itself clears a
+    keep-rate threshold — a low-quality domain is dropped wholesale even
+    when individual pages sneak past the per-page rules.
+
+    Per-batch: vectorized host extraction + the same integer-count gates
+    as ops/text.quality_batch (token count in [5, 100000]; punct-heavy =
+    n_punct * 10 > n_chars), pre-aggregated per host per block; one small
+    groupby folds (n_pages, n_keep).  The host verdict stays in integer
+    arithmetic (n_keep * 10^6 >= min_keep_ppm * n_pages) so the SQL
+    oracle is exact.  Emits (host, n_pages, n_keep, keep_host)."""
+    from ray.data.aggregate import Sum
+
+    from .text import PUNCT_RE, TOKEN_RE  # type: ignore[attr-defined]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {
+            "host": pa.array([], pa.string()),
+            "n_pages": pa.array([], pa.int64()),
+            "n_keep": pa.array([], pa.int64()),
+        }
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return pa.table(cols)
+        hosts = host_of(batch.column("url"))
+        n_chars = pc.utf8_length(batch.column("text")).cast(pa.int64())
+        n_tokens = pc.count_substring_regex(
+            batch.column("text"), pattern=TOKEN_RE.pattern
+        ).cast(pa.int64())
+        n_punct = pc.count_substring_regex(
+            batch.column("text"), pattern=PUNCT_RE.pattern
+        ).cast(pa.int64())
+        ok_len = pc.and_(
+            pc.greater_equal(n_tokens, 5), pc.less_equal(n_tokens, 100000)
+        )
+        punct_heavy = pc.greater(
+            pc.multiply(n_punct, pa.scalar(10, pa.int64())), n_chars
+        )
+        keep = pc.and_(ok_len, pc.invert(punct_heavy))
+        t = pa.table({"host": hosts, "keep": keep.cast(pa.int64())})
+        g = t.group_by(["host"]).aggregate([("keep", "count"), ("keep", "sum")])
+        return pa.table(
+            {
+                "host": g.column("host"),
+                "n_pages": g.column("keep_count").cast(pa.int64()),
+                "n_keep": g.column("keep_sum").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        pages_ds.select_columns(["url", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("n_pages", alias_name="n_pages"), Sum("n_keep", alias_name="n_keep"))
+    )
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "n_keep" not in batch.column_names:
+            return pa.table(
+                {
+                    "host": pa.array([], pa.string()),
+                    "n_pages": pa.array([], pa.int64()),
+                    "n_keep": pa.array([], pa.int64()),
+                    "keep_host": pa.array([], pa.bool_()),
+                }
+            )
+        keep_host = pc.greater_equal(
+            pc.multiply(batch.column("n_keep"), pa.scalar(1_000_000, pa.int64())),
+            pc.multiply(batch.column("n_pages"), pa.scalar(min_keep_ppm, pa.int64())),
+        )
+        return batch.append_column("keep_host", keep_host)
+
+    return agg.map_batches(verdict, batch_format="pyarrow")
+
+
+def host_quality_oracle_sql(pages_source: str, min_keep_ppm: int = 500_000) -> str:
+    """DuckDB mirror of :func:`host_quality` (integer arithmetic only)."""
+    return f"""
+        with p as ({pages_source}),
+             s as (select coalesce(regexp_extract(lower(url),
+                              '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), '') as host,
+                          len(text) as n_chars,
+                          len(regexp_extract_all(text, '[A-Za-z0-9_]+')) as n_tokens,
+                          len(regexp_extract_all(text,
+                              '[!-/:-@\\[-`{{-~]')) as n_punct
+                   from p),
+             k as (select host,
+                          ((n_tokens between 5 and 100000)
+                           and not (n_punct * 10 > n_chars))::bigint as keep
+                   from s)
+        select host, count(*)::bigint as n_pages, sum(keep)::bigint as n_keep,
+               (sum(keep) * 1000000 >= count(*) * {min_keep_ppm}) as keep_host
+        from k group by host
+    """

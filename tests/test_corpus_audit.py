@@ -1446,3 +1446,54 @@ class TestContainmentPairs:
         assert pa_ == pb_ and len(pa_) > 0
         none = _collect(ngram_containment_pairs(_docs(["", ""]), 0.5))
         assert none.num_rows == 0
+
+
+class TestHostQuality:
+    """Domain-level quality keep rates (ops/web.host_quality)."""
+
+    def test_junk_host_flagged(self):
+        from pdf_entity_extraction_ray.ops.web import host_quality
+
+        rows = []
+        for i in range(6):
+            rows.append((f"https://good.test/p{i}", "clean readable words " * 4))
+        for i in range(6):
+            # punct-heavy junk fails the gates
+            rows.append((f"https://junk.test/p{i}", "!!! ??? ### $$$ %%% a b c d e"))
+        # mixed host: 2 good / 2 junk at min_keep_ppm=500000 -> kept
+        rows += [
+            ("https://mixed.test/1", "clean readable words here now ok"),
+            ("https://mixed.test/2", "clean readable words here now ok"),
+            ("https://mixed.test/3", "!!! ??? ### $$$ %%% a b c d e"),
+            ("https://mixed.test/4", "!!! ??? ### $$$ %%% a b c d e"),
+        ]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array([r[0] for r in rows], pa.string()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            )
+        )
+        out = {r["host"]: (r["n_pages"], r["n_keep"], r["keep_host"])
+               for r in host_quality(ds).take_all()}
+        assert out["good.test"] == (6, 6, True)
+        assert out["junk.test"] == (6, 0, False)
+        assert out["mixed.test"] == (4, 2, True)
+
+    def test_split_invariant(self):
+        from pdf_entity_extraction_ray.ops.web import host_quality
+
+        rows = [(f"https://h{i % 5}.test/p{i}", f"some body text {i} ok fine") for i in range(40)]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array([r[0] for r in rows], pa.string()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            )
+        )
+        a = sorted((r["host"], r["n_pages"], r["n_keep"]) for r in host_quality(ds).take_all())
+        b = sorted((r["host"], r["n_pages"], r["n_keep"])
+                   for r in host_quality(ds.repartition(7)).take_all())
+        assert a == b and all(n == k for _, n, k in a)
