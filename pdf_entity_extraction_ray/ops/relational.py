@@ -1133,6 +1133,7 @@ def events_funnel(events_ds, steps: tuple[str, ...] = ("signup", "view", "click"
             }
         )
 
+    import ray.data
     from ray.data.aggregate import Sum
 
     per_shard = (
@@ -1144,9 +1145,28 @@ def events_funnel(events_ds, steps: tuple[str, ...] = ("signup", "view", "click"
         )
     )
     # shards partition users, so per-shard counts SUM to the global funnel
-    return per_shard.groupby(["step", "event_type"]).aggregate(
+    agg = per_shard.groupby(["step", "event_type"]).aggregate(
         Sum("n_users", alias_name="n_users")
+    ).materialize()  # <= len(steps) rows
+    # an empty events input produces no shard groups at all; the funnel
+    # contract (and the SQL mirror's union-all) is one row PER STEP with
+    # n_users = 0 — fill the missing steps on the tiny result
+    present = {r["step"] for r in agg.take_all()}
+    missing = [k for k in range(1, len(step_list) + 1) if k not in present]
+    if not missing:
+        return agg
+    fill = ray.data.from_arrow(
+        pa.table(
+            {
+                "step": pa.array(missing, pa.int64()),
+                "event_type": pa.array(
+                    [step_list[k - 1] for k in missing], pa.string()
+                ),
+                "n_users": pa.array([0] * len(missing), pa.int64()),
+            }
+        )
     )
+    return agg.union(fill) if present else fill
 
 
 def events_retention(events_ds, num_partitions: int | None = None):

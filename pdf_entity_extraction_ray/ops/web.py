@@ -428,8 +428,9 @@ def strip_boilerplate(pages_ds, df_frac: float = 0.05, min_df: int = 2):
     def df_partial(batch: pa.Table) -> pa.Table:
         counts: dict[str, int] = {}
         for t in batch.column("text").to_pylist():
-            if not t:
-                continue
+            # ''.split('. ') == [''] in BOTH Python and DuckDB string_split
+            # — empty pages contribute one ''-sentence to df, exactly like
+            # pages ending in '. ' do, so the SQL mirror stays byte-exact
             for s in dict.fromkeys(t.split(". ")):  # per-page distinct
                 counts[s] = counts.get(s, 0) + 1
         return pa.table(
@@ -455,7 +456,7 @@ def strip_boilerplate(pages_ds, df_frac: float = 0.05, min_df: int = 2):
         for u, t in zip(
             batch.column("url").to_pylist(), batch.column("text").to_pylist()
         ):
-            sents = t.split(". ") if t else []
+            sents = t.split(". ")  # '' -> [''] (mirrors SQL string_split)
             kept = [s for s in sents if s not in bset]
             if not kept:
                 continue  # fully-boilerplate page drops (SQL empty group)
@@ -585,7 +586,7 @@ def host_quality_oracle_sql(pages_source: str, min_keep_ppm: int = 500_000) -> s
     """DuckDB mirror of :func:`host_quality` (integer arithmetic only)."""
     return f"""
         with p as ({pages_source}),
-             s as (select coalesce(regexp_extract(lower(url),
+             s as (select coalesce(regexp_extract(url,
                               '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), '') as host,
                           len(text) as n_chars,
                           len(regexp_extract_all(text, '[A-Za-z0-9_]+')) as n_tokens,

@@ -1497,3 +1497,72 @@ class TestHostQuality:
         b = sorted((r["host"], r["n_pages"], r["n_keep"])
                    for r in host_quality(ds.repartition(7)).take_all())
         assert a == b and all(n == k for _, n, k in a)
+
+
+class TestOracleEdgeParity:
+    """Edge cases where op and SQL-oracle semantics must agree (from the
+    round-4 review): empty page text in strip_boilerplate, uppercase
+    schemes in host_quality, empty input in events_funnel."""
+
+    def test_boilerplate_empty_text_counts_like_sql(self):
+        from pdf_entity_extraction_ray.ops.web import strip_boilerplate
+
+        # ''.split('. ') == [''] — empty pages contribute a ''-sentence,
+        # and (below threshold) come back with clean_text=''
+        texts = ["", "", "real content here"] + [f"u{i}" for i in range(10)]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array([f"https://h{i}.t/p" for i in range(len(texts))]),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        )
+        out = {r["url"]: r["clean_text"]
+               for r in strip_boilerplate(ds, df_frac=0.9).take_all()}
+        assert out["https://h0.t/p"] == "" and out["https://h1.t/p"] == ""
+        # above threshold the ''-sentence IS boilerplate: empty pages drop
+        texts2 = [""] * 10 + ["keep me"]
+        ds2 = ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array([f"https://h{i}.t/p" for i in range(len(texts2))]),
+                    "text": pa.array(texts2, pa.string()),
+                }
+            )
+        )
+        out2 = {r["url"]: r["clean_text"]
+                for r in strip_boilerplate(ds2, df_frac=0.5).take_all()}
+        assert out2 == {"https://h10.t/p": "keep me"}
+
+    def test_host_quality_uppercase_scheme_buckets_empty(self):
+        from pdf_entity_extraction_ray.ops.web import host_quality
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array(
+                        ["HTTPS://Example.Test/p", "https://ok.test/p"]
+                    ),
+                    "text": pa.array(["clean words here ok fine x"] * 2),
+                }
+            )
+        )
+        out = {r["host"]: r["n_pages"] for r in host_quality(ds).take_all()}
+        assert out == {"": 1, "ok.test": 1}
+
+    def test_funnel_empty_input_emits_zero_rows_per_step(self):
+        from pdf_entity_extraction_ray.ops.relational import events_funnel
+
+        empty = ray.data.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "event_type": pa.array([], pa.string()),
+                }
+            )
+        )
+        out = {r["step"]: (r["event_type"], r["n_users"])
+               for r in events_funnel(empty, steps=("A", "B")).take_all()}
+        assert out == {1: ("A", 0), 2: ("B", 0)}
