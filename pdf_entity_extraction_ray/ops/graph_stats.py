@@ -230,6 +230,9 @@ def _pr_remotes():
         node-id shards, the rest (u, v) edge shards): sorted node array,
         out-edges sorted by u, per-node out-degree, initial uniform rank
         filled in later."""
+        # P == 1 ships the un-split 1-element list (num_returns=1 does
+        # not unwrap); normalize each shard to its payload
+        shards = [s[0] if isinstance(s, list) else s for s in shards]
         node_parts = shards[:n_node_shards]
         edge_parts = shards[n_node_shards:]
         nodes = (
@@ -648,6 +651,9 @@ def _core_remotes():
         """Partition state: out-edges sorted by u, sorted unique nodes,
         core estimate initialized to degree (the h-index iteration's
         c_0)."""
+        # P == 1 ships the un-split 1-element list (num_returns=1 does
+        # not unwrap); normalize each shard to its (u, v) tuple
+        shards = [s[0] if isinstance(s, list) else s for s in shards]
         u = np.concatenate([s[0] for s in shards]) if shards else np.empty(0, np.int64)
         v = np.concatenate([s[1] for s in shards]) if shards else np.empty(0, np.int64)
         order = np.argsort(u, kind="stable")
@@ -679,6 +685,8 @@ def _core_remotes():
         its incoming neighbor values (sort by (node, value desc), rank
         within segment, h = max of min(value, rank) — all vectorized)."""
         u, v, nodes, core = part
+        # P == 1: num_returns=1 does not unwrap the 1-element shard list
+        incoming = [m[0] if isinstance(m, list) else m for m in incoming]
         dv = np.concatenate([m[0] for m in incoming]) if incoming else np.empty(0, np.int64)
         vals = np.concatenate([m[1] for m in incoming]) if incoming else np.empty(0, np.int64)
         if not len(dv):

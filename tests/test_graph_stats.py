@@ -767,3 +767,26 @@ class TestPathCounts:
         from pdf_entity_extraction_ray.ops.graph_stats import path_counts
 
         assert path_counts(self._edges([("a", "p", "b")])).take_all() == []
+
+
+def test_pagerank_and_coreness_single_partition_explicit():
+    """Same P=1 normalization as components/bfs: pagerank's mixed
+    node+edge shards and coreness's h-index messages must survive the
+    un-split 1-element lists num_returns=1 ships."""
+    from pdf_entity_extraction_ray.ops.graph_stats import coreness, pagerank
+
+    edges = pa.table(
+        {
+            "src_id": pa.array([1, 2, 3, 1], pa.int64()),
+            "dst_id": pa.array([2, 3, 1, 3], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(edges)
+    pr1 = {r["node"]: r["rank"] for r in pagerank(ds, num_partitions=1).take_all()}
+    pr4 = {r["node"]: r["rank"] for r in pagerank(ds, num_partitions=4).take_all()}
+    assert set(pr1) == {1, 2, 3}
+    for n in pr1:
+        assert abs(pr1[n] - pr4[n]) < 1e-12
+    c1 = {r["node"]: r["core"] for r in coreness(ds, num_partitions=1).take_all()}
+    c4 = {r["node"]: r["core"] for r in coreness(ds, num_partitions=4).take_all()}
+    assert c1 == c4 and set(c1) == {1, 2, 3}
