@@ -457,6 +457,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def _kg_pred_signatures(sf_dir):
+        """Schema induction: (pred, subj_type, obj_type) signature census
+        over the triples (ops/graph_stats.predicate_signatures)."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import predicate_signatures
+
+        res = _kg_artifacts(sf_dir)
+        return predicate_signatures(
+            ray.data.read_parquet(
+                res["triples"], columns=["pred", "subj_type", "obj_type"]
+            )
+        )
+
     def _kg_path_counts(sf_dir):
         """Length-2 predicate-composition census (rule-mining signal) via
         per-node degree products — never a path-materializing self-join,
@@ -1018,6 +1032,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).events_retention(_read(sf, "events")),
         # --- domain-level curation: per-host quality keep rates ---
         "kg_host_quality": _kg_host_quality,
+        # --- schema induction: predicate type-signature census ---
+        "kg_pred_signatures": _kg_pred_signatures,
     }
     # The driver's correctness gate may sample only a prefix of this
     # registry — order the least-proven entries first so the ops with the
@@ -1030,7 +1046,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mp4 media rows; png+jpeg media rows; multilingual corpus;
         # Misra-Gries heavy hitters; sentence-df boilerplate strip;
         # temporal snapshot; per-group HLL; BFS; containment dedup;
-        # path census; funnel; retention; host quality)
+        # path census; funnel; retention; host quality; signatures)
+        "kg_pred_signatures",
         "kg_host_quality",
         "events_retention",
         "events_funnel",
@@ -1187,6 +1204,11 @@ def oracle_sql() -> dict[str, str]:
         ).host_quality_oracle_sql(
             f"select url, text from read_parquet('{gold}/pages/*.parquet')"
         ),
+        "kg_pred_signatures": f"""
+            with {kg_cte}
+            select pred, subj_type, obj_type, count(*)::bigint as n
+            from gt group by pred, subj_type, obj_type
+        """,
         "events_retention": """
             with ud as (select distinct user_id,
                                epoch_us(ts) // 86400000000 as day

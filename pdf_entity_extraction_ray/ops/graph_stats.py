@@ -1916,3 +1916,41 @@ def path_counts(edges_ds, num_partitions: int | None = None):
         .groupby(["pred_a", "pred_b"])
         .aggregate(Sum("n_paths", alias_name="n_paths"))
     )
+
+
+def predicate_signatures(triples_ds):
+    """Schema induction over the extracted triples: the census of
+    (pred, subj_type, obj_type) signatures with assertion counts — the
+    first QA artifact a KG-construction run inspects (a predicate
+    asserting against an unexpected type pair is an extraction bug).
+    Classic two-stage: per-batch Arrow group_by combiner (one row per
+    distinct signature per block), one small global groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {
+            "pred": pa.array([], pa.string()),
+            "subj_type": pa.array([], pa.string()),
+            "obj_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+        if batch.num_rows == 0 or "pred" not in batch.column_names:
+            return pa.table(cols)
+        g = batch.select(["pred", "subj_type", "obj_type"]).group_by(
+            ["pred", "subj_type", "obj_type"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "pred": g.column("pred"),
+                "subj_type": g.column("subj_type"),
+                "obj_type": g.column("obj_type"),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    return (
+        triples_ds.select_columns(["pred", "subj_type", "obj_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["pred", "subj_type", "obj_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )

@@ -790,3 +790,23 @@ def test_pagerank_and_coreness_single_partition_explicit():
     c1 = {r["node"]: r["core"] for r in coreness(ds, num_partitions=1).take_all()}
     c4 = {r["node"]: r["core"] for r in coreness(ds, num_partitions=4).take_all()}
     assert c1 == c4 and set(c1) == {1, 2, 3}
+
+
+def test_predicate_signatures_census():
+    from pdf_entity_extraction_ray.ops.graph_stats import predicate_signatures
+
+    tri = pa.table(
+        {
+            "pred": pa.array(["works_for", "works_for", "located_in", "works_for"]),
+            "subj_type": pa.array(["PERSON", "PERSON", "ORG", "ORG"]),
+            "obj_type": pa.array(["ORG", "ORG", "GPE", "ORG"]),
+        }
+    )
+    ds = ray.data.from_arrow(tri).repartition(3)
+    got = {(r["pred"], r["subj_type"], r["obj_type"]): r["n"]
+           for r in predicate_signatures(ds).take_all()}
+    assert got == {
+        ("works_for", "PERSON", "ORG"): 2,
+        ("located_in", "ORG", "GPE"): 1,
+        ("works_for", "ORG", "ORG"): 1,
+    }
