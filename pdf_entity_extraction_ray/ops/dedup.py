@@ -157,7 +157,10 @@ def auto_minhash_bands(
     :func:`minhash_lsh_pairs` / :func:`near_dedup_keep`; oracle-checked
     runs keep the exact default."""
     rows = docs_ds.select_columns(["text"]).limit(sample).take_all()
-    shingle_sets = [_word_shingles(r["text"]) for r in rows]
+    # zero-shingle docs never band (see band_rows_batch) — keep them out
+    # of the background-Jaccard probe too, or blank pages would inject
+    # fake J=1.0 mass and wrongly force the lower-recall band shape
+    shingle_sets = [s for s in (_word_shingles(r["text"]) for r in rows) if s]
     if n_docs is None:
         n_docs = docs_ds.count()
     if len(shingle_sets) < 2 or n_docs < 2:
@@ -205,7 +208,15 @@ def band_rows_batch(batch: pa.Table, bands: int = MINHASH_BANDS) -> pa.Table:
     out_band: list[str] = []
     out_doc: list[int] = []
     for doc_id, text in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-        sig = h.signature(_word_shingles(text))
+        sh = _word_shingles(text)
+        if not sh:
+            # zero-shingle docs must NOT band: the all-sentinel signature
+            # is identical for every such doc, so banding them would pair
+            # all blank/punct-only pages (J(empty,empty)=1.0 passes
+            # verify) — diverging from the ngram path and the SQL oracle,
+            # where 0/0 Jaccard is undefined and filtered
+            continue
+        sig = h.signature(sh)
         for bk in h.band_keys(sig, bands):
             out_shard.append(zlib.crc32(bk.encode()) % BAND_SHARDS)
             out_band.append(bk)
@@ -548,7 +559,13 @@ def cms_prefix_rows_batch(batch: pa.Table, threshold: float, sketch: np.ndarray)
     """documents batch -> (shard, token, doc_id, size) prefix rows under
     the sketch-estimated rarest-first total order (est DF asc, then token
     hash as the tie-break — any total order is lossless, see
-    :func:`prefix_rows_batch`).  Same epsilon-guarded prefix bound."""
+    :func:`prefix_rows_batch`).  Same epsilon-guarded prefix bound.
+    Prefix tokens with CMS df-estimate <= 1 are dropped: the estimate
+    only overestimates, so true df <= 1 means the token is shared by no
+    other document and can never witness a pair (any J >= t pair's
+    witnessing shared prefix token has df >= 2 and survives on both
+    sides); positions keep their full-order index so the PPJoin
+    positional filter's bound stays sound."""
     import math
 
     tok_parts, doc_parts, size_parts, pos_parts = [], [], [], []
@@ -561,11 +578,14 @@ def cms_prefix_rows_batch(batch: pa.Table, threshold: float, sketch: np.ndarray)
         hvs = np.fromiter(
             (_stable_hash64(s.encode("utf-8")) for s in sh), dtype=np.uint64, count=n
         )
-        sel = hvs[np.lexsort((hvs, _cms_estimate(hvs, sketch)))[:p]]
+        est = _cms_estimate(hvs, sketch)
+        head = np.lexsort((hvs, est))[:p]
+        keepm = est[head] > 1
+        sel = hvs[head[keepm]]
         tok_parts.append(sel)
         doc_parts.append(np.full(len(sel), doc_id, dtype=np.int64))
         size_parts.append(np.full(len(sel), n, dtype=np.int64))
-        pos_parts.append(np.arange(len(sel), dtype=np.int32))
+        pos_parts.append(np.flatnonzero(keepm).astype(np.int32))
     if not tok_parts:
         return pa.table(
             {
@@ -804,8 +824,17 @@ def simhash_rows_batch(batch: pa.Table) -> pa.Table:
 
 def simhash_pairs(docs_ds, max_hamming: int = 3):
     """(doc_a, doc_b, hamming) pairs with Hamming distance <= ``max_hamming``.
+    ``max_hamming`` must be <= 3: the 4x16-bit chunk blocking guarantees
+    recall only up to 3 differing bits (4 differing bits can land one per
+    chunk and share nothing) — a larger radius would silently lose pairs,
+    so it raises instead.
     By pigeonhole, any pair within 3 bits shares at least one of the four
     16-bit chunks, so chunk-blocking loses nothing."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-chunk pigeonhole "
+            "guarantee (recall is exact only for <= 3 differing bits)"
+        )
 
     def shard_chunk_candidates(group: pa.Table) -> pa.Table:
         if group.num_rows == 0 or "chunk" not in group.column_names:
@@ -883,6 +912,10 @@ def embedding_cosine_pairs(emb_ds, threshold: float = 0.99):
     block_refs = list(norm.to_arrow_refs())  # small: one ref per block
 
     def pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "vec_id" not in batch.column_names:
+            return pa.table(
+                {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
+            )
         bids, B = _vec_matrix(batch)
         rows_a: list[int] = []
         rows_b: list[int] = []
@@ -1559,18 +1592,23 @@ def ngram_containment_pairs(
             # a token with CMS df-ESTIMATE <= 1 has true df <= 1 (CMS only
             # overestimates): it is shared by no other document, so rows
             # carrying it can never produce a candidate — drop them from
-            # BOTH sides (positions keep their full-order index, so the
-            # positional filter's n - pos bound is untouched).  On diverse
-            # corpora this removes most of the exploded volume.
-            head = order[:p]
-            keep = est[head] > 1
-            pref = hvs[head[keep]]
-            # each kept token keeps its position within the sorted prefix
-            pos = np.flatnonzero(keep).astype(np.int32)
+            # BOTH sides.  On diverse corpora this removes most of the
+            # exploded volume.
+            keep_all = est[order] > 1
+            # kept-suffix count: how many SHAREABLE (df>1) tokens sit at
+            # this position or later in the full sorted order — a sound
+            # per-occurrence overlap bound (the intersection only contains
+            # kept tokens, and when this is the pair's EARLIEST shared
+            # token every shared token sits at a later-or-equal position;
+            # pairs pruned here re-emit via that earlier occurrence)
+            suffix_kept = np.cumsum(keep_all[::-1])[::-1].astype(np.int64)
+            head_keep = keep_all[:p]
+            pref = hvs[order[:p][head_keep]]
+            rem = suffix_kept[:p][head_keep]
             tok_p.append(pref)
             doc_p.append(np.full(len(pref), doc_id, dtype=np.int64))
             size_p.append(np.full(len(pref), n, dtype=np.int64))
-            pos_p.append(pos)
+            pos_p.append(rem.astype(np.int32))
             kind_p.append(np.zeros(len(pref), dtype=np.int8))
             full = hvs[est > 1]
             tok_p.append(full)
@@ -1628,11 +1666,14 @@ def ngram_containment_pairs(
             flist = fulls.get(tok)
             if not flist:
                 continue
-            for dp, np_, pos in plist:
+            for dp, np_, rem in plist:
                 need = math.ceil(threshold * np_ - 1e-9)
-                # positional filter: tokens of dp at or after this prefix
-                # position number np_ - pos; fewer than `need` can't reach
-                if np_ - pos < need:
+                # positional filter on the KEPT-suffix bound shipped in the
+                # row: at most `rem` shareable (df>1) tokens of dp sit at
+                # this position or later, so overlap >= need is impossible
+                # when rem < need (the pair's earliest shared occurrence,
+                # if any, always passes — see rows())
+                if rem < need:
                     continue
                 for df_, nf, _ in flist:
                     if df_ == dp or nf < np_:

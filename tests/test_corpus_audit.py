@@ -1566,3 +1566,71 @@ class TestOracleEdgeParity:
         out = {r["step"]: (r["event_type"], r["n_users"])
                for r in events_funnel(empty, steps=("A", "B")).take_all()}
         assert out == {1: ("A", 0), 2: ("B", 0)}
+
+
+class TestDedupReviewFixes:
+    """Round-4 review fixes over the dedup family."""
+
+    def test_blank_docs_never_minhash_pair(self):
+        from pdf_entity_extraction_ray.ops.dedup import (
+            minhash_lsh_pairs,
+            near_dedup_keep,
+        )
+
+        texts = ["", "... !!! ???", "", "real words over here now ok fine yes"] * 2
+        pairs = _collect(minhash_lsh_pairs(_docs(texts), 0.7))
+        blank_ids = {0, 1, 2, 4, 5, 6}
+        got = set(zip(pairs.column("doc_a").to_pylist(), pairs.column("doc_b").to_pylist()))
+        assert not any(a in blank_ids and b in blank_ids for a, b in got
+                       if not (a == 3 or b == 3 or a == 7 or b == 7)) or True
+        # blank docs must not pair with each other at all
+        assert all(not (a in blank_ids and b in blank_ids) for a, b in got)
+        # and the keep policy retains every blank doc (nothing to dedup)
+        kept = set(_collect(near_dedup_keep(_docs(texts), 0.7)).column("doc_id").to_pylist())
+        assert blank_ids <= kept
+
+    def test_cosine_pairs_tolerates_empty_block(self):
+        import ray.data as rd
+
+        from pdf_entity_extraction_ray.ops.dedup import embedding_cosine_pairs
+
+        full = pa.table(
+            {
+                "vec_id": pa.array([1, 2], pa.int64()),
+                "embedding": pa.array([[1.0, 0.0], [1.0, 0.0]], pa.list_(pa.float64())),
+            }
+        )
+        empty = full.slice(0, 0)
+        ds = rd.from_arrow([full, empty])
+        out = _collect(embedding_cosine_pairs(ds, 0.99))
+        assert sorted(zip(out.column("vec_a").to_pylist(), out.column("vec_b").to_pylist())) == [(1, 2)]
+
+    def test_simhash_radius_guard(self):
+        import pytest
+
+        from pdf_entity_extraction_ray.ops.dedup import simhash_pairs
+
+        with pytest.raises(ValueError):
+            simhash_pairs(_docs(["a b c"]), max_hamming=4)
+
+    def test_jaccard_cms_prune_keeps_pair_set(self):
+        import itertools
+
+        from pdf_entity_extraction_ray.functions.similarity import jaccard
+        from pdf_entity_extraction_ray.ops.dedup import (
+            _word_shingles,
+            ngram_jaccard_pairs,
+        )
+
+        base = "one two three four five six seven eight nine ten eleven twelve"
+        texts = [base, base + " extra", base.replace("five", "FIVE"),
+                 "entirely different words " + " ".join(f"q{i}" for i in range(12)),
+                 base]
+        t = 0.6
+        out = _collect(ngram_jaccard_pairs(_docs(texts), t))  # default cms order
+        got = sorted(zip(out.column("doc_a").to_pylist(), out.column("doc_b").to_pylist()))
+        want = sorted(
+            (i, j) for i, j in itertools.combinations(range(len(texts)), 2)
+            if jaccard(_word_shingles(texts[i]), _word_shingles(texts[j])) >= t
+        )
+        assert got == want and len(want) >= 3
