@@ -52,19 +52,27 @@ def _word_shingles(text: str, k: int = SHINGLE_K) -> set[str]:
 # exact dedup
 
 
-def exact_dedup(docs_ds, num_partitions: int | None = None):
+def _md5_hex(texts: list) -> list:
+    """One md5 hexdigest per text — the single definition of the exact-
+    dedup key (shared by the combiner, the delta key scans, and callers
+    that persist the key column)."""
+    return [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+
+
+def exact_dedup(docs_ds, num_partitions: int | None = None, *, keep_key: bool = False):
     """Keep the lowest-doc_id row per distinct text.
 
     Two-stage: per-batch combiner reduces each batch to one candidate row
     per md5 key, then a ``groupby(key)`` picks the global minimum — the
-    shuffle moves candidates, not the corpus.
+    shuffle moves candidates, not the corpus.  ``keep_key=True`` retains
+    the ``dedup_key`` column on the winners (rolling pipelines persist it
+    so the next delta never re-hashes history).
     """
 
     def partial(batch: pa.Table) -> pa.Table:
         best: dict[str, tuple[int, int]] = {}  # key -> (doc_id, row_idx)
         doc_ids = batch.column("doc_id").to_pylist()
-        for i, t in enumerate(batch.column("text").to_pylist()):
-            key = hashlib.md5(t.encode("utf-8")).hexdigest()
+        for i, key in enumerate(_md5_hex(batch.column("text").to_pylist())):
             if key not in best or doc_ids[i] < best[key][0]:
                 best[key] = (doc_ids[i], i)
         idx = [v[1] for v in best.values()]
@@ -72,7 +80,8 @@ def exact_dedup(docs_ds, num_partitions: int | None = None):
         return out.append_column("dedup_key", pa.array(list(best.keys()), pa.string()))
 
     return _keep_min_doc_per_key(
-        docs_ds.map_batches(partial, batch_format="pyarrow"), num_partitions
+        docs_ds.map_batches(partial, batch_format="pyarrow"), num_partitions,
+        keep_key=keep_key,
     )
 
 
@@ -90,7 +99,8 @@ def _join_partitions() -> int:
     return min(8, max(4, int(ray.cluster_resources().get("CPU", 4)) // 2))
 
 
-def _keep_min_doc_per_key(keyed_ds, num_partitions: int | None = None):
+def _keep_min_doc_per_key(keyed_ds, num_partitions: int | None = None,
+                          keep_key: bool = False):
     """Rows with a ``dedup_key`` column -> keep the min-doc_id row per key.
 
     Fully distributed: a vectorized Min aggregate finds the winning
@@ -116,7 +126,7 @@ def _keep_min_doc_per_key(keyed_ds, num_partitions: int | None = None):
         num_partitions=num_partitions or _join_partitions(),
         on=("dedup_key", "doc_id"),
     )
-    return kept.drop_columns(["dedup_key"])
+    return kept if keep_key else kept.drop_columns(["dedup_key"])
 
 
 def wordset_dedup(docs_ds, num_partitions: int | None = None):
@@ -1216,32 +1226,22 @@ def exact_dedup_delta(new_ds, existing_ds, num_partitions: int | None = None):
        already exists in the corpus.  Existing-side reads prune to the key
        (computed per batch from ``text`` here; a production corpus stores
        the key column so the read ships ~16 bytes/row)."""
-    new_winners = exact_dedup(new_ds, num_partitions)
+    # winners keep their dedup_key, so the anti-join never re-hashes them
+    new_winners = exact_dedup(new_ds, num_partitions, keep_key=True)
 
     def keys_of(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "text" not in batch.column_names:
             return pa.table({"k": pa.array([], pa.string())})
         return pa.table(
-            {
-                "k": pa.array(
-                    [hashlib.md5(t.encode("utf-8")).hexdigest()
-                     for t in batch.column("text").to_pylist()],
-                    pa.string(),
-                )
-            }
+            {"k": pa.array(_md5_hex(batch.column("text").to_pylist()), pa.string())}
         )
 
     def key_col(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "text" not in batch.column_names:
-            return batch.append_column("k", pa.array([], pa.string()))
-        return batch.append_column(
-            "k",
-            pa.array(
-                [hashlib.md5(t.encode("utf-8")).hexdigest()
-                 for t in batch.column("text").to_pylist()],
-                pa.string(),
-            ),
-        )
+        if "dedup_key" in batch.column_names:
+            return batch.rename_columns(
+                [c if c != "dedup_key" else "k" for c in batch.column_names]
+            )
+        return batch.append_column("k", pa.array([], pa.string()))
 
     existing_keys = existing_ds.select_columns(["text"]).map_batches(
         keys_of, batch_format="pyarrow"
