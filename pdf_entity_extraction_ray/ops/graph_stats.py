@@ -342,6 +342,14 @@ def pagerank(
         return pa.table({"u": batch.column("src_id"), "v": batch.column("dst_id")})
 
     uv = edges_ds.map_batches(to_uv, batch_format="pyarrow").materialize()
+    if uv.count() == 0:
+        # edge-free graph: no nodes, no ranks — short-circuit like
+        # coreness/bfs do (round 0 would divide by n_total == 0)
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())})
+        )
     block_refs = list(uv.to_arrow_refs())
     nb = len(block_refs)
 
@@ -1535,7 +1543,12 @@ def latest_assertions(triples_ds, pages_ds, num_partitions: int | None = None):
     from .relational import _join_parts
 
     cols = ["subj_canonical", "pred", "obj_canonical", "url", "seg_id"]
-    n_part = num_partitions or _join_parts()
+    n_part = num_partitions
+    if n_part is None:
+        tri = triples_ds.select_columns(cols).materialize()
+        # tiny inputs: empty shuffle partitions crash Ray's hash join
+        n_part = 1 if tri.count() < 10_000 else _join_parts()
+        triples_ds = tri
     joined = triples_ds.select_columns(cols).join(
         pages_ds.select_columns(["url", "warc_ts"]),
         join_type="inner",
@@ -1883,7 +1896,10 @@ def path_counts(edges_ds, num_partitions: int | None = None):
                 }
             )
         )
-    n_part = num_partitions or _join_parts()
+    n_part = num_partitions
+    if n_part is None:
+        # tiny inputs: empty shuffle partitions crash Ray's hash join
+        n_part = 1 if eout.count() < 10_000 else _join_parts()
     joined = ein.join(eout, join_type="inner", num_partitions=n_part, on=("node",))
 
     def pair_partial(batch: pa.Table) -> pa.Table:
@@ -1936,9 +1952,9 @@ def predicate_signatures(triples_ds):
         }
         if batch.num_rows == 0 or "pred" not in batch.column_names:
             return pa.table(cols)
-        g = batch.select(["pred", "subj_type", "obj_type"]).group_by(
-            ["pred", "subj_type", "obj_type"]
-        ).aggregate([([], "count_all")])
+        g = batch.group_by(["pred", "subj_type", "obj_type"]).aggregate(
+            [([], "count_all")]
+        )
         return pa.table(
             {
                 "pred": g.column("pred"),

@@ -810,3 +810,14 @@ def test_predicate_signatures_census():
         ("located_in", "ORG", "GPE"): 1,
         ("works_for", "ORG", "ORG"): 1,
     }
+
+
+def test_pagerank_empty_edges_short_circuits():
+    from pdf_entity_extraction_ray.ops.graph_stats import pagerank
+
+    empty = ray.data.from_arrow(
+        pa.table(
+            {"src_id": pa.array([], pa.int64()), "dst_id": pa.array([], pa.int64())}
+        )
+    )
+    assert pagerank(empty).take_all() == []
