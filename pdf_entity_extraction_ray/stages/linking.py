@@ -260,8 +260,17 @@ def _coarse_parts() -> int:
 
 
 def _add_block_part(batch: pa.Table, parts: int) -> pa.Table:
-    """Hash the block key into a coarse ``part`` column (vectorized)."""
-    from ..state.lineage import url_buckets
+    """Hash the block key into a coarse ``part`` column.
+
+    The hash here is CORRECTNESS-critical ("blocks never split across
+    hash partitions"): every worker, retry, and environment must agree,
+    so it uses stdlib ``zlib.crc32`` — environment-independent, unlike
+    lineage.url_buckets' polars xxhash (documented stable only within one
+    polars version, with a differing blake2b fallback when polars is
+    absent; fine for its PHYSICAL cache clustering, not for this).
+    crc32 is C-speed (~GB/s); at 10^7 block rows the loop costs well
+    under a second per partition call."""
+    import zlib
 
     if batch.num_rows == 0 or "block" not in batch.column_names:
         return pa.table(
@@ -272,9 +281,11 @@ def _add_block_part(batch: pa.Table, parts: int) -> pa.Table:
                 "part": pa.array([], pa.int32()),
             }
         )
-    return batch.append_column(
-        "part", pa.array(url_buckets(batch.column("block"), parts), pa.int32())
-    )
+    part = [
+        zlib.crc32(b.encode("utf-8")) % parts
+        for b in batch.column("block").to_pylist()
+    ]
+    return batch.append_column("part", pa.array(part, pa.int32()))
 
 
 def _block_pairs_partition(group: pa.Table) -> pa.Table:
@@ -306,7 +317,10 @@ def _block_pairs_partition(group: pa.Table) -> pa.Table:
     starts = np.flatnonzero(np.r_[True, np.diff(idx) != 0])
     ends = np.r_[starts[1:], len(idx)]
     sizes = ends - starts
-    keep = (sizes >= 2) & (sizes <= MAX_BLOCK)
+    # rows with < 2 entries can't pair; the MAX_BLOCK cap is applied to
+    # the DISTINCT surface count inside the loop (block_pairs semantics —
+    # duplicate rows must neither self-pair nor inflate the cap)
+    keep = sizes >= 2
     if not keep.any():
         return empty
     surfaces = tbl.column("surface").to_pylist()
@@ -315,7 +329,10 @@ def _block_pairs_partition(group: pa.Table) -> pa.Table:
     out_a: list[str] = []
     out_b: list[str] = []
     for s, e in zip(starts[keep], ends[keep]):
-        surs = surfaces[s:e]  # sorted; distinct rows -> unique within block
+        # sorted slice -> dict.fromkeys dedups while preserving order
+        surs = list(dict.fromkeys(surfaces[s:e]))
+        if not (1 < len(surs) <= MAX_BLOCK):
+            continue
         typ = types[s]
         for i in range(len(surs)):
             si = surs[i]
@@ -371,15 +388,21 @@ def distinct_surfaces(mentions_ds):
     Dataset — the shared first shuffle of both linking paths (exposed so
     callers that need the distinct COUNT first, e.g. the pipeline's
     auto mode selection, compute it once and pass the result back in)."""
-    return (
+    out = (
         mentions_ds.map_batches(partial_surface_counts, batch_format="pyarrow")
         .groupby(["type", "surface"])
         .sum("n")
-        .materialize()
     )
+    # Ray names the aggregate 'sum(n)'; restore the documented 'n'
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            [c if c != "sum(n)" else "n" for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    ).materialize()
 
 
-def link_entities(mentions_ds, *, concurrency=None, consolidate=None, distinct=None):
+def link_entities(mentions_ds, *, consolidate=None, distinct=None):
     """mentions Dataset -> (cluster_map dict, distinct surface count).
 
     The returned map is small (distinct linked surfaces only); callers
@@ -477,8 +500,8 @@ def _uv_arrays(tbl: pa.Table):
 
     if tbl.num_rows == 0 or "u" not in tbl.column_names:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    u = np.asarray(tbl.column("u").to_pylist(), dtype=np.int64)
-    v = np.asarray(tbl.column("v").to_pylist(), dtype=np.int64)
+    u = tbl.column("u").combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    v = tbl.column("v").combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     return u, v
 
 
@@ -563,7 +586,7 @@ def _lp_remotes():
 
 
 def label_propagation_components(
-    edges_ds, *, max_iters: int = 25, num_partitions: int | None = None,
+    edges_ds, *, max_iters: int | None = None, num_partitions: int | None = None,
     checkpoint_dir: str | None = None, checkpoint_every: int = 5,
     checkpoint_fingerprint: str | None = None,
 ):
@@ -596,7 +619,7 @@ def label_propagation_components(
 
 def components_from_int_edges(
     edges_ds, col_a: str = "a", col_b: str = "b",
-    *, max_iters: int = 25, num_partitions: int | None = None,
+    *, max_iters: int | None = None, num_partitions: int | None = None,
     checkpoint_dir: str | None = None, checkpoint_every: int = 5,
     checkpoint_fingerprint: str | None = None,
 ):
@@ -609,8 +632,8 @@ def components_from_int_edges(
     def sym(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or col_a not in batch.column_names:
             return pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
-        a = np.asarray(batch.column(col_a).to_pylist(), dtype=np.int64)
-        b = np.asarray(batch.column(col_b).to_pylist(), dtype=np.int64)
+        a = batch.column(col_a).combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        b = batch.column(col_b).combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         return pa.table(
             {
                 "u": pa.array(np.concatenate([a, b]), pa.int64()),
@@ -631,7 +654,7 @@ def components_from_int_edges(
 def _propagate_components(
     sym_ds,
     *,
-    max_iters: int,
+    max_iters: int | None,
     num_partitions: int | None,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
@@ -643,7 +666,14 @@ def _propagate_components(
     through worker-side Parquet every ``checkpoint_every`` rounds (plus on
     convergence) and the loop resumes from the newest matching checkpoint
     — the state/lineage discipline extended to the iterative algorithms
-    (state/bsp_ckpt)."""
+    (state/bsp_ckpt).
+
+    ``max_iters=None`` (the default) runs to CONVERGENCE — min-label
+    propagation terminates in component-diameter rounds, so the loop is
+    always finite — keeping the distributed path's output identical to
+    the driver union-find.  An explicit cap returns a valid REFINEMENT
+    (possibly unmerged components) and warns when it is hit, so a silent
+    under-merge can never masquerade as the converged answer."""
     import ray
 
     P = num_partitions or max(4, int(ray.cluster_resources().get("CPU", 4)))
@@ -680,7 +710,9 @@ def _propagate_components(
                 for p in range(P)
             ]
 
-    for rnd in range(start_round, max_iters):
+    cap = max_iters if max_iters is not None else (1 << 20)
+    converged = False
+    for rnd in range(start_round, cap):
         msg_lists = [msgs.options(num_returns=P).remote(parts[p], P) for p in range(P)]
         if P == 1:
             msg_lists = [[m] for m in msg_lists]
@@ -701,6 +733,14 @@ def _propagate_components(
             )
         if converged:
             break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"label propagation hit max_iters={max_iters} before converging; "
+            "labels are a valid refinement but components may be unmerged",
+            RuntimeWarning,
+        )
 
     import ray.data
 
@@ -763,7 +803,7 @@ def _cluster_assign_partition(group: pa.Table, consolidate=None) -> pa.Table:
     if group.num_rows == 0 or "label" not in group.column_names:
         return _ASSIGN_SCHEMA.empty_table()
     tbl = group.sort_by([("label", "ascending"), ("surface", "ascending")])
-    labels = np.asarray(tbl.column("label").to_pylist(), dtype=np.int64)
+    labels = tbl.column("label").combine_chunks().to_numpy(zero_copy_only=False)
     starts = np.flatnonzero(np.r_[True, np.diff(labels) != 0])
     ends = np.r_[starts[1:], len(labels)]
     surfaces = tbl.column("surface").to_pylist()

@@ -114,3 +114,72 @@ def test_label_propagation_stress_many_components():
         for cid in range(n_chains)
     }
     assert roots == expected
+
+
+def test_propagation_converges_past_25_rounds_by_default():
+    """Default max_iters=None runs to convergence: a chain of diameter 60
+    (would under-merge at the old cap of 25) fully merges."""
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_entity_extraction_ray.stages.linking import components_from_int_edges
+
+    n = 60
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(list(range(n)), pa.int64()),
+                "b": pa.array(list(range(1, n + 1)), pa.int64()),
+            }
+        )
+    )
+    out = {r["node"]: r["label"] for r in components_from_int_edges(edges).take_all()}
+    assert set(out.values()) == {0}  # single fully-merged component
+
+
+def test_explicit_cap_warns_on_non_convergence():
+    import warnings
+
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_entity_extraction_ray.stages.linking import components_from_int_edges
+
+    n = 30
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(list(range(n)), pa.int64()),
+                "b": pa.array(list(range(1, n + 1)), pa.int64()),
+            }
+        )
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = {r["node"]: r["label"]
+               for r in components_from_int_edges(edges, max_iters=3).take_all()}
+    assert any("max_iters" in str(x.message) for x in w)
+    assert len(set(out.values())) > 1  # refinement, not converged
+
+
+def test_duplicate_surface_rows_never_self_pair():
+    """candidate_pair_edges on a NON-distinct input must not emit (s, s)
+    self-edges nor let duplicate rows trip the MAX_BLOCK cap."""
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_entity_extraction_ray.stages.linking import candidate_pair_edges
+
+    rows = [("PERSON", "John Smith")] * 5 + [("PERSON", "John Smith Jr")] * 5
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "type": pa.array([r[0] for r in rows], pa.string()),
+                "surface": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+    edges = candidate_pair_edges(ds).take_all()
+    assert edges, "the subset-rule pair must survive"
+    assert all(r["a"] != r["b"] for r in edges)
+    assert all(r["a"] < r["b"] for r in edges)
