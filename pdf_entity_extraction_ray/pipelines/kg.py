@@ -58,7 +58,7 @@ except Exception:  # pragma: no cover
 from ..sources.corpus import cached_catalog, catalog_gazetteer
 from ..stages.annotate import Annotator, explode_mentions_batch, explode_triples_batch
 from ..stages.extract import extract_segments_batch
-from ..stages.graph import build_edges, build_nodes, canonical_triples
+from ..stages.graph import build_nodes, canonical_triples
 from ..stages.linking import link_entities
 from ..state import lineage
 
@@ -73,14 +73,6 @@ CODE_VERSION = 7  # bump to invalidate all phase outputs (v7: xxhash buckets)
 # the small side".  Outputs are identical across modes (tested), so the
 # switch is purely an execution-strategy decision.
 AUTO_DISTRIBUTED_THRESHOLD = 1_000_000
-
-
-def _add_bucket_col(batch: pa.Table, n_buckets: int) -> pa.Table:
-    """Sort key for pre-stage clustering (dropped by the extract stage; the
-    annotator recomputes the identical content-derived value), fully
-    vectorized via lineage.url_buckets (polars xxhash64)."""
-    buckets = lineage.url_buckets(batch.column("url"), n_buckets)
-    return batch.append_column("bucket", pa.array(buckets, pa.int32()))
 
 
 def _filter_buckets(batch: pa.Table, wanted: frozenset, n_buckets: int) -> pa.Table:
@@ -144,12 +136,21 @@ def _run_partitioned_phase(
     new ``g<k>`` dir — the dominant cost (model inference per page) is
     never re-paid for already-tagged pages.  Any in-place change to a
     consumed file breaks the append-only assumption and forces a full
-    rebuild.  Within a generation, per-bucket ``_COMPLETE`` markers give
-    crash resume exactly as before."""
+    rebuild.  Within a generation, per-bucket ``_COMPLETE`` markers are
+    stamped after the generation's single write completes, so they
+    resume only the narrow crash window between that write and the
+    manifest write (and drive the unattributable-dir sweep); a crash
+    MID-write re-pays the whole generation — true per-bucket streaming
+    markers would need a custom datasink."""
     import ray.data
 
     table_dir = os.path.join(out_dir, phase)
     snapshot = lineage.input_snapshot(pages_path)
+    if not snapshot:
+        raise ValueError(
+            f"no parquet input found under {pages_path!r} — "
+            "check the pages path"
+        )
     manifest = lineage.load_manifest(out_dir, phase) if resume else None
     if manifest is not None and manifest.get("fingerprint") != fp:
         manifest = None  # stale config/code
@@ -444,6 +445,10 @@ def run_kg(
     # P2: flat mentions / triples tables = cheap explode projections.
     # The two datasets are independent -> submit from two driver threads so
     # their Ray executions overlap (halves this phase's fixed latency).
+    # In-thread dataset construction is safe HERE because the module-top
+    # fsspec shim pre-imports the one lazy module that races; P4 still
+    # builds its plans on the main thread to also serialize DataContext
+    # capture for its strategy-flipping experiment path.
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as pool:
@@ -498,14 +503,26 @@ def run_kg(
             import pyarrow.dataset as pads
 
             n_surfaces = pads.dataset(surface_map_dir).count_rows()
+            # resolve modes from the SAME measure a fresh run uses (the
+            # distinct count stored in the manifest); fall back to the
+            # surface-map row count for manifests from older runs
+            _m = lineage.load_manifest(out_dir, "linking") or {}
+            _nd = _m.get("n_distinct", n_surfaces)
+            if resolved_linking == "auto":
+                resolved_linking = "distributed" if _nd > auto_threshold else "driver"
             if resolved_rewrite == "auto":
-                resolved_rewrite = "join" if n_surfaces > auto_threshold else "broadcast"
-            cluster_map = None if resolved_rewrite == "join" else _load_map()
+                resolved_rewrite = "join" if _nd > auto_threshold else "broadcast"
+            cluster_map = None  # loaded lazily below, only if P4 needs it
         else:
             import shutil
 
             import pyarrow.parquet as pq
 
+            # drop the manifest BEFORE the artifact: a crash mid-rebuild
+            # must never leave a complete-looking manifest over a partial
+            # or deleted surface map (the per-page phases already follow
+            # this invalidate-then-rebuild order)
+            lineage.invalidate(out_dir, "linking")
             shutil.rmtree(surface_map_dir, ignore_errors=True)
             # prune at the read: linking consumes only (type, surface)
             mentions_ds = ray.data.read_parquet(
@@ -514,6 +531,7 @@ def run_kg(
                 override_num_blocks=2 * int(ray.cluster_resources().get("CPU", 16)),
             )
             distinct = None
+            n_distinct = None
             if linking_mode == "auto" or rewrite_mode == "auto":
                 from ..stages.linking import distinct_surfaces
 
@@ -568,8 +586,9 @@ def run_kg(
             if cluster_map is not None
             else {}
         )
+        if n_distinct is not None:
+            extra["n_distinct"] = n_distinct
         lineage.write_manifest(out_dir, "linking", fp_link, n_surfaces, t_link.wall, extra=extra)
-    cluster_map_ref = ray.put(cluster_map) if cluster_map is not None else None
 
     # P4: graph materialize
     fp_graph = lineage.fingerprint(
@@ -585,10 +604,24 @@ def run_kg(
     edges_dir = os.path.join(out_dir, "edges")
     canon_dir = os.path.join(out_dir, "triples_canonical")
     recomputed_graph = not (resume and lineage.phase_complete(out_dir, "graph", fp_graph))
+    # the broadcast map is needed only when P4 actually rebuilds on the
+    # broadcast path — a fully-cached rerun (or the join path) must not
+    # pay the dict load + object-store copy
+    if recomputed_graph and resolved_rewrite != "join" and cluster_map is None:
+        cluster_map = _load_map()
+    cluster_map_ref = (
+        ray.put(cluster_map)
+        if (cluster_map is not None and recomputed_graph and resolved_rewrite != "join")
+        else None
+    )
     with lineage.PhaseTimer() as t_graph:
         if recomputed_graph:
             import shutil
 
+            # drop the manifest BEFORE the artifacts (see the P3 note): a
+            # crash mid-rebuild must never leave a complete-looking graph
+            # manifest over deleted/partial nodes/edges
+            lineage.invalidate(out_dir, "graph")
             for d in (nodes_dir, edges_dir, canon_dir):
                 shutil.rmtree(d, ignore_errors=True)
             # nodes and the canonical-triples rewrite are independent ->

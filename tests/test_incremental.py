@@ -191,3 +191,46 @@ def test_inplace_mutation_forces_full_rebuild(small_corpus, tmp_path_factory):
         .to_pylist()
     )
     assert len(got_urls) == n_pages
+
+
+def test_rebuild_invalidates_manifests_before_destroying_artifacts(
+    small_corpus, tmp_path_factory, monkeypatch
+):
+    """Crash-durability invariant (round-4 review): the linking and graph
+    manifests must be gone BEFORE their artifacts are deleted, so a crash
+    mid-rebuild can never leave a complete-looking manifest over partial
+    or missing output."""
+    import shutil as _shutil
+
+    out = str(tmp_path_factory.mktemp("kg_inv"))
+    pages = os.path.join(small_corpus, "pages")
+    run_kg(pages, out, n_buckets=4)  # complete run, manifests present
+    assert lineage.load_manifest(out, "graph") is not None
+    assert lineage.load_manifest(out, "linking") is not None
+
+    seen = []
+    real_rmtree = _shutil.rmtree
+
+    def spy_rmtree(path, *a, **kw):
+        name = os.path.basename(str(path).rstrip("/"))
+        if name in ("nodes", "edges", "triples_canonical"):
+            seen.append(("graph", lineage.load_manifest(out, "graph") is None))
+        if name == "surface_map":
+            seen.append(("linking", lineage.load_manifest(out, "linking") is None))
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(_shutil, "rmtree", spy_rmtree)
+    run_kg(pages, out, n_buckets=4, resume=False)
+    graph_obs = [ok for ph, ok in seen if ph == "graph"]
+    link_obs = [ok for ph, ok in seen if ph == "linking"]
+    assert graph_obs and all(graph_obs), "graph manifest must go before rmtree"
+    assert link_obs and all(link_obs), "linking manifest must go before rmtree"
+
+
+def test_empty_pages_dir_raises_cleanly(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kg_empty_out"))
+    empty = str(tmp_path_factory.mktemp("kg_empty_pages"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no parquet input"):
+        run_kg(empty, out, n_buckets=4)
