@@ -61,22 +61,42 @@ BROADCAST_LIMIT_BYTES = 256 * 1024 * 1024
 
 
 def _join_parts() -> int:
-    """Join partition count, capped for local sessions (aggregator actors
-    have fixed startup; 2/CPU oversubscribes one node — see
-    ops/dedup._join_partitions).  Pass ``num_partitions`` explicitly on a
-    real cluster."""
-    import ray
+    """Join partition count, capped for local sessions — the ONE
+    definition lives in ops/dedup (with the measured justification);
+    pass ``num_partitions`` explicitly on a real cluster."""
+    from .dedup import _join_partitions
 
-    return min(8, max(4, int(ray.cluster_resources().get("CPU", 4)) // 2))
+    return _join_partitions()
 
 
 def _build_side_bytes(ds) -> int:
     """Estimated in-memory bytes of a Dataset (metadata-based for Parquet
-    sources — no execution); 0 when unknown (treated as broadcastable)."""
+    sources — no execution).  FAILS CLOSED: when the size is unknown the
+    estimate is +inf-like, so the size-dispatched joins take the shuffle
+    path instead of iter_batches-ing an unbounded build side onto the
+    driver."""
     try:
-        return int(ds.size_bytes() or 0)
+        sz = ds.size_bytes()
+        return int(sz) if sz else (1 << 62)
     except Exception:
-        return 0
+        return 1 << 62
+
+
+def _shard_pow2(shards: int) -> int:
+    """Normalize a shard count UP to a power of two: the shard key is
+    ``key & (shards - 1)``, and a non-power-of-two mask silently
+    collapses to 2^popcount groups (e.g. shards=100 -> 16), defeating
+    the scale knob."""
+    return 1 << max(0, (int(shards) - 1).bit_length())
+
+
+def _add_shard_col(batch: pa.Table, key_col: str, shards: int) -> pa.Table:
+    """Append the coarse ``shard`` column (hash-free: int keys are already
+    uniform in the low bits for ids; the mask is the cheap grouping)."""
+    if batch.num_rows == 0 or key_col not in batch.column_names:
+        return batch
+    shard = pc.bit_wise_and(batch.column(key_col), pa.scalar(_shard_pow2(shards) - 1))
+    return batch.append_column("shard", shard.cast(pa.int32()))
 
 
 def orders_by_segment(
@@ -239,10 +259,7 @@ def event_sessions(events_ds, gap_minutes: int = 30, shards: int = 256):
     gap_us = gap_minutes * 60 * 1_000_000
 
     def add_shard(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "user_id" not in batch.column_names:
-            return batch
-        shard = pc.bit_wise_and(batch.column("user_id"), pa.scalar(shards - 1))
-        return batch.append_column("shard", shard.cast(pa.int32()))
+        return _add_shard_col(batch, "user_id", shards)
 
     def shard_sessions(group: pa.Table) -> pa.Table:
         if group.num_rows == 0 or "user_id" not in group.column_names:
@@ -253,8 +270,8 @@ def event_sessions(events_ds, gap_minutes: int = 30, shards: int = 256):
                     "n_sessions": pa.array([], pa.int64()),
                 }
             )
-        users = np.asarray(group.column("user_id").to_pylist(), dtype=np.int64)
-        ts = np.asarray(group.column("ts").cast(pa.int64()).to_pylist(), dtype=np.int64)
+        users = group.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ts = group.column("ts").cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
         order = np.lexsort((ts, users))
         users, ts = users[order], ts[order]
         # boundaries of each user's run in the sorted arrays
@@ -458,18 +475,16 @@ def events_hourly_active_users(events_ds):
     shuffle moves (hour, user) distinct pairs, not events."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        hours = pc.strftime(batch.column("ts"), format="%Y-%m-%d %H").to_pylist()
-        users = batch.column("user_id").to_pylist()
-        acc: dict[str, set] = {}
-        for h, u in zip(hours, users):
-            acc.setdefault(h, set()).add(u)
-        out_h, out_u = [], []
-        for h, us in acc.items():
-            for u in us:
-                out_h.append(h)
-                out_u.append(u)
-        return pa.table(
-            {"hour": pa.array(out_h, pa.string()), "user_id": pa.array(out_u, pa.int64())}
+        t = pa.table(
+            {
+                "hour": pc.strftime(batch.column("ts"), format="%Y-%m-%d %H"),
+                "user_id": batch.column("user_id"),
+            }
+        )
+        # one Arrow hash aggregation = the distinct-pair combiner (the
+        # per-row Python dict-of-sets this replaces was the bottleneck)
+        return t.group_by(["hour", "user_id"]).aggregate([]).select(
+            ["hour", "user_id"]
         )
 
     def final(group: pa.Table) -> pa.Table:
@@ -677,10 +692,7 @@ def events_asof_prev(events_ds, shards: int = 256):
     import numpy as np
 
     def add_shard(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "user_id" not in batch.column_names:
-            return batch
-        shard = pc.bit_wise_and(batch.column("user_id"), pa.scalar(shards - 1))
-        return batch.append_column("shard", shard.cast(pa.int32()))
+        return _add_shard_col(batch, "user_id", shards)
 
     def shard_asof(group: pa.Table) -> pa.Table:
         if group.num_rows == 0 or "user_id" not in group.column_names:
@@ -690,8 +702,8 @@ def events_asof_prev(events_ds, shards: int = 256):
                     "prev_ts": pa.array([], pa.timestamp("us")),
                 }
             )
-        user = np.asarray(group.column("user_id").to_pylist(), dtype=np.int64)
-        ts = np.asarray(group.column("ts").cast(pa.int64()).to_pylist(), dtype=np.int64)
+        user = group.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ts = group.column("ts").cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
         eid = np.asarray(group.column("event_id").to_pylist(), dtype=np.int64)
         order = np.lexsort((ts, user))
         u, t, e = user[order], ts[order], eid[order]
@@ -739,10 +751,7 @@ def events_pairs_within(events_ds, window_minutes: int = 5, shards: int = 256):
     window_us = window_minutes * 60 * 1_000_000
 
     def add_shard(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "user_id" not in batch.column_names:
-            return batch
-        shard = pc.bit_wise_and(batch.column("user_id"), pa.scalar(shards - 1))
-        return batch.append_column("shard", shard.cast(pa.int32()))
+        return _add_shard_col(batch, "user_id", shards)
 
     def shard_pairs(group: pa.Table) -> pa.Table:
         if group.num_rows == 0 or "user_id" not in group.column_names:
@@ -752,8 +761,8 @@ def events_pairs_within(events_ds, window_minutes: int = 5, shards: int = 256):
                     "n_pairs": pa.array([], pa.int64()),
                 }
             )
-        user = np.asarray(group.column("user_id").to_pylist(), dtype=np.int64)
-        ts = np.asarray(group.column("ts").cast(pa.int64()).to_pylist(), dtype=np.int64)
+        user = group.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ts = group.column("ts").cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
         order = np.lexsort((ts, user))
         u, t = user[order], ts[order]
         n = len(u)
@@ -824,10 +833,7 @@ def top_orders_per_customer(orders_ds, k: int = 3, shards: int = 256):
         )
 
     def add_shard(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "o_custkey" not in batch.column_names:
-            return batch
-        shard = pc.bit_wise_and(batch.column("o_custkey"), pa.scalar(shards - 1))
-        return batch.append_column("shard", shard.cast(pa.int32()))
+        return _add_shard_col(batch, "o_custkey", shards)
 
     def shard_topk(group: pa.Table) -> pa.Table:
         if group.num_rows == 0 or "o_custkey" not in group.column_names:
@@ -838,7 +844,7 @@ def top_orders_per_customer(orders_ds, k: int = 3, shards: int = 256):
                     "rank": pa.array([], pa.int64()),
                 }
             )
-        cust = np.asarray(group.column("o_custkey").to_pylist(), dtype=np.int64)
+        cust = group.column("o_custkey").combine_chunks().to_numpy(zero_copy_only=False)
         key = np.asarray(group.column("o_orderkey").to_pylist(), dtype=np.int64)
         price = np.asarray(group.column("o_totalprice").to_pylist(), dtype=np.float64)
         order = np.lexsort((key, -price, cust))
@@ -892,6 +898,10 @@ def events_value_quantiles(events_ds, qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
                 "value": batch.column("value"),
             }
         )
+        # count() skips NULLs, so a NULL-value group row would carry n=0
+        # and crash the rank walk; NULL values are not quantile candidates
+        # (DuckDB quantile_disc skips them too) but the GROUP must still
+        # surface, so keep one n=0 marker row per type seen
         g = t.group_by(["event_type", "value"]).aggregate([("value", "count")])
         return pa.table(
             {
@@ -905,7 +915,7 @@ def events_value_quantiles(events_ds, qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
         if group.num_rows == 0 or "value" not in group.column_names:
             cols = {"event_type": pa.array([], pa.string())}
             for q in qs:
-                cols[f"p{int(q * 100)}"] = pa.array([], pa.float64())
+                cols[f"p{round(q * 100)}"] = pa.array([], pa.float64())
             return pa.table(cols)
         idx = pc.sort_indices(
             group, sort_keys=[("event_type", "ascending"), ("value", "ascending")]
@@ -917,18 +927,27 @@ def events_value_quantiles(events_ds, qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
         starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
         ends = np.r_[starts[1:], len(et)]
         out: dict[str, list] = {"event_type": []}
+        # round(), not int(): 0.29*100 = 28.999... must label p29, not p28
         for q in qs:
-            out[f"p{int(q * 100)}"] = []
+            out[f"p{round(q * 100)}"] = []
         for s, e in zip(starts, ends):
-            cum = np.cumsum(vals[s:e])
-            n = cum[-1]
+            seg_n = vals[s:e]
+            seg_v = v[s:e]
+            nz = seg_n > 0  # NULL-value marker rows carry n=0
+            seg_n, seg_v = seg_n[nz], seg_v[nz]
             out["event_type"].append(et[s])
+            if seg_n.size == 0:
+                for q in qs:  # all values NULL: NULL quantiles, row kept
+                    out[f"p{round(q * 100)}"].append(None)
+                continue
+            cum = np.cumsum(seg_n)
+            n = cum[-1]
             for q in qs:
                 rank = int(np.ceil(q * n)) or 1
-                out[f"p{int(q * 100)}"].append(v[s:e][np.searchsorted(cum, rank)])
+                out[f"p{round(q * 100)}"].append(seg_v[np.searchsorted(cum, rank)])
         cols: dict = {"event_type": pa.array(out["event_type"], pa.string())}
         for q in qs:
-            k = f"p{int(q * 100)}"
+            k = f"p{round(q * 100)}"
             cols[k] = pa.array(out[k], pa.float64())
         return pa.table(cols)
 
@@ -965,17 +984,29 @@ def events_json_agg(events_ds):
         }
         if batch.num_rows == 0 or "props" not in batch.column_names:
             return pa.table(cols)
-        ks = [int(json.loads(p)["k"]) for p in batch.column("props").to_pylist()]
+        def k_of(p):
+            # oracle semantics: json_extract(props,'$.k') is NULL for a
+            # NULL blob, unparsable JSON, or a missing field — the row
+            # still counts in count(*), only the k-aggregates skip it
+            if p is None:
+                return None
+            try:
+                val = json.loads(p).get("k")
+            except (ValueError, AttributeError):
+                return None
+            return int(val) if val is not None else None
+
+        ks = [k_of(p) for p in batch.column("props").to_pylist()]
         t = pa.table(
             {"event_type": batch.column("event_type"), "k": pa.array(ks, pa.int64())}
         )
         g = t.group_by("event_type").aggregate(
-            [("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max")]
+            [([], "count_all"), ("k", "sum"), ("k", "min"), ("k", "max")]
         )
         return pa.table(
             {
                 "event_type": g.column("event_type"),
-                "n": g.column("k_count").cast(pa.int64()),
+                "n": g.column("count_all").cast(pa.int64()),
                 "k_sum": g.column("k_sum").cast(pa.int64()),
                 "k_min": g.column("k_min").cast(pa.int64()),
                 "k_max": g.column("k_max").cast(pa.int64()),
@@ -1079,10 +1110,7 @@ def events_funnel(events_ds, steps: tuple[str, ...] = ("signup", "view", "click"
     step_list = list(steps)
 
     def add_shard(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "user_id" not in batch.column_names:
-            return batch
-        shard = pc.bit_wise_and(batch.column("user_id"), pa.scalar(shards - 1))
-        return batch.append_column("shard", shard.cast(pa.int32()))
+        return _add_shard_col(batch, "user_id", shards)
 
     def shard_funnel(group: pa.Table) -> pa.Table:
         if group.num_rows == 0 or "user_id" not in group.column_names:
@@ -1093,8 +1121,8 @@ def events_funnel(events_ds, steps: tuple[str, ...] = ("signup", "view", "click"
                     "n_users": pa.array([], pa.int64()),
                 }
             )
-        users = np.asarray(group.column("user_id").to_pylist(), dtype=np.int64)
-        ts = np.asarray(group.column("ts").cast(pa.int64()).to_pylist(), dtype=np.int64)
+        users = group.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ts = group.column("ts").cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
         types = np.asarray(group.column("event_type").to_pylist(), dtype=object)
         # per step: (user, ts)-sorted arrays for binary-search probing
         per_step = []

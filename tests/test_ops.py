@@ -818,3 +818,82 @@ class TestEventsRetention:
         b = sorted((r["cohort_day"], r["day_offset"], r["n_users"])
                    for r in events_retention(self._events(rows).repartition(13)).take_all())
         assert a == b and sum(n for _, o, n in a if o == 0) == 50
+
+
+class TestRelationalReviewFixes:
+    """Round-4 review fixes over the relational family."""
+
+    def test_quantiles_tolerate_all_null_group(self):
+        import datetime
+
+        from pdf_entity_extraction_ray.ops.relational import events_value_quantiles
+
+        t = pa.table(
+            {
+                "event_type": pa.array(["a", "a", "b", "b"], pa.string()),
+                "value": pa.array([None, None, 1.0, 3.0], pa.float64()),
+            }
+        )
+        out = {r["event_type"]: (r["p50"], r["p90"], r["p99"])
+               for r in events_value_quantiles(ray.data.from_arrow(t)).take_all()}
+        assert out["a"] == (None, None, None)  # group kept, NULL quantiles
+        assert out["b"][0] == 1.0 and out["b"][1] == 3.0
+
+    def test_quantile_label_rounding(self):
+        from pdf_entity_extraction_ray.ops.relational import events_value_quantiles
+
+        t = pa.table(
+            {
+                "event_type": pa.array(["x"] * 10, pa.string()),
+                "value": pa.array([float(i) for i in range(10)], pa.float64()),
+            }
+        )
+        out = events_value_quantiles(ray.data.from_arrow(t), qs=(0.29,)).take_all()
+        assert "p29" in out[0]  # int(0.29*100) would mislabel as p28
+
+    def test_json_agg_null_and_missing_k(self):
+        from pdf_entity_extraction_ray.ops.relational import events_json_agg
+
+        t = pa.table(
+            {
+                "event_type": pa.array(["a", "a", "a", "b"], pa.string()),
+                "props": pa.array(
+                    ['{"k": 2}', None, '{"other": 1}', '{"k": 5}'], pa.string()
+                ),
+            }
+        )
+        out = {r["event_type"]: (r["n"], r["k_sum"], r["k_min"], r["k_max"])
+               for r in events_json_agg(ray.data.from_arrow(t)).take_all()}
+        # count(*) counts every row; k-aggregates skip NULL/missing
+        assert out["a"] == (3, 2, 2, 2)
+        assert out["b"] == (1, 5, 5, 5)
+
+    def test_shard_pow2_normalization(self):
+        from pdf_entity_extraction_ray.ops.relational import _shard_pow2
+
+        assert _shard_pow2(100) == 128
+        assert _shard_pow2(256) == 256
+        assert _shard_pow2(1) == 1
+        # non-power-of-two shards must still partition users correctly
+        import datetime
+
+        from pdf_entity_extraction_ray.ops.relational import event_sessions
+
+        rows = [(u, datetime.datetime(2024, 1, 1, 0, 0, u % 50)) for u in range(300)]
+        t = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            }
+        )
+        out = event_sessions(ray.data.from_arrow(t), shards=100).take_all()
+        assert len(out) == 300  # every user exactly once
+
+    def test_build_side_size_fails_closed(self):
+        from pdf_entity_extraction_ray.ops.relational import _build_side_bytes
+
+        class Broken:
+            def size_bytes(self):
+                raise RuntimeError("no metadata")
+
+        assert _build_side_bytes(Broken()) > 10**12  # -> shuffle path
