@@ -19,6 +19,8 @@ group per block — the head-entity-skew treatment from SURVEY §4.
 
 from __future__ import annotations
 
+import functools
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -76,6 +78,38 @@ def resolve(cluster_map: dict, typ: str, surface: str, obj_norm: str = "") -> tu
 # nodes
 
 
+def _resolve_date(surface: str) -> tuple[int, str]:
+    """DATE surface -> (node_id, canonical) via its parsed ISO value."""
+    parsed = parse_date(surface)
+    return resolve({}, "DATE", surface, parsed.isoformat() if parsed else "")
+
+
+def _acc_update(acc: dict, nid: int, canon: str, typ: str, surface: str, n, url_min, url_max):
+    """Fold one distinct (type, surface) group row into the per-node acc."""
+    a = acc.setdefault(
+        nid, {"canonical": canon, "type": typ, "aliases": set(), "n": 0, "urls": set()}
+    )
+    a["aliases"].add(surface)
+    a["n"] += n
+    if len(a["urls"]) < MAX_URLS_PER_NODE:
+        a["urls"].update((url_min, url_max))
+
+
+def _acc_to_table(acc: dict) -> pa.Table:
+    """Per-node acc -> partial-rows table (the shared pre-shard schema of
+    both the broadcast and the join node builders)."""
+    return pa.table(
+        {
+            "node_id": pa.array(list(acc), pa.int64()),
+            "canonical": pa.array([a["canonical"] for a in acc.values()], pa.string()),
+            "type": pa.array([a["type"] for a in acc.values()], pa.string()),
+            "aliases": pa.array([sorted(a["aliases"]) for a in acc.values()], pa.list_(pa.string())),
+            "n_mentions": pa.array([a["n"] for a in acc.values()], pa.int64()),
+            "urls": pa.array([sorted(a["urls"]) for a in acc.values()], pa.list_(pa.string())),
+        }
+    )
+
+
 def node_partials_batch(batch: pa.Table, cluster_map: dict) -> pa.Table:
     """mentions batch -> partial per-node aggregates.
 
@@ -102,40 +136,37 @@ def node_partials_batch(batch: pa.Table, cluster_map: dict) -> pa.Table:
         g.column("url_max").to_pylist(),
     ):
         if typ == "DATE":
-            parsed = parse_date(surface)
-            nid, canon = resolve({}, "DATE", surface, parsed.isoformat() if parsed else "")
+            nid, canon = _resolve_date(surface)
         else:
             nid, canon = resolve(cluster_map, typ, surface)
-        a = acc.setdefault(
-            nid, {"canonical": canon, "type": typ, "aliases": set(), "n": 0, "urls": set()}
-        )
-        a["aliases"].add(surface)
-        a["n"] += n
-        if len(a["urls"]) < MAX_URLS_PER_NODE:
-            a["urls"].update((url_min, url_max))
-    return pa.table(
-        {
-            "node_id": pa.array(list(acc), pa.int64()),
-            "canonical": pa.array([a["canonical"] for a in acc.values()], pa.string()),
-            "type": pa.array([a["type"] for a in acc.values()], pa.string()),
-            "aliases": pa.array([sorted(a["aliases"]) for a in acc.values()], pa.list_(pa.string())),
-            "n_mentions": pa.array([a["n"] for a in acc.values()], pa.int64()),
-            "urls": pa.array([sorted(a["urls"]) for a in acc.values()], pa.list_(pa.string())),
-        }
-    )
+        _acc_update(acc, nid, canon, typ, surface, n, url_min, url_max)
+    return _acc_to_table(acc)
 
 
 # coarse shard count for the final node merge: ``map_groups`` pays a
 # Python call + table construction PER GROUP, which at one-group-per-node
 # (every distinct DATE is a node) dominated the graph phase; sharding by
-# ``node_id % NODE_SHARDS`` keeps same-node rows co-located while batching
-# ~n_nodes/256 merges per call.  Scale by raising shards with the cluster.
+# a bitmask keeps same-node rows co-located while batching ~n_nodes/256
+# merges per call.  Scale by raising shards with the cluster — MUST stay a
+# power of two (the shard is ``node_id & (NODE_SHARDS - 1)``; a
+# non-power-of-two silently collapses to the next-lower power with a
+# skewed distribution).
 NODE_SHARDS = 256
+assert NODE_SHARDS & (NODE_SHARDS - 1) == 0, "NODE_SHARDS must be a power of two"
 
 
 def node_shard_merge(group: pa.Table) -> pa.Table:
     """Reduce one SHARD of partial node rows -> NODES_SCHEMA rows (one per
-    node_id in the shard, sorted by node_id — deterministic)."""
+    node_id in the shard, sorted by node_id — deterministic).
+
+    The per-node url union is capped at MAX_URLS_PER_NODE + 1 as it
+    accumulates (keep the lexicographically smallest; min-k is
+    associative, so ``urls_sample`` equals the smallest MAX_URLS of the
+    full union exactly) — a hub node contributed by 10^5 input blocks must
+    not build a 10^5-element set inside one merge task.  ``n_urls`` is
+    therefore the distinct urls RETAINED in the bounded sample
+    (== MAX_URLS_PER_NODE + 1 signals "more than the sample")."""
+    cap = MAX_URLS_PER_NODE + 1
     acc: dict[int, dict] = {}
     for nid, canon, typ, aliases, n, urls in zip(
         group.column("node_id").to_pylist(),
@@ -151,6 +182,8 @@ def node_shard_merge(group: pa.Table) -> pa.Table:
         a["aliases"].update(aliases)
         a["n"] += n
         a["urls"].update(urls)
+        if len(a["urls"]) > cap:
+            a["urls"] = set(sorted(a["urls"])[:cap])
     nids = sorted(acc)
     return pa.table(
         {
@@ -171,15 +204,22 @@ def node_shard_merge(group: pa.Table) -> pa.Table:
     )
 
 
-def build_nodes(mentions_ds, cluster_map_ref):
-    """mentions Dataset + broadcast cluster map -> nodes Dataset (linked
-    types + DATE, so every edge endpoint has a nodes row)."""
+@functools.lru_cache(maxsize=8)
+def _cached_cluster_map(cluster_map_ref) -> dict:
+    """``ray.get`` the broadcast cluster map ONCE per worker process.
+
+    Ray does not cache the deserialized Python dict across ``ray.get``
+    calls on the same ref (measured ~1.1 s per call for a 1M-entry map);
+    without this, every mentions batch re-unpickles the whole map.  Same
+    pattern as :func:`_arrow_maps` (ObjectRefs hash stably)."""
     import ray
 
-    def partial(batch: pa.Table) -> pa.Table:
-        return node_partials_batch(batch, ray.get(cluster_map_ref))
+    return ray.get(cluster_map_ref)
 
-    partials = mentions_ds.map_batches(partial, batch_format="pyarrow")
+
+def _shard_merge_nodes(partials_ds):
+    """Partial node rows -> NODES_SCHEMA via the coarse shard groupby (the
+    shared tail of :func:`build_nodes` and :func:`build_nodes_join`)."""
 
     def add_shard(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "node_id" not in batch.column_names:
@@ -188,12 +228,22 @@ def build_nodes(mentions_ds, cluster_map_ref):
         return batch.append_column("shard", shard.cast(pa.int32()))
 
     return (
-        partials.map_batches(add_shard, batch_format="pyarrow")
+        partials_ds.map_batches(add_shard, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(
             lambda g: node_shard_merge(g.drop_columns(["shard"])), batch_format="pyarrow"
         )
     )
+
+
+def build_nodes(mentions_ds, cluster_map_ref):
+    """mentions Dataset + broadcast cluster map -> nodes Dataset (linked
+    types + DATE, so every edge endpoint has a nodes row)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return node_partials_batch(batch, _cached_cluster_map(cluster_map_ref))
+
+    return _shard_merge_nodes(mentions_ds.map_batches(partial, batch_format="pyarrow"))
 
 
 # --------------------------------------------------------------------------
@@ -218,7 +268,7 @@ def canonical_triples(triples_ds, cluster_map_ref):
     def rewrite(batch: pa.Table) -> pa.Table:
         keys_arr, canon_arr, ids_arr = _arrow_maps(cluster_map_ref)
 
-        def map_side(type_col, surface_col, obj_norms=None):
+        def map_side(type_col, surface_col, obj_norm_col=None):
             keys = pc.binary_join_element_wise(
                 type_col.cast(pa.string()), surface_col.cast(pa.string()), "\x00"
             )
@@ -227,13 +277,20 @@ def canonical_triples(triples_ds, cluster_map_ref):
             ids = pc.take(ids_arr, idx)
             miss = np.nonzero(pc.is_null(idx).to_numpy(zero_copy_only=False))[0]
             if len(miss):
+                # only the miss rows (DATE objects + unresolved singletons)
+                # pay a Python conversion — hit rows stay Arrow
+                miss_idx = pa.array(miss, pa.int64())
                 canon = canon.to_pylist()
                 ids = ids.to_pylist()
-                types = type_col.to_pylist()
-                surfaces = surface_col.to_pylist()
-                for i in miss:
-                    obj_norm = obj_norms[i] if obj_norms is not None else ""
-                    nid, c = resolve({}, types[i], surfaces[i], obj_norm)
+                types = type_col.take(miss_idx).to_pylist()
+                surfaces = surface_col.take(miss_idx).to_pylist()
+                norms = (
+                    obj_norm_col.take(miss_idx).to_pylist()
+                    if obj_norm_col is not None
+                    else [""] * len(miss)
+                )
+                for j, i in enumerate(miss):
+                    nid, c = resolve({}, types[j], surfaces[j], norms[j] or "")
                     canon[i] = c
                     ids[i] = nid
                 return pa.array(canon, pa.string()), pa.array(ids, pa.int64())
@@ -246,7 +303,7 @@ def canonical_triples(triples_ds, cluster_map_ref):
         obj_canon, dst_id = map_side(
             batch.column("obj_type").combine_chunks(),
             batch.column("obj").combine_chunks(),
-            batch.column("obj_norm").to_pylist(),
+            batch.column("obj_norm").combine_chunks(),
         )
         return (
             batch.append_column("subj_canonical", subj_canon)
@@ -256,9 +313,6 @@ def canonical_triples(triples_ds, cluster_map_ref):
         )
 
     return triples_ds.map_batches(rewrite, batch_format="pyarrow")
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=8)
@@ -360,9 +414,12 @@ def _sm_renamed(surface_map_ds, type_col: str, surface_col: str, id_col: str, ca
 
 
 def _join_parts() -> int:
-    import ray
+    """Join partition count — delegates to the ONE definition in
+    ops/dedup (measured local-session cap rationale lives there); pass
+    ``num_partitions`` explicitly on a real cluster."""
+    from ..ops.dedup import _join_partitions
 
-    return min(8, max(4, int(ray.cluster_resources().get("CPU", 4)) // 2))
+    return _join_partitions()
 
 
 def canonical_triples_join(triples_ds, surface_map_ds, num_partitions: int | None = None):
@@ -396,32 +453,40 @@ def canonical_triples_join(triples_ds, surface_map_ds, num_partitions: int | Non
         if batch.num_rows == 0 or "obj_canonical" not in batch.column_names:
             return batch
 
-        def fill_side(canon_col, id_col, type_col, surface_col, norm_col):
-            canon = batch.column(canon_col).to_pylist()
-            ids = batch.column(id_col).to_pylist()
-            if any(c is None for c in canon):
-                types = batch.column(type_col).to_pylist()
-                surfaces = batch.column(surface_col).to_pylist()
-                norms = (
-                    batch.column(norm_col).to_pylist()
-                    if norm_col is not None
-                    else [""] * batch.num_rows
+        def fill_side(canon_name, id_name, type_name, surface_name, norm_name):
+            canon_col = batch.column(canon_name).combine_chunks()
+            # fast path: no join misses on this side (the common case —
+            # misses are only DATE objects / unresolved singletons), so
+            # the columns pass through zero-copy, no Python round-trip
+            if not pc.any(pc.is_null(canon_col)).as_py():
+                return (
+                    canon_col.cast(pa.string()),
+                    batch.column(id_name).combine_chunks().cast(pa.int64()),
                 )
-                for i, c in enumerate(canon):
-                    if c is None:
-                        nid, cc = resolve({}, types[i], surfaces[i], norms[i] or "")
-                        canon[i] = cc
-                        ids[i] = nid
-            return canon, ids
+            canon = canon_col.to_pylist()
+            ids = batch.column(id_name).to_pylist()
+            types = batch.column(type_name).to_pylist()
+            surfaces = batch.column(surface_name).to_pylist()
+            norms = (
+                batch.column(norm_name).to_pylist()
+                if norm_name is not None
+                else [""] * batch.num_rows
+            )
+            for i, c in enumerate(canon):
+                if c is None:
+                    nid, cc = resolve({}, types[i], surfaces[i], norms[i] or "")
+                    canon[i] = cc
+                    ids[i] = nid
+            return pa.array(canon, pa.string()), pa.array(ids, pa.int64())
 
         subj_canon, src_ids = fill_side("subj_canonical", "src_id", "subj_type", "subj", None)
         obj_canon, dst_ids = fill_side("obj_canonical", "dst_id", "obj_type", "obj", "obj_norm")
         batch = batch.drop_columns(["subj_canonical", "src_id", "obj_canonical", "dst_id"])
         return (
-            batch.append_column("subj_canonical", pa.array(subj_canon, pa.string()))
-            .append_column("src_id", pa.array(src_ids, pa.int64()))
-            .append_column("obj_canonical", pa.array(obj_canon, pa.string()))
-            .append_column("dst_id", pa.array(dst_ids, pa.int64()))
+            batch.append_column("subj_canonical", subj_canon)
+            .append_column("src_id", src_ids)
+            .append_column("obj_canonical", obj_canon)
+            .append_column("dst_id", dst_ids)
         )
 
     return j.map_batches(fill_misses, batch_format="pyarrow")
@@ -448,18 +513,11 @@ def build_nodes_join(mentions_ds, surface_map_ds, num_partitions: int | None = N
 
     def partial(batch: pa.Table) -> pa.Table:
         """Per-batch combiner over joined rows (node id/canonical already
-        columns; misses = DATE / unresolved, filled via resolve)."""
+        columns; misses = DATE / unresolved, filled via resolve).  Shares
+        the acc fold/emit with :func:`node_partials_batch` — only the
+        (node_id, canonical) source differs (join columns vs map)."""
         if batch.num_rows == 0 or "type" not in batch.column_names:
-            return pa.table(
-                {
-                    "node_id": pa.array([], pa.int64()),
-                    "canonical": pa.array([], pa.string()),
-                    "type": pa.array([], pa.string()),
-                    "aliases": pa.array([], pa.list_(pa.string())),
-                    "n_mentions": pa.array([], pa.int64()),
-                    "urls": pa.array([], pa.list_(pa.string())),
-                }
-            )
+            return _acc_to_table({})
         g = batch.group_by(["type", "surface", "node_id", "canonical"]).aggregate(
             [("url", "count"), ("url", "min"), ("url", "max")]
         )
@@ -475,44 +533,10 @@ def build_nodes_join(mentions_ds, surface_map_ds, num_partitions: int | None = N
         ):
             if canon is None:
                 if typ == "DATE":
-                    parsed = parse_date(surface)
-                    nid, canon = resolve(
-                        {}, "DATE", surface, parsed.isoformat() if parsed else ""
-                    )
+                    nid, canon = _resolve_date(surface)
                 else:
                     nid, canon = resolve({}, typ, surface)
-            a = acc.setdefault(
-                nid, {"canonical": canon, "type": typ, "aliases": set(), "n": 0, "urls": set()}
-            )
-            a["aliases"].add(surface)
-            a["n"] += n
-            if len(a["urls"]) < MAX_URLS_PER_NODE:
-                a["urls"].update((url_min, url_max))
-        return pa.table(
-            {
-                "node_id": pa.array(list(acc), pa.int64()),
-                "canonical": pa.array([a["canonical"] for a in acc.values()], pa.string()),
-                "type": pa.array([a["type"] for a in acc.values()], pa.string()),
-                "aliases": pa.array(
-                    [sorted(a["aliases"]) for a in acc.values()], pa.list_(pa.string())
-                ),
-                "n_mentions": pa.array([a["n"] for a in acc.values()], pa.int64()),
-                "urls": pa.array([sorted(a["urls"]) for a in acc.values()], pa.list_(pa.string())),
-            }
-        )
+            _acc_update(acc, nid, canon, typ, surface, n, url_min, url_max)
+        return _acc_to_table(acc)
 
-    partials = joined.map_batches(partial, batch_format="pyarrow")
-
-    def add_shard(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "node_id" not in batch.column_names:
-            return batch
-        shard = pc.bit_wise_and(batch.column("node_id"), pa.scalar(NODE_SHARDS - 1))
-        return batch.append_column("shard", shard.cast(pa.int32()))
-
-    return (
-        partials.map_batches(add_shard, batch_format="pyarrow")
-        .groupby("shard")
-        .map_groups(
-            lambda g: node_shard_merge(g.drop_columns(["shard"])), batch_format="pyarrow"
-        )
-    )
+    return _shard_merge_nodes(joined.map_batches(partial, batch_format="pyarrow"))
