@@ -27,6 +27,10 @@ _KG_PAGES = {"sf0.001": 300, "sf0.01": 1000, "sf0.1": 4000}
 # subsampling (<1), drop (0) and the default-rate path in one query
 _MIX_RATES = {"src0": 2.5, "src1": 0.3, "src2": 1.7, "src3": 0.0}
 
+# BM25 retrieval queries (docs_bm25_search): multi-term, overlapping
+# vocabulary so idf weighting and the length norm both matter
+_BM25_QUERIES = {0: "fast hash join", 1: "window agg stream", 2: "customer order query"}
+
 
 def _read(sf_dir: str, table: str):
     """Read a testdata table, stripping the pandas schema metadata the
@@ -1034,6 +1038,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_host_quality": _kg_host_quality,
         # --- schema induction: predicate type-signature census ---
         "kg_pred_signatures": _kg_pred_signatures,
+        # --- BM25 ranked retrieval (two streaming passes, integer stats
+        # fold + per-block top-k combiner; rank-only output) ---
+        "docs_bm25_search": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.bm25", fromlist=["bm25_search"]
+        ).bm25_search(_read(sf, "documents"), _BM25_QUERIES, 10),
     }
     # The driver's correctness gate may sample only a prefix of this
     # registry — order the least-proven entries first so the ops with the
@@ -1042,6 +1051,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # has never itself checked (judge-run only in r3), then the long-green
     # remainder in their original order.
     front = [
+        # newest additions (late round 4): BM25 ranked retrieval
+        "docs_bm25_search",
         # new / changed this round (IRLS quality classifier; BPE trainer;
         # mp4 media rows; png+jpeg media rows; multilingual corpus;
         # Misra-Gries heavy hitters; sentence-df boilerplate strip;
@@ -1147,6 +1158,9 @@ def oracle_sql() -> dict[str, str]:
         left join rep ro on ro.cluster_id = alo.cluster_id
     """
     return {
+        "docs_bm25_search": __import__(
+            "pdf_entity_extraction_ray.ops.bm25", fromlist=["bm25_oracle_sql"]
+        ).bm25_oracle_sql(_BM25_QUERIES, 10),
         "kg_heavy_tokens": __import__(
             "pdf_entity_extraction_ray.ops.sketch",
             fromlist=["heavy_tokens_oracle_sql"],
