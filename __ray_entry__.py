@@ -490,6 +490,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def _kg_negative_samples(sf_dir):
+        """Deterministic corrupted-object negatives per KG edge (the
+        KG-embedding training-pair generator): range-respecting corruption
+        from a bounded per-predicate bottom-k hash pool, pure function of
+        the edge so SQL-mirrorable (ops/graph_stats.negative_samples)."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import negative_samples
+
+        res = _kg_artifacts(sf_dir)
+        return negative_samples(
+            ray.data.read_parquet(
+                res["edges"], columns=["src_canonical", "pred", "dst_canonical"]
+            ),
+            pool_size=64,
+        )
+
     def _kg_lang_stats(sf_dir):
         """Mention volume per (lang, type) over the multilingual corpus —
         the visible gate that non-English pages (es/fr/de/pt) flow through
@@ -1043,6 +1060,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bm25_search": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.bm25", fromlist=["bm25_search"]
         ).bm25_search(_read(sf, "documents"), _BM25_QUERIES, 10),
+        # --- KG-embedding negative sampling (bounded per-predicate
+        # hash pools; deterministic corruption) ---
+        "kg_negative_samples": _kg_negative_samples,
     }
     # The driver's correctness gate may sample only a prefix of this
     # registry — order the least-proven entries first so the ops with the
@@ -1051,8 +1071,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # has never itself checked (judge-run only in r3), then the long-green
     # remainder in their original order.
     front = [
-        # newest additions (late round 4): BM25 ranked retrieval
+        # newest additions (late round 4): BM25 ranked retrieval,
+        # KG-embedding negative sampling
         "docs_bm25_search",
+        "kg_negative_samples",
         # new / changed this round (IRLS quality classifier; BPE trainer;
         # mp4 media rows; png+jpeg media rows; multilingual corpus;
         # Misra-Gries heavy hitters; sentence-df boilerplate strip;
@@ -1161,6 +1183,35 @@ def oracle_sql() -> dict[str, str]:
         "docs_bm25_search": __import__(
             "pdf_entity_extraction_ray.ops.bm25", fromlist=["bm25_oracle_sql"]
         ).bm25_oracle_sql(_BM25_QUERIES, 10),
+        # same md5 arithmetic as ops/graph_stats.negative_samples
+        # (md5_number_upper == upper-64-bit little-endian md5, the
+        # ops/sample.py convention); pool_size inlined as 64
+        "kg_negative_samples": f"""
+            with {kg_cte},
+            tri as ({tri_canon}),
+            e as (select distinct subj_canonical as s, pred,
+                         obj_canonical as o from tri),
+            cand as (select distinct pred, o from e),
+            bk as (select pred, o from cand
+                   qualify row_number() over (
+                       partition by pred
+                       order by md5_number_upper('pool:' || o), o) <= 64),
+            pool as (select pred,
+                            list(o order by md5_number_upper('pool:' || o), o)
+                                as pl
+                     from bk group by pred),
+            pick as (select e.s, e.pred, e.o, pool.pl,
+                            cast(md5_number_upper(
+                                    'neg:' || e.s || '|' || e.pred || '|' || e.o
+                                 )::hugeint % len(pool.pl) as bigint) as i
+                     from e join pool on pool.pred = e.pred)
+            select s as subj_canonical, pred, o as obj_canonical,
+                   case when pl[i + 1] = o
+                        then pl[((i + 1) % len(pl)) + 1]
+                        else pl[i + 1] end as neg_obj
+            from pick
+            where not (len(pl) = 1 and pl[1] = o)
+        """,
         "kg_heavy_tokens": __import__(
             "pdf_entity_extraction_ray.ops.sketch",
             fromlist=["heavy_tokens_oracle_sql"],

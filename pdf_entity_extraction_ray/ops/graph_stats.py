@@ -1970,3 +1970,148 @@ def predicate_signatures(triples_ds):
         .groupby(["pred", "subj_type", "obj_type"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def _neg_hash_u64(key: str) -> int:
+    """Upper-64-bit md5 of ``key`` — equals DuckDB
+    ``md5_number_upper(key)`` (same convention as ops/sample.py)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(key.encode()).digest()[:8], "little")
+
+
+def negative_samples(edges_ds, pool_size: int = 64):
+    """(subj_canonical, pred, obj_canonical, neg_obj) — one deterministic
+    corrupted-object negative per KG edge, the training-pair generator a
+    KG-embedding recipe (TransE-style margin loss) applies over the
+    materialized edges table.
+
+    Negatives are drawn **within the predicate's observed object set**
+    (range-respecting corruption), from a bounded deterministic pool: the
+    ``pool_size`` objects with the smallest salted content hash per
+    predicate.  Structure:
+
+    * pool build — per-block partial bottom-k per predicate (bounded at
+      ``preds_in_block * pool_size`` rows), one final bottom-k over the
+      combined partials.  The exchange moves ``blocks * preds *
+      pool_size`` rows, never a predicate's full object vocabulary.
+    * sampling — pools broadcast once (``ray.put``; total size is
+      ``n_preds * pool_size`` strings, corpus-size-independent), each
+      edge picks ``pool[h(s|p|o) % n]``, stepping one slot when the pick
+      equals the true object.  A pure function of the edge, so the output
+      is stable under reruns/appends and SQL-mirrorable (the oracle in
+      ``__ray_entry__`` inlines the same md5 arithmetic).
+
+    An edge whose predicate pool holds only its own true object yields no
+    negative and is dropped.  Negatives may collide with OTHER true
+    objects of the same (subj, pred) — standard for corruption sampling
+    (filtered variants re-check against the edge set; not done here).
+    """
+    import numpy as np
+    import ray
+
+    empty_pool = pa.table(
+        {
+            "pred": pa.array([], pa.string()),
+            "o": pa.array([], pa.string()),
+            "h": pa.array([], pa.uint64()),
+        }
+    )
+
+    def pool_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "pred" not in batch.column_names:
+            return empty_pool
+        t = batch.select(["pred", "dst_canonical"]).rename_columns(["pred", "o"])
+        t = t.group_by(["pred", "o"]).aggregate([])  # block-local distinct
+        hv = pa.array(
+            np.fromiter(
+                (_neg_hash_u64("pool:" + o) for o in t.column("o").to_pylist()),
+                dtype=np.uint64,
+                count=t.num_rows,
+            )
+        )
+        t = t.append_column("h", hv).sort_by(
+            [("pred", "ascending"), ("h", "ascending"), ("o", "ascending")]
+        )
+        codes = pc.dictionary_encode(t.column("pred").combine_chunks())
+        idx = np.asarray(codes.indices)
+        starts = np.flatnonzero(np.r_[True, np.diff(idx) != 0])
+        run_start = np.repeat(starts, np.diff(np.r_[starts, len(idx)]))
+        keep = (np.arange(len(idx)) - run_start) < pool_size
+        return t.take(pa.array(np.flatnonzero(keep), pa.int64()))
+
+    def pool_final(batch: pa.Table) -> pa.Table:
+        # combined partials may repeat (pred, o) across blocks — distinct,
+        # then one more bottom-k pass (h is recomputed from o, same value)
+        if batch.num_rows == 0:
+            return empty_pool
+        t = batch.group_by(["pred", "o"]).aggregate([])
+        return pool_partial(
+            pa.table(
+                {
+                    "pred": t.column("pred"),
+                    "dst_canonical": t.column("o"),
+                }
+            )
+        )
+
+    pools_tbl = pa.concat_tables(
+        [empty_pool]
+        + list(
+            edges_ds.select_columns(["pred", "dst_canonical"])
+            .map_batches(pool_partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(pool_final, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+    pools: dict[str, list[str]] = {}
+    for p, o in zip(
+        pools_tbl.column("pred").to_pylist(), pools_tbl.column("o").to_pylist()
+    ):
+        pools.setdefault(p, []).append(o)  # already (h, o)-sorted per pred
+    pools_ref = ray.put(pools)
+
+    empty_out = pa.table(
+        {
+            "subj_canonical": pa.array([], pa.string()),
+            "pred": pa.array([], pa.string()),
+            "obj_canonical": pa.array([], pa.string()),
+            "neg_obj": pa.array([], pa.string()),
+        }
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "pred" not in batch.column_names:
+            return empty_out
+        pl = ray.get(pools_ref)
+        subs, preds, objs, negs = [], [], [], []
+        for s, p, o in zip(
+            batch.column("src_canonical").to_pylist(),
+            batch.column("pred").to_pylist(),
+            batch.column("dst_canonical").to_pylist(),
+        ):
+            pool = pl.get(p)
+            if not pool or (len(pool) == 1 and pool[0] == o):
+                continue
+            i = _neg_hash_u64(f"neg:{s}|{p}|{o}") % len(pool)
+            neg = pool[i]
+            if neg == o:
+                neg = pool[(i + 1) % len(pool)]
+            subs.append(s)
+            preds.append(p)
+            objs.append(o)
+            negs.append(neg)
+        return pa.table(
+            {
+                "subj_canonical": pa.array(subs, pa.string()),
+                "pred": pa.array(preds, pa.string()),
+                "obj_canonical": pa.array(objs, pa.string()),
+                "neg_obj": pa.array(negs, pa.string()),
+            }
+        )
+
+    return edges_ds.select_columns(
+        ["src_canonical", "pred", "dst_canonical"]
+    ).map_batches(pick, batch_format="pyarrow")

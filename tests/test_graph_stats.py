@@ -821,3 +821,82 @@ def test_pagerank_empty_edges_short_circuits():
         )
     )
     assert pagerank(empty).take_all() == []
+
+
+class TestNegativeSamples:
+    def _ds(self, rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "src_canonical": pa.array([r[0] for r in rows], pa.string()),
+                    "pred": pa.array([r[1] for r in rows], pa.string()),
+                    "dst_canonical": pa.array([r[2] for r in rows], pa.string()),
+                }
+            )
+        )
+
+    def test_basic_properties(self):
+        from pdf_entity_extraction_ray.ops.graph_stats import negative_samples
+
+        rows = [
+            ("a", "works_for", "org1"),
+            ("b", "works_for", "org2"),
+            ("c", "works_for", "org3"),
+            ("a", "located_in", "gpe1"),
+            ("b", "located_in", "gpe2"),
+        ]
+        out = negative_samples(self._ds(rows), pool_size=64).take_all()
+        assert len(out) == len(rows)
+        works_pool = {"org1", "org2", "org3"}
+        gpe_pool = {"gpe1", "gpe2"}
+        for r in out:
+            assert r["neg_obj"] != r["obj_canonical"]
+            # range-respecting: negative comes from the SAME predicate's
+            # observed objects
+            if r["pred"] == "works_for":
+                assert r["neg_obj"] in works_pool
+            else:
+                assert r["neg_obj"] in gpe_pool
+
+    def test_single_object_pool_dropped(self):
+        from pdf_entity_extraction_ray.ops.graph_stats import negative_samples
+
+        rows = [("a", "only_pred", "solo"), ("b", "only_pred", "solo")]
+        assert negative_samples(self._ds(rows)).take_all() == []
+
+    def test_deterministic_across_partitionings(self):
+        from pdf_entity_extraction_ray.ops.graph_stats import negative_samples
+
+        rows = [(f"s{i}", f"p{i % 3}", f"o{i % 17}") for i in range(60)]
+        a = sorted(map(tuple, (
+            (r["subj_canonical"], r["pred"], r["obj_canonical"], r["neg_obj"])
+            for r in negative_samples(self._ds(rows)).take_all()
+        )))
+        b = sorted(map(tuple, (
+            (r["subj_canonical"], r["pred"], r["obj_canonical"], r["neg_obj"])
+            for r in negative_samples(self._ds(rows).repartition(7)).take_all()
+        )))
+        assert a == b and len(a) == 60
+
+    def test_pool_size_bounds_candidates(self):
+        from pdf_entity_extraction_ray.ops.graph_stats import negative_samples
+
+        # 100 distinct objects, pool of 4 -> every negative is one of the
+        # 4 smallest-hash objects
+        import hashlib
+
+        def h(o):
+            return int.from_bytes(
+                hashlib.md5(f"pool:{o}".encode()).digest()[:8], "little"
+            )
+
+        objs = [f"obj{i}" for i in range(100)]
+        pool = sorted(objs, key=lambda o: (h(o), o))[:4]
+        rows = [(f"s{i}", "p", objs[i]) for i in range(100)]
+        out = negative_samples(self._ds(rows).repartition(5), pool_size=4).take_all()
+        assert out and all(r["neg_obj"] in pool for r in out)
+
+    def test_empty_edges(self):
+        from pdf_entity_extraction_ray.ops.graph_stats import negative_samples
+
+        assert negative_samples(self._ds([])).take_all() == []
