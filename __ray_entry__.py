@@ -507,6 +507,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pool_size=64,
         )
 
+    def _kg_salience(sf_dir):
+        """Per-page entity salience features (mention count, earliest
+        offset, earliest segment) — exact integers over the mentions ⋈
+        surface-map join (ops/graph_stats.entity_salience)."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import entity_salience
+
+        res = _kg_artifacts(sf_dir)
+        return entity_salience(
+            ray.data.read_parquet(
+                res["mentions"],
+                columns=["url", "seg_id", "type", "surface", "page_start"],
+            ),
+            ray.data.read_parquet(res["surface_map"]),
+        )
+
     def _kg_lang_stats(sf_dir):
         """Mention volume per (lang, type) over the multilingual corpus —
         the visible gate that non-English pages (es/fr/de/pt) flow through
@@ -1063,6 +1080,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- KG-embedding negative sampling (bounded per-predicate
         # hash pools; deterministic corruption) ---
         "kg_negative_samples": _kg_negative_samples,
+        # --- per-page entity salience features (integer triple) ---
+        "kg_salience": _kg_salience,
     }
     # The driver's correctness gate may sample only a prefix of this
     # registry — order the least-proven entries first so the ops with the
@@ -1072,9 +1091,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remainder in their original order.
     front = [
         # newest additions (late round 4): BM25 ranked retrieval,
-        # KG-embedding negative sampling
+        # KG-embedding negative sampling, entity salience
         "docs_bm25_search",
         "kg_negative_samples",
+        "kg_salience",
         # new / changed this round (IRLS quality classifier; BPE trainer;
         # mp4 media rows; png+jpeg media rows; multilingual corpus;
         # Misra-Gries heavy hitters; sentence-df boilerplate strip;
@@ -1441,6 +1461,15 @@ def oracle_sql() -> dict[str, str]:
                              order by warc_ts_us desc, url asc) as rn
                   from k)
             select norm_url, url, warc_ts_us from w where rn = 1
+        """,
+        "kg_salience": f"""
+            with {kg_cte}
+            select m.url, r.canonical, m.type,
+                   count(*)::bigint as n_mentions,
+                   min(m.page_start)::bigint as first_pos,
+                   min(m.seg_id)::bigint as first_seg
+            from cm m join rep r using (cluster_id)
+            group by m.url, r.canonical, m.type
         """,
         "kg_cooccurrence": f"""
             with {kg_cte},

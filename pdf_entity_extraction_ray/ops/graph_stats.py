@@ -2115,3 +2115,82 @@ def negative_samples(edges_ds, pool_size: int = 64):
     return edges_ds.select_columns(
         ["src_canonical", "pred", "dst_canonical"]
     ).map_batches(pick, batch_format="pyarrow")
+
+
+def entity_salience(mentions_ds, surface_map_ds, num_partitions=None):
+    """(url, canonical, type, n_mentions, first_pos, first_seg) — per-page
+    entity salience features: how often a canonical entity is mentioned on
+    the page, how early its first mention appears in the page text
+    (``first_pos`` = min char offset), and the earliest segment that
+    mentions it.  The classic feature triple an entity-salience ranker
+    (e.g. "aboutness" scoring for KG population) trains on.
+
+    Shape: linked-type prefilter -> ONE hash-shuffle join against the
+    surface map (the same (type, surface) key as stages/graph
+    ``build_nodes_join``; the map never lands on the driver) -> per-batch
+    Arrow group-by combiner -> small final groupby.  All outputs are
+    exact integers, so the result is hash-comparable across engines."""
+    from ray.data.aggregate import Min, Sum
+
+    from ..stages.graph import _join_parts, _sm_renamed
+    from ..stages.linking import LINKED_TYPES
+
+    n_part = num_partitions or (
+        1 if surface_map_ds.count() < 10_000 else _join_parts()
+    )
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "type" not in batch.column_names:
+            return pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "seg_id": pa.array([], pa.int32()),
+                    "type": pa.array([], pa.string()),
+                    "surface": pa.array([], pa.string()),
+                    "page_start": pa.array([], pa.int32()),
+                }
+            )
+        t = batch.select(["url", "seg_id", "type", "surface", "page_start"])
+        return t.filter(pc.is_in(t.column("type"), pa.array(LINKED_TYPES)))
+
+    joined = mentions_ds.map_batches(prefilter, batch_format="pyarrow").join(
+        _sm_renamed(surface_map_ds, "type", "surface", "_nid", "canonical"),
+        join_type="inner",
+        num_partitions=n_part,
+        on=("type", "surface"),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {
+            "url": pa.array([], pa.string()),
+            "canonical": pa.array([], pa.string()),
+            "type": pa.array([], pa.string()),
+            "n_mentions": pa.array([], pa.int64()),
+            "first_pos": pa.array([], pa.int64()),
+            "first_seg": pa.array([], pa.int64()),
+        }
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return pa.table(cols)
+        g = batch.group_by(["url", "canonical", "type"]).aggregate(
+            [([], "count_all"), ("page_start", "min"), ("seg_id", "min")]
+        )
+        return pa.table(
+            {
+                "url": g.column("url"),
+                "canonical": g.column("canonical"),
+                "type": g.column("type"),
+                "n_mentions": g.column("count_all").cast(pa.int64()),
+                "first_pos": g.column("page_start_min").cast(pa.int64()),
+                "first_seg": g.column("seg_id_min").cast(pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["url", "canonical", "type"])
+        .aggregate(
+            Sum("n_mentions", alias_name="n_mentions"),
+            Min("first_pos", alias_name="first_pos"),
+            Min("first_seg", alias_name="first_seg"),
+        )
+    )

@@ -900,3 +900,51 @@ class TestNegativeSamples:
         from pdf_entity_extraction_ray.ops.graph_stats import negative_samples
 
         assert negative_samples(self._ds([])).take_all() == []
+
+
+class TestEntitySalience:
+    def _tables(self):
+        mentions = pa.table(
+            {
+                "url": pa.array(["u1", "u1", "u1", "u2", "u2"], pa.string()),
+                "seg_id": pa.array([2, 3, 2, 2, 4], pa.int32()),
+                "type": pa.array(["ORG", "ORG", "PERSON", "ORG", "DATE"], pa.string()),
+                "surface": pa.array(["Acme", "Acme Corp", "Bob", "Acme", "2020"], pa.string()),
+                "page_start": pa.array([40, 90, 10, 7, 3], pa.int32()),
+            }
+        )
+        sm = pa.table(
+            {
+                "type": pa.array(["ORG", "ORG", "PERSON"], pa.string()),
+                "surface": pa.array(["Acme", "Acme Corp", "Bob"], pa.string()),
+                "node_id": pa.array([1, 1, 2], pa.int64()),
+                "canonical": pa.array(["Acme Corp", "Acme Corp", "Bob"], pa.string()),
+            }
+        )
+        return ray.data.from_arrow(mentions), ray.data.from_arrow(sm)
+
+    def test_features(self):
+        from pdf_entity_extraction_ray.ops.graph_stats import entity_salience
+
+        m, sm = self._tables()
+        rows = {
+            (r["url"], r["canonical"], r["type"]): (
+                r["n_mentions"], r["first_pos"], r["first_seg"]
+            )
+            for r in entity_salience(m, sm).take_all()
+        }
+        # two Acme-alias mentions on u1 merge into one canonical row;
+        # the DATE mention (not a linked type) is excluded
+        assert rows == {
+            ("u1", "Acme Corp", "ORG"): (2, 40, 2),
+            ("u1", "Bob", "PERSON"): (1, 10, 2),
+            ("u2", "Acme Corp", "ORG"): (1, 7, 2),
+        }
+
+    def test_partition_invariance(self):
+        from pdf_entity_extraction_ray.ops.graph_stats import entity_salience
+
+        m, sm = self._tables()
+        a = sorted(map(repr, entity_salience(m, sm).take_all()))
+        b = sorted(map(repr, entity_salience(m.repartition(4), sm).take_all()))
+        assert a == b
