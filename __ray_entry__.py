@@ -350,6 +350,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         return kmeans_cluster(_read(sf_dir, "embeddings"), 8, 10, source_path=path)
 
+    def _emb_pca(sf_dir):
+        """Distributed PCA over the embeddings table; writes the
+        single-process gold_pca mirror (same moment formulas / sign
+        convention / 1e-4 grid — the gold_kmeans pattern) so the oracle
+        is driver-visible.  Grid spacing 1e-4 vs ~1e-12 float-fold noise
+        keeps the integer projections hash-stable."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_entity_extraction_ray.ops.pca import pca_project, pca_reference
+
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        gold_dir = f"/tmp/graft_kg/{name}/gold_pca"
+        if not os.path.isdir(gold_dir):
+            t = pq.read_table(path, columns=["vec_id", "embedding"])
+            ids = np.asarray(t.column("vec_id").to_pylist())
+            M = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+            os.makedirs(gold_dir, exist_ok=True)
+            pq.write_table(pca_reference(ids, M, 4), f"{gold_dir}/part-0.parquet")
+        return pca_project(_read(sf_dir, "embeddings"), 4)
+
     def _kg_latest_crawl(sf_dir):
         """Re-crawl dedup over the pages corpus: newest crawl per
         NORMALIZED url (vectorized RE2 normalization + two-stage argmax;
@@ -1082,6 +1104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_negative_samples": _kg_negative_samples,
         # --- per-page entity salience features (integer triple) ---
         "kg_salience": _kg_salience,
+        # --- distributed PCA (bounded moment partials; gold mirror) ---
+        "emb_pca": _emb_pca,
     }
     # The driver's correctness gate may sample only a prefix of this
     # registry — order the least-proven entries first so the ops with the
@@ -1095,6 +1119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bm25_search",
         "kg_negative_samples",
         "kg_salience",
+        "emb_pca",
         # new / changed this round (IRLS quality classifier; BPE trainer;
         # mp4 media rows; png+jpeg media rows; multilingual corpus;
         # Misra-Gries heavy hitters; sentence-df boilerplate strip;
@@ -1432,6 +1457,10 @@ def oracle_sql() -> dict[str, str]:
         "emb_kmeans": f"""
             select vec_id, cluster
             from read_parquet('{gold}/gold_kmeans/*.parquet')
+        """,
+        "emb_pca": f"""
+            select vec_id, component, proj_1e4
+            from read_parquet('{gold}/gold_pca/*.parquet')
         """,
         "kg_lang_stats": f"""
             with {kg_cte}
