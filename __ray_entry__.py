@@ -1015,6 +1015,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pdf_entity_extraction_ray.ops.skew", fromlist=["event_type_counts_salted"]
         ).event_type_counts_salted(_read(sf, "events")),
         "events_daily_counts": lambda sf: relational.events_daily_counts(_read(sf, "events")),
+        # exact-integer 3-sigma daily anomaly flags (no float mean/stddev)
+        "events_daily_anomaly": lambda sf: relational.events_daily_anomaly(
+            _read(sf, "events")
+        ),
         "events_hourly_active_users": lambda sf: relational.events_hourly_active_users(
             _read(sf, "events")
         ),
@@ -1120,6 +1124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_negative_samples",
         "kg_salience",
         "emb_pca",
+        "events_daily_anomaly",
         # new / changed this round (IRLS quality classifier; BPE trainer;
         # mp4 media rows; png+jpeg media rows; multilingual corpus;
         # Misra-Gries heavy hitters; sentence-df boilerplate strip;
@@ -2269,6 +2274,23 @@ qualify rank <= 5
             select strftime(ts, '%Y-%m-%d') as day, event_type,
                    count(*) as n_events
             from events group by day, event_type
+        """,
+        # the z-test is rewritten to pure integer arithmetic (see
+        # ops/relational.events_daily_anomaly) so both engines flag
+        # bit-exactly; hugeint never overflows at realistic counts
+        "events_daily_anomaly": """
+            with d as (select event_type, strftime(ts, '%Y-%m-%d') as day,
+                              count(*)::bigint as n_events
+                       from events group by 1, 2),
+            s as (select event_type, count(*)::hugeint as n,
+                         sum(n_events)::hugeint as s,
+                         sum(n_events * n_events)::hugeint as q
+                  from d group by 1)
+            select d.event_type, d.day, d.n_events,
+                   case when (s.n * d.n_events - s.s) * (s.n * d.n_events - s.s)
+                             > 9 * (s.n * s.q - s.s * s.s)
+                        then 1 else 0 end::bigint as is_outlier
+            from d join s using (event_type)
         """,
         "events_hourly_active_users": """
             select strftime(ts, '%Y-%m-%d %H') as hour,

@@ -1267,3 +1267,103 @@ def events_retention(events_ds, num_partitions: int | None = None):
         .groupby(["cohort_day", "day_offset"])
         .aggregate(Sum("n_users", alias_name="n_users"))
     )
+
+
+def events_daily_anomaly(events_ds):
+    """(event_type, day, n_events, is_outlier) — daily event counts per
+    type with an EXACT 3-sigma outlier flag (operational anomaly
+    detection over the event stream).
+
+    The flag is computed in pure integer arithmetic so it is bit-exact
+    across engines: with per-type daily counts ``x_i``, ``n`` days,
+    ``S = Σx``, ``Q = Σx²``, the population z-test ``(x-μ)² > 9σ²``
+    rewrites to ``(n·x − S)² > 9·(n·Q − S²)`` — no float mean/stddev ever
+    materializes (Python ints / DuckDB hugeint; daily counts would need
+    to exceed ~10^18 before hugeint overflows).
+
+    Shape: one (day, type) count groupby (combiner-backed), then per-type
+    (n, S, Q) folded from the tiny daily table and BROADCAST into a
+    stateless flag pass — the daily table itself is never re-shuffled.
+    The broadcast is O(distinct event types), corpus-size-independent.
+    """
+    import ray
+
+    daily = events_daily_counts(events_ds)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        cols = {
+            "event_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "s": pa.array([], pa.int64()),
+            "q": pa.array([], pa.int64()),
+        }
+        if batch.num_rows == 0 or "event_type" not in batch.column_names:
+            return pa.table(cols)
+        x = batch.column("n_events")
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "one": pa.array([1] * batch.num_rows, pa.int64()),
+                "x": x,
+                "xx": pc.multiply(x, x),
+            }
+        )
+        g = t.group_by("event_type").aggregate(
+            [("one", "sum"), ("x", "sum"), ("xx", "sum")]
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "n": g.column("one_sum").cast(pa.int64()),
+                "s": g.column("x_sum").cast(pa.int64()),
+                "q": g.column("xx_sum").cast(pa.int64()),
+            }
+        )
+
+    # fold per-type (n, S, Q) on the driver — integer partials, one row
+    # per (block, type): exact regardless of arrival order, bounded by
+    # the distinct-type count
+    stats: dict[str, list[int]] = {}
+    for b in daily.map_batches(stats_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for et, n, s, q in zip(
+            b.column("event_type").to_pylist(),
+            b.column("n").to_pylist(),
+            b.column("s").to_pylist(),
+            b.column("q").to_pylist(),
+        ):
+            acc = stats.setdefault(et, [0, 0, 0])
+            acc[0] += n
+            acc[1] += s
+            acc[2] += q
+    stats_ref = ray.put(stats)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        cols = {
+            "event_type": pa.array([], pa.string()),
+            "day": pa.array([], pa.string()),
+            "n_events": pa.array([], pa.int64()),
+            "is_outlier": pa.array([], pa.int64()),
+        }
+        if batch.num_rows == 0 or "event_type" not in batch.column_names:
+            return pa.table(cols)
+        st = ray.get(stats_ref)
+        out = []
+        for et, x in zip(
+            batch.column("event_type").to_pylist(),
+            batch.column("n_events").to_pylist(),
+        ):
+            n, s, q = st[et]
+            # Python ints: exact at any magnitude
+            out.append(1 if (n * x - s) ** 2 > 9 * (n * q - s * s) else 0)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "day": batch.column("day"),
+                "n_events": batch.column("n_events"),
+                "is_outlier": pa.array(out, pa.int64()),
+            }
+        )
+
+    return daily.map_batches(flag, batch_format="pyarrow")

@@ -897,3 +897,89 @@ class TestRelationalReviewFixes:
                 raise RuntimeError("no metadata")
 
         assert _build_side_bytes(Broken()) > 10**12  # -> shuffle path
+
+
+class TestEventsDailyAnomaly:
+    def _events(self, counts_by_day, event_type="click"):
+        """counts_by_day: {day_offset: n_events} -> events table."""
+        import datetime
+
+        ts, et = [], []
+        base = datetime.datetime(2024, 1, 1)
+        for off, n in counts_by_day.items():
+            for i in range(n):
+                ts.append(base + datetime.timedelta(days=off, seconds=i))
+                et.append(event_type)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "ts": pa.array(ts, pa.timestamp("us")),
+                    "event_type": pa.array(et, pa.string()),
+                }
+            )
+        )
+
+    def test_planted_spike_flagged(self):
+        from pdf_entity_extraction_ray.ops.relational import events_daily_anomaly
+
+        # 20 quiet days at ~10 events, one day at 300 -> z >> 3
+        counts = {i: 10 + (i % 3) for i in range(20)}
+        counts[20] = 300
+        rows = {r["day"]: r["is_outlier"]
+                for r in events_daily_anomaly(self._events(counts)).take_all()}
+        assert rows["2024-01-21"] == 1
+        assert sum(rows.values()) == 1  # only the spike
+
+    def test_uniform_counts_unflagged(self):
+        from pdf_entity_extraction_ray.ops.relational import events_daily_anomaly
+
+        counts = {i: 50 for i in range(10)}
+        rows = events_daily_anomaly(self._events(counts)).take_all()
+        assert len(rows) == 10
+        assert all(r["is_outlier"] == 0 for r in rows)
+
+    def test_integer_exactness_at_boundary(self):
+        from pdf_entity_extraction_ray.ops.relational import events_daily_anomaly
+
+        # counts chosen so (n*x - S)^2 == 9*(n*Q - S^2) exactly for the
+        # high day: strict > must NOT flag (a float z-score computation
+        # would be at the mercy of rounding here).
+        # days: [1, 1, 4] -> n=3, S=6, Q=18; x=4: (12-6)^2=36, 9*(54-36)=162 -> no
+        # use [2, 2, 8]: n=3 S=12 Q=72; x=8: (24-12)^2=144, 9*(216-144)=648 -> no
+        # equality case: x such that (3x-S)^2 == 9*(3Q-S^2) is irrational here,
+        # so assert the near-boundary integer cases stay exact and unflagged
+        counts = {0: 1, 1: 1, 2: 4}
+        rows = events_daily_anomaly(self._events(counts)).take_all()
+        assert all(r["is_outlier"] == 0 for r in rows)
+
+    def test_multiple_types_independent(self):
+        from pdf_entity_extraction_ray.ops.relational import events_daily_anomaly
+        import datetime
+
+        base = datetime.datetime(2024, 1, 1)
+        ts, et = [], []
+        # 'a': quiet 15 days then a spike; 'b': uniform
+        for off in range(15):
+            for i in range(5):
+                ts.append(base + datetime.timedelta(days=off, seconds=i))
+                et.append("a")
+            for i in range(7):
+                ts.append(base + datetime.timedelta(days=off, seconds=100 + i))
+                et.append("b")
+        for i in range(200):
+            ts.append(base + datetime.timedelta(days=15, seconds=i))
+            et.append("a")
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "ts": pa.array(ts, pa.timestamp("us")),
+                    "event_type": pa.array(et, pa.string()),
+                }
+            )
+        ).repartition(4)
+        from collections import defaultdict
+
+        flagged = defaultdict(int)
+        for r in events_daily_anomaly(ds).take_all():
+            flagged[r["event_type"]] += r["is_outlier"]
+        assert flagged["a"] == 1 and flagged["b"] == 0
