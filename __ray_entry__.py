@@ -546,6 +546,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ray.data.read_parquet(res["surface_map"]),
         )
 
+    def _kg_rules(sf_dir):
+        """Subject-level rule-mining counts (AMIE partial grounding):
+        support / body-size integer pair per ordered predicate pair
+        (ops/graph_stats.rule_support)."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import rule_support
+
+        res = _kg_artifacts(sf_dir)
+        return rule_support(
+            ray.data.read_parquet(res["edges"], columns=["src_canonical", "pred"])
+        )
+
     def _kg_lang_stats(sf_dir):
         """Mention volume per (lang, type) over the multilingual corpus —
         the visible gate that non-English pages (es/fr/de/pt) flow through
@@ -1108,6 +1121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_negative_samples": _kg_negative_samples,
         # --- per-page entity salience features (integer triple) ---
         "kg_salience": _kg_salience,
+        # --- AMIE-style rule-mining support counts ---
+        "kg_rules": _kg_rules,
         # --- distributed PCA (bounded moment partials; gold mirror) ---
         "emb_pca": _emb_pca,
     }
@@ -1125,6 +1140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_salience",
         "emb_pca",
         "events_daily_anomaly",
+        "kg_rules",
         # new / changed this round (IRLS quality classifier; BPE trainer;
         # mp4 media rows; png+jpeg media rows; multilingual corpus;
         # Misra-Gries heavy hitters; sentence-df boilerplate strip;
@@ -1495,6 +1511,18 @@ def oracle_sql() -> dict[str, str]:
                              order by warc_ts_us desc, url asc) as rn
                   from k)
             select norm_url, url, warc_ts_us from w where rn = 1
+        """,
+        "kg_rules": f"""
+            with {kg_cte},
+            tri as ({tri_canon}),
+            e as (select distinct subj_canonical as s, pred from tri),
+            pairs as (select a.pred as pred_body, b.pred as pred_head,
+                             count(*)::bigint as support
+                      from e a join e b on a.s = b.s and a.pred != b.pred
+                      group by 1, 2),
+            body as (select pred, count(*)::bigint as n_body from e group by 1)
+            select pred_body, pred_head, support, body.n_body
+            from pairs join body on body.pred = pairs.pred_body
         """,
         "kg_salience": f"""
             with {kg_cte}

@@ -2194,3 +2194,144 @@ def entity_salience(mentions_ds, surface_map_ds, num_partitions=None):
             Min("first_seg", alias_name="first_seg"),
         )
     )
+
+
+def rule_support(edges_ds, shards: int = 256):
+    """(pred_body, pred_head, support, n_body) — subject-level rule-mining
+    counts (AMIE-style partial grounding): for every ordered predicate
+    pair, ``support`` = distinct subjects asserting BOTH predicates and
+    ``n_body`` = distinct subjects asserting the body predicate.  The
+    confidence a rule miner ranks by is ``support / n_body`` — left to
+    the consumer as a ratio of the two exact integers so no float enters
+    the hash-compared result (the ops/graph_stats convention).
+
+    Shape: per-batch distinct (subject, pred) combiner -> coarse
+    crc32-subject shard groupby (a subject's predicate set is always
+    co-located; one vectorized-ish UDF call per shard, not per subject)
+    emitting ordered pairs plus unary body-marker rows (``pred_head =
+    ''``, the cooccurrence_edges trick) -> one count groupby -> body
+    counts, bounded by the distinct-predicate count, broadcast into a
+    stateless attach pass.  No self-join ever materializes; a hub
+    subject with P predicates emits P(P-1) pair rows, bounded by the
+    schema size, not the subject's edge count."""
+    import zlib
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def sp_partial(batch: pa.Table) -> pa.Table:
+        cols = {
+            "shard": pa.array([], pa.int32()),
+            "s": pa.array([], pa.string()),
+            "pred": pa.array([], pa.string()),
+        }
+        if batch.num_rows == 0 or "src_canonical" not in batch.column_names:
+            return pa.table(cols)
+        g = batch.select(["src_canonical", "pred"]).group_by(
+            ["src_canonical", "pred"]
+        ).aggregate([])
+        sh = [
+            zlib.crc32(s.encode()) % shards
+            for s in g.column("src_canonical").to_pylist()
+        ]
+        return pa.table(
+            {
+                "shard": pa.array(sh, pa.int32()),
+                "s": g.column("src_canonical"),
+                "pred": g.column("pred"),
+            }
+        )
+
+    def shard_pairs(group: pa.Table) -> pa.Table:
+        cols = {
+            "pred_body": pa.array([], pa.string()),
+            "pred_head": pa.array([], pa.string()),
+        }
+        if group.num_rows == 0 or "s" not in group.column_names:
+            return pa.table(cols)
+        by_s: dict[str, set] = {}
+        for s, p in zip(group.column("s").to_pylist(), group.column("pred").to_pylist()):
+            by_s.setdefault(s, set()).add(p)
+        body, head = [], []
+        for preds in by_s.values():
+            ps = sorted(preds)
+            for p1 in ps:
+                body.append(p1)
+                head.append("")  # unary marker: body count row
+                for p2 in ps:
+                    if p2 != p1:
+                        body.append(p1)
+                        head.append(p2)
+        return pa.table(
+            {
+                "pred_body": pa.array(body, pa.string()),
+                "pred_head": pa.array(head, pa.string()),
+            }
+        )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        cols = {
+            "pred_body": pa.array([], pa.string()),
+            "pred_head": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+        if batch.num_rows == 0 or "pred_body" not in batch.column_names:
+            return pa.table(cols)
+        g = batch.group_by(["pred_body", "pred_head"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "pred_body": g.column("pred_body"),
+                "pred_head": g.column("pred_head"),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        edges_ds.select_columns(["src_canonical", "pred"])
+        .map_batches(sp_partial, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_pairs(g.drop_columns(["shard"])), batch_format="pyarrow"
+        )
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["pred_body", "pred_head"])
+        .aggregate(Sum("n", alias_name="n"))
+    ).materialize()
+
+    # body counts: the pred_head='' marker rows — bounded by the distinct
+    # predicate count (schema-sized), safe to broadcast
+    n_body: dict[str, int] = {}
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        for pb, ph, n in zip(
+            b.column("pred_body").to_pylist(),
+            b.column("pred_head").to_pylist(),
+            b.column("n").to_pylist(),
+        ):
+            if ph == "":
+                n_body[pb] = n_body.get(pb, 0) + n
+    body_ref = ray.put(n_body)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        cols = {
+            "pred_body": pa.array([], pa.string()),
+            "pred_head": pa.array([], pa.string()),
+            "support": pa.array([], pa.int64()),
+            "n_body": pa.array([], pa.int64()),
+        }
+        if batch.num_rows == 0 or "pred_body" not in batch.column_names:
+            return pa.table(cols)
+        keep = pc.not_equal(batch.column("pred_head"), pa.scalar(""))
+        t = batch.filter(keep)
+        nb = ray.get(body_ref)
+        return pa.table(
+            {
+                "pred_body": t.column("pred_body"),
+                "pred_head": t.column("pred_head"),
+                "support": t.column("n"),
+                "n_body": pa.array(
+                    [nb[p] for p in t.column("pred_body").to_pylist()], pa.int64()
+                ),
+            }
+        )
+
+    return counts.map_batches(attach, batch_format="pyarrow")

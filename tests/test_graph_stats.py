@@ -948,3 +948,60 @@ class TestEntitySalience:
         a = sorted(map(repr, entity_salience(m, sm).take_all()))
         b = sorted(map(repr, entity_salience(m.repartition(4), sm).take_all()))
         assert a == b
+
+
+class TestRuleSupport:
+    def _ds(self, rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "src_canonical": pa.array([r[0] for r in rows], pa.string()),
+                    "pred": pa.array([r[1] for r in rows], pa.string()),
+                }
+            )
+        )
+
+    def test_counts(self):
+        from pdf_entity_extraction_ray.ops.graph_stats import rule_support
+
+        # s1: works_for + located_in; s2: works_for + located_in;
+        # s3: works_for only -> works_for=>located_in support 2 body 3,
+        # located_in=>works_for support 2 body 2
+        rows = [
+            ("s1", "works_for"), ("s1", "located_in"),
+            ("s2", "works_for"), ("s2", "located_in"),
+            ("s3", "works_for"),
+        ]
+        got = {
+            (r["pred_body"], r["pred_head"]): (r["support"], r["n_body"])
+            for r in rule_support(self._ds(rows)).take_all()
+        }
+        assert got == {
+            ("works_for", "located_in"): (2, 3),
+            ("located_in", "works_for"): (2, 2),
+        }
+
+    def test_duplicate_edges_counted_once(self):
+        from pdf_entity_extraction_ray.ops.graph_stats import rule_support
+
+        # same (s, pred) repeated (multiple objects) must not inflate
+        rows = [("s1", "p1"), ("s1", "p1"), ("s1", "p2"), ("s2", "p1")]
+        got = {
+            (r["pred_body"], r["pred_head"]): (r["support"], r["n_body"])
+            for r in rule_support(self._ds(rows).repartition(3)).take_all()
+        }
+        assert got == {("p1", "p2"): (1, 2), ("p2", "p1"): (1, 1)}
+
+    def test_no_pairs_empty(self):
+        from pdf_entity_extraction_ray.ops.graph_stats import rule_support
+
+        rows = [("s1", "p1"), ("s2", "p2")]
+        assert rule_support(self._ds(rows)).take_all() == []
+
+    def test_partition_invariance(self):
+        from pdf_entity_extraction_ray.ops.graph_stats import rule_support
+
+        rows = [(f"s{i % 10}", f"p{i % 4}") for i in range(80)]
+        a = sorted(map(repr, rule_support(self._ds(rows)).take_all()))
+        b = sorted(map(repr, rule_support(self._ds(rows).repartition(7)).take_all()))
+        assert a == b
