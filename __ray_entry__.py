@@ -931,6 +931,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pdf_entity_extraction_ray.ops.sample", fromlist=["dsir_select"]
         ).dsir_select(_read(sf, "documents"), target_lang="en", hash_buckets=1024),
         # --- decontamination / PII / host budget / packing (curation) ---
+        # sliding-window token chunking with overlap (RAG ingestion)
+        "docs_chunk": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.packing", fromlist=["chunk_docs"]
+        ).chunk_docs(_read(sf, "documents"), 32, 8),
         "docs_pack": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.packing", fromlist=["pack_sequences"]
         ).pack_sequences(_read(sf, "documents")),
@@ -1141,6 +1145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_pca",
         "events_daily_anomaly",
         "kg_rules",
+        "docs_chunk",
         # new / changed this round (IRLS quality classifier; BPE trainer;
         # mp4 media rows; png+jpeg media rows; multilingual corpus;
         # Misra-Gries heavy hitters; sentence-df boilerplate strip;
@@ -1722,6 +1727,9 @@ def oracle_sql() -> dict[str, str]:
             from lineitem
             group by rollup (l_returnflag, l_linestatus)
         """,
+        "docs_chunk": __import__(
+            "pdf_entity_extraction_ray.ops.packing", fromlist=["chunk_oracle_sql"]
+        ).chunk_oracle_sql(32, 8),
         "docs_pack": __import__(
             "pdf_entity_extraction_ray.ops.packing", fromlist=["pack_oracle_sql"]
         ).pack_oracle_sql(),

@@ -119,3 +119,79 @@ def pack_oracle_sql(
                tok_offset // {budget} as bin
         from c
     """
+
+
+def chunk_docs(docs_ds, chunk_size: int = 128, overlap: int = 32):
+    """(doc_id, chunk_id, start_tok, n_tokens) — sliding-window token
+    chunking with overlap, the RAG-ingestion / context-window-splitting
+    step (and the document-level generalization of the tagger's M8
+    segment windows, functions/spans.py).
+
+    Deterministic layout per document: stride ``chunk_size - overlap``;
+    chunk ``i`` starts at ``i * stride``; a document with ``n <=
+    chunk_size`` tokens is ONE chunk; otherwise ``ceil((n - chunk_size) /
+    stride) + 1`` chunks, the last one shortened to the remaining tokens
+    (never an empty tail chunk, never a chunk fully contained in the
+    previous one).  Pure per-document arithmetic on the repo-wide
+    ``TOKEN_RE`` count -> a stateless ``map_batches``; no shuffle, and
+    the SQL mirror (:func:`chunk_oracle_sql`) reproduces every integer.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ids_out, cid_out, start_out, len_out = [], [], [], []
+        if batch.num_rows and "text" in batch.column_names:
+            for doc_id, t in zip(
+                batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+            ):
+                n = len(TOKEN_RE.findall((t or "").lower()))
+                if n == 0:
+                    continue
+                k = 1 if n <= chunk_size else (n - chunk_size + stride - 1) // stride + 1
+                for i in range(k):
+                    start = i * stride
+                    ids_out.append(doc_id)
+                    cid_out.append(i)
+                    start_out.append(start)
+                    len_out.append(min(chunk_size, n - start))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "chunk_id": pa.array(cid_out, pa.int64()),
+                "start_tok": pa.array(start_out, pa.int64()),
+                "n_tokens": pa.array(len_out, pa.int64()),
+            }
+        )
+
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        chunks, batch_format="pyarrow"
+    )
+
+
+def chunk_oracle_sql(
+    chunk_size: int = 128,
+    overlap: int = 32,
+    docs_sql: str = "select doc_id, text from documents",
+) -> str:
+    """DuckDB mirror of :func:`chunk_docs` (same tokenizer regex, same
+    integer chunk-count formula)."""
+    stride = chunk_size - overlap
+    return f"""
+with docs as ({docs_sql}),
+w as (select doc_id,
+             len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::bigint as n
+      from docs),
+c as (select doc_id, n,
+             case when n = 0 then 0
+                  when n <= {chunk_size} then 1
+                  else (n - {chunk_size} + {stride} - 1) // {stride} + 1
+             end as k
+      from w)
+select doc_id,
+       unnest(range(k))::bigint as chunk_id,
+       (unnest(range(k)) * {stride})::bigint as start_tok,
+       least({chunk_size}, n - unnest(range(k)) * {stride})::bigint as n_tokens
+from c where k > 0
+"""

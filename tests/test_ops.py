@@ -983,3 +983,84 @@ class TestEventsDailyAnomaly:
         for r in events_daily_anomaly(ds).take_all():
             flagged[r["event_type"]] += r["is_outlier"]
         assert flagged["a"] == 1 and flagged["b"] == 0
+
+
+class TestChunkDocs:
+    def _ds(self, texts):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        )
+
+    def test_layout(self):
+        from pdf_entity_extraction_ray.ops.packing import chunk_docs
+
+        # 10 tokens, chunk 4, overlap 1 -> stride 3 -> starts 0,3,6 (k=3)
+        # lens 4,4,4 ... wait n=10: ceil((10-4)/3)+1 = 3; last len = 10-6=4
+        text = " ".join(f"w{i}" for i in range(10))
+        rows = sorted(
+            (r["chunk_id"], r["start_tok"], r["n_tokens"])
+            for r in chunk_docs(self._ds([text]), 4, 1).take_all()
+        )
+        assert rows == [(0, 0, 4), (1, 3, 4), (2, 6, 4)]
+
+    def test_short_doc_single_chunk(self):
+        from pdf_entity_extraction_ray.ops.packing import chunk_docs
+
+        rows = chunk_docs(self._ds(["one two three"]), 10, 2).take_all()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["chunk_id"], r["start_tok"], r["n_tokens"]) == (0, 0, 3)
+
+    def test_tail_shortened_never_contained(self):
+        from pdf_entity_extraction_ray.ops.packing import chunk_docs
+
+        # n=11, chunk 4, overlap 1 -> stride 3 -> k = ceil(7/3)+1 = 4,
+        # starts 0,3,6,9, last len 2
+        text = " ".join(f"w{i}" for i in range(11))
+        rows = sorted(
+            (r["start_tok"], r["n_tokens"])
+            for r in chunk_docs(self._ds([text]), 4, 1).take_all()
+        )
+        assert rows == [(0, 4), (3, 4), (6, 4), (9, 2)]
+        # every chunk covers at least one token not in the previous chunk
+        ends = [s + n for s, n in rows]
+        assert all(ends[i] > ends[i - 1] for i in range(1, len(ends)))
+
+    def test_empty_doc_no_chunks(self):
+        from pdf_entity_extraction_ray.ops.packing import chunk_docs
+
+        assert chunk_docs(self._ds(["", "   "]), 4, 1).take_all() == []
+
+    def test_overlap_validation(self):
+        from pdf_entity_extraction_ray.ops.packing import chunk_docs
+
+        with pytest.raises(ValueError):
+            chunk_docs(self._ds(["x"]), 4, 4)
+
+    def test_oracle_mirror(self, tmp_path):
+        import duckdb
+        import pyarrow.parquet as pq
+
+        from pdf_entity_extraction_ray.ops.packing import chunk_docs, chunk_oracle_sql
+
+        texts = [" ".join(f"t{i}" for i in range(n)) for n in (0, 3, 4, 5, 9, 40)]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        con = duckdb.connect()
+        con.execute(f"create view documents as select * from '{tmp_path}/documents.parquet'")
+        want = sorted(map(tuple, con.execute(chunk_oracle_sql(4, 1)).fetchall()))
+        got = sorted(
+            (r["doc_id"], r["chunk_id"], r["start_tok"], r["n_tokens"])
+            for r in chunk_docs(ray.data.from_arrow(tbl), 4, 1).take_all()
+        )
+        assert got == want
