@@ -931,6 +931,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pdf_entity_extraction_ray.ops.sample", fromlist=["dsir_select"]
         ).dsir_select(_read(sf, "documents"), target_lang="en", hash_buckets=1024),
         # --- decontamination / PII / host budget / packing (curation) ---
+        # per-doc top-k TF-IDF keyword extraction (rank-only)
+        "docs_keyphrases": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.tfidf", fromlist=["keyphrases"]
+        ).keyphrases(_read(sf, "documents"), 5),
         # sliding-window token chunking with overlap (RAG ingestion)
         "docs_chunk": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.packing", fromlist=["chunk_docs"]
@@ -1146,6 +1150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_anomaly",
         "kg_rules",
         "docs_chunk",
+        "docs_keyphrases",
         # new / changed this round (IRLS quality classifier; BPE trainer;
         # mp4 media rows; png+jpeg media rows; multilingual corpus;
         # Misra-Gries heavy hitters; sentence-df boilerplate strip;
@@ -1727,6 +1732,9 @@ def oracle_sql() -> dict[str, str]:
             from lineitem
             group by rollup (l_returnflag, l_linestatus)
         """,
+        "docs_keyphrases": __import__(
+            "pdf_entity_extraction_ray.ops.tfidf", fromlist=["keyphrases_oracle_sql"]
+        ).keyphrases_oracle_sql(5),
         "docs_chunk": __import__(
             "pdf_entity_extraction_ray.ops.packing", fromlist=["chunk_oracle_sql"]
         ).chunk_oracle_sql(32, 8),

@@ -238,3 +238,80 @@ def tfidf_knn(
         .groupby("query_id")
         .map_groups(final_topk, batch_format="pyarrow")
     )
+
+
+def keyphrases(
+    docs_ds,
+    k: int = 5,
+    *,
+    min_df: int = 1,
+    max_terms: int | None = DEFAULT_MAX_TERMS,
+):
+    """(doc_id, term, rank) — each document's top-``k`` TF-IDF terms, the
+    keyword-extraction step tagging/indexing pipelines run per document
+    (reference precedent: the A7/A8 family ranks candidate strings by
+    corpus-weighted similarity; this is its single-document projection).
+
+    IDF broadcast once (pruned/bounded, :func:`train_idf`); scoring is a
+    stateless per-batch pass — scores are ``tf * idf`` (per-doc ranking
+    is norm-invariant).  Rank-only output, ties broken by term ascending:
+    equal scores arise from identical (tf, df) pairs, where both engines
+    compute bit-identical doubles, so the tie-break is deterministic
+    cross-engine (the docs_tfidf_knn convention)."""
+    import ray
+
+    idf, _ = train_idf(docs_ds, min_df=min_df, max_terms=max_terms)
+    ref = ray.put(idf)
+
+    def topk(batch: pa.Table) -> pa.Table:
+        idf_ = ray.get(ref)
+        out_d, out_t, out_r = [], [], []
+        if batch.num_rows and "text" in batch.column_names:
+            for doc_id, text in zip(
+                batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+            ):
+                tf: dict[str, int] = {}
+                for term in _terms(text or ""):
+                    tf[term] = tf.get(term, 0) + 1
+                scored = sorted(
+                    ((c * idf_[t], t) for t, c in tf.items() if t in idf_),
+                    key=lambda p: (-p[0], p[1]),
+                )[:k]
+                for r, (_, t) in enumerate(scored, 1):
+                    out_d.append(doc_id)
+                    out_t.append(t)
+                    out_r.append(r)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "term": pa.array(out_t, pa.string()),
+                "rank": pa.array(out_r, pa.int64()),
+            }
+        )
+
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        topk, batch_format="pyarrow"
+    )
+
+
+def keyphrases_oracle_sql(
+    k: int = 5, docs_sql: str = "select doc_id, text from documents"
+) -> str:
+    """DuckDB mirror of :func:`keyphrases` (full-vocabulary IDF — the
+    pruning bounds provably change nothing at oracle scales, the
+    docs_tfidf_knn argument)."""
+    return f"""
+with docs as ({docs_sql}),
+tok as (select doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) as term
+        from docs),
+tf as (select doc_id, term, count(*) as tf from tok group by doc_id, term),
+df as (select term, count(distinct doc_id) as df from tok group by term),
+n as (select count(*) as n_docs from docs),
+w as (select tf.doc_id, tf.term,
+             tf.tf * (ln((1 + n_docs) / (1 + df.df)) + 1.0) as w
+      from tf join df using (term), n)
+select doc_id, term,
+       row_number() over (partition by doc_id order by w desc, term) as rank
+from w
+qualify rank <= {k}
+"""

@@ -1064,3 +1064,73 @@ class TestChunkDocs:
             for r in chunk_docs(ray.data.from_arrow(tbl), 4, 1).take_all()
         )
         assert got == want
+
+
+class TestKeyphrases:
+    def _ds(self, texts):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        )
+
+    def test_rare_term_wins(self):
+        from pdf_entity_extraction_ray.ops.tfidf import keyphrases
+
+        # 'unique' appears once in the corpus, 'common' everywhere:
+        # doc 0's top keyphrase must be 'unique' despite equal tf
+        texts = ["unique common", "common filler", "common words", "common stuff"]
+        rows = [
+            (r["doc_id"], r["term"], r["rank"])
+            for r in keyphrases(self._ds(texts), 1).take_all()
+        ]
+        top0 = [t for d, t, r in rows if d == 0 and r == 1]
+        assert top0 == ["unique"]
+
+    def test_k_bound_and_tie_break(self):
+        from pdf_entity_extraction_ray.ops.tfidf import keyphrases
+
+        # all terms equally rare -> equal scores -> lexicographic ties
+        texts = ["zebra apple mango", "other words here"]
+        rows = sorted(
+            (r["rank"], r["term"])
+            for r in keyphrases(self._ds(texts), 2).take_all()
+            if r["doc_id"] == 0
+        )
+        assert rows == [(1, "apple"), (2, "mango")]
+
+    def test_oracle_mirror(self, tmp_path):
+        import duckdb
+        import pyarrow.parquet as pq
+
+        from pdf_entity_extraction_ray.ops.tfidf import (
+            keyphrases,
+            keyphrases_oracle_sql,
+        )
+
+        texts = [
+            "red green blue red",
+            "green green blue",
+            "yellow pink yellow",
+            "",
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        con = duckdb.connect()
+        con.execute(
+            f"create view documents as select * from '{tmp_path}/documents.parquet'"
+        )
+        want = sorted(map(tuple, con.execute(keyphrases_oracle_sql(2)).fetchall()))
+        got = sorted(
+            (r["doc_id"], r["term"], r["rank"])
+            for r in keyphrases(ray.data.from_arrow(tbl).repartition(3), 2).take_all()
+        )
+        assert got == want

@@ -80,3 +80,4 @@ class TestUnionFind:
         uf1.union("b", "a"); uf1.union("c", "b")
         uf2.union("a", "c"); uf2.union("c", "b")
         assert uf1.groups() == uf2.groups()
+
