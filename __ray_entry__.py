@@ -603,6 +603,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pr.map_batches(to_ppm, batch_format="pyarrow")
 
+    def _kg_ppr(sf_dir):
+        """Personalized PageRank (random walk with restart) from the 5
+        smallest entity ids, ranks on the 1e-6 ppm grid — the
+        entity-relatedness query; gold is the single-process
+        ops/graph_stats.ppr_reference mirror over the same edges."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import (
+            pagerank,
+            ppr_reference,
+            smallest_node_ids,
+        )
+
+        res = _kg_artifacts(sf_dir)
+        name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        gold_dir = f"/tmp/graft_kg/{name}/gold_ppr"
+        if not os.path.isdir(gold_dir):
+            t = pq.read_table(res["edges"], columns=["src_id", "dst_id"])
+            u = np.asarray(t.column("src_id").to_pylist(), dtype=np.int64)
+            v = np.asarray(t.column("dst_id").to_pylist(), dtype=np.int64)
+            seeds = sorted(np.unique(np.concatenate([u, v]))[:5].tolist())
+            nodes, ranks = ppr_reference(u, v, seeds, 20)
+            os.makedirs(gold_dir, exist_ok=True)
+            pq.write_table(
+                pa.table(
+                    {
+                        "node": pa.array(nodes, pa.int64()),
+                        "rank_ppm": pa.array(
+                            np.round(ranks * 1e6).astype(np.int64), pa.int64()
+                        ),
+                    }
+                ),
+                f"{gold_dir}/part-0.parquet",
+            )
+        edges = ray.data.read_parquet(res["edges"], columns=["src_id", "dst_id"])
+        pr = pagerank(edges, iterations=20, seeds=smallest_node_ids(edges, 5))
+
+        def to_ppm(batch: pa.Table) -> pa.Table:
+            ppm = np.round(
+                np.asarray(batch.column("rank").to_pylist(), dtype=np.float64) * 1e6
+            ).astype(np.int64)
+            return pa.table(
+                {"node": batch.column("node"), "rank_ppm": pa.array(ppm, pa.int64())}
+            )
+
+        return pr.map_batches(to_ppm, batch_format="pyarrow")
+
     def _mm_gold():
         """Single-process gold tables for the multimodal oracles (written
         once; deterministic)."""
@@ -1131,6 +1181,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_salience": _kg_salience,
         # --- AMIE-style rule-mining support counts ---
         "kg_rules": _kg_rules,
+        # --- personalized PageRank from deterministic seeds ---
+        "kg_ppr": _kg_ppr,
         # --- distributed PCA (bounded moment partials; gold mirror) ---
         "emb_pca": _emb_pca,
     }
@@ -1151,6 +1203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_rules",
         "docs_chunk",
         "docs_keyphrases",
+        "kg_ppr",
         # new / changed this round (IRLS quality classifier; BPE trainer;
         # mp4 media rows; png+jpeg media rows; multilingual corpus;
         # Misra-Gries heavy hitters; sentence-df boilerplate strip;
@@ -1492,6 +1545,10 @@ def oracle_sql() -> dict[str, str]:
         "emb_pca": f"""
             select vec_id, component, proj_1e4
             from read_parquet('{gold}/gold_pca/*.parquet')
+        """,
+        "kg_ppr": f"""
+            select node, rank_ppm
+            from read_parquet('{gold}/gold_ppr/*.parquet')
         """,
         "kg_lang_stats": f"""
             with {kg_cte}

@@ -258,6 +258,23 @@ def _pr_remotes():
         return np.full(len(part[2]), 1.0 / max(n_total, 1), dtype=np.float64)
 
     @ray.remote
+    def make_pvec(part, seeds: "np.ndarray"):
+        """Per-partition personalization vector: 1/len(seeds) on seed
+        nodes, 0 elsewhere (seeds is the tiny sorted global seed array,
+        broadcast by value)."""
+        nodes = part[2]
+        pv = np.zeros(len(nodes), dtype=np.float64)
+        if len(seeds) and len(nodes):
+            idx = np.searchsorted(nodes, seeds)
+            ok = (idx < len(nodes)) & (nodes[np.minimum(idx, len(nodes) - 1)] == seeds)
+            pv[idx[ok]] = 1.0 / len(seeds)
+        return pv
+
+    @ray.remote
+    def init_from_pvec(pv):
+        return pv.copy()
+
+    @ray.remote
     def msgs(part, ranks, P: int):
         """One round's outgoing contributions: P (v, contribution) shards
         plus the partition's dangling rank mass (num_returns = P + 1)."""
@@ -289,6 +306,17 @@ def _pr_remotes():
         base = (1.0 - damping) / n_total + damping * dangling_total / n_total
         return base + damping * sums
 
+    @ray.remote
+    def reduce_part_pers(part, damping: float, dangling_total: float, pv, *incoming):
+        """Personalized variant: teleport AND dangling mass both land on
+        the personalization vector (standard random-walk-with-restart)."""
+        u, v, nodes, deg = part
+        sums = np.zeros(len(nodes), dtype=np.float64)
+        for mv, mc in incoming:
+            if len(mv):
+                np.add.at(sums, np.searchsorted(nodes, mv), mc)
+        return (1.0 - damping + damping * dangling_total) * pv + damping * sums
+
     @ray.remote(num_returns=2)
     def expose_ranks(part, ranks):
         """(nodes, ranks) refs for worker-side checkpointing."""
@@ -309,7 +337,8 @@ def _pr_remotes():
         )
 
     return (split_edges, node_shards, concat_part, part_size, init_ranks,
-            msgs, reduce_part, expose_ranks, validate_ranks, to_table)
+            msgs, reduce_part, expose_ranks, validate_ranks, to_table,
+            make_pvec, init_from_pvec, reduce_part_pers)
 
 
 def pagerank(
@@ -321,6 +350,7 @@ def pagerank(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
     checkpoint_fingerprint: str | None = None,
+    seeds=None,
 ):
     """Directed edges (src_id, dst_id) -> (node, rank) Dataset after
     ``iterations`` damped power-iteration rounds (dangling mass
@@ -328,13 +358,21 @@ def pagerank(
     driver touches only P dangling scalars; every rank/message array moves
     worker-to-worker through the object store.  With ``checkpoint_dir``
     the rank arrays checkpoint per-partition through worker-side Parquet
-    (state/bsp_ckpt) and a rerun resumes at the newest matching round."""
+    (state/bsp_ckpt) and a rerun resumes at the newest matching round.
+
+    ``seeds`` (iterable of node ids) switches to PERSONALIZED PageRank
+    (random walk with restart): teleport and dangling mass land on the
+    seed set instead of uniformly — the entity-relatedness query a KG
+    serves ("what is close to these seeds").  The uniform path keeps its
+    exact original arithmetic (bit-identical to ``seeds=None`` builds)."""
+    import numpy as np
     import ray
     import ray.data
 
     P = num_partitions or max(4, int(ray.cluster_resources().get("CPU", 4)))
     (split_edges, node_shards, concat_part, part_size, init_ranks,
-     msgs, reduce_part, expose_ranks, validate_ranks, to_table) = _pr_remotes()
+     msgs, reduce_part, expose_ranks, validate_ranks, to_table,
+     make_pvec, init_from_pvec, reduce_part_pers) = _pr_remotes()
 
     def to_uv(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "src_id" not in batch.column_names:
@@ -368,7 +406,21 @@ def pagerank(
     ]
 
     n_total = int(sum(ray.get([part_size.remote(p) for p in parts])))
-    ranks = [init_ranks.remote(parts[p], n_total) for p in range(P)]
+    pvecs = None
+    seeds_tag = ""
+    if seeds is not None:
+        seeds_arr = np.unique(np.asarray(sorted(set(seeds)), dtype=np.int64))
+        if len(seeds_arr) == 0:
+            raise ValueError("personalized pagerank needs a non-empty seed set")
+        pvecs = [make_pvec.remote(parts[p], seeds_arr) for p in range(P)]
+        ranks = [init_from_pvec.remote(pvecs[p]) for p in range(P)]
+        import hashlib as _hl
+
+        seeds_tag = ":seeds=" + _hl.blake2b(
+            seeds_arr.tobytes(), digest_size=8
+        ).hexdigest()
+    else:
+        ranks = [init_ranks.remote(parts[p], n_total) for p in range(P)]
 
     start_round = 0
     fp = None
@@ -378,7 +430,7 @@ def pagerank(
         # content digest, not just node count: same-count rewired inputs
         # must never share a checkpoint (ranks would silently be stale)
         fp = checkpoint_fingerprint or (
-            f"pagerank:P={P}:n={n_total}:d={damping}:T={iterations}"
+            f"pagerank:P={P}:n={n_total}:d={damping}:T={iterations}{seeds_tag}"
             f":digest={bsp_ckpt.content_digest(block_refs):016x}"
         )
         loaded = bsp_ckpt.load_latest(checkpoint_dir, fp, P, float_values=True)
@@ -394,13 +446,22 @@ def pagerank(
             msgs.options(num_returns=P + 1).remote(parts[p], ranks[p], P) for p in range(P)
         ]
         dangling_total = float(sum(ray.get([o[P] for o in outs])))
-        ranks = [
-            reduce_part.remote(
-                parts[q], n_total, damping, dangling_total,
-                *[outs[p][q] for p in range(P)],
-            )
-            for q in range(P)
-        ]
+        if pvecs is not None:
+            ranks = [
+                reduce_part_pers.remote(
+                    parts[q], damping, dangling_total, pvecs[q],
+                    *[outs[p][q] for p in range(P)],
+                )
+                for q in range(P)
+            ]
+        else:
+            ranks = [
+                reduce_part.remote(
+                    parts[q], n_total, damping, dangling_total,
+                    *[outs[p][q] for p in range(P)],
+                )
+                for q in range(P)
+            ]
         if checkpoint_dir and (rnd + 1) % checkpoint_every == 0:
             from ..state import bsp_ckpt
 
@@ -2335,3 +2396,63 @@ def rule_support(edges_ds, shards: int = 256):
         )
 
     return counts.map_batches(attach, batch_format="pyarrow")
+
+
+def ppr_reference(u, v, seeds, iterations: int = 20, damping: float = 0.85):
+    """Single-process personalized-PageRank mirror (the gold pattern:
+    plain numpy over global arrays, no partitioning) — (nodes, ranks).
+
+    Same formulation as :func:`pagerank` with ``seeds``: teleport and
+    dangling mass restart on the uniform seed distribution."""
+    import numpy as np
+
+    u = np.asarray(u, dtype=np.int64)
+    v = np.asarray(v, dtype=np.int64)
+    nodes = np.unique(np.concatenate([u, v]))
+    n = len(nodes)
+    seeds = np.unique(np.asarray(sorted(set(seeds)), dtype=np.int64))
+    pv = np.zeros(n, dtype=np.float64)
+    idx = np.searchsorted(nodes, seeds)
+    ok = (idx < n) & (nodes[np.minimum(idx, n - 1)] == seeds)
+    pv[idx[ok]] = 1.0 / len(seeds)
+    ui = np.searchsorted(nodes, u)
+    vi = np.searchsorted(nodes, v)
+    deg = np.zeros(n, dtype=np.int64)
+    np.add.at(deg, ui, 1)
+    ranks = pv.copy()
+    for _ in range(iterations):
+        contrib = ranks / np.maximum(deg, 1)
+        dangling = float(ranks[deg == 0].sum())
+        sums = np.zeros(n, dtype=np.float64)
+        np.add.at(sums, vi, contrib[ui])
+        ranks = (1.0 - damping + damping * dangling) * pv + damping * sums
+    return nodes, ranks
+
+
+def smallest_node_ids(edges_ds, k: int = 5) -> list[int]:
+    """The k smallest endpoint ids — a deterministic, data-derived seed
+    set for personalized queries.  Per-block bottom-k partials (bounded:
+    k rows per block), driver fold over blocks * k ints."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src_id" not in batch.column_names:
+            return pa.table({"node": pa.array([], pa.int64())})
+        both = np.unique(
+            np.concatenate(
+                [
+                    np.asarray(batch.column("src_id").to_pylist(), dtype=np.int64),
+                    np.asarray(batch.column("dst_id").to_pylist(), dtype=np.int64),
+                ]
+            )
+        )
+        return pa.table({"node": pa.array(both[:k], pa.int64())})
+
+    cand: list[int] = []
+    for b in (
+        edges_ds.select_columns(["src_id", "dst_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        cand.extend(b.column("node").to_pylist())
+    return sorted(set(cand))[:k]

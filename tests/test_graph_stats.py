@@ -1005,3 +1005,90 @@ class TestRuleSupport:
         a = sorted(map(repr, rule_support(self._ds(rows)).take_all()))
         b = sorted(map(repr, rule_support(self._ds(rows).repartition(7)).take_all()))
         assert a == b
+
+
+class TestPersonalizedPagerank:
+    def _edges(self, pairs):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "src_id": pa.array([p[0] for p in pairs], pa.int64()),
+                    "dst_id": pa.array([p[1] for p in pairs], pa.int64()),
+                }
+            )
+        )
+
+    def test_matches_reference(self):
+        from pdf_entity_extraction_ray.ops.graph_stats import pagerank, ppr_reference
+
+        rng = np.random.RandomState(5)
+        pairs = list({(int(a), int(b)) for a, b in rng.randint(0, 40, (150, 2)) if a != b})
+        seeds = [0, 1, 2]
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(self._edges(pairs), iterations=15, seeds=seeds,
+                              num_partitions=3).take_all()
+        }
+        nodes, ranks = ppr_reference(
+            [p[0] for p in pairs], [p[1] for p in pairs], seeds, 15
+        )
+        assert set(got) == set(nodes.tolist())
+        for n, r in zip(nodes.tolist(), ranks.tolist()):
+            assert abs(got[n] - r) < 1e-9
+
+    def test_restart_mass_concentrates_on_seeds(self):
+        from pdf_entity_extraction_ray.ops.graph_stats import pagerank
+
+        # chain 0->1->2->3; seed {0}: rank decays along the chain
+        ranks = {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                self._edges([(0, 1), (1, 2), (2, 3)]), iterations=30, seeds=[0]
+            ).take_all()
+        }
+        assert ranks[0] > ranks[1] > ranks[2] > ranks[3] > 0
+
+    def test_unreachable_nodes_rank_zero(self):
+        from pdf_entity_extraction_ray.ops.graph_stats import pagerank
+
+        # two disconnected edges; seed on one side only
+        ranks = {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                self._edges([(0, 1), (10, 11)]), iterations=10, seeds=[0]
+            ).take_all()
+        }
+        assert ranks[10] == 0.0 and ranks[11] == 0.0
+        assert ranks[0] > 0 and ranks[1] > 0
+
+    def test_probability_mass_conserved(self):
+        from pdf_entity_extraction_ray.ops.graph_stats import pagerank
+
+        ranks = [
+            r["rank"]
+            for r in pagerank(
+                self._edges([(0, 1), (1, 0), (1, 2)]), iterations=25, seeds=[0, 2]
+            ).take_all()
+        ]
+        assert abs(sum(ranks) - 1.0) < 1e-9
+
+    def test_empty_seed_set_raises(self):
+        import pytest
+
+        from pdf_entity_extraction_ray.ops.graph_stats import pagerank
+
+        with pytest.raises(ValueError):
+            pagerank(self._edges([(0, 1)]), seeds=[])
+
+    def test_uniform_path_unchanged_by_seeds_param(self):
+        from pdf_entity_extraction_ray.ops.graph_stats import pagerank
+
+        pairs = [(0, 1), (1, 2), (2, 0), (2, 3)]
+        a = sorted(
+            (r["node"], r["rank"]) for r in pagerank(self._edges(pairs)).take_all()
+        )
+        b = sorted(
+            (r["node"], r["rank"])
+            for r in pagerank(self._edges(pairs), seeds=None).take_all()
+        )
+        assert a == b
