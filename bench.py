@@ -186,6 +186,23 @@ def run_ops(sf_dir: str, repeat: int = 1) -> dict[str, list[float]]:
         "docs_containment_dedup": lambda: dedup.ngram_containment_pairs(
             read("documents"), 0.8
         ),
+        "docs_bm25_search": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.bm25", fromlist=["bm25_search"]
+        ).bm25_search(
+            read("documents"),
+            {0: "fast hash join", 1: "window agg stream", 2: "customer order query"},
+            10,
+        ),
+        "docs_keyphrases": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.tfidf", fromlist=["keyphrases"]
+        ).keyphrases(read("documents"), 5),
+        "docs_chunk": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.packing", fromlist=["chunk_docs"]
+        ).chunk_docs(read("documents"), 32, 8),
+        "emb_pca": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.pca", fromlist=["pca_project"]
+        ).pca_project(read("embeddings"), 4),
+        "events_daily_anomaly": lambda: relational.events_daily_anomaly(read("events")),
     }
     times: dict[str, list[float]] = {}
     for name, make in ops.items():
@@ -348,6 +365,29 @@ def main() -> None:
                 .take(2048)
             )[:3],
             max_depth=4,
+        ),
+        "kg_negative_samples": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["negative_samples"]
+        ).negative_samples(
+            ray.data.read_parquet(
+                kg_edges, columns=["src_canonical", "pred", "dst_canonical"]
+            )
+        ),
+        "kg_rules": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["rule_support"]
+        ).rule_support(
+            ray.data.read_parquet(kg_edges, columns=["src_canonical", "pred"])
+        ),
+        "kg_ppr": lambda: (
+            lambda gs, edges: gs.pagerank(
+                edges, iterations=20, seeds=gs.smallest_node_ids(edges, 5)
+            )
+        )(
+            __import__(
+                "pdf_entity_extraction_ray.ops.graph_stats",
+                fromlist=["pagerank", "smallest_node_ids"],
+            ),
+            ray.data.read_parquet(kg_edges, columns=["src_id", "dst_id"]),
         ),
     }.items():
         walls = []
