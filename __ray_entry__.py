@@ -1086,6 +1086,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pdf_entity_extraction_ray.ops.skew", fromlist=["event_type_counts_salted"]
         ).event_type_counts_salted(_read(sf, "events")),
         "events_daily_counts": lambda sf: relational.events_daily_counts(_read(sf, "events")),
+        # fixed-width value histogram per event type (bit-deterministic
+        # IEEE bucket ids, exact counts)
+        "events_value_histogram": lambda sf: relational.events_value_histogram(
+            _read(sf, "events"), 50.0
+        ),
         # exact-integer 3-sigma daily anomaly flags (no float mean/stddev)
         "events_daily_anomaly": lambda sf: relational.events_daily_anomaly(
             _read(sf, "events")
@@ -1204,6 +1209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chunk",
         "docs_keyphrases",
         "kg_ppr",
+        "events_value_histogram",
         # new / changed this round (IRLS quality classifier; BPE trainer;
         # mp4 media rows; png+jpeg media rows; multilingual corpus;
         # Misra-Gries heavy hitters; sentence-df boilerplate strip;
@@ -2375,6 +2381,12 @@ qualify rank <= 5
             select strftime(ts, '%Y-%m-%d') as day, event_type,
                    count(*) as n_events
             from events group by day, event_type
+        """,
+        "events_value_histogram": """
+            select event_type, floor(value / 50.0)::bigint as bucket,
+                   count(*)::bigint as n
+            from events where value is not null
+            group by 1, 2
         """,
         # the z-test is rewritten to pure integer arithmetic (see
         # ops/relational.events_daily_anomaly) so both engines flag

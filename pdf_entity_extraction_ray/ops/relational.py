@@ -1367,3 +1367,48 @@ def events_daily_anomaly(events_ds):
         )
 
     return daily.map_batches(flag, batch_format="pyarrow")
+
+
+def events_value_histogram(events_ds, width: float = 50.0):
+    """(event_type, bucket, n) — fixed-width histogram of the event value
+    per type (the distribution-profiling pass monitoring/QA runs over a
+    metric stream).  ``bucket = floor(value / width)`` on the stored
+    double — the same IEEE division and floor in both engines, so bucket
+    ids are bit-deterministic; counts are exact integers.
+
+    Two-stage: per-batch Arrow group-by combiner (one row per distinct
+    (type, bucket) per block) -> small global groupby-sum.  NULL values
+    are dropped (mirroring SQL GROUP BY semantics on a NULL bucket)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {
+            "event_type": pa.array([], pa.string()),
+            "bucket": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+        if batch.num_rows == 0 or "value" not in batch.column_names:
+            return pa.table(cols)
+        t = batch.select(["event_type", "value"]).filter(
+            pc.is_valid(batch.column("value"))
+        )
+        if t.num_rows == 0:
+            return pa.table(cols)
+        bucket = pc.floor(pc.divide(t.column("value"), pa.scalar(float(width))))
+        g = pa.table(
+            {"event_type": t.column("event_type"), "bucket": bucket.cast(pa.int64())}
+        ).group_by(["event_type", "bucket"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "bucket": g.column("bucket"),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.select_columns(["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+    )

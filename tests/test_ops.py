@@ -1134,3 +1134,50 @@ class TestKeyphrases:
             for r in keyphrases(ray.data.from_arrow(tbl).repartition(3), 2).take_all()
         )
         assert got == want
+
+
+class TestEventsValueHistogram:
+    def _ds(self, vals, types=None):
+        n = len(vals)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.array(types or ["t"] * n, pa.string()),
+                    "value": pa.array(vals, pa.float64()),
+                }
+            )
+        )
+
+    def test_buckets_and_counts(self):
+        from pdf_entity_extraction_ray.ops.relational import events_value_histogram
+
+        ds = self._ds([0.0, 49.9, 50.0, 99.9, 150.0, -0.1])
+        got = {
+            (r["event_type"], r["bucket"]): r["n"]
+            for r in events_value_histogram(ds, 50.0).take_all()
+        }
+        assert got == {("t", 0): 2, ("t", 1): 2, ("t", 3): 1, ("t", -1): 1}
+
+    def test_null_values_dropped(self):
+        from pdf_entity_extraction_ray.ops.relational import events_value_histogram
+
+        ds = self._ds([10.0, None, 20.0])
+        total = sum(r["n"] for r in events_value_histogram(ds, 50.0).take_all())
+        assert total == 2
+
+    def test_per_type_and_partition_invariance(self):
+        from pdf_entity_extraction_ray.ops.relational import events_value_histogram
+
+        vals = [float(i) for i in range(200)]
+        types = ["a" if i % 2 else "b" for i in range(200)]
+        a = sorted(map(repr, events_value_histogram(self._ds(vals, types), 25.0).take_all()))
+        b = sorted(
+            map(
+                repr,
+                events_value_histogram(
+                    self._ds(vals, types).repartition(7), 25.0
+                ).take_all(),
+            )
+        )
+        assert a == b
+        assert len(a) == 16  # 8 buckets x 2 types
