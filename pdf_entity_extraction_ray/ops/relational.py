@@ -1288,7 +1288,9 @@ def events_daily_anomaly(events_ds):
     """
     import ray
 
-    daily = events_daily_counts(events_ds)
+    # consumed twice (stats fold + flag pass): materialize the tiny
+    # (days x types) table so the count groupby never re-executes
+    daily = events_daily_counts(events_ds).materialize()
 
     def stats_partial(batch: pa.Table) -> pa.Table:
         cols = {
