@@ -30,11 +30,7 @@ from collections import Counter
 
 import pyarrow as pa
 
-from .text import TOKEN_RE
-
-
-def _terms(text: str) -> list[str]:
-    return TOKEN_RE.findall(text.lower())
+from .tfidf import _terms  # the ONE shared tokenizer helper (TOKEN_RE)
 
 
 def _query_terms(queries: dict[int, str]) -> list[str]:
@@ -106,20 +102,24 @@ def bm25_search(
     import numpy as np
     import pyarrow.compute as pc
 
+    empty_result = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+        }
+    )
+
     terms = _query_terms(queries)
-    n_docs, sum_dl, df = corpus_stats(docs_ds, terms)
-    if n_docs == 0 or sum_dl == 0 or not terms:
+    if not terms:  # before the stats pass — don't scan the corpus for nothing
         import ray.data
 
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "doc_id": pa.array([], pa.int64()),
-                    "rank": pa.array([], pa.int64()),
-                }
-            )
-        )
+        return ray.data.from_arrow(empty_result)
+    n_docs, sum_dl, df = corpus_stats(docs_ds, terms)
+    if n_docs == 0 or sum_dl == 0:
+        import ray.data
+
+        return ray.data.from_arrow(empty_result)
     avgdl = sum_dl / n_docs
     idf = {
         w: math.log(1.0 + (n_docs - df[w] + 0.5) / (df[w] + 0.5)) for w in terms
@@ -188,6 +188,8 @@ def bm25_search(
         return t.append_column("rank", pa.array((rank[keep] + 1).astype(np.int64)))
 
     def final(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty_result
         out = topk(batch.select(["query_id", "doc_id", "score"]))
         return out.select(["query_id", "doc_id", "rank"])
 
@@ -198,8 +200,13 @@ def bm25_search(
         lambda t: topk(t).select(["query_id", "doc_id", "score"]),
         batch_format="pyarrow",
     )
-    # combined partials are tiny (blocks * k * n_queries rows)
-    return partials.repartition(1).map_batches(final, batch_format="pyarrow")
+    # combined partials are tiny (blocks * k * n_queries rows);
+    # batch_size=None feeds the single repartitioned block as ONE batch —
+    # the default batch size would chunk it and break the global top-k
+    # (the ops/tfidf.collect_pruned_df precedent)
+    return partials.repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None
+    )
 
 
 def bm25_oracle_sql(

@@ -271,10 +271,6 @@ def _pr_remotes():
         return pv
 
     @ray.remote
-    def init_from_pvec(pv):
-        return pv.copy()
-
-    @ray.remote
     def msgs(part, ranks, P: int):
         """One round's outgoing contributions: P (v, contribution) shards
         plus the partition's dangling rank mass (num_returns = P + 1)."""
@@ -338,7 +334,7 @@ def _pr_remotes():
 
     return (split_edges, node_shards, concat_part, part_size, init_ranks,
             msgs, reduce_part, expose_ranks, validate_ranks, to_table,
-            make_pvec, init_from_pvec, reduce_part_pers)
+            make_pvec, reduce_part_pers)
 
 
 def pagerank(
@@ -372,7 +368,7 @@ def pagerank(
     P = num_partitions or max(4, int(ray.cluster_resources().get("CPU", 4)))
     (split_edges, node_shards, concat_part, part_size, init_ranks,
      msgs, reduce_part, expose_ranks, validate_ranks, to_table,
-     make_pvec, init_from_pvec, reduce_part_pers) = _pr_remotes()
+     make_pvec, reduce_part_pers) = _pr_remotes()
 
     def to_uv(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "src_id" not in batch.column_names:
@@ -413,7 +409,10 @@ def pagerank(
         if len(seeds_arr) == 0:
             raise ValueError("personalized pagerank needs a non-empty seed set")
         pvecs = [make_pvec.remote(parts[p], seeds_arr) for p in range(P)]
-        ranks = [init_from_pvec.remote(pvecs[p]) for p in range(P)]
+        # round-0 ranks ARE the personalization vector; object-store
+        # arrays are immutable, so aliasing the refs is safe and skips a
+        # pointless copy task per partition
+        ranks = list(pvecs)
         import hashlib as _hl
 
         seeds_tag = ":seeds=" + _hl.blake2b(
@@ -2035,10 +2034,12 @@ def predicate_signatures(triples_ds):
 
 def _neg_hash_u64(key: str) -> int:
     """Upper-64-bit md5 of ``key`` — equals DuckDB
-    ``md5_number_upper(key)`` (same convention as ops/sample.py)."""
-    import hashlib
+    ``md5_number_upper(key)``.  Delegates to the ONE md5-bridge helper
+    (functions/similarity._md5_hash64) so the cross-engine convention
+    can never desynchronize."""
+    from ..functions.similarity import _md5_hash64
 
-    return int.from_bytes(hashlib.md5(key.encode()).digest()[:8], "little")
+    return _md5_hash64(key.encode())
 
 
 def negative_samples(edges_ds, pool_size: int = 64):
@@ -2116,13 +2117,17 @@ def negative_samples(edges_ds, pool_size: int = 64):
             )
         )
 
+    # batch_size=None feeds the single repartitioned block as ONE batch —
+    # the default batch size would chunk the combined partials and break
+    # the global per-predicate bottom-k (ops/tfidf.collect_pruned_df
+    # precedent)
     pools_tbl = pa.concat_tables(
         [empty_pool]
         + list(
             edges_ds.select_columns(["pred", "dst_canonical"])
             .map_batches(pool_partial, batch_format="pyarrow")
             .repartition(1)
-            .map_batches(pool_final, batch_format="pyarrow")
+            .map_batches(pool_final, batch_format="pyarrow", batch_size=None)
             .iter_batches(batch_format="pyarrow")
         ),
         promote_options="default",

@@ -465,8 +465,12 @@ def top_orders_scalable(orders_ds, k: int = 10):
     partials = orders_ds.select_columns(["o_orderkey", "o_totalprice"]).map_batches(
         partial, batch_format="pyarrow"
     )
-    # the combined partials are tiny (blocks * k rows): one final batch
-    return partials.repartition(1).map_batches(final, batch_format="pyarrow")
+    # the combined partials are tiny (blocks * k rows); batch_size=None
+    # feeds them as ONE batch — default batching would chunk >1024-row
+    # merges and emit up to k rows per chunk instead of a global top-k
+    return partials.repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None
+    )
 
 
 def events_hourly_active_users(events_ds):

@@ -25,9 +25,10 @@ def _docs(texts):
 
 
 def _rows(ds):
-    t = pa.concat_tables(
-        list(ds.iter_batches(batch_format="pyarrow")), promote_options="default"
-    )
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return []
+    t = pa.concat_tables(batches, promote_options="default")
     return sorted(zip(*[t.column(c).to_pylist() for c in ("query_id", "doc_id", "rank")]))
 
 
@@ -153,3 +154,29 @@ def test_oracle_sql_mirrors(tmp_path):
     )
     got = _rows(bm25_search(ray.data.from_arrow(tbl), queries, k=3))
     assert got == want
+
+
+def test_global_topk_survives_many_blocks():
+    """Regression: the repartition(1) merge must see ONE batch — with
+    >1024 combined partial rows the default batch size would chunk it and
+    emit duplicate ranks per query."""
+    texts = [f"token filler{i}" for i in range(2400)]
+    ds = _docs(texts).repartition(160)  # 160 blocks * 10 = 1600 partial rows
+    rows = _rows(bm25_search(ds, {0: "token"}, k=10))
+    assert len(rows) == 10
+    assert sorted(r for _, _, r in rows) == list(range(1, 11))
+    # deterministic winners: every doc scores identically (same tf/dl),
+    # so doc_id tie-break keeps the 10 smallest ids
+    assert sorted(d for _, d, _ in rows) == list(range(10))
+
+
+def test_no_matching_docs_returns_empty():
+    """Regression: a query whose terms exist in the vocabulary universe
+    but match no document must return empty, not crash in final()."""
+    ds = _docs(["alpha beta", "beta gamma"])
+    assert _rows(bm25_search(ds, {0: "zzznotfound"}, k=5)) == []
+
+
+def test_tokenless_query_short_circuits():
+    ds = _docs(["alpha beta"])
+    assert _rows(bm25_search(ds, {0: "!!! ..."}, k=5)) == []

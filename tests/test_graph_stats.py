@@ -1092,3 +1092,35 @@ class TestPersonalizedPagerank:
             for r in pagerank(self._edges(pairs), seeds=None).take_all()
         )
         assert a == b
+
+
+def test_negative_pool_global_bottom_k_many_blocks():
+    """Regression: the pool merge must see the combined partials as ONE
+    batch — chunked merging would yield >pool_size pools with duplicate
+    objects and partitioning-dependent negatives."""
+    import hashlib
+
+    from pdf_entity_extraction_ray.ops.graph_stats import negative_samples
+
+    def h(o):
+        return int.from_bytes(hashlib.md5(f"pool:{o}".encode()).digest()[:8], "little")
+
+    objs = [f"obj{i:04d}" for i in range(1500)]
+    pool = sorted(objs, key=lambda o: (h(o), o))[:64]
+    rows = pa.table(
+        {
+            "src_canonical": pa.array([f"s{i}" for i in range(1500)], pa.string()),
+            "pred": pa.array(["p"] * 1500, pa.string()),
+            "dst_canonical": pa.array(objs, pa.string()),
+        }
+    )
+    # 30 blocks * 64 partial rows = 1920 > the 1024 default batch size
+    ds = ray.data.from_arrow(rows).repartition(30)
+    out = negative_samples(ds, pool_size=64).take_all()
+    assert len(out) == 1500
+    assert all(r["neg_obj"] in pool for r in out)
+    # partitioning must not change a single negative
+    out2 = negative_samples(ray.data.from_arrow(rows), pool_size=64).take_all()
+    a = sorted((r["subj_canonical"], r["neg_obj"]) for r in out)
+    b = sorted((r["subj_canonical"], r["neg_obj"]) for r in out2)
+    assert a == b
