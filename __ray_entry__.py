@@ -931,6 +931,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _kg_artifacts(sf)["edges"]
             )
         ),
+        # --- local clustering coefficient as the exact integer pair
+        # (triangles, wedges); composes triangle_counts + one union-groupby
+        # merge (no hash join) ---
+        "kg_clustering": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats",
+            fromlist=["clustering_coefficients"],
+        ).clustering_coefficients(
+            __import__("ray.data", fromlist=["read_parquet"]).read_parquet(
+                _kg_artifacts(sf)["edges"],
+                columns=["src_canonical", "dst_canonical"],
+            )
+        ),
+        # --- mutual-assertion pairs: unordered node pairs linked in BOTH
+        # directions, with distinct-predicate counts per direction ---
+        "kg_reciprocal": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["reciprocal_edges"]
+        ).reciprocal_edges(
+            __import__("ray.data", fromlist=["read_parquet"]).read_parquet(
+                _kg_artifacts(sf)["edges"],
+                columns=["src_canonical", "pred", "dst_canonical"],
+            )
+        ),
         "kg_host_stats": _kg_host_stats,
         "kg_latest_crawl": _kg_latest_crawl,
         "kg_lang_stats": _kg_lang_stats,
@@ -1165,6 +1187,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.relational", fromlist=["events_funnel"]
         ).events_funnel(_read(sf, "events")),
+        # --- Markov transition matrix: consecutive event-type bigram
+        # counts per user (coarse user shards, per-shard combiner) ---
+        "events_transitions": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.relational", fromlist=["events_transitions"]
+        ).events_transitions(_read(sf, "events")),
+        # --- per-customer running total in exact integer cents (the
+        # windowed cumulative sum Ray Data lacks natively) ---
+        "orders_running_total": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.relational",
+            fromlist=["orders_running_total"],
+        ).orders_running_total(_read(sf, "orders")),
+        # --- per-document n-gram novelty (first-seen gram fraction) ---
+        "docs_gram_novelty": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.vocab", fromlist=["gram_novelty"]
+        ).gram_novelty(_read(sf, "documents")),
         # --- cohort retention matrix (volume bounded by distinct
         # user-days, never raw events) ---
         "events_retention": lambda sf: __import__(
@@ -1198,6 +1235,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # has never itself checked (judge-run only in r3), then the long-green
     # remainder in their original order.
     front = [
+        # newest additions (round 4 close): clustering coefficients,
+        # reciprocity, Markov transitions, running totals, gram novelty
+        "kg_clustering",
+        "kg_reciprocal",
+        "events_transitions",
+        "orders_running_total",
+        "docs_gram_novelty",
         # newest additions (late round 4): BM25 ranked retrieval,
         # KG-embedding negative sampling, entity salience
         "docs_bm25_search",
@@ -1397,6 +1441,40 @@ def oracle_sql() -> dict[str, str]:
             union all select 2, 'view', count(*) from u2
             union all select 3, 'click', count(*) from u3
             union all select 4, 'purchase', count(*) from u4
+        """,
+        "events_transitions": """
+            with s as (select user_id, event_type,
+                              lag(event_type) over (
+                                  partition by user_id
+                                  order by ts, event_id) as prev
+                       from events)
+            select prev as prev_type, event_type as next_type,
+                   count(*)::bigint as n
+            from s where prev is not null group by 1, 2
+        """,
+        "orders_running_total": """
+            select o_custkey, o_orderkey,
+                   (sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) over (
+                        partition by o_custkey
+                        order by o_orderdate, o_orderkey
+                        rows unbounded preceding))::bigint as running_cents
+            from orders
+        """,
+        "docs_gram_novelty": """
+            with w as (select doc_id,
+                              regexp_extract_all(lower(text), '[a-z0-9_]+') as ws
+                       from documents),
+            g as (select doc_id,
+                         unnest(list_distinct(
+                             [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              for i in range(1, len(ws) - 1)])) as gram
+                  from w where len(ws) >= 3),
+            f as (select gram, min(doc_id) as first_doc from g group by gram)
+            select g.doc_id,
+                   sum(case when g.doc_id = f.first_doc then 1 else 0 end)::bigint
+                       as novel_grams,
+                   count(*)::bigint as total_grams
+            from g join f using (gram) group by g.doc_id
         """,
         "kg_host_quality": __import__(
             "pdf_entity_extraction_ray.ops.web",
@@ -1703,6 +1781,41 @@ def oracle_sql() -> dict[str, str]:
                   union all select z as canonical from t3)
             select canonical, count(*)::bigint as triangles
             from m group by canonical
+        """,
+        "kg_clustering": f"""
+            with {kg_cte},
+            tri as ({tri_canon}),
+            dir as (select subj_canonical as s, obj_canonical as d from tri),
+            e as (select distinct least(s, d) as a, greatest(s, d) as b
+                  from dir where s != d),
+            deg as (select node, count(*) as deg from
+                    (select a as node from e union all select b as node from e)
+                    group by node),
+            t3 as (select e1.a as x, e1.b as y, e2.b as z
+                   from e e1
+                   join e e2 on e2.a = e1.a and e2.b > e1.b
+                   join e e3 on e3.a = e1.b and e3.b = e2.b),
+            tr as (select canonical, count(*)::bigint as triangles from
+                   (select x as canonical from t3
+                    union all select y from t3
+                    union all select z from t3) group by canonical)
+            select d.node as canonical,
+                   coalesce(tr.triangles, 0)::bigint as triangles,
+                   (d.deg * (d.deg - 1) // 2)::bigint as wedges
+            from deg d left join tr on tr.canonical = d.node
+            where d.deg >= 2
+        """,
+        "kg_reciprocal": f"""
+            with {kg_cte},
+            tri as ({tri_canon}),
+            e as (select distinct subj_canonical as s, pred,
+                         obj_canonical as d from tri
+                  where subj_canonical != obj_canonical)
+            select least(s, d) as a, greatest(s, d) as b,
+                   sum(case when s < d then 1 else 0 end)::bigint as n_ab,
+                   sum(case when s > d then 1 else 0 end)::bigint as n_ba
+            from e group by 1, 2
+            having n_ab > 0 and n_ba > 0
         """,
         "kg_entities": f"""
             with {kg_cte}

@@ -2461,3 +2461,190 @@ def smallest_node_ids(edges_ds, k: int = 5) -> list[int]:
     ):
         cand.extend(b.column("node").to_pylist())
     return sorted(set(cand))[:k]
+
+
+def clustering_coefficients(edges_ds, num_partitions: int | None = None):
+    """(canonical, triangles, wedges) for every node of undirected degree
+    >= 2 — the local clustering coefficient as the EXACT integer pair
+    (closed wedges, total wedges = deg*(deg-1)/2) rather than a float
+    ratio, so the result is hash-comparable and the caller divides.
+
+    Composition, not new machinery: per-node triangle participation comes
+    from :func:`triangle_counts` (degree-oriented wedge enumeration, the
+    skew-bounded path), undirected distinct-neighbor degrees from one
+    endpoint-explode groupby over the same distinct-pair view.  The two
+    small per-node tables then merge WITHOUT a hash join: side-tagged
+    union -> one groupby-sum (triangle rows carry deg=0, degree rows carry
+    triangles=0), which sidesteps Ray's empty-side join crash and costs
+    one exchange of O(nodes) rows."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def to_und(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src_canonical" not in batch.column_names:
+            return pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
+        s = batch.column("src_canonical")
+        d = batch.column("dst_canonical")
+        lt = pc.less(s, d)
+        t = pa.table(
+            {"a": pc.if_else(lt, s, d), "b": pc.if_else(lt, d, s)}
+        ).filter(pc.not_equal(s, d))
+        return t.group_by(["a", "b"]).aggregate([])
+
+    und = (
+        edges_ds.select_columns(["src_canonical", "dst_canonical"])
+        .map_batches(to_und, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+    )
+
+    def degree_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return pa.table(
+                {
+                    "canonical": pa.array([], pa.string()),
+                    "triangles": pa.array([], pa.int64()),
+                    "deg": pa.array([], pa.int64()),
+                }
+            )
+        node = pa.concat_arrays(
+            [batch.column("a").combine_chunks(), batch.column("b").combine_chunks()]
+        )
+        n = len(node)
+        return pa.table(
+            {
+                "canonical": node,
+                "triangles": pa.array([0] * n, pa.int64()),
+                "deg": pa.array([1] * n, pa.int64()),
+            }
+        )
+
+    def tri_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "canonical" not in batch.column_names:
+            return pa.table(
+                {
+                    "canonical": pa.array([], pa.string()),
+                    "triangles": pa.array([], pa.int64()),
+                    "deg": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "canonical": batch.column("canonical"),
+                "triangles": batch.column("triangles").cast(pa.int64()),
+                "deg": pa.array([0] * batch.num_rows, pa.int64()),
+            }
+        )
+
+    deg_part = und.map_batches(degree_rows, batch_format="pyarrow")
+    tri_part = triangle_counts(edges_ds, num_partitions=num_partitions).map_batches(
+        tri_rows, batch_format="pyarrow"
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "deg" not in batch.column_names:
+            return pa.table(
+                {
+                    "canonical": pa.array([], pa.string()),
+                    "triangles": pa.array([], pa.int64()),
+                    "wedges": pa.array([], pa.int64()),
+                }
+            )
+        deg = batch.column("deg")
+        keep = batch.filter(pc.greater_equal(deg, pa.scalar(2)))
+        d = keep.column("deg")
+        wedges = pc.divide(pc.multiply(d, pc.subtract(d, pa.scalar(1))), pa.scalar(2))
+        return pa.table(
+            {
+                "canonical": keep.column("canonical"),
+                "triangles": keep.column("triangles"),
+                "wedges": wedges.cast(pa.int64()),
+            }
+        )
+
+    return (
+        deg_part.union(tri_part)
+        .groupby("canonical")
+        .aggregate(
+            Sum("triangles", alias_name="triangles"),
+            Sum("deg", alias_name="deg"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def reciprocal_edges(edges_ds):
+    """(a, b, n_ab, n_ba) for every unordered node pair {a < b} connected
+    in BOTH directions — the mutual-assertion view of the directed KG
+    (distinct predicate counts per direction).  Reciprocity is the
+    classic directed-graph health metric: a symmetric predicate family
+    shows n_ab == n_ba, a citation-like one shows sparse reciprocals.
+
+    Shape: distinct (src, pred, dst) rows fold into unordered-pair keys
+    with side-tagged direction counts inside one map_batches combiner,
+    then ONE groupby-sum; pairs missing either direction are filtered in
+    the same pass.  No joins, one exchange of O(distinct edges) rows."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def fold(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.string()),
+                "b": pa.array([], pa.string()),
+                "n_ab": pa.array([], pa.int64()),
+                "n_ba": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "src_canonical" not in batch.column_names:
+            return empty
+        dedup = batch.select(["src_canonical", "pred", "dst_canonical"]).group_by(
+            ["src_canonical", "pred", "dst_canonical"]
+        ).aggregate([])
+        s = dedup.column("src_canonical")
+        d = dedup.column("dst_canonical")
+        loop = pc.not_equal(s, d)
+        dedup = dedup.filter(loop)
+        s, d = dedup.column("src_canonical"), dedup.column("dst_canonical")
+        fwd = pc.less(s, d)
+        one = pa.array([1] * dedup.num_rows, pa.int64())
+        zero = pa.array([0] * dedup.num_rows, pa.int64())
+        t = pa.table(
+            {
+                "a": pc.if_else(fwd, s, d),
+                "b": pc.if_else(fwd, d, s),
+                "n_ab": pc.if_else(fwd, one, zero),
+                "n_ba": pc.if_else(fwd, zero, one),
+            }
+        )
+        return t.group_by(["a", "b"]).aggregate([("n_ab", "sum"), ("n_ba", "sum")]).rename_columns(
+            ["a", "b", "n_ab", "n_ba"]
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "n_ab" not in batch.column_names:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "n_ab": pa.array([], pa.int64()),
+                    "n_ba": pa.array([], pa.int64()),
+                }
+            )
+        return batch.filter(
+            pc.and_(
+                pc.greater(batch.column("n_ab"), pa.scalar(0)),
+                pc.greater(batch.column("n_ba"), pa.scalar(0)),
+            )
+        )
+
+    return (
+        edges_ds.select_columns(["src_canonical", "pred", "dst_canonical"])
+        .map_batches(fold, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(
+            Sum("n_ab", alias_name="n_ab"),
+            Sum("n_ba", alias_name="n_ba"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )

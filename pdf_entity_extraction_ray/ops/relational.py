@@ -1418,3 +1418,121 @@ def events_value_histogram(events_ds, width: float = 50.0):
         .groupby(["event_type", "bucket"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def events_transitions(events_ds, shards: int = 256):
+    """(prev_type, next_type, n) — global counts of consecutive event-type
+    bigrams per user, ordered by (ts, event_id): the Markov-transition
+    matrix every behavioral model starts from.
+
+    Same coarse-shard shape as :func:`events_funnel`: users hash into
+    ``shards`` groups (the low-bit mask — ids are uniform), one
+    ``map_groups`` call lexsorts a whole shard by (user, ts, event_id)
+    and takes adjacent pairs where the user matches — a vectorized
+    shift-compare, no per-user loop.  Each shard pre-counts its pairs
+    (combiner: output is at most |types|^2 rows per shard), so the final
+    groupby-sum exchanges a bounded table regardless of event volume."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        return _add_shard_col(batch, "user_id", shards)
+
+    def shard_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "prev_type": pa.array([], pa.string()),
+                "next_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows < 2 or "user_id" not in group.column_names:
+            return empty
+        users = group.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ts = group.column("ts").cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
+        types = group.column("event_type").combine_chunks()
+        order = np.lexsort((eid, ts, users))
+        same_user = users[order][1:] == users[order][:-1]
+        if not same_user.any():
+            return empty
+        sorted_types = types.take(pa.array(order, pa.int64()))
+        prev_idx = np.flatnonzero(same_user)
+        t = pa.table(
+            {
+                "prev_type": sorted_types.take(pa.array(prev_idx, pa.int64())),
+                "next_type": sorted_types.take(pa.array(prev_idx + 1, pa.int64())),
+            }
+        )
+        g = t.group_by(["prev_type", "next_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["prev_type", "next_type", "n"]).set_column(
+            2, "n", g.column("count_all").cast(pa.int64())
+        )
+
+    return (
+        events_ds.select_columns(["event_id", "ts", "user_id", "event_type"])
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_pairs, batch_format="pyarrow")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def orders_running_total(orders_ds, shards: int = 256):
+    """(o_custkey, o_orderkey, running_cents) — each customer's cumulative
+    spend in exact integer cents, ordered by (o_orderdate, o_orderkey):
+    the windowed running total Ray Data has no native operator for.
+
+    Money moves as ``floor(price*100 + 0.5)`` int64 cents so the
+    cumulative sum is order-independent exact integer math (float
+    cumulation would diverge from any SQL mirror in the last ulp).
+    Customers hash into coarse shards; one ``map_groups`` per shard
+    lexsorts by (cust, date, key) and computes the per-customer cumsum
+    with a segmented offset subtraction (cumsum minus each customer run's
+    starting offset, vectorized via repeat) — no per-customer loop, and
+    per-shard state is one numpy array."""
+    import numpy as np
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        return _add_shard_col(batch, "o_custkey", shards)
+
+    def shard_running(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "o_custkey": pa.array([], pa.int64()),
+                "o_orderkey": pa.array([], pa.int64()),
+                "running_cents": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "o_custkey" not in group.column_names:
+            return empty
+        cust = group.column("o_custkey").combine_chunks().to_numpy(zero_copy_only=False)
+        date = group.column("o_orderdate").cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        key = group.column("o_orderkey").combine_chunks().to_numpy(zero_copy_only=False)
+        price = group.column("o_totalprice").combine_chunks().to_numpy(zero_copy_only=False)
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        order = np.lexsort((key, date, cust))
+        c_s, k_s, v_s = cust[order], key[order], cents[order]
+        csum = np.cumsum(v_s)
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        # offset before each customer run start (0 for the first run)
+        run_offsets = np.r_[0, csum[starts[1:] - 1]] if len(starts) > 1 else np.zeros(1, np.int64)
+        sizes = np.r_[starts[1:], len(c_s)] - starts
+        running = csum - np.repeat(run_offsets, sizes)
+        return pa.table(
+            {
+                "o_custkey": pa.array(c_s),
+                "o_orderkey": pa.array(k_s),
+                "running_cents": pa.array(running.astype(np.int64)),
+            }
+        )
+
+    return (
+        orders_ds.select_columns(["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_running, batch_format="pyarrow")
+    )

@@ -446,3 +446,89 @@ def bigram_pmi(docs_ds, min_count: int = 5, top_n: int = 100):
         .sort(["pmi_ppm", "x", "y"], descending=[True, False, False])
         .limit(top_n)
     )
+
+
+def gram_novelty(docs_ds, n: int = 3, parts: int | None = None):
+    """(doc_id, novel_grams, total_grams) — per-document n-gram novelty:
+    of the document's distinct word n-grams, how many first appear in THIS
+    document (min doc_id over the corpus)?  The standard "how much of this
+    page is new text vs. crawl echo" curation signal — a high-duplication
+    corpus shows novelty collapsing toward zero for late doc_ids.
+
+    Shape: one document is one input row, so per-batch distinct
+    (gram, doc_id) pairs are already globally distinct.  Grams then
+    hash into ~4xCPU coarse partitions (the inverted_index trick: one
+    vectorized UDF per partition, never per gram) where a (gram, doc_id)
+    sort + run-length scan marks each gram's first row as novel — the
+    min-doc row, since runs are doc-sorted.  A final groupby("doc_id")
+    sums the flags.  Two shuffles total (gram partition, doc groupby),
+    both over 3-column integer-heavy rows; nothing touches the driver.
+
+    Documents with fewer than ``n`` tokens emit no grams and are absent
+    from the output (same contract as the SQL mirror's join)."""
+    import numpy as np
+    from ray.data.aggregate import Count, Sum
+
+    from ..state.lineage import url_buckets
+
+    if parts is None:
+        import ray
+
+        parts = 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "gram": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "part": pa.array([], pa.int32()),
+            }
+        )
+        if batch.num_rows == 0 or "text" not in batch.column_names:
+            return empty
+        grams: list[str] = []
+        docs: list[int] = []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            ws = TOKEN_RE.findall(t.lower())
+            seen = {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+            grams.extend(seen)
+            docs.extend([doc_id] * len(seen))
+        gram_arr = pa.array(grams, pa.string())
+        return pa.table(
+            {
+                "gram": gram_arr,
+                "doc_id": pa.array(docs, pa.int64()),
+                "part": pa.array(url_buckets(gram_arr, parts), pa.int32()),
+            }
+        )
+
+    def mark_first(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "novel": pa.array([], pa.int64())}
+        )
+        if group.num_rows == 0 or "gram" not in group.column_names:
+            return empty
+        tbl = group.sort_by([("gram", "ascending"), ("doc_id", "ascending")])
+        codes = pc.dictionary_encode(tbl.column("gram").combine_chunks())
+        idx = np.asarray(codes.indices)
+        first = np.r_[True, np.diff(idx) != 0]
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "novel": pa.array(first.astype(np.int64)),
+            }
+        )
+
+    return (
+        docs_ds.select_columns(["doc_id", "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(mark_first, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("novel", alias_name="novel_grams"),
+            Count(alias_name="total_grams"),
+        )
+    )

@@ -1124,3 +1124,52 @@ def test_negative_pool_global_bottom_k_many_blocks():
     a = sorted((r["subj_canonical"], r["neg_obj"]) for r in out)
     b = sorted((r["subj_canonical"], r["neg_obj"]) for r in out2)
     assert a == b
+
+
+def test_clustering_coefficients_k4_pendant():
+    """K4 + pendant: every K4 node has deg-3 wedges (3) and 3 triangles
+    EXCEPT d, whose pendant edge lifts its degree to 4 (6 wedges); the
+    pendant leaf itself (deg 1) is excluded."""
+    from pdf_entity_extraction_ray.ops.graph_stats import clustering_coefficients
+
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"), ("d", "e"), ("b", "a")]
+    got = {
+        r["canonical"]: (r["triangles"], r["wedges"])
+        for r in clustering_coefficients(_tri_ds(edges)).take_all()
+    }
+    assert got == {"a": (3, 3), "b": (3, 3), "c": (3, 3), "d": (3, 6)}
+
+
+def test_clustering_coefficients_triangle_free_star():
+    """A star has zero triangles but the hub still reports its wedges —
+    the deg>=2 nodes with 0 closed wedges must be PRESENT (coefficient
+    0), not absent."""
+    from pdf_entity_extraction_ray.ops.graph_stats import clustering_coefficients
+
+    edges = [("hub", f"rim{i}") for i in range(5)]
+    got = {
+        r["canonical"]: (r["triangles"], r["wedges"])
+        for r in clustering_coefficients(_tri_ds(edges)).take_all()
+    }
+    assert got == {"hub": (0, 10)}
+
+
+def test_reciprocal_edges_directions_and_preds():
+    """Reciprocal detection over distinct (src, pred, dst) rows: a<->b
+    reciprocal with 2 preds forward / 1 back; a->c one-way (absent);
+    self-loops ignored."""
+    from pdf_entity_extraction_ray.ops.graph_stats import reciprocal_edges
+
+    edges = pa.table(
+        {
+            "src_canonical": ["a", "a", "b", "a", "x", "b"],
+            "pred": ["knows", "likes", "knows", "knows", "is", "cites"],
+            "dst_canonical": ["b", "b", "a", "c", "x", "a"],
+        }
+    )
+    got = {
+        (r["a"], r["b"]): (r["n_ab"], r["n_ba"])
+        for r in reciprocal_edges(ray.data.from_arrow(edges)).take_all()
+    }
+    assert got == {("a", "b"): (2, 2)}

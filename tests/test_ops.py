@@ -1181,3 +1181,144 @@ class TestEventsValueHistogram:
         )
         assert a == b
         assert len(a) == 16  # 8 buckets x 2 types
+
+
+class TestEventsTransitions:
+    def _ds(self, rows):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array(range(len(rows)), pa.int64()),
+                    "ts": pa.array(
+                        [base + dt.timedelta(minutes=m) for m, _, _ in rows],
+                        pa.timestamp("us"),
+                    ),
+                    "user_id": pa.array([u for _, u, _ in rows], pa.int64()),
+                    "event_type": pa.array([t for _, _, t in rows], pa.string()),
+                }
+            )
+        )
+
+    def test_basic_bigrams(self):
+        from pdf_entity_extraction_ray.ops.relational import events_transitions
+
+        rows = [
+            (0, 1, "view"), (1, 1, "click"), (2, 1, "view"),
+            (0, 2, "view"), (5, 2, "click"),
+            (0, 3, "signup"),  # single event: no transition
+        ]
+        got = {
+            (r["prev_type"], r["next_type"]): r["n"]
+            for r in events_transitions(self._ds(rows)).take_all()
+        }
+        assert got == {("view", "click"): 2, ("click", "view"): 1}
+
+    def test_tie_breaks_on_event_id(self):
+        """Equal timestamps order by event_id — the deterministic tiebreak
+        the SQL mirror's (ts, event_id) window uses."""
+        from pdf_entity_extraction_ray.ops.relational import events_transitions
+
+        rows = [(0, 1, "a"), (0, 1, "b"), (0, 1, "c")]
+        got = {
+            (r["prev_type"], r["next_type"]): r["n"]
+            for r in events_transitions(self._ds(rows)).take_all()
+        }
+        assert got == {("a", "b"): 1, ("b", "c"): 1}
+
+    def test_partition_invariance(self):
+        from pdf_entity_extraction_ray.ops.relational import events_transitions
+
+        rows = [(m, u, "t%d" % (m % 3)) for u in range(20) for m in range(10)]
+        a = sorted(map(repr, events_transitions(self._ds(rows)).take_all()))
+        b = sorted(map(repr, events_transitions(self._ds(rows).repartition(7)).take_all()))
+        assert a == b
+
+
+class TestOrdersRunningTotal:
+    def _ds(self, rows):
+        import datetime as dt
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([k for k, _, _, _ in rows], pa.int64()),
+                    "o_custkey": pa.array([c for _, c, _, _ in rows], pa.int64()),
+                    "o_orderdate": pa.array(
+                        [dt.datetime(2024, 1, d) for _, _, d, _ in rows],
+                        pa.timestamp("us"),
+                    ),
+                    "o_totalprice": pa.array([p for _, _, _, p in rows], pa.float64()),
+                }
+            )
+        )
+
+    def test_cumsum_resets_per_customer(self):
+        from pdf_entity_extraction_ray.ops.relational import orders_running_total
+
+        rows = [
+            (1, 10, 1, 10.00), (2, 10, 2, 5.50), (3, 10, 3, 0.01),
+            (4, 20, 1, 100.00),
+        ]
+        got = {r["o_orderkey"]: r["running_cents"]
+               for r in orders_running_total(self._ds(rows)).take_all()}
+        assert got == {1: 1000, 2: 1550, 3: 1551, 4: 10000}
+
+    def test_date_then_key_ordering(self):
+        """Same-date orders accumulate in o_orderkey order; an earlier
+        date with a larger key still comes first."""
+        from pdf_entity_extraction_ray.ops.relational import orders_running_total
+
+        rows = [(9, 1, 1, 1.00), (2, 1, 2, 2.00), (3, 1, 2, 4.00)]
+        got = {r["o_orderkey"]: r["running_cents"]
+               for r in orders_running_total(self._ds(rows)).take_all()}
+        assert got == {9: 100, 2: 300, 3: 700}
+
+    def test_half_cent_rounds_away_from_zero(self):
+        from pdf_entity_extraction_ray.ops.relational import orders_running_total
+
+        rows = [(1, 1, 1, 0.005)]
+        got = orders_running_total(self._ds(rows)).take_all()
+        assert got[0]["running_cents"] == 1
+
+
+class TestGramNovelty:
+    def _docs(self, texts):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        )
+
+    def test_first_doc_all_novel_echo_none(self):
+        from pdf_entity_extraction_ray.ops.vocab import gram_novelty
+
+        texts = ["a b c d", "a b c d", "a b c x"]
+        got = {r["doc_id"]: (r["novel_grams"], r["total_grams"])
+               for r in gram_novelty(self._docs(texts)).take_all()}
+        # doc0: grams {abc, bcd} both first-seen; doc1: exact echo, 0 novel;
+        # doc2: shares abc, introduces bcx
+        assert got == {0: (2, 2), 1: (0, 2), 2: (1, 2)}
+
+    def test_short_docs_absent(self):
+        from pdf_entity_extraction_ray.ops.vocab import gram_novelty
+
+        texts = ["one two", "", "x y z"]
+        got = {r["doc_id"] for r in gram_novelty(self._docs(texts)).take_all()}
+        assert got == {2}
+
+    def test_within_doc_repeat_counts_once(self):
+        """Distinct grams per doc: a gram repeated inside one doc is one
+        row, and its novelty credit goes to the smallest doc_id."""
+        from pdf_entity_extraction_ray.ops.vocab import gram_novelty
+
+        texts = ["p q r p q r", "p q r"]
+        got = {r["doc_id"]: (r["novel_grams"], r["total_grams"])
+               for r in gram_novelty(self._docs(texts)).take_all()}
+        # doc0 grams: pqr, qrp, rpq (distinct) all novel; doc1: pqr only
+        assert got == {0: (3, 3), 1: (0, 1)}
