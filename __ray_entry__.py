@@ -1187,6 +1187,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.relational", fromlist=["events_funnel"]
         ).events_funnel(_read(sf, "events")),
+        # --- three-table exact-integer revenue rollup (customer ⋈ orders
+        # ⋈ lineitem, both levels size-dispatched broadcast-vs-shuffle) ---
+        "segment_revenue": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.relational", fromlist=["segment_revenue"]
+        ).segment_revenue(
+            _read(sf, "lineitem"), _read(sf, "orders"), _read(sf, "customer")
+        ),
+        # --- corpus-wide exact line dedup (C4-style): keep only globally
+        # first sentence occurrences, reassemble documents ---
+        "docs_line_dedup": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.dedup", fromlist=["line_dedup"]
+        ).line_dedup(_read(sf, "documents")),
+        # --- winnowing fingerprints (MOSS): per-window min k-gram hash,
+        # rightmost tiebreak — positional dup-detection signatures ---
+        "docs_winnow": docs_op(
+            __import__(
+                "pdf_entity_extraction_ray.ops.text", fromlist=["winnow_batch"]
+            ).winnow_batch
+        ),
         # --- Markov transition matrix: consecutive event-type bigram
         # counts per user (coarse user shards, per-shard combiner) ---
         "events_transitions": lambda sf: __import__(
@@ -1242,6 +1261,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions",
         "orders_running_total",
         "docs_gram_novelty",
+        "segment_revenue",
+        "docs_line_dedup",
+        "docs_winnow",
         # newest additions (late round 4): BM25 ranked retrieval,
         # KG-embedding negative sampling, entity salience
         "docs_bm25_search",
@@ -1441,6 +1463,49 @@ def oracle_sql() -> dict[str, str]:
             union all select 2, 'view', count(*) from u2
             union all select 3, 'click', count(*) from u3
             union all select 4, 'purchase', count(*) from u4
+        """,
+        "segment_revenue": """
+            select c_mktsegment, count(*)::bigint as n_items,
+                   sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint)
+                       * (100 - cast(floor(l_discount * 100 + 0.5) as bigint))
+                      )::bigint as revenue_e4
+            from lineitem join orders on l_orderkey = o_orderkey
+            join customer on o_custkey = c_custkey
+            group by c_mktsegment
+        """,
+        "docs_line_dedup": """
+            with s as (select doc_id, unnest(string_split(text, '. ')) as sent,
+                              generate_subscripts(string_split(text, '. '), 1) as pos
+                       from documents),
+            k as (select doc_id, sent, pos,
+                         row_number() over (
+                             partition by sent order by doc_id, pos) as rn
+                  from s)
+            select doc_id, string_agg(sent, '. ' order by pos) as clean_text
+            from k where rn = 1 group by doc_id
+        """,
+        "docs_winnow": """
+            with toks as (select doc_id,
+                                 regexp_extract_all(lower(text), '[a-z0-9_]+') as ws
+                          from documents),
+            gl as (select doc_id, [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                   for i in range(1, len(ws) - 1)] as grams
+                   from toks where len(ws) >= 6),
+            g as (select doc_id, generate_subscripts(grams, 1) as pos,
+                         md5_number_upper(unnest(grams))::hugeint
+                             % 2305843009213693951 as h
+                  from gl),
+            win as (select doc_id, pos as win_end,
+                           min(h) over (partition by doc_id order by pos
+                                        rows between 3 preceding
+                                        and current row) as m
+                    from g),
+            sel as (select * from win where win_end >= 4)
+            select distinct s.doc_id, max(g.pos) as pos, s.m::ubigint as fp
+            from sel s join g on g.doc_id = s.doc_id
+                             and g.pos between s.win_end - 3 and s.win_end
+                             and g.h = s.m
+            group by s.doc_id, s.win_end, s.m
         """,
         "events_transitions": """
             with s as (select user_id, event_type,

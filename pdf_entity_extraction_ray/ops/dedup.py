@@ -1717,3 +1717,125 @@ def containment_pairs_oracle_sql(threshold: float = 0.8) -> str:
           and len(list_intersect(a.sh, b.sh))::double
               / least(len(a.sh), len(b.sh)) >= {threshold}
     """
+
+
+def line_dedup(docs_ds, parts: int | None = None):
+    """Corpus-wide exact line dedup (the C4/RefinedWeb "deduplicate at
+    the line level" pass): every sentence occurrence that is NOT the
+    globally first occurrence — ordered by (doc_id, position), including
+    repeats within one document — is dropped, and each document is
+    reassembled from its surviving sentences in original order.
+    ``(doc_id, clean_text)``; documents whose every sentence is an echo
+    drop out entirely.
+
+    Sentence unit is the ``'. '`` split (the strip_boilerplate
+    convention — DuckDB ``string_split``-mirrorable, no regex).
+
+    Shape: explode (sentence, doc_id, pos) -> coarse hash partition by
+    sentence (the gram_novelty trick: one vectorized UDF per ~4xCPU
+    partition, a (sentence, doc_id, pos) sort + run-length scan keeps
+    each run's first row) -> coarse doc-shard reassembly (sort by
+    (doc_id, pos), one string-join per document).  Two exchanges, both
+    moving each sentence occurrence once; no joins, no driver state."""
+    import numpy as np
+
+    from ..state.lineage import url_buckets
+
+    if parts is None:
+        import ray
+
+        parts = 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "sent": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "part": pa.array([], pa.int32()),
+            }
+        )
+        if batch.num_rows == 0 or "text" not in batch.column_names:
+            return empty
+        sents: list[str] = []
+        docs: list[int] = []
+        poss: list[int] = []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            parts_ = t.split(". ")  # '' -> [''] in BOTH Python and DuckDB
+            sents.extend(parts_)
+            docs.extend([doc_id] * len(parts_))
+            poss.extend(range(1, len(parts_) + 1))
+        sent_arr = pa.array(sents, pa.string())
+        return pa.table(
+            {
+                "sent": sent_arr,
+                "doc_id": pa.array(docs, pa.int64()),
+                "pos": pa.array(poss, pa.int64()),
+                "part": pa.array(url_buckets(sent_arr, parts), pa.int32()),
+            }
+        )
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "sent": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "shard": pa.array([], pa.int32()),
+            }
+        )
+        if group.num_rows == 0 or "sent" not in group.column_names:
+            return empty
+        tbl = group.sort_by(
+            [("sent", "ascending"), ("doc_id", "ascending"), ("pos", "ascending")]
+        )
+        codes = pc.dictionary_encode(tbl.column("sent").combine_chunks())
+        idx = np.asarray(codes.indices)
+        first = np.r_[True, np.diff(idx) != 0]
+        kept = tbl.filter(pa.array(first))
+        shard = pc.bit_wise_and(
+            kept.column("doc_id"), pa.scalar(255, pa.int64())
+        ).cast(pa.int32())
+        return pa.table(
+            {
+                "sent": kept.column("sent"),
+                "doc_id": kept.column("doc_id"),
+                "pos": kept.column("pos"),
+                "shard": shard,
+            }
+        )
+
+    def reassemble(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "clean_text": pa.array([], pa.string()),
+            }
+        )
+        if group.num_rows == 0 or "doc_id" not in group.column_names:
+            return empty
+        tbl = group.sort_by([("doc_id", "ascending"), ("pos", "ascending")])
+        docs = tbl.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        sents = tbl.column("sent").to_pylist()
+        starts = np.flatnonzero(np.r_[True, docs[1:] != docs[:-1]])
+        ends = np.r_[starts[1:], len(docs)]
+        return pa.table(
+            {
+                "doc_id": pa.array(docs[starts], pa.int64()),
+                "clean_text": pa.array(
+                    [". ".join(sents[a:b]) for a, b in zip(starts, ends)],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return (
+        docs_ds.select_columns(["doc_id", "text"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(keep_first, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(reassemble, batch_format="pyarrow")
+    )

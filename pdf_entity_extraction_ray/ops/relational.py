@@ -1536,3 +1536,172 @@ def orders_running_total(orders_ds, shards: int = 256):
         .groupby("shard")
         .map_groups(shard_running, batch_format="pyarrow")
     )
+
+
+def segment_revenue(
+    lineitem_ds, orders_ds, customer_ds, *,
+    broadcast_limit_bytes: int = BROADCAST_LIMIT_BYTES,
+    num_partitions: int | None = None,
+):
+    """customer ⋈ orders ⋈ lineitem -> per-market-segment exact revenue:
+    (c_mktsegment, n_items, revenue_e4) with revenue as
+    ``floor(price*100+.5) * (100 - floor(disc*100+.5))`` int64 — units of
+    10^-4 dollars, so the three-way join aggregates in exact integer math
+    (the TPC-H Q3 family without the date filters).
+
+    Join strategy per level, size-dispatched like
+    :func:`lineitems_by_priority`: the custkey->segment map is by
+    definition small relative to orders (broadcast when under the limit),
+    and the orderkey->segment map likewise vs lineitem; either level
+    falls back to a hash-shuffle ``Dataset.join`` when its build side
+    exceeds ``broadcast_limit_bytes``.  Broadcast lookups are vectorized
+    (``pc.index_in`` against a dictionary, no per-row Python), and the
+    revenue aggregation runs as a per-batch combiner before the final
+    5-row groupby."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    def _revenue(batch: pa.Table) -> pa.Array:
+        price = batch.column("l_extendedprice").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        disc = batch.column("l_discount").combine_chunks().to_numpy(zero_copy_only=False)
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        pct = np.floor(disc * 100.0 + 0.5).astype(np.int64)
+        return pa.array(cents * (100 - pct), pa.int64())
+
+    # level 1: orders <- customer segment
+    if _build_side_bytes(customer_ds) <= broadcast_limit_bytes:
+        keys, segs = [], []
+        for b in customer_ds.select_columns(["c_custkey", "c_mktsegment"]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            keys.append(b.column("c_custkey").combine_chunks())
+            segs.append(b.column("c_mktsegment").combine_chunks())
+        cust_ref = ray.put(
+            (
+                pa.concat_arrays(keys) if keys else pa.array([], pa.int64()),
+                pa.concat_arrays(segs) if segs else pa.array([], pa.string()),
+            )
+        )
+
+        def attach_segment(batch: pa.Table) -> pa.Table:
+            ck, cs = ray.get(cust_ref)
+            idx = pc.index_in(batch.column("o_custkey"), value_set=ck)
+            seg = cs.take(idx)
+            return pa.table(
+                {"o_orderkey": batch.column("o_orderkey"), "seg": seg}
+            ).filter(pc.is_valid(seg))
+
+        orders_seg = orders_ds.select_columns(["o_orderkey", "o_custkey"]).map_batches(
+            attach_segment, batch_format="pyarrow"
+        )
+    else:
+        from ..ops.dedup import _join_partitions
+
+        orders_seg = (
+            orders_ds.select_columns(["o_orderkey", "o_custkey"])
+            .join(
+                customer_ds.select_columns(["c_custkey", "c_mktsegment"]),
+                join_type="inner",
+                num_partitions=num_partitions or _join_partitions(),
+                on=("o_custkey",),
+                right_on=("c_custkey",),
+            )
+            .rename_columns({"c_mktsegment": "seg"})
+            .select_columns(["o_orderkey", "seg"])
+        )
+
+    # level 2: lineitem <- order segment
+    if _build_side_bytes(orders_seg) <= broadcast_limit_bytes:
+        keys, segs = [], []
+        for b in orders_seg.iter_batches(batch_format="pyarrow"):
+            if b.num_rows:
+                keys.append(b.column("o_orderkey").combine_chunks())
+                segs.append(b.column("seg").combine_chunks())
+        ord_ref = ray.put(
+            (
+                pa.concat_arrays(keys) if keys else pa.array([], pa.int64()),
+                pa.concat_arrays(segs) if segs else pa.array([], pa.string()),
+            )
+        )
+
+        def partial(batch: pa.Table) -> pa.Table:
+            ok, os = ray.get(ord_ref)
+            idx = pc.index_in(batch.column("l_orderkey"), value_set=ok)
+            seg = os.take(idx)
+            t = pa.table(
+                {"seg": seg, "revenue_e4": _revenue(batch)}
+            ).filter(pc.is_valid(seg))
+            g = t.group_by("seg").aggregate([("revenue_e4", "sum"), ([], "count_all")])
+            return pa.table(
+                {
+                    "c_mktsegment": g.column("seg"),
+                    "n_items": g.column("count_all").cast(pa.int64()),
+                    "revenue_e4": g.column("revenue_e4_sum").cast(pa.int64()),
+                }
+            )
+
+        partials = lineitem_ds.select_columns(
+            ["l_orderkey", "l_extendedprice", "l_discount"]
+        ).map_batches(partial, batch_format="pyarrow")
+    else:
+        from ..ops.dedup import _join_partitions
+
+        def li_combine(batch: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "l_orderkey": batch.column("l_orderkey"),
+                    "revenue_e4": _revenue(batch),
+                }
+            )
+            g = t.group_by("l_orderkey").aggregate(
+                [("revenue_e4", "sum"), ([], "count_all")]
+            )
+            return pa.table(
+                {
+                    "l_orderkey": g.column("l_orderkey"),
+                    "rev": g.column("revenue_e4_sum").cast(pa.int64()),
+                    "cnt": g.column("count_all").cast(pa.int64()),
+                }
+            )
+
+        joined = (
+            lineitem_ds.select_columns(["l_orderkey", "l_extendedprice", "l_discount"])
+            .map_batches(li_combine, batch_format="pyarrow")
+            .groupby("l_orderkey")
+            .aggregate(Sum("rev", alias_name="rev"), Sum("cnt", alias_name="cnt"))
+            .join(
+                orders_seg,
+                join_type="inner",
+                num_partitions=num_partitions or _join_partitions(),
+                on=("l_orderkey",),
+                right_on=("o_orderkey",),
+            )
+        )
+
+        def to_partial(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "seg" not in batch.column_names:
+                return pa.table(
+                    {
+                        "c_mktsegment": pa.array([], pa.string()),
+                        "n_items": pa.array([], pa.int64()),
+                        "revenue_e4": pa.array([], pa.int64()),
+                    }
+                )
+            g = batch.group_by("seg").aggregate([("rev", "sum"), ("cnt", "sum")])
+            return pa.table(
+                {
+                    "c_mktsegment": g.column("seg"),
+                    "n_items": g.column("cnt_sum").cast(pa.int64()),
+                    "revenue_e4": g.column("rev_sum").cast(pa.int64()),
+                }
+            )
+
+        partials = joined.map_batches(to_partial, batch_format="pyarrow")
+
+    return partials.groupby("c_mktsegment").aggregate(
+        Sum("n_items", alias_name="n_items"),
+        Sum("revenue_e4", alias_name="revenue_e4"),
+    )

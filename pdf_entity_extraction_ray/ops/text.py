@@ -245,3 +245,54 @@ def redact_pii_batch(batch: pa.Table) -> pa.Table:
             "n_ips": pa.array(n_ip, pa.int64()),
         }
     )
+
+
+def winnow_batch(batch: pa.Table, k: int = 3, w: int = 4) -> pa.Table:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): slide a ``w``-gram window over the document's word
+    ``k``-gram hashes and keep each window's MINIMUM hash, rightmost
+    occurrence on ties — the positional fingerprint set that guarantees
+    any shared substring of >= w+k-1 words between two documents shares a
+    fingerprint (the coverage property min-mod-p sampling lacks).
+
+    One exploded row per distinct (pos, fp) selection: ``(doc_id, pos,
+    fp)`` with 1-based gram positions (the SQL ``generate_subscripts``
+    convention).  Documents with fewer than ``w`` k-grams emit nothing —
+    the full-window contract, mirrored by the oracle.  Hashing is
+    ``md5_number_upper % (2^61-1)`` (the rolling-fingerprint convention),
+    window minima via a numpy sliding view — no per-window Python."""
+    import numpy as np
+
+    out_doc, out_pos, out_fp = [], [], []
+    for doc_id, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+        words = TOKEN_RE.findall(t.lower())
+        n = len(words) - k + 1
+        if n < w:
+            continue
+        h = np.array(
+            [
+                int.from_bytes(
+                    hashlib.md5(" ".join(words[i : i + k]).encode()).digest()[:8],
+                    "little",
+                )
+                % _ROLL_MOD
+                for i in range(n)
+            ],
+            dtype=np.uint64,
+        )
+        win = np.lib.stride_tricks.sliding_window_view(h, w)
+        m = win.min(axis=1)
+        # rightmost min: first min of the REVERSED window
+        right = (w - 1) - np.argmin(win[:, ::-1], axis=1)
+        pos = np.arange(n - w + 1) + right + 1  # 1-based gram position
+        sel = np.unique(np.stack([pos.astype(np.uint64), m]), axis=1)
+        out_doc.extend([doc_id] * sel.shape[1])
+        out_pos.extend(sel[0].astype(np.int64).tolist())
+        out_fp.extend(sel[1].tolist())
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "pos": pa.array(out_pos, pa.int64()),
+            "fp": pa.array(out_fp, pa.uint64()),
+        }
+    )

@@ -1322,3 +1322,132 @@ class TestGramNovelty:
                for r in gram_novelty(self._docs(texts)).take_all()}
         # doc0 grams: pqr, qrp, rpq (distinct) all novel; doc1: pqr only
         assert got == {0: (3, 3), 1: (0, 1)}
+
+
+class TestSegmentRevenue:
+    def _tables(self):
+        import datetime as dt
+
+        li = pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+                "l_extendedprice": pa.array([100.00, 50.005, 10.0, 1.0], pa.float64()),
+                "l_discount": pa.array([0.10, 0.0, 0.05, 0.0], pa.float64()),
+            }
+        )
+        od = pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_custkey": pa.array([7, 8, 9], pa.int64()),
+            }
+        )
+        cu = pa.table(
+            {
+                "c_custkey": pa.array([7, 8], pa.int64()),  # cust 9 missing
+                "c_mktsegment": pa.array(["AUTO", "HOME"], pa.string()),
+            }
+        )
+        return (ray.data.from_arrow(li), ray.data.from_arrow(od), ray.data.from_arrow(cu))
+
+    def _expect(self):
+        # order 1 -> AUTO: 10000c*90 + 5001c*100 = 900000 + 500100
+        # order 2 -> HOME: 1000c*95; order 3 -> no customer, dropped
+        return {"AUTO": (2, 1400100), "HOME": (1, 95000)}
+
+    def test_broadcast_path(self):
+        from pdf_entity_extraction_ray.ops.relational import segment_revenue
+
+        got = {r["c_mktsegment"]: (r["n_items"], r["revenue_e4"])
+               for r in segment_revenue(*self._tables()).take_all()}
+        assert got == self._expect()
+
+    def test_shuffle_path_identical(self):
+        from pdf_entity_extraction_ray.ops.relational import segment_revenue
+
+        got = {r["c_mktsegment"]: (r["n_items"], r["revenue_e4"])
+               for r in segment_revenue(
+                   *self._tables(), broadcast_limit_bytes=0, num_partitions=2
+               ).take_all()}
+        assert got == self._expect()
+
+
+class TestLineDedup:
+    def _docs(self, texts):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        )
+
+    def test_global_first_occurrence_wins(self):
+        from pdf_entity_extraction_ray.ops.dedup import line_dedup
+
+        texts = ["alpha. beta. alpha", "beta. gamma", "alpha. beta"]
+        got = {r["doc_id"]: r["clean_text"] for r in line_dedup(self._docs(texts)).take_all()}
+        # doc0 keeps alpha+beta, drops its own pos-3 'alpha' repeat;
+        # doc1 keeps only 'gamma'; doc2 keeps nothing -> absent entirely
+        assert got == {0: "alpha. beta", 1: "gamma"}
+
+    def test_all_unique_passthrough(self):
+        from pdf_entity_extraction_ray.ops.dedup import line_dedup
+
+        texts = ["one. two", "three. four"]
+        got = {r["doc_id"]: r["clean_text"] for r in line_dedup(self._docs(texts)).take_all()}
+        assert got == {0: "one. two", 1: "three. four"}
+
+
+class TestWinnow:
+    def _docs(self, texts):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        )
+
+    def test_short_doc_emits_nothing(self):
+        from pdf_entity_extraction_ray.ops.text import winnow_batch
+
+        ds = self._docs(["a b c d e"])  # 3 grams < w=4
+        assert ds.map_batches(winnow_batch, batch_format="pyarrow").count() == 0
+
+    def test_shared_substring_shares_fingerprint(self):
+        """The winnowing guarantee: two docs sharing a >= w+k-1 = 6-word
+        run share at least one fingerprint VALUE."""
+        from pdf_entity_extraction_ray.ops.text import winnow_batch
+
+        shared = "quick brown fox jumps over lazy"
+        ds = self._docs([f"aaa bbb ccc {shared} ddd eee fff",
+                         f"xxx yyy {shared} zzz www"])
+        rows = ds.map_batches(winnow_batch, batch_format="pyarrow").take_all()
+        fp0 = {r["fp"] for r in rows if r["doc_id"] == 0}
+        fp1 = {r["fp"] for r in rows if r["doc_id"] == 1}
+        assert fp0 & fp1
+
+    def test_matches_bruteforce(self):
+        import hashlib as hl
+
+        import numpy as np
+
+        from pdf_entity_extraction_ray.ops.text import _ROLL_MOD, winnow_batch
+
+        text = "the cat sat on the mat and the cat ran off the mat again today"
+        words = text.split()
+        n = len(words) - 2
+        h = [int.from_bytes(hl.md5(" ".join(words[i:i+3]).encode()).digest()[:8],
+                            "little") % _ROLL_MOD for i in range(n)]
+        want = set()
+        for e in range(3, n):
+            win = h[e-3:e+1]
+            m = min(win)
+            pos = e - list(reversed(win)).index(m)  # rightmost min, 0-based
+            want.add((pos + 1, m))
+        got = {(r["pos"], r["fp"])
+               for r in self._docs([text]).map_batches(
+                   winnow_batch, batch_format="pyarrow").take_all()}
+        assert got == want
