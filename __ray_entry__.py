@@ -1187,6 +1187,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.relational", fromlist=["events_funnel"]
         ).events_funnel(_read(sf, "events")),
+        # --- assertion delta between two url-hash crawl snapshots ---
+        "kg_snapshot_diff": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["snapshot_diff"]
+        ).snapshot_diff(
+            __import__("ray.data", fromlist=["read_parquet"]).read_parquet(
+                _kg_artifacts(sf)["triples_canonical"],
+                columns=["url", "subj_canonical", "pred", "obj_canonical"],
+            )
+        ),
+        # --- CUBE(event_type, day) in exact cents: pre-agg exchange once,
+        # rollups folded from the tiny cell table ---
+        "events_cube": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.relational", fromlist=["events_cube"]
+        ).events_cube(_read(sf, "events")),
+        # --- content-defined chunking (rolling-hash cut points) ---
+        "docs_cdc_chunks": docs_op(
+            __import__(
+                "pdf_entity_extraction_ray.ops.text", fromlist=["cdc_chunks_batch"]
+            ).cdc_chunks_batch
+        ),
         # --- three-table exact-integer revenue rollup (customer ⋈ orders
         # ⋈ lineitem, both levels size-dispatched broadcast-vs-shuffle) ---
         "segment_revenue": lambda sf: __import__(
@@ -1264,6 +1284,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue",
         "docs_line_dedup",
         "docs_winnow",
+        "kg_snapshot_diff",
+        "events_cube",
+        "docs_cdc_chunks",
         # newest additions (late round 4): BM25 ranked retrieval,
         # KG-embedding negative sampling, entity salience
         "docs_bm25_search",
@@ -1463,6 +1486,65 @@ def oracle_sql() -> dict[str, str]:
             union all select 2, 'view', count(*) from u2
             union all select 3, 'click', count(*) from u3
             union all select 4, 'purchase', count(*) from u4
+        """,
+        "kg_snapshot_diff": f"""
+            with {kg_cte},
+            tri as ({tri_canon}),
+            s as (select distinct subj_canonical, pred, obj_canonical,
+                         md5_number_upper(url)::hugeint % 2 as side from tri),
+            g as (select subj_canonical, pred, obj_canonical,
+                         max(case when side = 0 then 1 else 0 end) as in_a,
+                         max(case when side = 1 then 1 else 0 end) as in_b
+                  from s group by 1, 2, 3)
+            select subj_canonical, pred, obj_canonical,
+                   case when in_b = 1 then 'added' else 'removed' end as status
+            from g where in_a != in_b
+        """,
+        "events_cube": """
+            with base as (select event_type, strftime(ts, '%Y-%m-%d') as day,
+                                 value from events)
+            select coalesce(event_type, '<all>') as event_type,
+                   coalesce(day, '<all>') as day,
+                   count(*)::bigint as n,
+                   sum(case when value is not null
+                            then cast(floor(value * 100 + 0.5) as bigint)
+                            else 0 end)::bigint as sum_cents
+            from base group by cube(event_type, day)
+        """,
+        "docs_cdc_chunks": """
+            with toks as (select doc_id,
+                                 regexp_extract_all(lower(text), '[a-z0-9_]+') as ws
+                          from documents),
+            v as (select doc_id, ws,
+                         list_transform(ws, t -> md5_number_upper(t)::hugeint
+                                                  % 2305843009213693951) as vals
+                  from toks where len(ws) > 0),
+            p as (select [1::hugeint, 1000003::hugeint, 1000006000009::hugeint,
+                          1000009000027000027::hugeint, 168760150033166695::hugeint,
+                          618155284961614297::hugeint, 2133831443680070909::hugeint,
+                          1501076012712181523::hugeint] as pw),
+            b as (select doc_id, ws,
+                         [case when i >= 8 and
+                               list_sum([(vals[i - 8 + j] * pw[9 - j])
+                                         % 2305843009213693951
+                                         for j in range(1, 9)])
+                               % 2305843009213693951 % 64 = 0
+                               then 1 else 0 end
+                          for i in range(1, len(ws) + 1)] as bd
+                  from v, p),
+            r as (select doc_id, unnest(ws) as tok,
+                         generate_subscripts(ws, 1) as i, unnest(bd) as cut from b),
+            c as (select doc_id, tok, i,
+                         1 + coalesce(sum(cut) over (
+                             partition by doc_id order by i
+                             rows between unbounded preceding
+                             and 1 preceding), 0) as chunk_id
+                  from r)
+            select doc_id, chunk_id::bigint as chunk_id,
+                   count(*)::bigint as n_tokens,
+                   md5_number_upper(string_agg(tok, ' ' order by i))::ubigint
+                       as chunk_fp
+            from c group by doc_id, chunk_id
         """,
         "segment_revenue": """
             select c_mktsegment, count(*)::bigint as n_items,

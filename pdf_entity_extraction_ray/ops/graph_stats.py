@@ -2648,3 +2648,96 @@ def reciprocal_edges(edges_ds):
         )
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def snapshot_diff(triples_ds):
+    """(subj_canonical, pred, obj_canonical, status) — the assertion DELTA
+    between two crawl snapshots: triples observed only in snapshot B are
+    ``'added'``, only in A ``'removed'``; stable assertions drop out.  The
+    change-detection query a periodically re-crawled KG serves.
+
+    Snapshots are the deterministic url-hash split (``md5_number_upper(url)
+    % 2``: 0 = A, 1 = B) so the op needs no timestamp join and the oracle
+    is pure SQL.  Shape: per-batch distinct (s, p, o, side) combiner (urls
+    hash once per batch-distinct url, via dictionary encode) -> one
+    groupby over (s, p, o) taking max presence per side -> status filter.
+    One exchange of distinct-triple rows; no joins, no driver state."""
+    import hashlib
+
+    import numpy as np
+    from ray.data.aggregate import Max
+
+    def fold(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "subj_canonical": pa.array([], pa.string()),
+                "pred": pa.array([], pa.string()),
+                "obj_canonical": pa.array([], pa.string()),
+                "in_a": pa.array([], pa.int64()),
+                "in_b": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return empty
+        codes = pc.dictionary_encode(batch.column("url").combine_chunks())
+        uniq = codes.dictionary.to_pylist()
+        side_per_url = np.array(
+            [
+                int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "little") % 2
+                for u in uniq
+            ],
+            dtype=np.int64,
+        )
+        side = side_per_url[np.asarray(codes.indices)]
+        t = pa.table(
+            {
+                "subj_canonical": batch.column("subj_canonical"),
+                "pred": batch.column("pred"),
+                "obj_canonical": batch.column("obj_canonical"),
+                "in_a": pa.array((side == 0).astype(np.int64)),
+                "in_b": pa.array((side == 1).astype(np.int64)),
+            }
+        )
+        g = t.group_by(["subj_canonical", "pred", "obj_canonical"]).aggregate(
+            [("in_a", "max"), ("in_b", "max")]
+        )
+        return g.rename_columns(
+            ["subj_canonical", "pred", "obj_canonical", "in_a", "in_b"]
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "in_a" not in batch.column_names:
+            return pa.table(
+                {
+                    "subj_canonical": pa.array([], pa.string()),
+                    "pred": pa.array([], pa.string()),
+                    "obj_canonical": pa.array([], pa.string()),
+                    "status": pa.array([], pa.string()),
+                }
+            )
+        a = batch.column("in_a")
+        b = batch.column("in_b")
+        changed = batch.filter(pc.not_equal(a, b))
+        status = pc.if_else(
+            pc.equal(changed.column("in_b"), pa.scalar(1, pa.int64())),
+            pa.scalar("added"),
+            pa.scalar("removed"),
+        )
+        return pa.table(
+            {
+                "subj_canonical": changed.column("subj_canonical"),
+                "pred": changed.column("pred"),
+                "obj_canonical": changed.column("obj_canonical"),
+                "status": status,
+            }
+        )
+
+    return (
+        triples_ds.select_columns(
+            ["url", "subj_canonical", "pred", "obj_canonical"]
+        )
+        .map_batches(fold, batch_format="pyarrow")
+        .groupby(["subj_canonical", "pred", "obj_canonical"])
+        .aggregate(Max("in_a", alias_name="in_a"), Max("in_b", alias_name="in_b"))
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -1705,3 +1705,88 @@ def segment_revenue(
         Sum("n_items", alias_name="n_items"),
         Sum("revenue_e4", alias_name="revenue_e4"),
     )
+
+
+def events_cube(events_ds):
+    """CUBE(event_type, day) in exact integer cents: every rollup cell —
+    per (type, day), per type, per day, and grand total — as
+    ``(event_type, day, n, sum_cents)`` with ``'<all>'`` marking a
+    rolled-up dimension (the OLAP cube materialization Ray Data has no
+    native operator for; NULL-free labels keep the hash compare exact).
+
+    Shape: per-batch combiner -> one exact groupby over (type, day) —
+    the only exchange proportional to data — then each pre-aggregated
+    cell fans out to its 4 cube cells and a second groupby over the
+    TINY cell table folds the rollups.  Null values count toward ``n``
+    but contribute 0 cents (the SQL ``case`` mirror)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "day": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "sum_cents": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "ts" not in batch.column_names:
+            return empty
+        day = pc.strftime(batch.column("ts"), format="%Y-%m-%d")
+        vals = batch.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+        cents = np.where(
+            np.isnan(vals), 0, np.floor(np.nan_to_num(vals) * 100.0 + 0.5)
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "day": day,
+                "cents": pa.array(cents),
+            }
+        )
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [("cents", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "day": g.column("day"),
+                "n": g.column("count_all").cast(pa.int64()),
+                "sum_cents": g.column("cents_sum").cast(pa.int64()),
+            }
+        )
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "event_type" not in batch.column_names:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "day": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "sum_cents": pa.array([], pa.int64()),
+                }
+            )
+        et = batch.column("event_type").combine_chunks()
+        dy = batch.column("day").combine_chunks()
+        n = batch.column("n").combine_chunks()
+        s = batch.column("sum_cents").combine_chunks()
+        all_lbl = pa.array(["<all>"] * batch.num_rows, pa.string())
+        return pa.table(
+            {
+                "event_type": pa.concat_arrays([et, et, all_lbl, all_lbl]),
+                "day": pa.concat_arrays([dy, all_lbl, dy, all_lbl]),
+                "n": pa.concat_arrays([n] * 4),
+                "sum_cents": pa.concat_arrays([s] * 4),
+            }
+        )
+
+    return (
+        events_ds.select_columns(["event_type", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
+        .map_batches(fan_out, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
+    )

@@ -296,3 +296,59 @@ def winnow_batch(batch: pa.Table, k: int = 3, w: int = 4) -> pa.Table:
             "fp": pa.array(out_fp, pa.uint64()),
         }
     )
+
+
+def cdc_chunks_batch(batch: pa.Table, window: int = 8, mask: int = 63) -> pa.Table:
+    """Content-defined chunking (the rsync/LBFS/FastCDC primitive): cut
+    each document into variable-size chunks at positions where the
+    ``window``-token rolling polynomial hash satisfies ``h % (mask+1) ==
+    0``, then fingerprint each chunk — the storage-dedup view where an
+    insertion early in a page shifts byte offsets but NOT later chunk
+    boundaries (they re-synchronize on content).
+
+    ``(doc_id, chunk_id, n_tokens, chunk_fp)`` per chunk: 1-based dense
+    chunk ids in token order, ``chunk_fp = md5_number_upper`` of the
+    space-joined chunk tokens.  The boundary token CLOSES its chunk;
+    positions before the first full window never cut.  Hash arithmetic
+    is the rolling-fingerprint convention (same base/modulus), so the
+    DuckDB oracle replays it with list comprehensions, exactly."""
+    out_doc, out_cid, out_n, out_fp = [], [], [], []
+    for doc_id, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+        words = TOKEN_RE.findall(t.lower())
+        if not words:
+            continue
+        vals = [
+            int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little") % _ROLL_MOD
+            for w in words
+        ]
+        # rolling window hash; boundary AFTER position i (0-based i >= window-1)
+        cuts = []
+        if len(vals) >= window:
+            h = 0
+            for v in vals[:window]:
+                h = (h * _ROLL_BASE + v) % _ROLL_MOD
+            power = pow(_ROLL_BASE, window - 1, _ROLL_MOD)
+            if h % (mask + 1) == 0:
+                cuts.append(window - 1)
+            for i in range(window, len(vals)):
+                h = ((h - vals[i - window] * power) * _ROLL_BASE + vals[i]) % _ROLL_MOD
+                if h % (mask + 1) == 0:
+                    cuts.append(i)
+        starts = [0] + [c + 1 for c in cuts if c + 1 < len(words)]
+        ends = [c + 1 for c in cuts if c + 1 < len(words)] + [len(words)]
+        for cid, (a, b) in enumerate(zip(starts, ends), start=1):
+            chunk = " ".join(words[a:b])
+            out_doc.append(doc_id)
+            out_cid.append(cid)
+            out_n.append(b - a)
+            out_fp.append(
+                int.from_bytes(hashlib.md5(chunk.encode()).digest()[:8], "little")
+            )
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "chunk_id": pa.array(out_cid, pa.int64()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+            "chunk_fp": pa.array(out_fp, pa.uint64()),
+        }
+    )

@@ -1451,3 +1451,131 @@ class TestWinnow:
                for r in self._docs([text]).map_batches(
                    winnow_batch, batch_format="pyarrow").take_all()}
         assert got == want
+
+
+class TestEventsCube:
+    def _ds(self, rows):
+        import datetime as dt
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.array([t for t, _, _ in rows], pa.string()),
+                    "ts": pa.array(
+                        [dt.datetime(2024, 1, d) for _, d, _ in rows],
+                        pa.timestamp("us"),
+                    ),
+                    "value": pa.array([v for _, _, v in rows], pa.float64()),
+                }
+            )
+        )
+
+    def test_all_four_rollup_levels(self):
+        from pdf_entity_extraction_ray.ops.relational import events_cube
+
+        rows = [("a", 1, 1.00), ("a", 1, 2.00), ("a", 2, 4.00), ("b", 1, 8.00)]
+        got = {(r["event_type"], r["day"]): (r["n"], r["sum_cents"])
+               for r in events_cube(self._ds(rows)).take_all()}
+        assert got == {
+            ("a", "2024-01-01"): (2, 300),
+            ("a", "2024-01-02"): (1, 400),
+            ("b", "2024-01-01"): (1, 800),
+            ("a", "<all>"): (3, 700),
+            ("b", "<all>"): (1, 800),
+            ("<all>", "2024-01-01"): (3, 1100),
+            ("<all>", "2024-01-02"): (1, 400),
+            ("<all>", "<all>"): (4, 1500),
+        }
+
+    def test_null_value_counts_but_adds_zero(self):
+        from pdf_entity_extraction_ray.ops.relational import events_cube
+
+        rows = [("a", 1, 1.00), ("a", 1, None)]
+        got = {(r["event_type"], r["day"]): (r["n"], r["sum_cents"])
+               for r in events_cube(self._ds(rows)).take_all()}
+        assert got[("a", "2024-01-01")] == (2, 100)
+        assert got[("<all>", "<all>")] == (2, 100)
+
+
+class TestCdcChunks:
+    def _docs(self, texts):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        )
+
+    def _run(self, texts, **kw):
+        from functools import partial
+
+        from pdf_entity_extraction_ray.ops.text import cdc_chunks_batch
+
+        return self._docs(texts).map_batches(
+            partial(cdc_chunks_batch, **kw), batch_format="pyarrow"
+        ).take_all()
+
+    def test_short_doc_single_chunk(self):
+        rows = self._run(["one two three"])
+        assert len(rows) == 1
+        assert rows[0]["chunk_id"] == 1 and rows[0]["n_tokens"] == 3
+
+    def test_token_count_conserved(self):
+        from pdf_entity_extraction_ray.ops.text import TOKEN_RE
+
+        text = " ".join(f"tok{i % 97}" for i in range(4000))
+        rows = self._run([text], mask=15)  # denser cuts
+        assert sum(r["n_tokens"] for r in rows) == len(TOKEN_RE.findall(text))
+        assert [r["chunk_id"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) > 1  # 4000 tokens at ~1/16 cut rate must cut
+
+    def test_boundaries_resynchronize_after_insertion(self):
+        """The CDC property: prepending tokens changes early chunks but
+        the chunk-fingerprint TAIL re-synchronizes."""
+        base = " ".join(f"w{i * 7 % 211}" for i in range(2000))
+        a = self._run([base], mask=15)
+        b = self._run(["inserted prefix tokens " + base], mask=15)
+        fps_a = [r["chunk_fp"] for r in a]
+        fps_b = [r["chunk_fp"] for r in b]
+        # common suffix of at least half of a's chunks
+        k = 0
+        while k < min(len(fps_a), len(fps_b)) and fps_a[-1 - k] == fps_b[-1 - k]:
+            k += 1
+        assert k >= len(fps_a) // 2
+
+
+class TestSnapshotDiff:
+    def test_added_removed_stable(self):
+        import hashlib as hl
+
+        from pdf_entity_extraction_ray.ops.graph_stats import snapshot_diff
+
+        def side(url):
+            return int.from_bytes(hl.md5(url.encode()).digest()[:8], "little") % 2
+
+        urls = [f"https://ex.com/{i}" for i in range(10)]
+        a_urls = [u for u in urls if side(u) == 0]
+        b_urls = [u for u in urls if side(u) == 1]
+        assert a_urls and b_urls
+        rows = []
+        # stable triple: on one url of each side
+        rows.append((a_urls[0], "x", "p", "y"))
+        rows.append((b_urls[0], "x", "p", "y"))
+        # removed: only side A (twice, to exercise distinct)
+        rows.append((a_urls[0], "old", "p", "z"))
+        rows.append((a_urls[0], "old", "p", "z"))
+        # added: only side B
+        rows.append((b_urls[0], "new", "p", "z"))
+        t = pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "subj_canonical": pa.array([r[1] for r in rows], pa.string()),
+                "pred": pa.array([r[2] for r in rows], pa.string()),
+                "obj_canonical": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+        got = {(r["subj_canonical"], r["status"])
+               for r in snapshot_diff(ray.data.from_arrow(t)).take_all()}
+        assert got == {("old", "removed"), ("new", "added")}
