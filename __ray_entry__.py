@@ -1066,6 +1066,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_ngrams": lambda sf: dedup.duplicate_ngrams(_read(sf, "documents")),
         "docs_dup_spans": lambda sf: dedup.duplicated_spans(_read(sf, "documents")),
         "docs_cut_spans": lambda sf: dedup.remove_duplicated_spans(_read(sf, "documents")),
+        # suffix-array-family form: Manber-Myers prefix doubling as O(log L)
+        # exchanges, occurrences counted ANYWHERE (within-doc repeats count),
+        # exact token-sequence equality (class reps, never content hashes)
+        "docs_dup_spans_sa": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.suffix", fromlist=["x"]
+        ).prefix_doubling_dup_spans(_read(sf, "documents"), min_len=8),
         "emb_cosine_dedup": lambda sf: dedup.embedding_cosine_pairs(_read(sf, "embeddings"), 0.5),
         "emb_cosine_dedup_lsh": lambda sf: dedup.embedding_cosine_pairs_lsh(
             _read(sf, "embeddings"), 0.5
@@ -1274,6 +1280,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # has never itself checked (judge-run only in r3), then the long-green
     # remainder in their original order.
     front = [
+        # newest addition (round 4 close): prefix-doubling substring dedup
+        "docs_dup_spans_sa",
         # newest additions (round 4 close): clustering coefficients,
         # reciprocity, Markov transitions, running totals, gram novelty
         "kg_clustering",
@@ -2257,6 +2265,30 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, start_pos as start_tok,
                    (end_pos + 2)::bigint as end_tok
             from runs where n >= 2
+        """,
+        # suffix-array form: L=8 windows counted ANYWHERE (count(*), not
+        # count(distinct doc_id)) and islands keep every run (no n >= 2
+        # run filter) — both deliberately different from docs_dup_spans
+        "docs_dup_spans_sa": """
+            with w as (select doc_id,
+                              regexp_extract_all(lower(text), '[a-z0-9_]+') as ws
+                       from documents),
+                 g as (select doc_id,
+                              unnest(range(1, greatest(len(ws) - 7, 0) + 1)) as p1,
+                              ws
+                       from w where len(ws) >= 8),
+                 e as (select doc_id, (p1 - 1)::bigint as pos,
+                              array_to_string(ws[p1:p1 + 7], ' ') as gram
+                       from g),
+                 dup as (select gram from e group by gram having count(*) >= 2),
+                 d as (select e.doc_id, e.pos from e join dup using (gram)),
+                 isl as (select doc_id, pos,
+                                pos - row_number() over (partition by doc_id
+                                                         order by pos) as grp
+                         from d)
+            select doc_id, min(pos)::bigint as start_tok,
+                   (max(pos) + 7)::bigint as end_tok
+            from isl group by doc_id, grp
         """,
         "docs_cut_spans": """
             with w as (select doc_id,
