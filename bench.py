@@ -147,6 +147,9 @@ def run_ops(sf_dir: str, repeat: int = 1) -> dict[str, list[float]]:
             "pdf_entity_extraction_ray.ops.decontam", fromlist=["contamination_counts"]
         ).contamination_counts(read("documents"), read("documents").limit(250), n=3),
         "docs_dup_spans": lambda: dedup.duplicated_spans(read("documents")),
+        "docs_dup_spans_sa": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.suffix", fromlist=["x"]
+        ).prefix_doubling_dup_spans(read("documents"), min_len=8),
         "docs_vocab_build": lambda: __import__(
             "pdf_entity_extraction_ray.ops.vocab", fromlist=["vocab_build"]
         ).vocab_build(read("documents")),
