@@ -434,6 +434,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
         )
 
+    def _kg_trend(sf_dir):
+        """Per-entity assertion trend (ops/graph_stats.mention_trend):
+        exact-integer OLS slope of per-bucket assertion counts per
+        canonical subject — narrow url join to pages for warc_ts, then
+        (subj, bucket) exact counts and a Sum-aggregate fold of the OLS
+        moments.  Minute buckets here: the synthetic corpus compresses
+        crawl time into ~17 minutes (one day would be vacuous); real
+        crawls use the one-day default."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import mention_trend
+
+        res = _kg_artifacts(sf_dir)
+        name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        return mention_trend(
+            ray.data.read_parquet(res["triples_canonical"]),
+            ray.data.read_parquet(
+                f"/tmp/graft_kg/{name}/pages", columns=["url", "warc_ts"]
+            ),
+            bucket_us=60_000_000,
+        )
+
     def _kg_bfs(sf_dir):
         """k-hop neighborhood: multi-source BFS depths (<= 4 hops) from
         the 3 lexicographically smallest canonical entities, run as the
@@ -1272,6 +1294,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ppr": _kg_ppr,
         # --- distributed PCA (bounded moment partials; gold mirror) ---
         "emb_pca": _emb_pca,
+        # --- per-entity assertion trend: exact-integer OLS slope of
+        # daily assertion counts over crawl days ---
+        "kg_trend": _kg_trend,
+        # --- MOSS near-dup pairs: shared winnowing fingerprints with
+        # the max-df boilerplate cut bounding every bucket ---
+        "docs_winnow_pairs": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.dedup", fromlist=["winnow_pairs"]
+        ).winnow_pairs(_read(sf, "documents")),
+        # --- C4-style line-level cleaning (>=5-word sentences, no '{';
+        # keep docs with >=3 survivors) ---
+        "docs_c4_filter": docs_op(
+            __import__(
+                "pdf_entity_extraction_ray.ops.text", fromlist=["c4_line_filter_batch"]
+            ).c4_line_filter_batch
+        ),
     }
     # The driver's correctness gate may sample only a prefix of this
     # registry — order the least-proven entries first so the ops with the
@@ -1280,6 +1317,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # has never itself checked (judge-run only in r3), then the long-green
     # remainder in their original order.
     front = [
+        # newest additions (round 4 close, final batch): assertion-trend
+        # slope, MOSS winnowing pairs, C4 line cleaning
+        "kg_trend",
+        "docs_winnow_pairs",
+        "docs_c4_filter",
         # newest addition (round 4 close): prefix-doubling substring dedup
         "docs_dup_spans_sa",
         # newest additions (round 4 close): clustering coefficients,
@@ -1597,6 +1639,52 @@ def oracle_sql() -> dict[str, str]:
                              and g.h = s.m
             group by s.doc_id, s.win_end, s.m
         """,
+        # same winnowing CTE chain as docs_winnow, then MOSS pairing:
+        # distinct (doc, fp), drop fingerprints in > 10 docs (max_df),
+        # count shared fingerprints per ordered pair, threshold >= 2
+        "docs_winnow_pairs": """
+            with toks as (select doc_id,
+                                 regexp_extract_all(lower(text), '[a-z0-9_]+') as ws
+                          from documents),
+            gl as (select doc_id, [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                   for i in range(1, len(ws) - 1)] as grams
+                   from toks where len(ws) >= 6),
+            g as (select doc_id, generate_subscripts(grams, 1) as pos,
+                         md5_number_upper(unnest(grams))::hugeint
+                             % 2305843009213693951 as h
+                  from gl),
+            win as (select doc_id, pos as win_end,
+                           min(h) over (partition by doc_id order by pos
+                                        rows between 3 preceding
+                                        and current row) as m
+                    from g),
+            d as (select distinct doc_id, m as fp
+                  from win where win_end >= 4),
+            keepfp as (select fp from d group by fp
+                       having count(*) between 2 and 10),
+            pr as (select a.doc_id as doc_a, b.doc_id as doc_b,
+                          count(*)::bigint as shared_fps
+                   from d a join d b on a.fp = b.fp and a.doc_id < b.doc_id
+                   where a.fp in (select fp from keepfp)
+                   group by 1, 2)
+            select doc_a, doc_b, shared_fps from pr where shared_fps >= 2
+        """,
+        "docs_c4_filter": """
+            with s as (select doc_id, unnest(string_split(text, '. ')) as sent,
+                              generate_subscripts(string_split(text, '. '), 1) as pos
+                       from documents),
+            f as (select doc_id, sent, pos,
+                         (len(regexp_extract_all(lower(sent), '[a-z0-9_]+')) >= 5
+                          and not contains(sent, '{')) as ok
+                  from s)
+            select doc_id,
+                   sum(case when ok then 1 else 0 end)::bigint as n_kept,
+                   sum(case when ok then 0 else 1 end)::bigint as n_dropped,
+                   (sum(case when ok then 1 else 0 end) >= 3) as keep,
+                   coalesce(string_agg(case when ok then sent end,
+                                       '. ' order by pos), '') as clean_text
+            from f group by doc_id
+        """,
         "events_transitions": """
             with s as (select user_id, event_type,
                               lag(event_type) over (
@@ -1684,6 +1772,23 @@ def oracle_sql() -> dict[str, str]:
             from j
             qualify row_number() over (partition by subj_canonical, pred
                 order by asserted_ts_us desc, url, seg_id, obj_canonical) = 1
+        """,
+        "kg_trend": f"""
+            with {kg_cte},
+            tri as ({tri_canon}),
+            p as (select url, epoch_us(warc_ts)::bigint // 60000000 as day
+                  from read_parquet('{gold}/pages/*.parquet')),
+            c as (select tri.subj_canonical, p.day, count(*)::bigint as cnt
+                  from tri join p using (url) group by 1, 2),
+            m as (select subj_canonical, count(*)::bigint as n,
+                         sum(day)::bigint as sx, sum(cnt)::bigint as sy,
+                         sum(day * cnt)::bigint as sxy,
+                         sum(day * day)::bigint as sxx
+                  from c group by 1)
+            select subj_canonical,
+                   (n * sxy - sx * sy)::bigint as slope_num,
+                   (n * sxx - sx * sx)::bigint as slope_den
+            from m where n >= 2
         """,
         "kg_mentions": f"""
             with {kg_cte}

@@ -206,6 +206,10 @@ def run_ops(sf_dir: str, repeat: int = 1) -> dict[str, list[float]]:
             "pdf_entity_extraction_ray.ops.pca", fromlist=["pca_project"]
         ).pca_project(read("embeddings"), 4),
         "events_daily_anomaly": lambda: relational.events_daily_anomaly(read("events")),
+        "docs_c4_filter": lambda: read("documents").map_batches(
+            text.c4_line_filter_batch, batch_format="pyarrow"
+        ),
+        "docs_winnow_pairs": lambda: dedup.winnow_pairs(read("documents")),
     }
     times: dict[str, list[float]] = {}
     for name, make in ops.items():
@@ -341,6 +345,17 @@ def main() -> None:
         "kg_link_pagerank": lambda: __import__(
             "pdf_entity_extraction_ray.ops.web", fromlist=["link_pagerank"]
         ).link_pagerank(ray.data.read_parquet(f"{pages_path}/pages")),
+        # minute buckets: the synthetic corpus compresses crawl time
+        "kg_trend": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["mention_trend"]
+        ).mention_trend(
+            ray.data.read_parquet(
+                os.path.join(f"/tmp/graft_bench/kg_out_{num_cpus}", "triples_canonical"),
+                columns=["subj_canonical", "url"],
+            ),
+            ray.data.read_parquet(f"{pages_path}/pages", columns=["url", "warc_ts"]),
+            bucket_us=60_000_000,
+        ),
         "kg_heavy_tokens": lambda: __import__(
             "pdf_entity_extraction_ray.ops.sketch", fromlist=["heavy_tokens"]
         ).heavy_tokens(

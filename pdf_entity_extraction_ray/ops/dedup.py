@@ -1839,3 +1839,80 @@ def line_dedup(docs_ds, parts: int | None = None):
         .groupby("shard")
         .map_groups(reassemble, batch_format="pyarrow")
     )
+
+
+def winnow_pairs(
+    docs_ds,
+    k: int = 3,
+    w: int = 4,
+    max_df: int = 10,
+    min_shared: int = 2,
+):
+    """MOSS-style near-dup candidate pairs: two documents are paired by
+    how many DISTINCT winnowing fingerprints they share
+    (:func:`..text.winnow_batch` selections, positions dropped).  The
+    winnowing coverage guarantee makes this the classic plagiarism /
+    mirror detector: any shared word run of >= w+k-1 tokens contributes
+    at least one shared fingerprint.
+
+    Fingerprints held by more than ``max_df`` documents are boilerplate
+    and are dropped before pairing (the MOSS "ignore ubiquitous
+    fingerprints" rule) — which is also what bounds the exchange: a
+    surviving fingerprint bucket emits at most C(max_df, 2) pairs, so
+    pair volume stays LINEAR in the fingerprint count at any corpus size
+    (no all-pairs anywhere, unlike the brute-force containment oracle).
+
+    Shape: per-batch distinct (doc, fp) combiner -> groupby fp with
+    per-bucket pair expansion (numpy ``triu_indices``) -> bounded
+    materialize for the empty-input short-circuit (the repo-standard
+    guard against Ray's empty-hash-shuffle crash; the pair table is
+    already result-scale) -> (doc_a, doc_b) Sum -> vectorized threshold
+    filter.  Emits ``(doc_a, doc_b, shared_fps)`` with doc_a < doc_b and
+    shared_fps >= min_shared."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .text import winnow_batch
+
+    _EMPTY_PAIRS = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "shared_fps": pa.array([], pa.int64()),
+        }
+    )
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        t = winnow_batch(batch, k=k, w=w)
+        # batch-local distinct (doc, fp): the same fingerprint selected at
+        # several positions still counts once toward the pair score
+        return t.group_by(["doc_id", "fp"]).aggregate([]).select(["doc_id", "fp"])
+
+    def pairs(group: pa.Table) -> pa.Table:
+        docs = np.unique(np.asarray(group.column("doc_id").to_pylist(), np.int64))
+        if len(docs) < 2 or len(docs) > max_df:
+            return _EMPTY_PAIRS
+        i, j = np.triu_indices(len(docs), 1)
+        return pa.table(
+            {
+                "doc_a": pa.array(docs[i]),
+                "doc_b": pa.array(docs[j]),
+                "shared_fps": pa.array(np.ones(len(i), np.int64)),
+            }
+        )
+
+    pair_rows = (
+        docs_ds.map_batches(fp_rows, batch_format="pyarrow")
+        .groupby("fp")
+        .map_groups(pairs, batch_format="pyarrow")
+        .materialize()
+    )
+    if pair_rows.count() == 0:
+        return ray.data.from_arrow(_EMPTY_PAIRS)
+    scored = pair_rows.groupby(["doc_a", "doc_b"]).aggregate(
+        Sum("shared_fps", alias_name="shared_fps")
+    )
+    return scored.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("shared_fps"), min_shared)),
+        batch_format="pyarrow",
+    )

@@ -2741,3 +2741,135 @@ def snapshot_diff(triples_ds):
         .aggregate(Max("in_a", alias_name="in_a"), Max("in_b", alias_name="in_b"))
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def mention_trend(
+    triples_ds,
+    pages_ds,
+    bucket_us: int = 86_400_000_000,
+    num_partitions: int | None = None,
+):
+    """Per-entity assertion trend: the exact-integer OLS slope of
+    per-time-bucket assertion counts for each canonical subject — the
+    "is this entity heating up or cooling down across crawls" signal a
+    temporal KG serves.  ``bucket_us`` is the bucket width in epoch
+    microseconds (default one day — the monthly-crawl view; tests use a
+    minute because the synthetic corpus compresses crawl time).
+
+    Triples carry provenance urls but no timestamps (the crawl time
+    lives on pages), so the op opens with the same narrow url hash join
+    as :func:`latest_assertions` (triples pruned to (subj, url), pages
+    to (url, warc_ts)).  Buckets are ``epoch_us // bucket_us`` (crawl
+    timestamps are post-1970, so truncating and floor division agree —
+    the DuckDB ``//`` convention).  Then two small exchanges:
+
+    1. exact (subj, bucket) counts — per-batch count combiner first, so
+       a head entity re-asserted in every crawl ships O(blocks x
+       buckets) rows, never every assertion;
+    2. a per-subject fold of the five OLS moments (n, Σx, Σy, Σxy, Σx²)
+       as native Sum aggregates over one row per (subj, bucket).
+
+    The slope is emitted as an exact integer fraction
+    ``slope_num = n·Σxy − Σx·Σy``, ``slope_den = n·Σx² − (Σx)²`` — no
+    float leaves the engine, so the DuckDB oracle hash-matches
+    bit-exactly (day buckets ~ 2*10^4, so Σx² fits int64 with ~10^9
+    headroom on counts; checked multiplies raise rather than wrap if a
+    caller picks a pathologically fine bucket).  Subjects seen in a
+    single distinct bucket (slope undefined, den = 0) drop out."""
+    from ray.data.aggregate import Sum
+
+    from .relational import _join_parts
+
+    n_part = num_partitions
+    tri = triples_ds.select_columns(["subj_canonical", "url"])
+    if n_part is None:
+        tri = tri.materialize()
+        # tiny inputs: empty shuffle partitions crash Ray's hash join
+        n_part = 1 if tri.count() < 10_000 else _join_parts()
+    joined = tri.join(
+        pages_ds.select_columns(["url", "warc_ts"]),
+        join_type="inner",
+        num_partitions=n_part,
+        on=("url",),
+    )
+
+    def day_counts(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "subj_canonical": pa.array([], pa.string()),
+                "day": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "warc_ts" not in batch.column_names:
+            return empty
+        day = pc.divide(
+            batch.column("warc_ts").cast(pa.int64()),
+            pa.scalar(bucket_us, pa.int64()),
+        )
+        t = pa.table(
+            {"subj_canonical": batch.column("subj_canonical"), "day": day}
+        )
+        g = t.group_by(["subj_canonical", "day"]).aggregate([("day", "count")])
+        return pa.table(
+            {
+                "subj_canonical": g.column("subj_canonical"),
+                "day": g.column("day"),
+                "cnt": g.column("day_count").cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        joined.map_batches(day_counts, batch_format="pyarrow")
+        .groupby(["subj_canonical", "day"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = batch.column("day").cast(pa.int64())
+        y = batch.column("cnt").cast(pa.int64())
+        return pa.table(
+            {
+                "subj_canonical": batch.column("subj_canonical"),
+                "n": pa.array([1] * batch.num_rows, pa.int64()),
+                "sx": x,
+                "sy": y,
+                "sxy": pc.multiply_checked(x, y),
+                "sxx": pc.multiply_checked(x, x),
+            }
+        )
+
+    folded = (
+        counts.map_batches(moments, batch_format="pyarrow")
+        .groupby("subj_canonical")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+        )
+    )
+
+    def slope(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").cast(pa.int64())
+        sx = batch.column("sx").cast(pa.int64())
+        sy = batch.column("sy").cast(pa.int64())
+        sxy = batch.column("sxy").cast(pa.int64())
+        sxx = batch.column("sxx").cast(pa.int64())
+        num = pc.subtract_checked(
+            pc.multiply_checked(n, sxy), pc.multiply_checked(sx, sy)
+        )
+        den = pc.subtract_checked(
+            pc.multiply_checked(n, sxx), pc.multiply_checked(sx, sx)
+        )
+        out = pa.table(
+            {
+                "subj_canonical": batch.column("subj_canonical"),
+                "slope_num": num,
+                "slope_den": den,
+            }
+        )
+        return out.filter(pc.greater_equal(n, 2))
+
+    return folded.map_batches(slope, batch_format="pyarrow")

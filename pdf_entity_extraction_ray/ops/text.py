@@ -352,3 +352,42 @@ def cdc_chunks_batch(batch: pa.Table, window: int = 8, mask: int = 63) -> pa.Tab
             "chunk_fp": pa.array(out_fp, pa.uint64()),
         }
     )
+
+
+def c4_line_filter_batch(batch: pa.Table) -> pa.Table:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2, adapted to
+    this corpus's ``'. '`` sentence convention — the same split unit as
+    ``ops/dedup.line_dedup``): a sentence survives iff it has >= 5 word
+    tokens AND contains no ``'{'`` (the code/boilerplate cut); a document
+    is kept iff >= 3 sentences survive.  Emits per document ``(doc_id,
+    n_kept, n_dropped, keep, clean_text)`` with survivors rejoined in
+    original order (``''`` when nothing survives — the DuckDB
+    ``string_agg`` NULL-skip convention, mirrored by the oracle).
+
+    Stateless per-document map: no shuffle, no state, embarrassingly
+    parallel at any corpus size.  Word counting is the repo-standard
+    ``TOKEN_RE`` over the lowered sentence, so the oracle's
+    ``regexp_extract_all(lower(sent), '[a-z0-9_]+')`` count matches
+    exactly."""
+    out_doc, out_kept, out_drop, out_keep, out_text = [], [], [], [], []
+    for doc_id, t in zip(
+        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+    ):
+        sents = t.split(". ")  # '' -> [''] in BOTH Python and DuckDB
+        kept = [
+            s for s in sents if "{" not in s and len(TOKEN_RE.findall(s.lower())) >= 5
+        ]
+        out_doc.append(doc_id)
+        out_kept.append(len(kept))
+        out_drop.append(len(sents) - len(kept))
+        out_keep.append(len(kept) >= 3)
+        out_text.append(". ".join(kept))
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "n_kept": pa.array(out_kept, pa.int64()),
+            "n_dropped": pa.array(out_drop, pa.int64()),
+            "keep": pa.array(out_keep, pa.bool_()),
+            "clean_text": pa.array(out_text, pa.string()),
+        }
+    )

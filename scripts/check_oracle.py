@@ -29,7 +29,10 @@ def to_table(result) -> pa.Table:
         batches = list(result.iter_batches(batch_format="pyarrow"))
         if batches:
             return pa.concat_tables(batches, promote_options="default")
-        return result.schema().empty_table()
+        # Dataset.schema() is Ray's Schema wrapper; the pyarrow schema
+        # lives on .base_schema (older Ray returned pyarrow directly)
+        schema = result.schema()
+        return getattr(schema, "base_schema", schema).empty_table()
     if isinstance(result, pd.DataFrame):
         return pa.Table.from_pandas(result)
     return result
