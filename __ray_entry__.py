@@ -456,6 +456,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
             bucket_us=60_000_000,
         )
 
+    def _kg_cards(sf_dir):
+        """Per-entity profile cards (ops/graph_stats.entity_cards):
+        assertion count, distinct-predicate count, first/last crawl
+        timestamp and modal predicate per canonical subject — narrow url
+        join to pages, combiner-backed (subj, pred) partials, then a
+        bounded per-subject fold (group size = predicate vocabulary)."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import entity_cards
+
+        res = _kg_artifacts(sf_dir)
+        name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        return entity_cards(
+            ray.data.read_parquet(res["triples_canonical"]),
+            ray.data.read_parquet(
+                f"/tmp/graft_kg/{name}/pages", columns=["url", "warc_ts"]
+            ),
+        )
+
+    def _kg_dangling(sf_dir):
+        """Dangling-reference audit (ops/graph_stats.dangling_objects):
+        canonical objects never asserted as a subject, with referencing
+        assertion counts — object-count combiner groupby + one left-anti
+        hash join against the batch-distinct subject keys."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import dangling_objects
+
+        res = _kg_artifacts(sf_dir)
+        return dangling_objects(ray.data.read_parquet(res["triples_canonical"]))
+
+    def _kg_assortativity(sf_dir):
+        """Degree-assortativity sufficient statistics
+        (ops/graph_stats.assortativity_moments): one exact-integer row
+        (m_edges, s1, s2, s3) over the undirected simple graph; the
+        Pearson degree correlation is driver-side arithmetic on it."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import assortativity_moments
+
+        res = _kg_artifacts(sf_dir)
+        return assortativity_moments(
+            ray.data.read_parquet(
+                res["edges"], columns=["src_canonical", "dst_canonical"]
+            )
+        )
+
     def _kg_bfs(sf_dir):
         """k-hop neighborhood: multi-source BFS depths (<= 4 hops) from
         the 3 lexicographically smallest canonical entities, run as the
@@ -1309,6 +1356,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "pdf_entity_extraction_ray.ops.text", fromlist=["c4_line_filter_batch"]
             ).c4_line_filter_batch
         ),
+        # --- per-entity profile cards: counts, distinct preds,
+        # first/last seen, modal predicate ---
+        "kg_cards": _kg_cards,
+        # --- dangling-reference audit: objects never seen as subjects ---
+        "kg_dangling": _kg_dangling,
+        # --- degree-assortativity moments as one exact-integer row ---
+        "kg_assortativity": _kg_assortativity,
+        # --- global length-percentile corpus cut (exact integer
+        # percentile rule, O(distinct lengths) driver state) ---
+        "docs_length_filter": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.text",
+            fromlist=["length_percentile_filter"],
+        ).length_percentile_filter(_read(sf, "documents")),
     }
     # The driver's correctness gate may sample only a prefix of this
     # registry — order the least-proven entries first so the ops with the
@@ -1317,6 +1377,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # has never itself checked (judge-run only in r3), then the long-green
     # remainder in their original order.
     front = [
+        # newest additions (round 4 close, fifth batch): entity cards,
+        # dangling-reference audit, assortativity moments, length filter
+        "kg_cards",
+        "kg_dangling",
+        "kg_assortativity",
+        "docs_length_filter",
         # newest additions (round 4 close, final batch): assertion-trend
         # slope, MOSS winnowing pairs, C4 line cleaning
         "kg_trend",
@@ -1789,6 +1855,77 @@ def oracle_sql() -> dict[str, str]:
                    (n * sxy - sx * sy)::bigint as slope_num,
                    (n * sxx - sx * sx)::bigint as slope_den
             from m where n >= 2
+        """,
+        "kg_cards": f"""
+            with {kg_cte},
+            tri as ({tri_canon}),
+            p as (select url, epoch_us(warc_ts)::bigint as ts
+                  from read_parquet('{gold}/pages/*.parquet')),
+            j as (select tri.subj_canonical, tri.pred, p.ts
+                  from tri join p using (url)),
+            pp as (select subj_canonical, pred, count(*)::bigint as cnt,
+                          min(ts)::bigint as mn, max(ts)::bigint as mx
+                   from j group by 1, 2),
+            card as (select subj_canonical,
+                            sum(cnt)::bigint as n_assertions,
+                            count(*)::bigint as n_preds,
+                            min(mn)::bigint as first_seen_us,
+                            max(mx)::bigint as last_seen_us
+                     from pp group by 1),
+            top as (select subj_canonical, pred as top_pred from pp
+                    qualify row_number() over (partition by subj_canonical
+                        order by cnt desc, pred asc) = 1)
+            select card.subj_canonical, n_assertions, n_preds,
+                   first_seen_us, last_seen_us, top_pred
+            from card join top using (subj_canonical)
+        """,
+        "kg_dangling": f"""
+            with {kg_cte},
+            tri as ({tri_canon}),
+            refs as (select obj_canonical as canonical,
+                            count(*)::bigint as n_refs
+                     from tri group by 1)
+            select canonical, n_refs from refs
+            where canonical not in (select distinct subj_canonical from tri)
+        """,
+        "kg_assortativity": f"""
+            with {kg_cte},
+            tri as ({tri_canon}),
+            dir as (select subj_canonical as s, obj_canonical as d from tri),
+            e as (select distinct least(s, d) as a, greatest(s, d) as b
+                  from dir where s != d),
+            deg as (select node, count(*)::bigint as deg
+                    from (select a as node from e
+                          union all select b as node from e)
+                    group by 1),
+            j as (select da.deg as da, db.deg as db
+                  from e join deg da on da.node = e.a
+                         join deg db on db.node = e.b)
+            select count(*)::bigint as m_edges,
+                   sum(da + db)::bigint as s1,
+                   sum(da * da + db * db)::bigint as s2,
+                   sum(da * db)::bigint as s3
+            from j
+        """,
+        "docs_length_filter": """
+            with c as (select doc_id,
+                              len(regexp_extract_all(lower(text),
+                                  '[a-z0-9_]+'))::bigint as n_tokens
+                       from documents),
+            n as (select count(*)::bigint as n from c),
+            h as (select n_tokens, count(*)::bigint as cnt
+                  from c group by 1),
+            cum as (select n_tokens,
+                           sum(cnt) over (order by n_tokens)::bigint as cum
+                    from h),
+            lo as (select min(n_tokens) as v from cum
+                   where cum * 100 >= 5 * (select n from n)),
+            hi as (select min(n_tokens) as v from cum
+                   where cum * 100 >= 95 * (select n from n))
+            select doc_id, n_tokens,
+                   (n_tokens >= (select v from lo)
+                    and n_tokens <= (select v from hi)) as keep
+            from c
         """,
         "kg_mentions": f"""
             with {kg_cte}

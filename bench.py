@@ -210,6 +210,9 @@ def run_ops(sf_dir: str, repeat: int = 1) -> dict[str, list[float]]:
             text.c4_line_filter_batch, batch_format="pyarrow"
         ),
         "docs_winnow_pairs": lambda: dedup.winnow_pairs(read("documents")),
+        "docs_length_filter": lambda: text.length_percentile_filter(
+            read("documents")
+        ),
     }
     times: dict[str, list[float]] = {}
     for name, make in ops.items():
@@ -355,6 +358,31 @@ def main() -> None:
             ),
             ray.data.read_parquet(f"{pages_path}/pages", columns=["url", "warc_ts"]),
             bucket_us=60_000_000,
+        ),
+        "kg_cards": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["entity_cards"]
+        ).entity_cards(
+            ray.data.read_parquet(
+                os.path.join(f"/tmp/graft_bench/kg_out_{num_cpus}", "triples_canonical"),
+                columns=["subj_canonical", "pred", "url"],
+            ),
+            ray.data.read_parquet(f"{pages_path}/pages", columns=["url", "warc_ts"]),
+        ),
+        "kg_dangling": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["dangling_objects"]
+        ).dangling_objects(
+            ray.data.read_parquet(
+                os.path.join(f"/tmp/graft_bench/kg_out_{num_cpus}", "triples_canonical"),
+                columns=["subj_canonical", "obj_canonical"],
+            )
+        ),
+        "kg_assortativity": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats",
+            fromlist=["assortativity_moments"],
+        ).assortativity_moments(
+            ray.data.read_parquet(
+                kg_edges, columns=["src_canonical", "dst_canonical"]
+            )
         ),
         "kg_heavy_tokens": lambda: __import__(
             "pdf_entity_extraction_ray.ops.sketch", fromlist=["heavy_tokens"]

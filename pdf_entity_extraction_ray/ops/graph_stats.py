@@ -2873,3 +2873,360 @@ def mention_trend(
         return out.filter(pc.greater_equal(n, 2))
 
     return folded.map_batches(slope, batch_format="pyarrow")
+
+
+def entity_cards(
+    triples_ds,
+    pages_ds,
+    num_partitions: int | None = None,
+):
+    """Per-entity profile card — the summary row an entity page in a
+    knowledge-graph UI renders: for each canonical subject, the total
+    assertion count, the number of distinct predicates it is asserted
+    with, the first/last crawl timestamp any assertion was observed at,
+    and the modally most frequent predicate (``top_pred``; ties break to
+    the lexicographically smallest predicate so the output is
+    deterministic).
+
+    Triples carry provenance urls but no timestamps, so the op opens with
+    the same narrow url hash join as :func:`latest_assertions` /
+    :func:`mention_trend` (triples pruned to (subj, pred, url), pages to
+    (url, warc_ts)).  Then one exchange chain, all combiner-backed:
+
+    1. per-batch (subj, pred) partial ``(cnt, min_ts, max_ts)`` so a head
+       entity ships O(blocks x preds) rows, never every assertion;
+    2. global ``groupby(subj, pred)`` Sum/Min/Max;
+    3. ``groupby(subj).map_groups`` fold to the card — group size is the
+       subject's distinct-predicate count (bounded by the schema's
+       predicate vocabulary, single digits here), never its assertion
+       count, so head skew cannot blow up a group.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .relational import _join_parts
+
+    n_part = num_partitions
+    tri = triples_ds.select_columns(["subj_canonical", "pred", "url"])
+    if n_part is None:
+        tri = tri.materialize()
+        # tiny inputs: empty shuffle partitions crash Ray's hash join
+        n_part = 1 if tri.count() < 10_000 else _join_parts()
+    joined = tri.join(
+        pages_ds.select_columns(["url", "warc_ts"]),
+        join_type="inner",
+        num_partitions=n_part,
+        on=("url",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "subj_canonical": pa.array([], pa.string()),
+                "pred": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "min_ts": pa.array([], pa.int64()),
+                "max_ts": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "warc_ts" not in batch.column_names:
+            return empty
+        ts = batch.column("warc_ts").cast(pa.int64())
+        t = pa.table(
+            {
+                "subj_canonical": batch.column("subj_canonical"),
+                "pred": batch.column("pred"),
+                "ts": ts,
+            }
+        )
+        g = t.group_by(["subj_canonical", "pred"]).aggregate(
+            [("ts", "count"), ("ts", "min"), ("ts", "max")]
+        )
+        return pa.table(
+            {
+                "subj_canonical": g.column("subj_canonical"),
+                "pred": g.column("pred"),
+                "cnt": g.column("ts_count").cast(pa.int64()),
+                "min_ts": g.column("ts_min"),
+                "max_ts": g.column("ts_max"),
+            }
+        )
+
+    per_pred = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["subj_canonical", "pred"])
+        .aggregate(
+            Sum("cnt", alias_name="cnt"),
+            Min("min_ts", alias_name="min_ts"),
+            Max("max_ts", alias_name="max_ts"),
+        )
+    )
+
+    def card(group: pa.Table) -> pa.Table:
+        cnt = group.column("cnt").to_pylist()
+        preds = group.column("pred").to_pylist()
+        # modal predicate: max count, ties to lexicographically smallest
+        top = min(zip(cnt, preds), key=lambda t: (-t[0], t[1]))[1]
+        return pa.table(
+            {
+                "subj_canonical": [group.column("subj_canonical")[0].as_py()],
+                "n_assertions": pa.array([sum(cnt)], pa.int64()),
+                "n_preds": pa.array([group.num_rows], pa.int64()),
+                "first_seen_us": pa.array(
+                    [pc.min(group.column("min_ts")).as_py()], pa.int64()
+                ),
+                "last_seen_us": pa.array(
+                    [pc.max(group.column("max_ts")).as_py()], pa.int64()
+                ),
+                "top_pred": [top],
+            }
+        )
+
+    return per_pred.groupby("subj_canonical").map_groups(
+        card, batch_format="pyarrow"
+    )
+
+
+def dangling_objects(triples_ds):
+    """KG quality audit: canonical OBJECTS that never appear as a subject
+    of any assertion — "dangling references" whose entity pages would be
+    empty.  Emits ``(canonical, n_refs)`` where n_refs is the number of
+    assertions pointing at the dangling entity.
+
+    Shape: per-batch object-count combiner -> global count groupby ->
+    LEFT ANTI hash join against the (batch-distinct) subject keys.  The
+    anti join's right side only needs each subject present at least once,
+    so a per-batch distinct is enough — no global distinct shuffle for
+    the subject set."""
+    from ray.data.aggregate import Sum
+
+    from .relational import _join_parts
+
+    def obj_counts(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "canonical": pa.array([], pa.string()),
+                "n_refs": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "obj_canonical" not in batch.column_names:
+            return empty
+        g = (
+            pa.table({"canonical": batch.column("obj_canonical")})
+            .group_by("canonical")
+            .aggregate([("canonical", "count")])
+        )
+        return pa.table(
+            {
+                "canonical": g.column("canonical"),
+                "n_refs": g.column("canonical_count").cast(pa.int64()),
+            }
+        )
+
+    def subj_distinct(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "subj_canonical" not in batch.column_names:
+            return pa.table({"canonical": pa.array([], pa.string())})
+        return (
+            pa.table({"canonical": batch.column("subj_canonical")})
+            .group_by("canonical")
+            .aggregate([])
+        )
+
+    refs = (
+        triples_ds.select_columns(["obj_canonical"])
+        .map_batches(obj_counts, batch_format="pyarrow")
+        .groupby("canonical")
+        .aggregate(Sum("n_refs", alias_name="n_refs"))
+        .materialize()
+    )
+    # tiny-input guard: empty shuffle partitions crash Ray's hash join
+    n_part = 1 if refs.count() < 10_000 else _join_parts()
+    subs = triples_ds.select_columns(["subj_canonical"]).map_batches(
+        subj_distinct, batch_format="pyarrow"
+    )
+    return refs.join(subs, join_type="left_anti", num_partitions=n_part, on=("canonical",))
+
+
+def assortativity_moments(edges_ds, num_partitions: int | None = None):
+    """Degree-assortativity sufficient statistics over the UNDIRECTED
+    simple graph induced by the edges table, as ONE exact-integer row
+    ``(m_edges, s1, s2, s3)``: edge count, sum of endpoint degrees
+    ``Σ(da+db)``, sum of squared degrees ``Σ(da²+db²)``, and the degree
+    product sum ``Σ(da·db)``.  The Pearson degree correlation (Newman
+    2002) is a pure driver-side arithmetic function of these four
+    integers — keeping the engine output integral makes the DuckDB
+    oracle hash bit-exact (no float reduction order anywhere).
+
+    Shape: distinct undirected pairs (per-batch combiner + groupby, the
+    :func:`triangle_counts` opener) -> endpoint degrees (groupby count)
+    -> one side-tagged hash join attaches both endpoint degrees -> a
+    Max-pivot groupby rebuilds (edge, da, db) rows -> per-batch moment
+    partials -> four global Sums.  All multiplies are checked: at 10^6
+    max degree the products sit 10^6 below the int64 edge-sum headroom,
+    and a pathological graph raises instead of wrapping."""
+    from ray.data.aggregate import Max, Sum
+
+    def to_und(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src_canonical" not in batch.column_names:
+            return pa.table(
+                {"a": pa.array([], pa.string()), "b": pa.array([], pa.string())}
+            )
+        s = batch.column("src_canonical")
+        d = batch.column("dst_canonical")
+        lt = pc.less(s, d)
+        t = pa.table({"a": pc.if_else(lt, s, d), "b": pc.if_else(lt, d, s)}).filter(
+            pc.not_equal(s, d)
+        )
+        return t.group_by(["a", "b"]).aggregate([])
+
+    und = (
+        edges_ds.select_columns(["src_canonical", "dst_canonical"])
+        .map_batches(to_und, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+    m_edges = und.count()
+    if m_edges == 0:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "m_edges": pa.array([0], pa.int64()),
+                    "s1": pa.array([0], pa.int64()),
+                    "s2": pa.array([0], pa.int64()),
+                    "s3": pa.array([0], pa.int64()),
+                }
+            )
+        )
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return pa.table({"node": pa.array([], pa.string())})
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        batch.column("a").combine_chunks(),
+                        batch.column("b").combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    degrees = (
+        und.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+        .rename_columns({"count()": "deg"})
+    )
+
+    def explode_sides(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "side": pa.array([], pa.int64()),
+                    "node": pa.array([], pa.string()),
+                }
+            )
+        a = batch.column("a").combine_chunks()
+        b = batch.column("b").combine_chunks()
+        n = batch.num_rows
+        return pa.table(
+            {
+                "a": pa.concat_arrays([a, a]),
+                "b": pa.concat_arrays([b, b]),
+                "side": pa.array([0] * n + [1] * n, pa.int64()),
+                "node": pa.concat_arrays([a, b]),
+            }
+        )
+
+    n_part = num_partitions
+    if n_part is None:
+        from .relational import _join_parts
+
+        n_part = 1 if m_edges < 10_000 else _join_parts()
+
+    tagged = und.map_batches(explode_sides, batch_format="pyarrow").join(
+        degrees, join_type="inner", num_partitions=n_part, on=("node",)
+    )
+
+    def pivot_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.string()),
+                "b": pa.array([], pa.string()),
+                "da": pa.array([], pa.int64()),
+                "db": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "deg" not in batch.column_names:
+            return empty
+        side = batch.column("side")
+        deg = batch.column("deg").cast(pa.int64())
+        zero = pa.scalar(0, pa.int64())
+        t = pa.table(
+            {
+                "a": batch.column("a"),
+                "b": batch.column("b"),
+                "da": pc.if_else(pc.equal(side, 0), deg, zero),
+                "db": pc.if_else(pc.equal(side, 1), deg, zero),
+            }
+        )
+        g = t.group_by(["a", "b"]).aggregate([("da", "max"), ("db", "max")])
+        return g.rename_columns(["a", "b", "da", "db"])
+
+    per_edge = (
+        tagged.map_batches(pivot_partial, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Max("da", alias_name="da"), Max("db", alias_name="db"))
+    )
+
+    def moments(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "m_edges": pa.array([], pa.int64()),
+                "s1": pa.array([], pa.int64()),
+                "s2": pa.array([], pa.int64()),
+                "s3": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "da" not in batch.column_names:
+            return empty
+        da = batch.column("da").cast(pa.int64())
+        db = batch.column("db").cast(pa.int64())
+        s1 = pc.sum(pc.add_checked(da, db)).as_py() or 0
+        s2 = pc.sum(
+            pc.add_checked(pc.multiply_checked(da, da), pc.multiply_checked(db, db))
+        ).as_py() or 0
+        s3 = pc.sum(pc.multiply_checked(da, db)).as_py() or 0
+        return pa.table(
+            {
+                "m_edges": pa.array([batch.num_rows], pa.int64()),
+                "s1": pa.array([s1], pa.int64()),
+                "s2": pa.array([s2], pa.int64()),
+                "s3": pa.array([s3], pa.int64()),
+            }
+        )
+
+    agg = per_edge.map_batches(moments, batch_format="pyarrow").aggregate(
+        Sum("m_edges", alias_name="m_edges"),
+        Sum("s1", alias_name="s1"),
+        Sum("s2", alias_name="s2"),
+        Sum("s3", alias_name="s3"),
+    )
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "m_edges": pa.array([agg["m_edges"]], pa.int64()),
+                "s1": pa.array([agg["s1"]], pa.int64()),
+                "s2": pa.array([agg["s2"]], pa.int64()),
+                "s3": pa.array([agg["s3"]], pa.int64()),
+            }
+        )
+    )

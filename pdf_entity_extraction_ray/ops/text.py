@@ -391,3 +391,48 @@ def c4_line_filter_batch(batch: pa.Table) -> pa.Table:
             "clean_text": pa.array(out_text, pa.string()),
         }
     )
+
+
+def length_percentile_filter(docs_ds, lo_pct: int = 5, hi_pct: int = 95):
+    """Global length-percentile document filter — the "drop the shortest
+    5% and longest 5%" corpus-curation cut, with EXACT integer percentile
+    semantics: the p-th percentile length is the smallest token count L
+    whose cumulative document count satisfies ``cum * 100 >= p * N``
+    (all-integer comparison, so Python and the SQL oracle agree with no
+    float rounding anywhere).  Emits ``(doc_id, n_tokens, keep)`` for
+    every document with ``keep = lo_len <= n_tokens <= hi_len``.
+
+    Scale shape: per-doc token counts are a stateless map; the threshold
+    needs the GLOBAL length distribution, which is a groupby over the
+    token count itself — the histogram has one row per DISTINCT length
+    (bounded by the longest document's token count, thousands of rows at
+    any corpus size), so the driver-side cumulative scan is O(distinct
+    lengths), never O(docs).  The filter pass re-reads the counts
+    dataset; thresholds ride into it as plain ints (closure capture, two
+    scalars — no broadcast needed)."""
+    counts = docs_ds.map_batches(
+        lambda b: token_stats_batch(b).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+    hist = counts.groupby("n_tokens").count().take_all()  # O(distinct lengths)
+    hist.sort(key=lambda r: r["n_tokens"])
+    total = sum(r["count()"] for r in hist)
+    lo_len, hi_len, cum = 0, 0, 0
+    lo_found = False
+    for r in hist:
+        cum += r["count()"]
+        if not lo_found and cum * 100 >= lo_pct * total:
+            lo_len, lo_found = r["n_tokens"], True
+        if cum * 100 >= hi_pct * total:
+            hi_len = r["n_tokens"]
+            break
+
+    def flag(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_tokens")
+        keep = pc.and_(
+            pc.greater_equal(n, pa.scalar(lo_len, pa.int64())),
+            pc.less_equal(n, pa.scalar(hi_len, pa.int64())),
+        )
+        return batch.append_column("keep", keep)
+
+    return counts.map_batches(flag, batch_format="pyarrow")
