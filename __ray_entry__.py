@@ -503,6 +503,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def _kg_conflicts(sf_dir):
+        """Functional-predicate conflict audit
+        (ops/graph_stats.functional_conflicts): subjects with >= 2
+        distinct objects for the same predicate — distinct-triple
+        combiner, one global distinct groupby, per-(subj, pred)
+        count/min/max, vectorized threshold."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import functional_conflicts
+
+        res = _kg_artifacts(sf_dir)
+        return functional_conflicts(ray.data.read_parquet(res["triples_canonical"]))
+
     def _kg_bfs(sf_dir):
         """k-hop neighborhood: multi-source BFS depths (<= 4 hops) from
         the 3 lexicographically smallest canonical entities, run as the
@@ -1363,6 +1376,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_dangling": _kg_dangling,
         # --- degree-assortativity moments as one exact-integer row ---
         "kg_assortativity": _kg_assortativity,
+        # --- functional-predicate conflicts: subjects with >= 2 distinct
+        # objects for one predicate, with lexicographic witness pair ---
+        "kg_conflicts": _kg_conflicts,
         # --- global length-percentile corpus cut (exact integer
         # percentile rule, O(distinct lengths) driver state) ---
         "docs_length_filter": lambda sf: __import__(
@@ -1382,6 +1398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cards",
         "kg_dangling",
         "kg_assortativity",
+        "kg_conflicts",
         "docs_length_filter",
         # newest additions (round 4 close, final batch): assertion-trend
         # slope, MOSS winnowing pairs, C4 line cleaning
@@ -1878,6 +1895,17 @@ def oracle_sql() -> dict[str, str]:
             select card.subj_canonical, n_assertions, n_preds,
                    first_seen_us, last_seen_us, top_pred
             from card join top using (subj_canonical)
+        """,
+        "kg_conflicts": f"""
+            with {kg_cte},
+            tri as ({tri_canon}),
+            d as (select distinct subj_canonical, pred, obj_canonical
+                  from tri)
+            select subj_canonical, pred,
+                   count(*)::bigint as n_objs,
+                   min(obj_canonical) as obj_min,
+                   max(obj_canonical) as obj_max
+            from d group by 1, 2 having count(*) >= 2
         """,
         "kg_dangling": f"""
             with {kg_cte},

@@ -376,6 +376,15 @@ def main() -> None:
                 columns=["subj_canonical", "obj_canonical"],
             )
         ),
+        "kg_conflicts": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats",
+            fromlist=["functional_conflicts"],
+        ).functional_conflicts(
+            ray.data.read_parquet(
+                os.path.join(f"/tmp/graft_bench/kg_out_{num_cpus}", "triples_canonical"),
+                columns=["subj_canonical", "pred", "obj_canonical"],
+            )
+        ),
         "kg_assortativity": lambda: __import__(
             "pdf_entity_extraction_ray.ops.graph_stats",
             fromlist=["assortativity_moments"],

@@ -3230,3 +3230,101 @@ def assortativity_moments(edges_ds, num_partitions: int | None = None):
             }
         )
     )
+
+
+def functional_conflicts(triples_ds, preds: list[str] | None = None):
+    """KG consistency audit: subjects asserting MORE THAN ONE distinct
+    object for a predicate that should be functional (single-valued) —
+    the contradiction-detection pass a KG-construction pipeline runs
+    before publishing (e.g. two different ``born_in`` values for the
+    same person across crawls).  Emits ``(subj_canonical, pred, n_objs,
+    obj_min, obj_max)`` — the distinct-object count plus the
+    lexicographic extremes as a deterministic witness pair.
+
+    ``preds`` restricts the audit to the declared-functional predicate
+    list (pushed into the scan as a vectorized ``is_in`` filter);
+    ``None`` audits every predicate.
+
+    Shape: per-batch distinct (subj, pred, obj) combiner -> one global
+    distinct groupby (Max of a constant pivots nothing — the groupby
+    key IS the distinct) -> per-(subj, pred) count/min/max with a
+    per-batch combiner -> vectorized ``n_objs >= 2`` filter.  Two
+    exchanges of distinct-assertion rows; no joins, no driver state."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def distinct_rows(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "subj_canonical": pa.array([], pa.string()),
+                "pred": pa.array([], pa.string()),
+                "obj_canonical": pa.array([], pa.string()),
+            }
+        )
+        if batch.num_rows == 0 or "subj_canonical" not in batch.column_names:
+            return empty
+        t = batch.select(["subj_canonical", "pred", "obj_canonical"])
+        if preds is not None:
+            t = t.filter(pc.is_in(t.column("pred"), value_set=pa.array(preds)))
+        return t.group_by(
+            ["subj_canonical", "pred", "obj_canonical"]
+        ).aggregate([])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "subj_canonical": pa.array([], pa.string()),
+                "pred": pa.array([], pa.string()),
+                "n_objs": pa.array([], pa.int64()),
+                "obj_min": pa.array([], pa.string()),
+                "obj_max": pa.array([], pa.string()),
+            }
+        )
+        if batch.num_rows == 0 or "obj_canonical" not in batch.column_names:
+            return empty
+        g = batch.group_by(["subj_canonical", "pred"]).aggregate(
+            [
+                ("obj_canonical", "count"),
+                ("obj_canonical", "min"),
+                ("obj_canonical", "max"),
+            ]
+        )
+        return pa.table(
+            {
+                "subj_canonical": g.column("subj_canonical"),
+                "pred": g.column("pred"),
+                "n_objs": g.column("obj_canonical_count").cast(pa.int64()),
+                "obj_min": g.column("obj_canonical_min"),
+                "obj_max": g.column("obj_canonical_max"),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "n_objs" not in batch.column_names:
+            return pa.table(
+                {
+                    "subj_canonical": pa.array([], pa.string()),
+                    "pred": pa.array([], pa.string()),
+                    "n_objs": pa.array([], pa.int64()),
+                    "obj_min": pa.array([], pa.string()),
+                    "obj_max": pa.array([], pa.string()),
+                }
+            )
+        return batch.filter(
+            pc.greater_equal(batch.column("n_objs"), pa.scalar(2, pa.int64()))
+        )
+
+    return (
+        triples_ds.select_columns(["subj_canonical", "pred", "obj_canonical"])
+        .map_batches(distinct_rows, batch_format="pyarrow")
+        .groupby(["subj_canonical", "pred", "obj_canonical"])
+        .count()
+        .select_columns(["subj_canonical", "pred", "obj_canonical"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["subj_canonical", "pred"])
+        .aggregate(
+            Sum("n_objs", alias_name="n_objs"),
+            Min("obj_min", alias_name="obj_min"),
+            Max("obj_max", alias_name="obj_max"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )

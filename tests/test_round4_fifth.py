@@ -195,3 +195,50 @@ class TestLengthPercentileFilter:
         rows = self._run(texts, lo=51, hi=100)
         assert not any(rows[i]["keep"] for i in range(1, 11))
         assert all(rows[i]["keep"] for i in range(11, 21))
+
+
+# ----------------------------------------------------- functional conflicts
+
+
+class TestFunctionalConflicts:
+    def _run(self, rows, preds=None):
+        from pdf_entity_extraction_ray.ops.graph_stats import (
+            functional_conflicts,
+        )
+
+        tri = pa.table(
+            {
+                "subj_canonical": pa.array([r[0] for r in rows], pa.string()),
+                "pred": pa.array([r[1] for r in rows], pa.string()),
+                "obj_canonical": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+        out = _collect(functional_conflicts(ray.data.from_arrow(tri), preds))
+        return {(r["subj_canonical"], r["pred"]): r for r in out.to_pylist()}
+
+    def test_conflicting_subject_detected_with_witnesses(self):
+        rows = [
+            ("Ada", "born_in", "London"),
+            ("Ada", "born_in", "Paris"),
+            ("Ada", "born_in", "London"),  # duplicate assertion: 1 distinct
+            ("Ada", "works_at", "ACME"),
+            ("Bob", "born_in", "Rome"),
+        ]
+        out = self._run(rows)
+        assert set(out) == {("Ada", "born_in")}
+        c = out[("Ada", "born_in")]
+        assert c["n_objs"] == 2
+        assert c["obj_min"] == "London" and c["obj_max"] == "Paris"
+
+    def test_pred_whitelist_filters(self):
+        rows = [
+            ("Ada", "born_in", "London"),
+            ("Ada", "born_in", "Paris"),
+            ("Ada", "likes", "tea"),
+            ("Ada", "likes", "coffee"),
+        ]
+        out = self._run(rows, preds=["born_in"])
+        assert set(out) == {("Ada", "born_in")}
+
+    def test_no_conflicts_empty(self):
+        assert self._run([("Ada", "born_in", "London")]) == {}
