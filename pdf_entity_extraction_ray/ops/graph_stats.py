@@ -3038,7 +3038,10 @@ def dangling_objects(triples_ds):
         .aggregate(Sum("n_refs", alias_name="n_refs"))
         .materialize()
     )
-    # tiny-input guard: empty shuffle partitions crash Ray's hash join
+    # tiny-input guards: a fully-empty side still crashes Ray's hash
+    # join, and small inputs need the single-partition fallback
+    if refs.count() == 0:
+        return refs
     n_part = 1 if refs.count() < 10_000 else _join_parts()
     subs = triples_ds.select_columns(["subj_canonical"]).map_batches(
         subj_distinct, batch_format="pyarrow"

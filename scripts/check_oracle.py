@@ -30,8 +30,11 @@ def to_table(result) -> pa.Table:
         if batches:
             return pa.concat_tables(batches, promote_options="default")
         # Dataset.schema() is Ray's Schema wrapper; the pyarrow schema
-        # lives on .base_schema (older Ray returned pyarrow directly)
+        # lives on .base_schema (older Ray returned pyarrow directly);
+        # a fully-empty dataset has no schema at all
         schema = result.schema()
+        if schema is None:
+            return pa.table({})
         return getattr(schema, "base_schema", schema).empty_table()
     if isinstance(result, pd.DataFrame):
         return pa.Table.from_pandas(result)

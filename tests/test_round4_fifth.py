@@ -15,6 +15,8 @@ def _collect(ds) -> pa.Table:
     if batches:
         return pa.concat_tables(batches)
     schema = ds.schema()
+    if schema is None:  # fully-empty dataset: no rows, no known schema
+        return pa.table({})
     return getattr(schema, "base_schema", schema).empty_table()
 
 
@@ -109,6 +111,9 @@ class TestDanglingObjects:
 
     def test_no_dangling_yields_empty(self):
         assert self._run([("a", "b"), ("b", "a")]) == {}
+
+    def test_empty_triples_short_circuit(self):
+        assert self._run([]) == {}
 
 
 # -------------------------------------------------- assortativity moments
@@ -242,3 +247,6 @@ class TestFunctionalConflicts:
 
     def test_no_conflicts_empty(self):
         assert self._run([("Ada", "born_in", "London")]) == {}
+
+    def test_empty_triples_conflicts_empty(self):
+        assert self._run([]) == {}
