@@ -1863,11 +1863,18 @@ def oracle_sql() -> dict[str, str]:
                   from read_parquet('{gold}/pages/*.parquet')),
             c as (select tri.subj_canonical, p.day, count(*)::bigint as cnt
                   from tri join p using (url) group by 1, 2),
+            -- OLS slope is shift-invariant in x; re-base per subject so
+            -- the moments stay small (mirrors the engine's overflow fix)
+            cs as (select subj_canonical,
+                          day - min(day) over (partition by subj_canonical)
+                              as day,
+                          cnt
+                   from c),
             m as (select subj_canonical, count(*)::bigint as n,
                          sum(day)::bigint as sx, sum(cnt)::bigint as sy,
                          sum(day * cnt)::bigint as sxy,
                          sum(day * day)::bigint as sxx
-                  from c group by 1)
+                  from cs group by 1)
             select subj_canonical,
                    (n * sxy - sx * sy)::bigint as slope_num,
                    (n * sxx - sx * sx)::bigint as slope_den

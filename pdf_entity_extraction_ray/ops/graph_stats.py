@@ -2766,16 +2766,22 @@ def mention_trend(
     1. exact (subj, bucket) counts — per-batch count combiner first, so
        a head entity re-asserted in every crawl ships O(blocks x
        buckets) rows, never every assertion;
-    2. a per-subject fold of the five OLS moments (n, Σx, Σy, Σxy, Σx²)
-       as native Sum aggregates over one row per (subj, bucket).
+    2. a per-subject ``map_groups`` fold of the five OLS moments
+       (n, Σx, Σy, Σxy, Σx²) over one row per (subj, bucket) — group
+       size is the subject's distinct-bucket count (bounded by the
+       crawl-window length in buckets), never its assertion count.
 
     The slope is emitted as an exact integer fraction
-    ``slope_num = n·Σxy − Σx·Σy``, ``slope_den = n·Σx² − (Σx)²`` — no
-    float leaves the engine, so the DuckDB oracle hash-matches
-    bit-exactly (day buckets ~ 2*10^4, so Σx² fits int64 with ~10^9
-    headroom on counts; checked multiplies raise rather than wrap if a
-    caller picks a pathologically fine bucket).  Subjects seen in a
-    single distinct bucket (slope undefined, den = 0) drop out."""
+    ``slope_num = n·Σxy − Σx·Σy``, ``slope_den = n·Σx² − (Σx)²``.  The
+    OLS slope is invariant under shifting x by a constant, so the fold
+    re-bases each subject's buckets to ``x − min(x)`` first: the moments
+    are computed over SMALL integers (the crawl-window span in buckets,
+    not raw epoch bucket indices ~3·10^7 for minutes, whose squares
+    summed overflowed int64 on real timestamp ranges).  slope_num /
+    slope_den are bit-identical either way, so the DuckDB oracle
+    hash-matches exactly; the remaining multiplies are checked and raise
+    rather than wrap on a pathological span.  Subjects seen in a single
+    distinct bucket (slope undefined, den = 0) drop out."""
     from ray.data.aggregate import Sum
 
     from .relational import _join_parts
@@ -2825,54 +2831,44 @@ def mention_trend(
         .aggregate(Sum("cnt", alias_name="cnt"))
     )
 
-    def moments(batch: pa.Table) -> pa.Table:
-        x = batch.column("day").cast(pa.int64())
-        y = batch.column("cnt").cast(pa.int64())
-        return pa.table(
+    def slope_fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
             {
-                "subj_canonical": batch.column("subj_canonical"),
-                "n": pa.array([1] * batch.num_rows, pa.int64()),
-                "sx": x,
-                "sy": y,
-                "sxy": pc.multiply_checked(x, y),
-                "sxx": pc.multiply_checked(x, x),
+                "subj_canonical": pa.array([], pa.string()),
+                "slope_num": pa.array([], pa.int64()),
+                "slope_den": pa.array([], pa.int64()),
             }
         )
-
-    folded = (
-        counts.map_batches(moments, batch_format="pyarrow")
-        .groupby("subj_canonical")
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Sum("sx", alias_name="sx"),
-            Sum("sy", alias_name="sy"),
-            Sum("sxy", alias_name="sxy"),
-            Sum("sxx", alias_name="sxx"),
-        )
-    )
-
-    def slope(batch: pa.Table) -> pa.Table:
-        n = batch.column("n").cast(pa.int64())
-        sx = batch.column("sx").cast(pa.int64())
-        sy = batch.column("sy").cast(pa.int64())
-        sxy = batch.column("sxy").cast(pa.int64())
-        sxx = batch.column("sxx").cast(pa.int64())
+        n = group.num_rows
+        if n < 2:  # single distinct bucket: slope undefined (den = 0)
+            return empty
+        # shift-invariant re-base: x' = day - min(day) keeps every moment
+        # within the crawl-window span, not raw epoch bucket magnitudes
+        day = group.column("day").cast(pa.int64())
+        x = pc.subtract_checked(day, pc.min(day))
+        y = group.column("cnt").cast(pa.int64())
+        n_s = pa.scalar(n, pa.int64())
+        sx = pc.sum(x)
+        sy = pc.sum(y)
+        sxy = pc.sum(pc.multiply_checked(x, y))
+        sxx = pc.sum(pc.multiply_checked(x, x))
         num = pc.subtract_checked(
-            pc.multiply_checked(n, sxy), pc.multiply_checked(sx, sy)
+            pc.multiply_checked(n_s, sxy), pc.multiply_checked(sx, sy)
         )
         den = pc.subtract_checked(
-            pc.multiply_checked(n, sxx), pc.multiply_checked(sx, sx)
+            pc.multiply_checked(n_s, sxx), pc.multiply_checked(sx, sx)
         )
-        out = pa.table(
+        return pa.table(
             {
-                "subj_canonical": batch.column("subj_canonical"),
-                "slope_num": num,
-                "slope_den": den,
+                "subj_canonical": [group.column("subj_canonical")[0].as_py()],
+                "slope_num": pa.array([num.as_py()], pa.int64()),
+                "slope_den": pa.array([den.as_py()], pa.int64()),
             }
         )
-        return out.filter(pc.greater_equal(n, 2))
 
-    return folded.map_batches(slope, batch_format="pyarrow")
+    return counts.groupby("subj_canonical").map_groups(
+        slope_fold, batch_format="pyarrow"
+    )
 
 
 def entity_cards(

@@ -413,7 +413,9 @@ def length_percentile_filter(docs_ds, lo_pct: int = 5, hi_pct: int = 95):
     counts = docs_ds.map_batches(
         lambda b: token_stats_batch(b).select(["doc_id", "n_tokens"]),
         batch_format="pyarrow",
-    )
+    ).materialize()  # (doc_id, n_tokens) is 16 B/doc — consumed twice
+    # (histogram pass + flag pass); without this the tokenization scan
+    # over the full corpus would run twice
     hist = counts.groupby("n_tokens").count().take_all()  # O(distinct lengths)
     hist.sort(key=lambda r: r["n_tokens"])
     total = sum(r["count()"] for r in hist)

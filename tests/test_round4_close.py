@@ -179,3 +179,40 @@ class TestMentionTrend:
         )
         t = _collect(mention_trend(triples, pages, bucket_us=60_000_000))
         assert t.num_rows == 0
+
+
+class TestMentionTrendOverflow:
+    def test_realistic_epoch_minute_buckets_do_not_overflow(self):
+        """Regression: raw epoch minute-bucket indices (~3*10^7) squared
+        and summed over a few hundred buckets overflowed int64 in the
+        pre-shift fold (n * sxx ~ 8*10^19).  The shift-invariant re-base
+        keeps the moments within the crawl-window span; the slope is the
+        same exact fraction either way."""
+        from pdf_entity_extraction_ray.ops.graph_stats import mention_trend
+
+        base = 1_770_000_000  # ~2026 epoch seconds
+        n = 400  # distinct minute buckets
+        urls = [f"u{i}" for i in range(n)]
+        pages = ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "warc_ts": _ts([base + 60 * i for i in range(n)]),
+                }
+            )
+        )
+        # one assertion per minute: y = 1 everywhere -> slope exactly 0
+        triples = ray.data.from_arrow(
+            pa.table(
+                {
+                    "subj_canonical": pa.array(["A"] * n, pa.string()),
+                    "url": pa.array(urls, pa.string()),
+                }
+            )
+        )
+        t = _collect(mention_trend(triples, pages, bucket_us=60_000_000))
+        rows = t.to_pylist()
+        assert len(rows) == 1
+        r = rows[0]
+        # flat series: num = n*sxy - sx*sy = 0; den = n*sxx - sx^2 > 0
+        assert r["slope_num"] == 0 and r["slope_den"] > 0
