@@ -516,6 +516,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = _kg_artifacts(sf_dir)
         return functional_conflicts(ray.data.read_parquet(res["triples_canonical"]))
 
+    def _kg_scc(sf_dir):
+        """Strongly connected components of the DIRECTED entity graph
+        (ops/graph_stats.scc_components): BSP trim + forward min-id
+        coloring + color-restricted backward marking (the published
+        Orzan / FW-BW-trim family) over hash-co-partitioned int-id
+        shards; labels re-keyed to min canonical per SCC."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import scc_components
+
+        res = _kg_artifacts(sf_dir)
+        return scc_components(
+            ray.data.read_parquet(
+                res["edges"],
+                columns=["src_id", "dst_id", "src_canonical", "dst_canonical"],
+            )
+        )
+
     def _kg_bfs(sf_dir):
         """k-hop neighborhood: multi-source BFS depths (<= 4 hops) from
         the 3 lexicographically smallest canonical entities, run as the
@@ -1053,6 +1071,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 columns=["src_id", "dst_id", "src_canonical", "dst_canonical"],
             )
         ),
+        # --- strongly connected components (directed mutual reachability) ---
+        "kg_scc": _kg_scc,
         "kg_common_neighbors": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["common_neighbors"]
         ).common_neighbors(
@@ -1393,6 +1413,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # has never itself checked (judge-run only in r3), then the long-green
     # remainder in their original order.
     front = [
+        # newest addition (round 4, sixth batch): directed SCC
+        "kg_scc",
         # newest additions (round 4 close, fifth batch): entity cards,
         # dangling-reference audit, assortativity moments, length filter
         "kg_cards",
@@ -2025,6 +2047,30 @@ def oracle_sql() -> dict[str, str]:
                     from selfn left join reach on reach.a = node
                     group by node)
             select node as canonical, component from lbl
+        """,
+        # strongly connected components over the DIRECTED canonical graph:
+        # recursive-CTE reachability closure, mutual pairs, min canonical
+        # per mutual-reachability class (singletons fall back to self)
+        "kg_scc": f"""
+            with recursive {kg_cte},
+            tri as ({tri_canon}),
+            dir as (select distinct subj_canonical as u, obj_canonical as v
+                    from tri
+                    where subj_canonical is not null
+                      and obj_canonical is not null),
+            nodes as (select u as node from dir union select v from dir),
+            reach(a, b) as (
+                select u, v from dir
+                union
+                select r.a, d.v from reach r join dir d on r.b = d.u
+            ),
+            mutual as (select r1.a as node, r1.b as other
+                       from reach r1 join reach r2
+                         on r1.a = r2.b and r1.b = r2.a),
+            lbl as (select node, least(node, coalesce(min(other), node)) as scc
+                    from nodes left join mutual using (node)
+                    group by node)
+            select node as canonical, scc from lbl
         """,
         # common-neighbor / jaccard link-prediction features over the same
         # canonical undirected graph as kg_components: wedge counting ==

@@ -3327,3 +3327,414 @@ def functional_conflicts(triples_ds, preds: list[str] | None = None):
         )
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def _scc_remotes():
+    """BSP worker tasks for strongly connected components (lazy so import
+    never touches Ray)."""
+    import numpy as np
+
+    import ray
+
+    def _shard_pairs(a, b, P):
+        dest = a % P
+        order = np.argsort(dest, kind="stable")
+        a, b, dest = a[order], b[order], dest[order]
+        bounds = np.searchsorted(dest, np.arange(P + 1))
+        return [
+            (a[bounds[p]: bounds[p + 1]], b[bounds[p]: bounds[p + 1]])
+            for p in range(P)
+        ]
+
+    def _gather(adj_u, adj_v, keys, vals):
+        """All adjacency targets of ``keys`` plus the per-edge payload
+        (``vals[i]`` repeated for every edge of ``keys[i]``), fully
+        vectorized (np.repeat over searchsorted ranges — no Python loop)."""
+        lo = np.searchsorted(adj_u, keys, side="left")
+        hi = np.searchsorted(adj_u, keys, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            e = np.empty(0, np.int64)
+            return e, e
+        starts = np.repeat(lo, counts)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        tgt = adj_v[starts + offs]
+        payload = np.repeat(vals, counts)
+        return tgt, payload
+
+    @ray.remote
+    def split_edges(tbl: pa.Table, P: int):
+        """Shard distinct directed (u, v) twice: by u (forward adjacency,
+        for color propagation) and by v (reverse adjacency, for backward
+        marking / trim notices)."""
+        if tbl.num_rows == 0 or "u" not in tbl.column_names:
+            e = np.empty(0, np.int64)
+            return [((e, e), (e, e))] * P
+        u = np.asarray(tbl.column("u").to_pylist(), dtype=np.int64)
+        v = np.asarray(tbl.column("v").to_pylist(), dtype=np.int64)
+        fwd = _shard_pairs(u, v, P)
+        rev = _shard_pairs(v, u, P)
+        return [(fwd[p], rev[p]) for p in range(P)]
+
+    @ray.remote
+    def concat_part(*edge_parts):
+        """Partition state: deduped forward adjacency (out_u sorted),
+        deduped reverse adjacency (rev_u sorted = original destination),
+        owned node array (every endpoint with node %% P == p appears as a
+        key of one of the two adjacencies), and the SCC working vectors."""
+        edge_parts = [s[0] if isinstance(s, list) else s for s in edge_parts]
+
+        def _merge(idx):
+            if not edge_parts:
+                e = np.empty(0, np.int64)
+                return e, e
+            a = np.concatenate([s[idx][0] for s in edge_parts])
+            b = np.concatenate([s[idx][1] for s in edge_parts])
+            if len(a):
+                order = np.lexsort((b, a))
+                a, b = a[order], b[order]
+                keep = np.ones(len(a), bool)
+                keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+                a, b = a[keep], b[keep]
+            return a, b
+
+        out_u, out_v = _merge(0)
+        rev_u, rev_v = _merge(1)
+        nodes = np.unique(np.concatenate([out_u, rev_u]))
+        nz = len(nodes)
+        zb = np.zeros(nz, bool)
+        return {
+            "out_u": out_u,
+            "out_v": out_v,
+            "rev_u": rev_u,
+            "rev_v": rev_v,
+            "nodes": nodes,
+            "color": nodes.copy(),
+            "active": np.ones(nz, bool),
+            "scc": np.full(nz, -1, np.int64),
+            "frontier": zb.copy(),
+            "marked": zb.copy(),
+            "outdeg": np.zeros(nz, np.int64),
+            "indeg": np.zeros(nz, np.int64),
+            "newdead": zb.copy(),
+        }
+
+    # ---- trim: iteratively settle nodes with no active in- or out-edge
+    # (they lie on no active cycle => singleton SCCs).  Degree counters are
+    # built once per outer round; afterwards only DEAD nodes send
+    # decrements, so total trim message volume per outer round is O(E). ----
+    @ray.remote
+    def trim_count_msgs(state, P: int):
+        act = state["nodes"][state["active"]]
+        ones = np.ones(len(act), np.int64)
+        preds, _ = _gather(state["rev_u"], state["rev_v"], act, ones)
+        succs, _ = _gather(state["out_u"], state["out_v"], act, ones)
+        ps = _shard_pairs(preds, np.zeros(len(preds), np.int64), P)
+        ss = _shard_pairs(succs, np.zeros(len(succs), np.int64), P)
+        return [(ps[p][0], ss[p][0]) for p in range(P)]
+
+    @ray.remote
+    def trim_count_reduce(state, *incoming):
+        incoming = [s[0] if isinstance(s, list) else s for s in incoming]
+        nodes = state["nodes"]
+        outdeg = np.zeros(len(nodes), np.int64)
+        indeg = np.zeros(len(nodes), np.int64)
+        for preds, succs in incoming:
+            if len(preds):
+                np.add.at(outdeg, np.searchsorted(nodes, preds), 1)
+            if len(succs):
+                np.add.at(indeg, np.searchsorted(nodes, succs), 1)
+        newdead = state["active"] & ((outdeg == 0) | (indeg == 0))
+        st = dict(state, outdeg=outdeg, indeg=indeg, newdead=newdead)
+        return st, bool(newdead.any())
+
+    @ray.remote
+    def trim_dec_msgs(state, P: int):
+        """Finalize this round's trimmed nodes (scc = self) and emit degree
+        decrements to their neighbors."""
+        dead = state["newdead"]
+        nodes = state["nodes"]
+        dn = nodes[dead]
+        scc = state["scc"].copy()
+        scc[dead] = dn
+        active = state["active"] & ~dead
+        ones = np.ones(len(dn), np.int64)
+        preds, _ = _gather(state["rev_u"], state["rev_v"], dn, ones)
+        succs, _ = _gather(state["out_u"], state["out_v"], dn, ones)
+        st = dict(state, scc=scc, active=active,
+                  newdead=np.zeros(len(nodes), bool))
+        ps = _shard_pairs(preds, np.zeros(len(preds), np.int64), P)
+        ss = _shard_pairs(succs, np.zeros(len(succs), np.int64), P)
+        return [st] + [(ps[p][0], ss[p][0]) for p in range(P)]
+
+    @ray.remote
+    def trim_dec_reduce(state, *incoming):
+        incoming = [s[0] if isinstance(s, list) else s for s in incoming]
+        nodes = state["nodes"]
+        outdeg = state["outdeg"].copy()
+        indeg = state["indeg"].copy()
+        for preds, succs in incoming:
+            if len(preds):
+                np.add.at(outdeg, np.searchsorted(nodes, preds), -1)
+            if len(succs):
+                np.add.at(indeg, np.searchsorted(nodes, succs), -1)
+        newdead = state["active"] & ((outdeg <= 0) | (indeg <= 0))
+        st = dict(state, outdeg=outdeg, indeg=indeg, newdead=newdead)
+        return st, bool(newdead.any())
+
+    # ---- coloring: min-id forward propagation restricted to the active
+    # subgraph; color(v) converges to the smallest active id reaching v ----
+    @ray.remote
+    def color_reset(state):
+        return dict(state, color=state["nodes"].copy(),
+                    frontier=state["active"].copy())
+
+    @ray.remote
+    def color_msgs(state, P: int):
+        f = state["frontier"]
+        tgt, col = _gather(state["out_u"], state["out_v"],
+                           state["nodes"][f], state["color"][f])
+        return _shard_pairs(tgt, col, P)
+
+    @ray.remote
+    def color_reduce(state, *incoming):
+        incoming = [s[0] if isinstance(s, list) else s for s in incoming]
+        nodes = state["nodes"]
+        color = state["color"].copy()
+        for tgt, col in incoming:
+            if len(tgt):
+                np.minimum.at(color, np.searchsorted(nodes, tgt), col)
+        changed = (color < state["color"]) & state["active"]
+        new_color = np.where(changed, color, state["color"])
+        return dict(state, color=new_color, frontier=changed), bool(changed.any())
+
+    # ---- backward marking: from each color root, walk reverse edges
+    # staying inside the root's color class; marked == the root's SCC ----
+    @ray.remote
+    def mark_init(state):
+        marked = state["active"] & (state["color"] == state["nodes"])
+        return dict(state, marked=marked, frontier=marked.copy())
+
+    @ray.remote
+    def mark_msgs(state, P: int):
+        f = state["frontier"]
+        tgt, col = _gather(state["rev_u"], state["rev_v"],
+                           state["nodes"][f], state["color"][f])
+        return _shard_pairs(tgt, col, P)
+
+    @ray.remote
+    def mark_reduce(state, *incoming):
+        incoming = [s[0] if isinstance(s, list) else s for s in incoming]
+        nodes = state["nodes"]
+        marked = state["marked"].copy()
+        newly = np.zeros(len(nodes), bool)
+        for tgt, col in incoming:
+            if not len(tgt):
+                continue
+            idx = np.searchsorted(nodes, tgt)
+            ok = state["active"][idx] & ~marked[idx] & (state["color"][idx] == col)
+            sel = idx[ok]
+            marked[sel] = True
+            newly[sel] = True
+        return dict(state, marked=marked, frontier=newly), bool(newly.any())
+
+    @ray.remote
+    def settle(state):
+        m = state["marked"]
+        scc = state["scc"].copy()
+        scc[m] = state["color"][m]
+        active = state["active"] & ~m
+        zb = np.zeros(len(state["nodes"]), bool)
+        st = dict(state, scc=scc, active=active, marked=zb, frontier=zb.copy())
+        return st, int(active.sum())
+
+    @ray.remote
+    def to_table(state) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.array(state["nodes"], pa.int64()),
+                "label": pa.array(state["scc"], pa.int64()),
+            }
+        )
+
+    return (
+        split_edges, concat_part, trim_count_msgs, trim_count_reduce,
+        trim_dec_msgs, trim_dec_reduce, color_reset, color_msgs,
+        color_reduce, mark_init, mark_msgs, mark_reduce, settle, to_table,
+    )
+
+
+def scc_components(edges_ds, num_partitions: int | None = None,
+                   max_outer: int = 256):
+    """Strongly connected components of the DIRECTED entity graph ->
+    (canonical, scc) where ``scc`` is the lexicographically smallest
+    canonical mutually reachable from the node — the directed counterpart
+    of :func:`connected_components` ("which entities cite each other
+    transitively in both directions").
+
+    Algorithm: the trim + forward-coloring + backward-marking family
+    published for distributed SCC (Orzan's coloring; FW-BW-trim of
+    McLendon et al.) over the same BSP hash-co-partitioned shards as
+    components/PageRank/BFS:
+
+    1. **trim** — iteratively settle nodes with no active in- or out-edge
+       as singleton SCCs (kills acyclic chains; frontier-based decrements
+       after one O(E) degree census per outer round);
+    2. **color** — propagate min active id along forward edges to
+       fixpoint: color(v) = smallest active node reaching v;
+    3. **mark** — from every color root r (color(r) == r), walk REVERSE
+       edges restricted to color-r nodes; the marked set is exactly
+       SCC(r) (nodes x with x -> r inside the color class and r -> x by
+       color minimality), all roots in parallel;
+    4. settle marked SCCs, deactivate, repeat.
+
+    Every outer round settles at least every current color root, so the
+    loop terminates; round count is bounded by the condensation depth
+    after trimming (small for web-like graphs with a giant SCC — the same
+    assumption the published algorithms make).  Per-round exchanges are
+    O(active edges) int64 arrays; driver state is O(1) scalars.
+
+    Labels from the BSP loop are int ids (assignment-dependent); the SCC
+    *partition* is a pure function of the graph, so the final groupby
+    re-keys each label to its min canonical — SQL-mirrorable via a
+    recursive-CTE mutual-reachability closure."""
+    import numpy as np
+    import ray
+    import ray.data
+    from ray.data.aggregate import Min
+
+    from .dedup import _join_partitions
+
+    def to_uv(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src_id" not in batch.column_names:
+            e = pa.array([], pa.int64())
+            return pa.table({"u": e, "v": e})
+        return pa.table({"u": batch.column("src_id"), "v": batch.column("dst_id")})
+
+    P = num_partitions or max(4, int(ray.cluster_resources().get("CPU", 4)))
+    (split_edges, concat_part, trim_count_msgs, trim_count_reduce,
+     trim_dec_msgs, trim_dec_reduce, color_reset, color_msgs,
+     color_reduce, mark_init, mark_msgs, mark_reduce, settle,
+     to_table) = _scc_remotes()
+
+    uv = edges_ds.select_columns(["src_id", "dst_id"]).map_batches(
+        to_uv, batch_format="pyarrow"
+    ).materialize()
+    block_refs = list(uv.to_arrow_refs())
+    shard_lists = [split_edges.options(num_returns=P).remote(r, P) for r in block_refs]
+    if P == 1:
+        shard_lists = [[s] for s in shard_lists]
+    parts = [
+        concat_part.remote(*[shard_lists[i][p] for i in range(len(block_refs))])
+        for p in range(P)
+    ]
+
+    def _exchange(msg_fn, reduce_fn):
+        """One BSP round: per-partition shard fan-out + per-partition fold;
+        returns the fold's boolean/int second outputs."""
+        msg_lists = [msg_fn.options(num_returns=P).remote(parts[p], P) for p in range(P)]
+        if P == 1:
+            msg_lists = [[m] for m in msg_lists]
+        new = [
+            reduce_fn.options(num_returns=2).remote(
+                parts[p], *[msg_lists[q][p] for q in range(P)]
+            )
+            for p in range(P)
+        ]
+        return new
+
+    n_active = None
+    for _ in range(max_outer):
+        # ---- trim to fixpoint ----
+        new = _exchange(trim_count_msgs, trim_count_reduce)
+        for p in range(P):
+            parts[p] = new[p][0]
+        flags = ray.get([n[1] for n in new])
+        while any(flags):
+            outs = [
+                trim_dec_msgs.options(num_returns=P + 1).remote(parts[p], P)
+                for p in range(P)
+            ]
+            parts = [o[0] for o in outs]
+            new = [
+                trim_dec_reduce.options(num_returns=2).remote(
+                    parts[p], *[outs[q][1 + p] for q in range(P)]
+                )
+                for p in range(P)
+            ]
+            parts = [n[0] for n in new]
+            flags = ray.get([n[1] for n in new])
+        # ---- coloring to fixpoint ----
+        parts = [color_reset.remote(parts[p]) for p in range(P)]
+        while True:
+            new = _exchange(color_msgs, color_reduce)
+            parts = [n[0] for n in new]
+            if not any(ray.get([n[1] for n in new])):
+                break
+        # ---- backward marking to fixpoint ----
+        parts = [mark_init.remote(parts[p]) for p in range(P)]
+        while True:
+            new = _exchange(mark_msgs, mark_reduce)
+            parts = [n[0] for n in new]
+            if not any(ray.get([n[1] for n in new])):
+                break
+        new = [settle.options(num_returns=2).remote(parts[p]) for p in range(P)]
+        parts = [n[0] for n in new]
+        n_active = sum(ray.get([n[1] for n in new]))
+        if n_active == 0:
+            break
+    if n_active:
+        raise RuntimeError(
+            f"scc_components: {n_active} nodes unsettled after {max_outer} "
+            "outer rounds (condensation deeper than max_outer; raise it)"
+        )
+
+    labels = ray.data.from_arrow_refs([to_table.remote(p) for p in parts]).materialize()
+    empty = pa.table(
+        {"canonical": pa.array([], pa.string()), "scc": pa.array([], pa.string())}
+    )
+    if labels.count() == 0:
+        # empty graph; short-circuit unconditionally — an empty side
+        # crashes Ray's hash join (see triangle_counts)
+        return ray.data.from_arrow(empty)
+
+    def idmap(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src_id" not in batch.column_names:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "canonical": pa.array([], pa.string())}
+            )
+        seen: dict[int, str] = {}
+        for side in ("src", "dst"):
+            seen.update(
+                zip(
+                    batch.column(f"{side}_id").to_pylist(),
+                    batch.column(f"{side}_canonical").to_pylist(),
+                )
+            )
+        return pa.table(
+            {
+                "node": pa.array(list(seen), pa.int64()),
+                "canonical": pa.array(list(seen.values()), pa.string()),
+            }
+        )
+
+    nodes = (
+        edges_ds.select_columns(
+            ["src_id", "src_canonical", "dst_id", "dst_canonical"]
+        )
+        .map_batches(idmap, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("canonical", alias_name="canonical"))
+    )
+    n_part = 1 if nodes.count() < 10_000 else _join_partitions()
+    labeled = labels.join(nodes, join_type="inner", num_partitions=n_part, on=("node",))
+    reps = labeled.select_columns(["label", "canonical"]).groupby("label").aggregate(
+        Min("canonical", alias_name="scc")
+    )
+    return (
+        labeled.join(reps, join_type="inner", num_partitions=n_part, on=("label",))
+        .select_columns(["canonical", "scc"])
+    )
