@@ -1384,6 +1384,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).winnow_pairs(_read(sf, "documents")),
         # --- C4-style line-level cleaning (>=5-word sentences, no '{';
         # keep docs with >=3 survivors) ---
+        # --- Gopher document-quality rules (exact integer arithmetic) ---
+        "docs_gopher_filter": docs_op(
+            __import__(
+                "pdf_entity_extraction_ray.ops.text", fromlist=["gopher_filter_batch"]
+            ).gopher_filter_batch
+        ),
         "docs_c4_filter": docs_op(
             __import__(
                 "pdf_entity_extraction_ray.ops.text", fromlist=["c4_line_filter_batch"]
@@ -1413,8 +1419,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # has never itself checked (judge-run only in r3), then the long-green
     # remainder in their original order.
     front = [
-        # newest addition (round 4, sixth batch): directed SCC
+        # newest additions (round 4, sixth batch): directed SCC,
+        # Gopher quality rules
         "kg_scc",
+        "docs_gopher_filter",
         # newest additions (round 4 close, fifth batch): entity cards,
         # dangling-reference audit, assortativity moments, length filter
         "kg_cards",
@@ -1773,6 +1781,54 @@ def oracle_sql() -> dict[str, str]:
                    where a.fp in (select fp from keepfp)
                    group by 1, 2)
             select doc_a, doc_b, shared_fps from pr where shared_fps >= 2
+        """,
+        # Gopher quality rules: whitespace words, \n lines, all thresholds
+        # cross-multiplied to integers (mirrors ops/text.gopher_filter_batch);
+        # '...'-count via greedy-left replace == Python str.count
+        "docs_gopher_filter": """
+            with w as (
+                select doc_id,
+                       regexp_extract_all(text, '\\S+') as words,
+                       string_split(text, chr(10)) as lines,
+                       len(text) - len(replace(text, '#', '')) as n_hash,
+                       (len(text) - len(replace(text, '...', ''))) // 3 as n_dots,
+                       len(text) - len(replace(text, '…', '')) as n_uell
+                from documents),
+            s as (
+                select doc_id,
+                       len(words)::bigint as n_words,
+                       coalesce(list_sum(list_transform(words, x -> len(x))), 0)::bigint
+                           as word_chars,
+                       len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::bigint
+                           as n_alpha,
+                       len(list_distinct(list_filter(
+                           list_transform(words, x -> lower(x)),
+                           x -> x in ('the','be','to','of','and','that','have','with')
+                       )))::bigint as n_stop,
+                       (n_hash + n_dots + n_uell)::bigint as n_sym,
+                       len(lines)::bigint as n_lines,
+                       len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))::bigint
+                           as n_bullet,
+                       len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))::bigint
+                           as n_ell_end
+                from w)
+            select doc_id, n_words, word_chars, n_stop,
+                   (n_words between 50 and 100000) as ok_words,
+                   (3 * n_words <= word_chars and word_chars <= 10 * n_words)
+                       as ok_mean_len,
+                   (10 * n_sym < n_words) as ok_symbol,
+                   (10 * n_bullet <= 9 * n_lines) as ok_bullet,
+                   (10 * n_ell_end <= 3 * n_lines) as ok_ellipsis,
+                   (5 * n_alpha >= 4 * n_words) as ok_alpha,
+                   (n_stop >= 2) as ok_stop,
+                   ((n_words between 50 and 100000)
+                    and (3 * n_words <= word_chars and word_chars <= 10 * n_words)
+                    and (10 * n_sym < n_words)
+                    and (10 * n_bullet <= 9 * n_lines)
+                    and (10 * n_ell_end <= 3 * n_lines)
+                    and (5 * n_alpha >= 4 * n_words)
+                    and (n_stop >= 2)) as keep
+            from s
         """,
         "docs_c4_filter": """
             with s as (select doc_id, unnest(string_split(text, '. ')) as sent,

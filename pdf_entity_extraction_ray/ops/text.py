@@ -438,3 +438,85 @@ def length_percentile_filter(docs_ds, lo_pct: int = 5, hi_pct: int = 95):
         return batch.append_column("keep", keep)
 
     return counts.map_batches(flag, batch_format="pyarrow")
+
+
+_GOPHER_STOPS = frozenset(
+    ("the", "be", "to", "of", "and", "that", "have", "with")
+)
+_BULLET_RE = re.compile(r"^\s*[-*•]")
+_ELLIPSIS_END_RE = re.compile(r"(?:\.\.\.|…)\s*$")
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+
+
+def gopher_filter_batch(batch: pa.Table) -> pa.Table:
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    "Scaling Language Models", App. A) as exact INTEGER arithmetic so the
+    DuckDB oracle reproduces every column bit-for-bit:
+
+    * 50 <= word count <= 100,000          (``ok_words``)
+    * 3 <= mean word length <= 10          (``3n <= chars <= 10n``)
+    * symbol-to-word ratio < 0.1           (# and ellipsis; ``10s < n``)
+    * < 90%% of lines start with a bullet  (``10b <= 9L``)
+    * < 30%% of lines end with an ellipsis (``10e <= 3L``)
+    * >= 80%% of words contain a letter    (``5a >= 4n``)
+    * >= 2 distinct Gopher stop words      (the/be/to/of/and/that/have/with)
+
+    Words are whitespace tokens (stop-word matching is exact on the
+    lowercased token, as in the paper's description); lines split on \\n.
+    """
+    texts = batch.column("text").to_pylist()
+    n_words, word_chars, n_sym, n_lines = [], [], [], []
+    n_bullet, n_ell_end, n_alpha, n_stop = [], [], [], []
+    for t in texts:
+        words = t.split()
+        lines = t.split("\n")
+        n_words.append(len(words))
+        word_chars.append(sum(len(w) for w in words))
+        n_sym.append(t.count("#") + t.count("...") + t.count("…"))
+        n_lines.append(len(lines))
+        n_bullet.append(sum(1 for ln in lines if _BULLET_RE.match(ln)))
+        n_ell_end.append(sum(1 for ln in lines if _ELLIPSIS_END_RE.search(ln)))
+        n_alpha.append(sum(1 for w in words if _ALPHA_RE.search(w)))
+        n_stop.append(len({w.lower() for w in words} & _GOPHER_STOPS))
+    nw = pa.array(n_words, pa.int64())
+    wc = pa.array(word_chars, pa.int64())
+    ns = pa.array(n_stop, pa.int64())
+    out = {
+        "doc_id": batch.column("doc_id"),
+        "n_words": nw,
+        "word_chars": wc,
+        "n_stop": ns,
+    }
+    ok = {}
+    ok["ok_words"] = pc.and_(
+        pc.greater_equal(nw, pa.scalar(50, pa.int64())),
+        pc.less_equal(nw, pa.scalar(100000, pa.int64())),
+    )
+    three_n = pc.multiply(nw, pa.scalar(3, pa.int64()))
+    ten_n = pc.multiply(nw, pa.scalar(10, pa.int64()))
+    ok["ok_mean_len"] = pc.and_(
+        pc.less_equal(three_n, wc), pc.less_equal(wc, ten_n)
+    )
+    ok["ok_symbol"] = pc.less(
+        pc.multiply(pa.array(n_sym, pa.int64()), pa.scalar(10, pa.int64())), nw
+    )
+    nl = pa.array(n_lines, pa.int64())
+    ok["ok_bullet"] = pc.less_equal(
+        pc.multiply(pa.array(n_bullet, pa.int64()), pa.scalar(10, pa.int64())),
+        pc.multiply(nl, pa.scalar(9, pa.int64())),
+    )
+    ok["ok_ellipsis"] = pc.less_equal(
+        pc.multiply(pa.array(n_ell_end, pa.int64()), pa.scalar(10, pa.int64())),
+        pc.multiply(nl, pa.scalar(3, pa.int64())),
+    )
+    ok["ok_alpha"] = pc.greater_equal(
+        pc.multiply(pa.array(n_alpha, pa.int64()), pa.scalar(5, pa.int64())),
+        pc.multiply(nw, pa.scalar(4, pa.int64())),
+    )
+    ok["ok_stop"] = pc.greater_equal(ns, pa.scalar(2, pa.int64()))
+    keep = None
+    for arr in ok.values():
+        keep = arr if keep is None else pc.and_(keep, arr)
+    out.update(ok)
+    out["keep"] = keep
+    return pa.table(out)

@@ -1,0 +1,75 @@
+"""Round-4 sixth-batch ops: Gopher quality rules (and friends added in
+this batch).  Each test hand-computes the expected integer columns."""
+import pyarrow as pa
+
+
+def _gopher(texts):
+    from pdf_entity_extraction_ray.ops.text import gopher_filter_batch
+
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    t = gopher_filter_batch(batch)
+    return {r["doc_id"]: r for r in t.to_pylist()}
+
+
+def test_gopher_word_count_and_stopwords():
+    good = "the quick brown fox jumps over that lazy dog again and again " * 5
+    out = _gopher([good, "tiny doc with few words", ""])
+    g = out[0]
+    assert g["ok_words"]  # 60 words
+    assert g["ok_stop"]  # the/that/and -> 3 distinct
+    assert g["ok_alpha"] and g["ok_mean_len"] and g["keep"]
+    s = out[1]
+    assert not s["ok_words"] and not s["keep"]  # 5 words < 50
+    assert not s["ok_stop"]  # only 'with' -> 1 distinct stop word
+    e = out[2]
+    assert e["n_words"] == 0 and not e["keep"]
+
+
+def test_gopher_stopword_distinctness():
+    # 'with' repeated 60 times: 60 words but only ONE distinct stop word
+    out = _gopher(["with " * 60])
+    assert out[0]["n_stop"] == 1
+    assert not out[0]["ok_stop"] and not out[0]["keep"]
+
+
+def test_gopher_symbol_ratio():
+    # 10 words, 2 symbols ('#' and '...'): 10*2 >= 10 -> fail
+    t = "alpha beta gamma delta epsilon zeta eta theta iota# kappa..."
+    out = _gopher([t])
+    assert out[0]["n_words"] == 10
+    assert not out[0]["ok_symbol"]
+    # 1 symbol per 11 words passes (10*1 < 11)
+    t2 = "a b c d e f g h i j k#"
+    assert _gopher([t2])[0]["ok_symbol"]
+
+
+def test_gopher_bullet_and_ellipsis_lines():
+    # 10 lines, 9 bullets: 10*9 <= 9*10 -> ok (exactly at the bound);
+    # 10 bullets: 100 > 90 -> fail
+    nine = "\n".join(["- item"] * 9 + ["plain line"])
+    ten = "\n".join(["- item"] * 10)
+    out = _gopher([nine, ten])
+    assert out[0]["ok_bullet"] and not out[1]["ok_bullet"]
+    # ellipsis: 4 of 10 lines ending in ... -> 40 > 30 -> fail; 3 of 10 ok
+    four = "\n".join(["ends here..."] * 4 + ["plain"] * 6)
+    three = "\n".join(["ends here..."] * 3 + ["plain"] * 7)
+    out2 = _gopher([four, three])
+    assert not out2[0]["ok_ellipsis"] and out2[1]["ok_ellipsis"]
+
+
+def test_gopher_mean_word_length_and_alpha():
+    # fifty 1-char words: mean 1 < 3 -> fail mean_len
+    ones = " ".join(["a"] * 50)
+    # fifty 12-char words: mean 12 > 10 -> fail
+    longs = " ".join(["abcdefghijkl"] * 50)
+    # 40 alpha + 10 numeric of 50: 5*40 >= 4*50 -> ok_alpha at the bound
+    mixed = " ".join(["word"] * 40 + ["1234"] * 10)
+    out = _gopher([ones, longs, mixed])
+    assert not out[0]["ok_mean_len"]
+    assert not out[1]["ok_mean_len"]
+    assert out[2]["ok_alpha"]
+    # 39 alpha of 50 fails (195 < 200)
+    mixed_bad = " ".join(["word"] * 39 + ["1234"] * 11)
+    assert not _gopher([mixed_bad])[0]["ok_alpha"]
