@@ -68,6 +68,7 @@ def _kg_artifacts(sf_dir: str) -> dict:
         and os.path.isdir(f"{base}/gold_pagerank")
         and os.path.isdir(f"{base}/gold_kcore")
         and os.path.isdir(f"{base}/gold_linkrank")
+        and os.path.isdir(f"{base}/gold_hits")
         and os.path.isfile(f"{base}/{CORPUS_VERSION_MARKER}")
     ):
         shutil.rmtree(base, ignore_errors=True)
@@ -515,6 +516,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         res = _kg_artifacts(sf_dir)
         return functional_conflicts(ray.data.read_parquet(res["triples_canonical"]))
+
+    def _kg_hits_ppm(sf_dir):
+        """Engine HITS hubs/authorities over the KG edges (same multigraph
+        semantics as PageRank), scores scaled to integer ppm — hash-
+        comparable against the synthesizer's single-process gold_hits
+        table (the kg_pagerank float-grid trick)."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import hits
+
+        hs = hits(
+            ray.data.read_parquet(
+                _kg_artifacts(sf_dir)["edges"], columns=["src_id", "dst_id"]
+            ),
+            iterations=20,
+        )
+
+        def to_ppm(batch: pa.Table) -> pa.Table:
+            def ppm(col):
+                return pa.array(
+                    np.round(
+                        np.asarray(batch.column(col).to_pylist(), dtype=np.float64)
+                        * 1e6
+                    ).astype(np.int64),
+                    pa.int64(),
+                )
+
+            return pa.table(
+                {
+                    "node": batch.column("node"),
+                    "hub_ppm": ppm("hub"),
+                    "auth_ppm": ppm("auth"),
+                }
+            )
+
+        return hs.map_batches(to_ppm, batch_format="pyarrow")
 
     def _kg_scc(sf_dir):
         """Strongly connected components of the DIRECTED entity graph
@@ -1073,6 +1112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # --- strongly connected components (directed mutual reachability) ---
         "kg_scc": _kg_scc,
+        # --- HITS hubs/authorities (ppm grid vs single-process gold) ---
+        "kg_hits": _kg_hits_ppm,
         "kg_common_neighbors": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["common_neighbors"]
         ).common_neighbors(
@@ -1420,9 +1461,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remainder in their original order.
     front = [
         # newest additions (round 4, sixth batch): directed SCC,
-        # Gopher quality rules
+        # Gopher quality rules, HITS hubs/authorities
         "kg_scc",
         "docs_gopher_filter",
+        "kg_hits",
         # newest additions (round 4 close, fifth batch): entity cards,
         # dangling-reference audit, assortativity moments, length filter
         "kg_cards",
@@ -2078,6 +2120,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_coreness": f"""
             select node, core
             from read_parquet('{gold}/gold_kcore/*.parquet')
+        """,
+        "kg_hits": f"""
+            select node, hub_ppm, auth_ppm
+            from read_parquet('{gold}/gold_hits/*.parquet')
         """,
         # components re-derived from the gold triples (same graph the
         # engine's edges table is hash-checked against): recursive-CTE

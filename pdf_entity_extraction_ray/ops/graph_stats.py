@@ -3738,3 +3738,195 @@ def scc_components(edges_ds, num_partitions: int | None = None,
         labeled.join(reps, join_type="inner", num_partitions=n_part, on=("label",))
         .select_columns(["canonical", "scc"])
     )
+
+
+def _hits_remotes():
+    """BSP worker tasks for HITS hubs/authorities (lazy so import never
+    touches Ray)."""
+    import numpy as np
+
+    import ray
+
+    def _shard_pairs(a, b, P):
+        dest = a % P
+        order = np.argsort(dest, kind="stable")
+        a, b, dest = a[order], b[order], dest[order]
+        bounds = np.searchsorted(dest, np.arange(P + 1))
+        return [
+            (a[bounds[p]: bounds[p + 1]], b[bounds[p]: bounds[p + 1]])
+            for p in range(P)
+        ]
+
+    def _gather_vals(adj_u, adj_v, keys, vals):
+        lo = np.searchsorted(adj_u, keys, side="left")
+        hi = np.searchsorted(adj_u, keys, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        starts = np.repeat(lo, counts)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        return adj_v[starts + offs], np.repeat(vals, counts)
+
+    @ray.remote
+    def split_edges(tbl: pa.Table, P: int):
+        """Shard (u, v) MULTI-edges (one per (src, pred, dst) row — no
+        dedupe, matching the PageRank multigraph semantics) by u (forward)
+        and by v (reverse)."""
+        if tbl.num_rows == 0 or "u" not in tbl.column_names:
+            e = np.empty(0, np.int64)
+            return [((e, e), (e, e))] * P
+        u = np.asarray(tbl.column("u").to_pylist(), dtype=np.int64)
+        v = np.asarray(tbl.column("v").to_pylist(), dtype=np.int64)
+        fwd = _shard_pairs(u, v, P)
+        rev = _shard_pairs(v, u, P)
+        return [(fwd[p], rev[p]) for p in range(P)]
+
+    @ray.remote
+    def concat_part(*edge_parts):
+        edge_parts = [s[0] if isinstance(s, list) else s for s in edge_parts]
+
+        def _merge(idx):
+            if not edge_parts:
+                e = np.empty(0, np.int64)
+                return e, e
+            a = np.concatenate([s[idx][0] for s in edge_parts])
+            b = np.concatenate([s[idx][1] for s in edge_parts])
+            order = np.argsort(a, kind="stable")
+            return a[order], b[order]
+
+        out_u, out_v = _merge(0)
+        rev_u, rev_v = _merge(1)
+        nodes = np.unique(np.concatenate([out_u, rev_u]))
+        return {
+            "out_u": out_u,
+            "out_v": out_v,
+            "rev_u": rev_u,
+            "rev_v": rev_v,
+            "nodes": nodes,
+            "h": np.ones(len(nodes), np.float64),
+            "a": np.zeros(len(nodes), np.float64),
+        }
+
+    @ray.remote
+    def auth_msgs(state, P: int):
+        """hub scores pushed along forward edges: a(v) <- sum h(u)."""
+        tgt, val = _gather_vals(
+            state["out_u"], state["out_v"], state["nodes"], state["h"]
+        )
+        return _shard_pairs(tgt, val, P)
+
+    @ray.remote
+    def auth_reduce(state, *incoming):
+        incoming = [s[0] if isinstance(s, list) else s for s in incoming]
+        nodes = state["nodes"]
+        a = np.zeros(len(nodes), np.float64)
+        for tgt, val in incoming:
+            if len(tgt):
+                np.add.at(a, np.searchsorted(nodes, tgt), val)
+        return dict(state, a=a), float((a * a).sum())
+
+    @ray.remote
+    def scale_auth(state, norm: float):
+        a = state["a"] / norm if norm > 0 else state["a"]
+        return dict(state, a=a)
+
+    @ray.remote
+    def hub_msgs(state, P: int):
+        """authority scores pulled along reverse edges: h(u) <- sum a(v)."""
+        tgt, val = _gather_vals(
+            state["rev_u"], state["rev_v"], state["nodes"], state["a"]
+        )
+        return _shard_pairs(tgt, val, P)
+
+    @ray.remote
+    def hub_reduce(state, *incoming):
+        incoming = [s[0] if isinstance(s, list) else s for s in incoming]
+        nodes = state["nodes"]
+        h = np.zeros(len(nodes), np.float64)
+        for tgt, val in incoming:
+            if len(tgt):
+                np.add.at(h, np.searchsorted(nodes, tgt), val)
+        return dict(state, h=h), float((h * h).sum())
+
+    @ray.remote
+    def scale_hub(state, norm: float):
+        h = state["h"] / norm if norm > 0 else state["h"]
+        return dict(state, h=h)
+
+    @ray.remote
+    def to_table(state) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.array(state["nodes"], pa.int64()),
+                "hub": pa.array(state["h"], pa.float64()),
+                "auth": pa.array(state["a"], pa.float64()),
+            }
+        )
+
+    return (split_edges, concat_part, auth_msgs, auth_reduce, scale_auth,
+            hub_msgs, hub_reduce, scale_hub, to_table)
+
+
+def hits(edges_ds, iterations: int = 20, num_partitions: int | None = None):
+    """HITS hubs and authorities (Kleinberg) over the directed KG
+    multigraph (one edge per (src, pred, dst) row, matching the PageRank
+    edge semantics) -> (node, hub, auth) float scores.
+
+    Same BSP shape as :func:`pagerank`: edges hash-partition ONCE (forward
+    by source for the authority pull, reverse by destination for the hub
+    push); each of the ``iterations`` rounds does two vectorized
+    message exchanges plus an L2 normalization whose only driver-visible
+    state is the per-partition sum-of-squares scalar.  h starts at 1,
+    authority update precedes hub update, both halves normalized — the
+    exact formulation of ``sources/corpus.hits_reference``, so the ppm
+    grid (1e-6) swamps cross-engine float-association noise (~1e-15)."""
+    import math
+
+    import ray
+    import ray.data
+
+    def to_uv(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src_id" not in batch.column_names:
+            e = pa.array([], pa.int64())
+            return pa.table({"u": e, "v": e})
+        return pa.table({"u": batch.column("src_id"), "v": batch.column("dst_id")})
+
+    P = num_partitions or max(4, int(ray.cluster_resources().get("CPU", 4)))
+    (split_edges, concat_part, auth_msgs, auth_reduce, scale_auth,
+     hub_msgs, hub_reduce, scale_hub, to_table) = _hits_remotes()
+
+    uv = edges_ds.select_columns(["src_id", "dst_id"]).map_batches(
+        to_uv, batch_format="pyarrow"
+    ).materialize()
+    block_refs = list(uv.to_arrow_refs())
+    shard_lists = [split_edges.options(num_returns=P).remote(r, P) for r in block_refs]
+    if P == 1:
+        shard_lists = [[s] for s in shard_lists]
+    parts = [
+        concat_part.remote(*[shard_lists[i][p] for i in range(len(block_refs))])
+        for p in range(P)
+    ]
+
+    def _half(msg_fn, reduce_fn, scale_fn):
+        nonlocal parts
+        msg_lists = [msg_fn.options(num_returns=P).remote(parts[p], P) for p in range(P)]
+        if P == 1:
+            msg_lists = [[m] for m in msg_lists]
+        new = [
+            reduce_fn.options(num_returns=2).remote(
+                parts[p], *[msg_lists[q][p] for q in range(P)]
+            )
+            for p in range(P)
+        ]
+        parts = [n[0] for n in new]
+        norm = math.sqrt(sum(ray.get([n[1] for n in new])))
+        parts = [scale_fn.remote(parts[p], norm) for p in range(P)]
+
+    for _ in range(iterations):
+        _half(auth_msgs, auth_reduce, scale_auth)
+        _half(hub_msgs, hub_reduce, scale_hub)
+
+    return ray.data.from_arrow_refs([to_table.remote(p) for p in parts])

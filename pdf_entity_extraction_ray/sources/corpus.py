@@ -761,6 +761,7 @@ def write_corpus(
         write_gold_pagerank(out_dir)
         write_gold_kcore(out_dir)
         write_gold_linkrank(out_dir, n_pages)
+        write_gold_hits(out_dir)
 
     # synthesis-version marker: cached corpus dirs from an older synthesizer
     # (e.g. pre-link-graph) are detected and regenerated by consumers
@@ -999,4 +1000,65 @@ def write_gold_linkrank(
             }
         ),
         f"{out_dir}/gold_linkrank/part-0.parquet",
+    )
+
+
+def hits_reference(uv: list, iterations: int = 20):
+    """Single-process numpy HITS (Kleinberg hubs/authorities) over (u, v)
+    edge pairs — the engine's exact formulation (ops/graph_stats.hits:
+    h starts at 1, authority pull then hub push per round, L2
+    normalization after each half-step).  Returns (sorted nodes, hub,
+    auth)."""
+    import numpy as np
+
+    nodes = sorted({u for u, _ in uv} | {v for _, v in uv})
+    idx = {n: i for i, n in enumerate(nodes)}
+    u_idx = np.array([idx[u] for u, _ in uv], dtype=np.int64)
+    v_idx = np.array([idx[v] for _, v in uv], dtype=np.int64)
+    h = np.ones(len(nodes), dtype=np.float64)
+    a = np.zeros(len(nodes), dtype=np.float64)
+    for _ in range(iterations):
+        a = np.zeros(len(nodes), dtype=np.float64)
+        np.add.at(a, v_idx, h[u_idx])
+        na = float(np.sqrt((a * a).sum()))
+        if na > 0:
+            a = a / na
+        h = np.zeros(len(nodes), dtype=np.float64)
+        np.add.at(h, u_idx, a[v_idx])
+        nh = float(np.sqrt((h * h).sum()))
+        if nh > 0:
+            h = h / nh
+    return nodes, h, a
+
+
+def write_gold_hits(out_dir: str, iterations: int = 20) -> None:
+    """Single-process reference HITS over the gold graph -> a ``gold_hits``
+    table (node, hub_ppm, auth_ppm), same ppm-grid trick as
+    :func:`write_gold_pagerank` (cross-engine float noise ~1e-15 vs the
+    1e-6 grid).  Multigraph semantics match the engine: one (u, v) edge
+    per distinct (src, pred, dst) row."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    edge_rows = gold_edge_rows(out_dir)
+    nodes, hub, auth = hits_reference(
+        [(u, v) for u, _p, v in edge_rows], iterations=iterations
+    )
+    os.makedirs(f"{out_dir}/gold_hits", exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "hub_ppm": pa.array(
+                    np.round(hub * 1e6).astype(np.int64), pa.int64()
+                ),
+                "auth_ppm": pa.array(
+                    np.round(auth * 1e6).astype(np.int64), pa.int64()
+                ),
+            }
+        ),
+        f"{out_dir}/gold_hits/part-0.parquet",
     )

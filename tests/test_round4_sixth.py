@@ -73,3 +73,70 @@ def test_gopher_mean_word_length_and_alpha():
     # 39 alpha of 50 fails (195 < 200)
     mixed_bad = " ".join(["word"] * 39 + ["1234"] * 11)
     assert not _gopher([mixed_bad])[0]["ok_alpha"]
+
+
+def _hits_run(edge_list, **kw):
+    import ray
+
+    from pdf_entity_extraction_ray.ops.graph_stats import hits
+
+    tbl = pa.table(
+        {
+            "src_id": pa.array([u for u, _ in edge_list], pa.int64()),
+            "dst_id": pa.array([v for _, v in edge_list], pa.int64()),
+        }
+    )
+    out = {}
+    for b in hits(ray.data.from_arrow(tbl), **kw).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for n, h, a in zip(
+            b.column("node").to_pylist(),
+            b.column("hub").to_pylist(),
+            b.column("auth").to_pylist(),
+        ):
+            out[n] = (round(h * 1e6), round(a * 1e6))
+    return out
+
+
+def test_hits_matches_reference_and_partition_invariant():
+    import random
+
+    from pdf_entity_extraction_ray.sources.corpus import hits_reference
+
+    rng = random.Random(11)
+    n = 40
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    nodes, hub, auth = hits_reference(edges, iterations=20)
+    exp = {
+        nd: (round(h * 1e6), round(a * 1e6)) for nd, h, a in zip(nodes, hub, auth)
+    }
+    assert _hits_run(edges, num_partitions=1) == exp
+    assert _hits_run(edges, num_partitions=5) == exp
+
+
+def test_hits_star_graph():
+    # star: 0 -> {1..5}; node 0 is the only hub, 1..5 equal authorities
+    edges = [(0, k) for k in range(1, 6)]
+    out = _hits_run(edges)
+    assert out[0][0] == 1_000_000  # hub ppm of the center
+    assert out[0][1] == 0
+    import math
+
+    leaf_auth = round(1e6 / math.sqrt(5))
+    for k in range(1, 6):
+        assert out[k] == (0, leaf_auth)
+
+
+def test_hits_multigraph_edge_weighting():
+    # duplicated edge counts twice (PageRank multigraph parity)
+    from pdf_entity_extraction_ray.sources.corpus import hits_reference
+
+    edges = [(0, 1), (0, 1), (2, 1), (2, 3)]
+    nodes, hub, auth = hits_reference(edges, iterations=20)
+    exp = {
+        nd: (round(h * 1e6), round(a * 1e6)) for nd, h, a in zip(nodes, hub, auth)
+    }
+    assert _hits_run(edges) == exp
+    # the doubled edge must make 0 a stronger hub than 2
+    assert exp[0][0] > exp[2][0]
