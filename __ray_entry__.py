@@ -1425,6 +1425,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).winnow_pairs(_read(sf, "documents")),
         # --- C4-style line-level cleaning (>=5-word sentences, no '{';
         # keep docs with >=3 survivors) ---
+        # --- blocklist ("bad words") content filter ---
+        "docs_blocklist_filter": docs_op(
+            __import__(
+                "pdf_entity_extraction_ray.ops.text", fromlist=["blocklist_filter_batch"]
+            ).blocklist_filter_batch
+        ),
         # --- Gopher document-quality rules (exact integer arithmetic) ---
         "docs_gopher_filter": docs_op(
             __import__(
@@ -1465,6 +1471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_scc",
         "docs_gopher_filter",
         "kg_hits",
+        "docs_blocklist_filter",
         # newest additions (round 4 close, fifth batch): entity cards,
         # dangling-reference audit, assortativity moments, length filter
         "kg_cards",
@@ -1823,6 +1830,22 @@ def oracle_sql() -> dict[str, str]:
                    where a.fp in (select fp from keepfp)
                    group by 1, 2)
             select doc_a, doc_b, shared_fps from pr where shared_fps >= 2
+        """,
+        # blocklist word-ratio filter: 100*blocked <= 2*words, whitespace
+        # words, lowercase exact-token match (ops/text.blocklist_filter_batch)
+        "docs_blocklist_filter": """
+            with s as (
+                select doc_id,
+                       len(regexp_extract_all(text, '\\S+'))::bigint as n_words,
+                       len(list_filter(
+                           list_transform(regexp_extract_all(text, '\\S+'),
+                                          x -> lower(x)),
+                           x -> x in ('slow', 'broken', 'legacy')
+                       ))::bigint as n_blocked
+                from documents)
+            select doc_id, n_words, n_blocked,
+                   (100 * n_blocked <= 2 * n_words) as keep
+            from s
         """,
         # Gopher quality rules: whitespace words, \n lines, all thresholds
         # cross-multiplied to integers (mirrors ops/text.gopher_filter_batch);

@@ -520,3 +520,39 @@ def gopher_filter_batch(batch: pa.Table) -> pa.Table:
     out.update(ok)
     out["keep"] = keep
     return pa.table(out)
+
+
+# demo blocklist for the registry query (the op takes any list); chosen
+# from the synthetic corpus vocabulary so the filter discriminates there
+DEFAULT_BLOCKLIST = ("slow", "broken", "legacy")
+
+
+def blocklist_filter_batch(batch: pa.Table, blocklist=DEFAULT_BLOCKLIST,
+                           max_pct: int = 2) -> pa.Table:
+    """Wordlist-based content filter (the C4 / RefinedWeb "bad words"
+    rule): count whitespace words whose lowercase form is in the
+    blocklist; drop the document when blocked words exceed ``max_pct``
+    percent of all words.  Pure integer arithmetic
+    (``100 * n_blocked <= max_pct * n_words``) so the DuckDB oracle
+    matches bit-for-bit; empty documents keep (0 <= 0)."""
+    bl = frozenset(blocklist)
+    texts = batch.column("text").to_pylist()
+    n_words, n_blocked = [], []
+    for t in texts:
+        words = t.split()
+        n_words.append(len(words))
+        n_blocked.append(sum(1 for w in words if w.lower() in bl))
+    nw = pa.array(n_words, pa.int64())
+    nb = pa.array(n_blocked, pa.int64())
+    keep = pc.less_equal(
+        pc.multiply(nb, pa.scalar(100, pa.int64())),
+        pc.multiply(nw, pa.scalar(max_pct, pa.int64())),
+    )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_words": nw,
+            "n_blocked": nb,
+            "keep": keep,
+        }
+    )

@@ -140,3 +140,24 @@ def test_hits_multigraph_edge_weighting():
     assert _hits_run(edges) == exp
     # the doubled edge must make 0 a stronger hub than 2
     assert exp[0][0] > exp[2][0]
+
+
+def test_blocklist_filter():
+    from pdf_entity_extraction_ray.ops.text import blocklist_filter_batch
+
+    texts = [
+        "fast table scan",                      # 0 blocked of 3 -> keep
+        "slow slow table scan",                 # 2 of 4 = 50% -> drop
+        "SLOW " + "word " * 49,                 # 1 of 50 = 2% -> keep (boundary)
+        "slow " + "word " * 48,                 # 1 of 49 > 2% -> drop
+        "",                                     # empty -> keep
+    ]
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    out = {r["doc_id"]: r for r in blocklist_filter_batch(batch).to_pylist()}
+    assert out[0]["keep"] and out[0]["n_blocked"] == 0
+    assert not out[1]["keep"] and out[1]["n_blocked"] == 2
+    assert out[2]["keep"]  # case-insensitive match, exactly at 2%
+    assert not out[3]["keep"]
+    assert out[4]["keep"] and out[4]["n_words"] == 0
