@@ -1114,6 +1114,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_scc": _kg_scc,
         # --- HITS hubs/authorities (ppm grid vs single-process gold) ---
         "kg_hits": _kg_hits_ppm,
+        # --- resource-allocation link-prediction index (exact integer) ---
+        "kg_resource_alloc": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["resource_allocation"]
+        ).resource_allocation(
+            __import__("ray.data", fromlist=["read_parquet"]).read_parquet(
+                _kg_artifacts(sf)["edges"],
+                columns=["src_canonical", "dst_canonical"],
+            )
+        ),
         "kg_common_neighbors": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["common_neighbors"]
         ).common_neighbors(
@@ -1472,6 +1481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_gopher_filter",
         "kg_hits",
         "docs_blocklist_filter",
+        "kg_resource_alloc",
         # newest additions (round 4 close, fifth batch): entity cards,
         # dangling-reference audit, assortativity moments, length filter
         "kg_cards",
@@ -2196,6 +2206,28 @@ def oracle_sql() -> dict[str, str]:
                     from nodes left join mutual using (node)
                     group by node)
             select node as canonical, scc from lbl
+        """,
+        # resource-allocation index over the same undirected graph: wedge
+        # self-join weighted by 10^6 // apex degree — floor division keeps
+        # the sum exact-integer on both engines
+        "kg_resource_alloc": f"""
+            with {kg_cte},
+            tri as ({tri_canon}),
+            dir as (select subj_canonical as s, obj_canonical as d from tri),
+            e0 as (select distinct least(s, d) as a, greatest(s, d) as b
+                   from dir where s != d),
+            adj as (select a as u, b as v from e0
+                    union all select b as u, a as v from e0),
+            deg as (select u, count(*) as d from adj group by u),
+            wed as (select x.v as a, y.v as b, count(*)::bigint as common,
+                           sum(1000000 // dg.d)::bigint as ra_micro
+                    from adj x join adj y on x.u = y.u and x.v < y.v
+                    join deg dg on dg.u = x.u
+                    group by 1, 2),
+            ed as (select a, b, 1 as is_edge from e0)
+            select w.a, w.b, w.common, w.ra_micro,
+                   coalesce(ed.is_edge, 0)::bigint as is_edge
+            from wed w left join ed using (a, b)
         """,
         # common-neighbor / jaccard link-prediction features over the same
         # canonical undirected graph as kg_components: wedge counting ==

@@ -3930,3 +3930,161 @@ def hits(edges_ds, iterations: int = 20, num_partitions: int | None = None):
         _half(hub_msgs, hub_reduce, scale_hub)
 
     return ray.data.from_arrow_refs([to_table.remote(p) for p in parts])
+
+
+def resource_allocation(
+    edges_ds,
+    min_common: int = 1,
+    max_degree: int | None = None,
+    num_partitions: int | None = None,
+):
+    """Resource-Allocation link-prediction index (Zhou/Lü/Zhang 2009) over
+    the UNDIRECTED simple graph: for every unordered pair ``(a, b)`` with
+    at least ``min_common`` shared neighbors,
+
+        ``ra_micro = sum over common neighbors w of (10^6 // deg(w))``
+
+    — the Adamic-Adar family with the ``1/deg`` kernel, which (unlike
+    ``1/ln deg``) is exact INTEGER arithmetic: floor division per apex,
+    integer sum, so the DuckDB oracle is bit-exact with no float-grid
+    caveat.  ``is_edge`` marks already-adjacent pairs (link prediction
+    ranks the ``is_edge = 0`` rows by ``ra_micro``).
+
+    Scale shape mirrors :func:`common_neighbors` (wedge enumeration per
+    coarse apex partition, ``max_degree`` celebrity cut, edge markers
+    unioned into the same groupby) but needs NO degree join at all: the
+    apex's full adjacency lives inside its coarse partition, so
+    ``deg(w)`` is the local group size and each wedge row carries its
+    ``10^6 // deg`` contribution directly."""
+    import numpy as np
+    from ray.data.aggregate import Max, Sum
+
+    def to_und(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src_canonical" not in batch.column_names:
+            return pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
+        s = batch.column("src_canonical")
+        d = batch.column("dst_canonical")
+        lt = pc.less(s, d)
+        t = pa.table(
+            {"a": pc.if_else(lt, s, d), "b": pc.if_else(lt, d, s)}
+        ).filter(pc.not_equal(s, d))
+        return t.group_by(["a", "b"]).aggregate([])
+
+    und = (
+        edges_ds.select_columns(["src_canonical", "dst_canonical"])
+        .map_batches(to_und, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+
+    from ..state.lineage import url_buckets
+    from ..stages.linking import _coarse_parts
+
+    parts = _coarse_parts()
+
+    def adjacency(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "u": pa.array([], pa.string()),
+                "v": pa.array([], pa.string()),
+                "part": pa.array([], pa.int32()),
+            }
+        )
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return empty
+        a = batch.column("a").combine_chunks()
+        b = batch.column("b").combine_chunks()
+        u = pa.concat_arrays([a, b])
+        v = pa.concat_arrays([b, a])
+        return pa.table(
+            {"u": u, "v": v, "part": pa.array(url_buckets(u, parts), pa.int32())}
+        )
+
+    adj = und.map_batches(adjacency, batch_format="pyarrow")
+
+    def wedge_pairs_partition(group: pa.Table) -> pa.Table:
+        """One coarse hash partition -> (pair, 1, 10^6 // apex_degree)
+        rows; the apex degree is the local group size (all adjacency rows
+        of an apex land in its partition)."""
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.string()),
+                "b": pa.array([], pa.string()),
+                "common": pa.array([], pa.int64()),
+                "ra": pa.array([], pa.int64()),
+                "edge": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "u" not in group.column_names:
+            return empty
+        tbl = group.sort_by([("u", "ascending"), ("v", "ascending")])
+        codes = pc.dictionary_encode(tbl.column("u").combine_chunks()).indices
+        idx = np.asarray(codes)
+        starts = np.flatnonzero(np.r_[True, np.diff(idx) != 0])
+        ends = np.r_[starts[1:], len(idx)]
+        sizes = ends - starts
+        keep = sizes >= 2
+        if max_degree is not None:
+            keep &= sizes <= max_degree
+        if not keep.any():
+            return empty
+        vs = tbl.column("v").combine_chunks()
+        out_a: list[pa.Array] = []
+        out_b: list[pa.Array] = []
+        out_ra: list[np.ndarray] = []
+        for s, e in zip(starts[keep], ends[keep]):
+            nbrs = vs.slice(s, e - s)
+            ii, jj = np.triu_indices(e - s, k=1)
+            out_a.append(nbrs.take(pa.array(ii, pa.int64())))
+            out_b.append(nbrs.take(pa.array(jj, pa.int64())))
+            out_ra.append(np.full(len(ii), 1_000_000 // (e - s), np.int64))
+        n = sum(len(x) for x in out_a)
+        return pa.table(
+            {
+                "a": pa.concat_arrays(out_a),
+                "b": pa.concat_arrays(out_b),
+                "common": pa.array(np.ones(n, np.int64)),
+                "ra": pa.array(np.concatenate(out_ra)),
+                "edge": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    wedges = adj.groupby("part").map_groups(
+        wedge_pairs_partition, batch_format="pyarrow"
+    )
+
+    def und_markers(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "common": pa.array([], pa.int64()),
+                    "ra": pa.array([], pa.int64()),
+                    "edge": pa.array([], pa.int64()),
+                }
+            )
+        n = batch.num_rows
+        z = pa.array(np.zeros(n, np.int64))
+        return pa.table(
+            {
+                "a": batch.column("a"),
+                "b": batch.column("b"),
+                "common": z,
+                "ra": z,
+                "edge": pa.array(np.ones(n, np.int64)),
+            }
+        )
+
+    return (
+        wedges.union(und.map_batches(und_markers, batch_format="pyarrow"))
+        .groupby(["a", "b"])
+        .aggregate(
+            Sum("common", alias_name="common"),
+            Sum("ra", alias_name="ra_micro"),
+            Max("edge", alias_name="is_edge"),
+        )
+        .filter(expr=f"common >= {int(min_common)}")
+    )

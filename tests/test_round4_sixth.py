@@ -161,3 +161,47 @@ def test_blocklist_filter():
     assert out[2]["keep"]  # case-insensitive match, exactly at 2%
     assert not out[3]["keep"]
     assert out[4]["keep"] and out[4]["n_words"] == 0
+
+
+def test_resource_allocation_matches_bruteforce():
+    import itertools
+    import random
+    from collections import defaultdict
+
+    import ray
+
+    from pdf_entity_extraction_ray.ops.graph_stats import resource_allocation
+
+    rng = random.Random(13)
+    n = 25
+    und = {
+        (min(u, v), max(u, v))
+        for u, v in ((rng.randrange(n), rng.randrange(n)) for _ in range(70))
+        if u != v
+    }
+    nbr = defaultdict(set)
+    for a, b in und:
+        nbr[a].add(b)
+        nbr[b].add(a)
+    exp = {}
+    for a, b in itertools.combinations(sorted(nbr), 2):
+        com = nbr[a] & nbr[b]
+        if com:
+            exp[(f"n{a:02d}", f"n{b:02d}")] = (
+                len(com),
+                sum(1_000_000 // len(nbr[w]) for w in com),
+                int((min(a, b), max(a, b)) in und),
+            )
+    tbl = pa.table(
+        {
+            "src_canonical": [f"n{u:02d}" for u, _ in und],
+            "dst_canonical": [f"n{v:02d}" for _, v in und],
+        }
+    )
+    got = {}
+    for b in resource_allocation(ray.data.from_arrow(tbl)).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for r in b.to_pylist():
+            got[(r["a"], r["b"])] = (r["common"], r["ra_micro"], r["is_edge"])
+    assert got == exp
