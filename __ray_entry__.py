@@ -69,6 +69,7 @@ def _kg_artifacts(sf_dir: str) -> dict:
         and os.path.isdir(f"{base}/gold_kcore")
         and os.path.isdir(f"{base}/gold_linkrank")
         and os.path.isdir(f"{base}/gold_hits")
+        and os.path.isdir(f"{base}/gold_hyperball")
         and os.path.isfile(f"{base}/{CORPUS_VERSION_MARKER}")
     ):
         shutil.rmtree(base, ignore_errors=True)
@@ -1114,6 +1115,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_scc": _kg_scc,
         # --- HITS hubs/authorities (ppm grid vs single-process gold) ---
         "kg_hits": _kg_hits_ppm,
+        # --- HyperBall neighborhood function (per-node ball sizes) ---
+        "kg_hyperball": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["hyperball"]
+        ).hyperball(
+            __import__("ray.data", fromlist=["read_parquet"]).read_parquet(
+                _kg_artifacts(sf)["edges"], columns=["src_id", "dst_id"]
+            ),
+            max_t=4,
+        ),
         # --- resource-allocation link-prediction index (exact integer) ---
         "kg_resource_alloc": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["resource_allocation"]
@@ -1482,6 +1492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_hits",
         "docs_blocklist_filter",
         "kg_resource_alloc",
+        "kg_hyperball",
         # newest additions (round 4 close, fifth batch): entity cards,
         # dangling-reference audit, assortativity moments, length filter
         "kg_cards",
@@ -2157,6 +2168,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_hits": f"""
             select node, hub_ppm, auth_ppm
             from read_parquet('{gold}/gold_hits/*.parquet')
+        """,
+        "kg_hyperball": f"""
+            select node, t, est_micro
+            from read_parquet('{gold}/gold_hyperball/*.parquet')
         """,
         # components re-derived from the gold triples (same graph the
         # engine's edges table is hash-checked against): recursive-CTE

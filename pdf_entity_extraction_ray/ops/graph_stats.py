@@ -4088,3 +4088,213 @@ def resource_allocation(
         )
         .filter(expr=f"common >= {int(min_common)}")
     )
+
+
+def _hyperball_remotes(p_bits: int, max_t: int):
+    """BSP worker tasks for HyperBall (lazy so import never touches Ray)."""
+    import numpy as np
+
+    import ray
+
+    from .sketch import hll_row_estimates, hll_single_register
+
+    m = 1 << p_bits
+
+    def _shard_pairs(a, b, P):
+        dest = a % P
+        order = np.argsort(dest, kind="stable")
+        a, b, dest = a[order], b[order], dest[order]
+        bounds = np.searchsorted(dest, np.arange(P + 1))
+        return [
+            (a[bounds[p]: bounds[p + 1]], b[bounds[p]: bounds[p + 1]])
+            for p in range(P)
+        ]
+
+    @ray.remote
+    def split_edges(tbl: pa.Table, P: int):
+        """Distinct directed (u, v) sharded by u (node discovery) and by v
+        (reverse adjacency: successor w pushes its ball counter to every
+        predecessor, so B(v, t+1) = {v} U ball of each successor)."""
+        if tbl.num_rows == 0 or "u" not in tbl.column_names:
+            e = np.empty(0, np.int64)
+            return [((e,), (e, e))] * P
+        u = np.asarray(tbl.column("u").to_pylist(), dtype=np.int64)
+        v = np.asarray(tbl.column("v").to_pylist(), dtype=np.int64)
+        fwd = _shard_pairs(u, np.zeros(len(u), np.int64), P)
+        rev = _shard_pairs(v, u, P)
+        return [((fwd[p][0],), rev[p]) for p in range(P)]
+
+    @ray.remote
+    def concat_part(*edge_parts):
+        edge_parts = [s[0] if isinstance(s, list) else s for s in edge_parts]
+        fwd_keys = (
+            np.concatenate([s[0][0] for s in edge_parts])
+            if edge_parts else np.empty(0, np.int64)
+        )
+        ru = (
+            np.concatenate([s[1][0] for s in edge_parts])
+            if edge_parts else np.empty(0, np.int64)
+        )
+        rv = (
+            np.concatenate([s[1][1] for s in edge_parts])
+            if edge_parts else np.empty(0, np.int64)
+        )
+        if len(ru):
+            order = np.lexsort((rv, ru))
+            ru, rv = ru[order], rv[order]
+            keep = np.ones(len(ru), bool)
+            keep[1:] = (ru[1:] != ru[:-1]) | (rv[1:] != rv[:-1])
+            ru, rv = ru[keep], rv[keep]
+        nodes = np.unique(np.concatenate([fwd_keys, ru]))
+        regs = np.zeros((len(nodes), m), np.uint8)
+        for i, nd in enumerate(nodes):
+            b, rho = hll_single_register(str(int(nd)).encode("utf-8"), p_bits)
+            regs[i, b] = rho
+        est = np.zeros((len(nodes), max_t + 1), np.int64)
+        est[:, 0] = np.round(hll_row_estimates(regs, p_bits) * 1e6).astype(np.int64)
+        return {
+            "rev_u": ru,
+            "rev_v": rv,
+            "nodes": nodes,
+            "regs": regs,
+            "est": est,
+            "frontier": np.ones(len(nodes), bool),
+        }
+
+    @ray.remote
+    def ball_msgs(state, P: int):
+        """Frontier nodes (ball changed last round) push their register
+        rows to all predecessors; message volume per round is
+        O(frontier in-edges x 2^p bytes) — the HyperBall cost model."""
+        nodes = state["nodes"]
+        ru, rv = state["rev_u"], state["rev_v"]
+        f = state["frontier"]
+        keys = nodes[f]
+        lo = np.searchsorted(ru, keys, side="left")
+        hi = np.searchsorted(ru, keys, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            e = np.empty(0, np.int64)
+            return [(e, np.zeros((0, m), np.uint8))] * P
+        starts = np.repeat(lo, counts)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        tgt = rv[starts + offs]
+        rows = np.repeat(np.flatnonzero(f), counts)
+        dest = tgt % P
+        order = np.argsort(dest, kind="stable")
+        tgt, rows, dest = tgt[order], rows[order], dest[order]
+        bounds = np.searchsorted(dest, np.arange(P + 1))
+        return [
+            (tgt[bounds[q]: bounds[q + 1]],
+             state["regs"][rows[bounds[q]: bounds[q + 1]]])
+            for q in range(P)
+        ]
+
+    @ray.remote
+    def ball_reduce(state, t: int, *incoming):
+        incoming = [s[0] if isinstance(s, list) else s for s in incoming]
+        nodes = state["nodes"]
+        regs = state["regs"].copy()
+        for tgt, mat in incoming:
+            if len(tgt):
+                np.maximum.at(regs, np.searchsorted(nodes, tgt), mat)
+        changed = (regs != state["regs"]).any(axis=1)
+        est = state["est"].copy()
+        est[:, t] = est[:, t - 1]
+        if changed.any():
+            est[changed, t] = np.round(
+                hll_row_estimates(regs[changed], p_bits) * 1e6
+            ).astype(np.int64)
+        st = dict(state, regs=regs, est=est, frontier=changed)
+        return st, bool(changed.any())
+
+    @ray.remote
+    def fill_rest(state, t_from: int):
+        """All frontiers emptied early: remaining columns repeat the
+        converged estimate."""
+        est = state["est"].copy()
+        for t in range(t_from, max_t + 1):
+            est[:, t] = est[:, t - 1]
+        return dict(state, est=est)
+
+    @ray.remote
+    def to_table(state) -> pa.Table:
+        n = len(state["nodes"])
+        ts = np.tile(np.arange(max_t + 1, dtype=np.int64), n)
+        return pa.table(
+            {
+                "node": pa.array(np.repeat(state["nodes"], max_t + 1), pa.int64()),
+                "t": pa.array(ts, pa.int64()),
+                "est_micro": pa.array(state["est"].reshape(-1), pa.int64()),
+            }
+        )
+
+    return split_edges, concat_part, ball_msgs, ball_reduce, fill_rest, to_table
+
+
+def hyperball(edges_ds, max_t: int = 4, p_bits: int = 8,
+              num_partitions: int | None = None):
+    """HyperBall (Boldi & Vigna 2013): the per-node neighborhood function
+    |B(v, t)| — how many nodes are within t forward hops of v — estimated
+    with per-node HyperLogLog counters merged along edges, the published
+    way to compute ball sizes / effective diameter on graphs where exact
+    per-node BFS is quadratic.
+
+    Engine shape: counters are (2^p)-byte register rows hash-co-partitioned
+    with their nodes; each BSP round every CHANGED counter is pushed along
+    reverse edges to its predecessors and folded with the (exact,
+    order-free) bucketwise MAX merge; per-round message volume is
+    O(frontier in-edges x 2^p bytes) and the loop stops early when every
+    ball saturates.  Registers after round t are EXACTLY the HLL of the
+    true ball B(v, t) (max-merge == union), so estimates are a
+    deterministic pure function of the graph: the oracle is a
+    single-process mirror (sources/corpus.write_gold_hyperball) evaluating
+    the same shared closed form (ops/sketch.hll_row_estimates) over the
+    same registers — bit-identical floats, micro-grid ints."""
+    import ray
+    import ray.data
+
+    def to_uv(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src_id" not in batch.column_names:
+            e = pa.array([], pa.int64())
+            return pa.table({"u": e, "v": e})
+        return pa.table({"u": batch.column("src_id"), "v": batch.column("dst_id")})
+
+    P = num_partitions or max(4, int(ray.cluster_resources().get("CPU", 4)))
+    (split_edges, concat_part, ball_msgs, ball_reduce,
+     fill_rest, to_table) = _hyperball_remotes(p_bits, max_t)
+
+    uv = edges_ds.select_columns(["src_id", "dst_id"]).map_batches(
+        to_uv, batch_format="pyarrow"
+    ).materialize()
+    block_refs = list(uv.to_arrow_refs())
+    shard_lists = [split_edges.options(num_returns=P).remote(r, P) for r in block_refs]
+    if P == 1:
+        shard_lists = [[s] for s in shard_lists]
+    parts = [
+        concat_part.remote(*[shard_lists[i][p] for i in range(len(block_refs))])
+        for p in range(P)
+    ]
+
+    stopped_at = None
+    for t in range(1, max_t + 1):
+        msg_lists = [ball_msgs.options(num_returns=P).remote(parts[p], P) for p in range(P)]
+        if P == 1:
+            msg_lists = [[x] for x in msg_lists]
+        new = [
+            ball_reduce.options(num_returns=2).remote(
+                parts[p], t, *[msg_lists[q][p] for q in range(P)]
+            )
+            for p in range(P)
+        ]
+        parts = [n[0] for n in new]
+        if not any(ray.get([n[1] for n in new])):
+            stopped_at = t + 1
+            break
+    if stopped_at is not None and stopped_at <= max_t:
+        parts = [fill_rest.remote(parts[p], stopped_at) for p in range(P)]
+
+    return ray.data.from_arrow_refs([to_table.remote(p) for p in parts])

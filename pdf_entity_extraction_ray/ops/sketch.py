@@ -379,3 +379,29 @@ def groupwise_hll_oracle_sql(
         select g as {group_col}, bucket, max(rho)::bigint as rho_max
         from r group by g, bucket having max(rho) > 0
     """
+
+
+def hll_row_estimates(regs: "np.ndarray", p: int) -> "np.ndarray":
+    """Vectorized HLL estimate per ROW of an (n, 2^p) register matrix —
+    the exact closed form of :func:`hll_estimate` (standard estimator +
+    small-range linear counting), shared by the HyperBall engine op and
+    its single-process gold mirror so both evaluate bit-identical floats
+    over identical registers."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.power(2.0, -regs.astype(np.float64)).sum(axis=1)
+    zeros = (regs == 0).sum(axis=1)
+    lc = m * np.log(m / np.maximum(zeros, 1))
+    use_lc = (est <= 2.5 * m) & (zeros > 0)
+    return np.where(use_lc, lc, est)
+
+
+def hll_single_register(key: bytes, p: int) -> tuple[int, int]:
+    """(bucket, rho) of one hashed key — the seed register a HyperBall
+    counter starts from (the ball of radius 0 is {node})."""
+    h = _md5_hash64(key)
+    w_bits = 64 - p
+    bucket = h >> w_bits
+    w = h & ((1 << w_bits) - 1)
+    rho = w_bits - w.bit_length() + 1 if w else 0
+    return int(bucket), int(rho)

@@ -762,6 +762,7 @@ def write_corpus(
         write_gold_kcore(out_dir)
         write_gold_linkrank(out_dir, n_pages)
         write_gold_hits(out_dir)
+        write_gold_hyperball(out_dir)
 
     # synthesis-version marker: cached corpus dirs from an older synthesizer
     # (e.g. pre-link-graph) are detected and regenerated by consumers
@@ -1061,4 +1062,73 @@ def write_gold_hits(out_dir: str, iterations: int = 20) -> None:
             }
         ),
         f"{out_dir}/gold_hits/part-0.parquet",
+    )
+
+
+def write_gold_hyperball(out_dir: str, max_t: int = 4, p_bits: int = 8) -> None:
+    """Single-process HyperBall mirror over the gold graph -> a
+    ``gold_hyperball`` table (node, t, est_micro): EXACT forward ball sets
+    per node (t <= max_t), HLL registers over each set with the engine's
+    hash (ops/sketch.hll_single_register), estimates via the SHARED closed
+    form (ops/sketch.hll_row_estimates).  Registers are a pure function of
+    the graph (HLL max-merge == set union), so the engine's distributed
+    counters are bit-identical and the micro-grid ints hash-match."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..ops.sketch import hll_row_estimates, hll_single_register
+
+    uv = {(u, v) for u, _p, v in gold_edge_rows(out_dir)}
+    nodes = sorted({u for u, _ in uv} | {v for _, v in uv})
+    succ: dict[int, set[int]] = {}
+    for u, v in uv:
+        succ.setdefault(u, set()).add(v)
+
+    m = 1 << p_bits
+    seed = {
+        n: hll_single_register(str(int(n)).encode("utf-8"), p_bits) for n in nodes
+    }
+
+    def regs_of(balls: dict[int, set[int]]) -> np.ndarray:
+        regs = np.zeros((len(nodes), m), np.uint8)
+        for i, n in enumerate(nodes):
+            for x in balls[n]:
+                b, rho = seed[x]
+                if rho > regs[i, b]:
+                    regs[i, b] = rho
+        return regs
+
+    balls = {n: {n} for n in nodes}
+    out_node: list[int] = []
+    out_t: list[int] = []
+    out_est: list[int] = []
+    for t in range(max_t + 1):
+        if t > 0:
+            new_balls = {}
+            for n in nodes:
+                s = set(balls[n])
+                for w in succ.get(n, ()):
+                    s |= balls[w]
+                new_balls[n] = s
+            balls = new_balls
+        est = np.round(
+            hll_row_estimates(regs_of(balls), p_bits) * 1e6
+        ).astype(np.int64)
+        out_node.extend(nodes)
+        out_t.extend([t] * len(nodes))
+        out_est.extend(est.tolist())
+
+    os.makedirs(f"{out_dir}/gold_hyperball", exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "node": pa.array(out_node, pa.int64()),
+                "t": pa.array(out_t, pa.int64()),
+                "est_micro": pa.array(out_est, pa.int64()),
+            }
+        ),
+        f"{out_dir}/gold_hyperball/part-0.parquet",
     )

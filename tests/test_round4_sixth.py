@@ -205,3 +205,80 @@ def test_resource_allocation_matches_bruteforce():
         for r in b.to_pylist():
             got[(r["a"], r["b"])] = (r["common"], r["ra_micro"], r["is_edge"])
     assert got == exp
+
+
+def _hyperball_run(edge_list, max_t=4, **kw):
+    import ray
+
+    from pdf_entity_extraction_ray.ops.graph_stats import hyperball
+
+    tbl = pa.table(
+        {
+            "src_id": pa.array([u for u, _ in edge_list], pa.int64()),
+            "dst_id": pa.array([v for _, v in edge_list], pa.int64()),
+        }
+    )
+    out = {}
+    for b in hyperball(ray.data.from_arrow(tbl), max_t=max_t, **kw).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for r in b.to_pylist():
+            out[(r["node"], r["t"])] = r["est_micro"]
+    return out
+
+
+def _hyperball_gold(edge_list, max_t=4, p_bits=8):
+    import numpy as np
+
+    from pdf_entity_extraction_ray.ops.sketch import (
+        hll_row_estimates,
+        hll_single_register,
+    )
+
+    uv = set(edge_list)
+    nodes = sorted({u for u, _ in uv} | {v for _, v in uv})
+    succ = {}
+    for u, v in uv:
+        succ.setdefault(u, set()).add(v)
+    seed = {n: hll_single_register(str(int(n)).encode("utf-8"), p_bits) for n in nodes}
+    balls = {n: {n} for n in nodes}
+    exp = {}
+    m = 1 << p_bits
+    for t in range(max_t + 1):
+        if t > 0:
+            balls = {
+                n: set().union(balls[n], *(balls[w] for w in succ.get(n, ())))
+                for n in nodes
+            }
+        regs = np.zeros((len(nodes), m), np.uint8)
+        for i, n in enumerate(nodes):
+            for x in balls[n]:
+                b, rho = seed[x]
+                if rho > regs[i, b]:
+                    regs[i, b] = rho
+        est = np.round(hll_row_estimates(regs, p_bits) * 1e6).astype(np.int64)
+        for n, e in zip(nodes, est.tolist()):
+            exp[(n, t)] = e
+    return exp
+
+
+def test_hyperball_matches_exact_ball_mirror():
+    import random
+
+    rng = random.Random(17)
+    n = 50
+    edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(120)})
+    exp = _hyperball_gold(edges)
+    assert _hyperball_run(edges, num_partitions=1) == exp
+    assert _hyperball_run(edges, num_partitions=5) == exp
+
+
+def test_hyperball_path_saturates_and_fills():
+    # path 0 -> 1 -> 2: balls saturate at t=2; t=3,4 repeat the converged
+    # estimate via the early-exit fill
+    edges = [(0, 1), (1, 2)]
+    out = _hyperball_run(edges, max_t=4)
+    assert out[(0, 2)] == out[(0, 3)] == out[(0, 4)]
+    assert out[(2, 0)] == out[(2, 4)]  # sink never grows
+    exp = _hyperball_gold(edges, max_t=4)
+    assert out == exp
