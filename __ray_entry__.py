@@ -70,6 +70,7 @@ def _kg_artifacts(sf_dir: str) -> dict:
         and os.path.isdir(f"{base}/gold_linkrank")
         and os.path.isdir(f"{base}/gold_hits")
         and os.path.isdir(f"{base}/gold_hyperball")
+        and os.path.isdir(f"{base}/gold_truss")
         and os.path.isfile(f"{base}/{CORPUS_VERSION_MARKER}")
     ):
         shutil.rmtree(base, ignore_errors=True)
@@ -1115,6 +1116,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_scc": _kg_scc,
         # --- HITS hubs/authorities (ppm grid vs single-process gold) ---
         "kg_hits": _kg_hits_ppm,
+        # --- k-truss decomposition (edge-level h-index BSP) ---
+        "kg_truss": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["truss_decomposition"]
+        ).truss_decomposition(
+            __import__("ray.data", fromlist=["read_parquet"]).read_parquet(
+                _kg_artifacts(sf)["edges"], columns=["src_id", "dst_id"]
+            )
+        ),
         # --- HyperBall neighborhood function (per-node ball sizes) ---
         "kg_hyperball": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["hyperball"]
@@ -1493,6 +1502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_blocklist_filter",
         "kg_resource_alloc",
         "kg_hyperball",
+        "kg_truss",
         # newest additions (round 4 close, fifth batch): entity cards,
         # dangling-reference audit, assortativity moments, length filter
         "kg_cards",
@@ -2172,6 +2182,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_hyperball": f"""
             select node, t, est_micro
             from read_parquet('{gold}/gold_hyperball/*.parquet')
+        """,
+        "kg_truss": f"""
+            select u, v, truss
+            from read_parquet('{gold}/gold_truss/*.parquet')
         """,
         # components re-derived from the gold triples (same graph the
         # engine's edges table is hash-checked against): recursive-CTE

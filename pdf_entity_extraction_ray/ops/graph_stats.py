@@ -4298,3 +4298,490 @@ def hyperball(edges_ds, max_t: int = 4, p_bits: int = 8,
         parts = [fill_rest.remote(parts[p], stopped_at) for p in range(P)]
 
     return ray.data.from_arrow_refs([to_table.remote(p) for p in parts])
+
+
+
+def _edge_id64(u: int, v: int) -> int:
+    """Signed-int64 edge id of the normalized pair "min:max" — the upper
+    md5 bits wrapped into int64 range (same collision assumption as the
+    engine's node ids; numpy %% keeps partition routing non-negative)."""
+    h = _neg_hash_u64(f"{min(u, v)}:{max(u, v)}")
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _truss_remotes():
+    """BSP worker tasks for k-truss decomposition (lazy so import never
+    touches Ray)."""
+    import numpy as np
+
+    import ray
+
+    def _shard_one(a, extra, P):
+        dest = a % P
+        order = np.argsort(dest, kind="stable")
+        a = a[order]
+        extra = [x[order] for x in extra]
+        bounds = np.searchsorted(dest[order], np.arange(P + 1))
+        return [
+            tuple([a[bounds[p]: bounds[p + 1]]]
+                  + [x[bounds[p]: bounds[p + 1]] for x in extra])
+            for p in range(P)
+        ]
+
+    @ray.remote
+    def split_edges(tbl: pa.Table, P: int):
+        """(eid, u, v) edge rows sharded by owner eid %% P."""
+        if tbl.num_rows == 0 or "eid" not in tbl.column_names:
+            e = np.empty(0, np.int64)
+            return [(e, e, e)] * P
+        eid = np.asarray(tbl.column("eid").to_pylist(), dtype=np.int64)
+        u = np.asarray(tbl.column("u").to_pylist(), dtype=np.int64)
+        v = np.asarray(tbl.column("v").to_pylist(), dtype=np.int64)
+        return _shard_one(eid, [u, v], P)
+
+    @ray.remote
+    def split_tris(tbl: pa.Table, P: int):
+        """(own, f, g) triangle-membership rows sharded by own %% P (each
+        triangle ships one row to each of its three edges' owners)."""
+        if tbl.num_rows == 0 or "own" not in tbl.column_names:
+            e = np.empty(0, np.int64)
+            return [(e, e, e)] * P
+        own = np.asarray(tbl.column("own").to_pylist(), dtype=np.int64)
+        f = np.asarray(tbl.column("f").to_pylist(), dtype=np.int64)
+        g = np.asarray(tbl.column("g").to_pylist(), dtype=np.int64)
+        return _shard_one(own, [f, g], P)
+
+    @ray.remote
+    def concat_part(n_edge_blocks: int, *shards):
+        """Partition state: owned edges (sorted ids + endpoints), triangle
+        partner rows sorted by owning edge, support counts as the h-index
+        iteration's rho_0, and a static merged id->value lookup layout
+        (partner indices precomputed once — per-round work is pure
+        arithmetic, no searches)."""
+        shards = [s[0] if isinstance(s, list) else s for s in shards]
+        e_parts = shards[:n_edge_blocks]
+        t_parts = shards[n_edge_blocks:]
+
+        def _cat(parts, idx):
+            return (
+                np.concatenate([p[idx] for p in parts])
+                if parts else np.empty(0, np.int64)
+            )
+
+        eid = _cat(e_parts, 0)
+        eu = _cat(e_parts, 1)
+        ev = _cat(e_parts, 2)
+        order = np.argsort(eid, kind="stable")
+        eid, eu, ev = eid[order], eu[order], ev[order]
+        # distinct edges by construction, but be safe on retried blocks
+        keep = np.ones(len(eid), bool)
+        keep[1:] = eid[1:] != eid[:-1]
+        eid, eu, ev = eid[keep], eu[keep], ev[keep]
+
+        tri_e = _cat(t_parts, 0)
+        tri_f = _cat(t_parts, 1)
+        tri_g = _cat(t_parts, 2)
+        torder = np.argsort(tri_e, kind="stable")
+        tri_e, tri_f, tri_g = tri_e[torder], tri_f[torder], tri_g[torder]
+
+        rho = np.zeros(len(eid), np.int64)
+        if len(tri_e):
+            np.add.at(rho, np.searchsorted(eid, tri_e), 1)
+
+        partner_ids = np.unique(np.concatenate([tri_f, tri_g]))
+        own_pos = np.searchsorted(eid, partner_ids)
+        own_pos = np.minimum(own_pos, max(len(eid) - 1, 0))
+        is_own = (
+            eid[own_pos] == partner_ids if len(eid) else
+            np.zeros(len(partner_ids), bool)
+        )
+        rep_ids = partner_ids[~is_own]
+
+        # static merged lookup: all referenced ids -> slot; slots filled
+        # from (rho, rep_rho) each round
+        all_ids = np.concatenate([eid, rep_ids])
+        all_order = np.argsort(all_ids, kind="stable")
+        all_sorted = all_ids[all_order]
+        f_idx = all_order[np.searchsorted(all_sorted, tri_f)] if len(tri_f) else tri_f
+        g_idx = all_order[np.searchsorted(all_sorted, tri_g)] if len(tri_g) else tri_g
+
+        return {
+            "eid": eid, "eu": eu, "ev": ev,
+            "tri_e": tri_e, "f_idx": f_idx, "g_idx": g_idx,
+            "rho": rho,
+            "rep_ids": rep_ids,
+            "rep_rho": np.full(len(rep_ids), np.iinfo(np.int64).max, np.int64),
+            "frontier": np.ones(len(eid), bool),
+            # subscriber structure filled by sub_reduce
+            "sub_pos": np.empty(0, np.int64),
+            "sub_part": np.empty(0, np.int64),
+        }
+
+    @ray.remote
+    def sub_msgs(state, P: int):
+        """Each partition asks the owners of its external partner edges
+        for value updates (one distinct id per request)."""
+        rep = state["rep_ids"]
+        dest = rep % P
+        order = np.argsort(dest, kind="stable")
+        rep, dest = rep[order], dest[order]
+        bounds = np.searchsorted(dest, np.arange(P + 1))
+        return [rep[bounds[p]: bounds[p + 1]] for p in range(P)]
+
+    @ray.remote
+    def sub_reduce(state, *incoming):
+        """Record (edge position, requesting partition), sorted by
+        partition for per-destination slicing at message time."""
+        incoming = [s[0] if isinstance(s, list) else s for s in incoming]
+        pos_list, part_list = [], []
+        for q, ids in enumerate(incoming):
+            if len(ids):
+                pos_list.append(np.searchsorted(state["eid"], ids))
+                part_list.append(np.full(len(ids), q, np.int64))
+        if pos_list:
+            pos = np.concatenate(pos_list)
+            prt = np.concatenate(part_list)
+            order = np.lexsort((pos, prt))
+            pos, prt = pos[order], prt[order]
+        else:
+            pos = np.empty(0, np.int64)
+            prt = np.empty(0, np.int64)
+        return dict(state, sub_pos=pos, sub_part=prt)
+
+    @ray.remote
+    def push_msgs(state, P: int):
+        """Changed owned-edge values to their subscriber partitions."""
+        pos, prt = state["sub_pos"], state["sub_part"]
+        f = state["frontier"]
+        out = []
+        bounds = np.searchsorted(prt, np.arange(P + 1))
+        for q in range(P):
+            p_pos = pos[bounds[q]: bounds[q + 1]]
+            live = p_pos[f[p_pos]] if len(p_pos) else p_pos
+            out.append((state["eid"][live], state["rho"][live]))
+        return out
+
+    @ray.remote
+    def reduce_part(state, *incoming):
+        """Apply partner updates, then one edge-h-index round:
+        rho'(e) = min(rho(e), H({min(rho(f), rho(g)) per triangle}))."""
+        incoming = [s[0] if isinstance(s, list) else s for s in incoming]
+        rep_rho = state["rep_rho"].copy()
+        for ids, vals in incoming:
+            if len(ids):
+                idx = np.searchsorted(state["rep_ids"], ids)
+                np.minimum.at(rep_rho, idx, vals)
+        eid, rho = state["eid"], state["rho"]
+        all_rho = np.concatenate([rho, rep_rho])
+        if len(state["tri_e"]):
+            vals = np.minimum(all_rho[state["f_idx"]], all_rho[state["g_idx"]])
+            tri_e = state["tri_e"]
+            order = np.lexsort((-vals, tri_e))
+            te, tv = tri_e[order], vals[order]
+            ue, starts = np.unique(te, return_index=True)
+            counts = np.r_[starts[1:], len(te)] - starts
+            rank = np.arange(len(te), dtype=np.int64) - np.repeat(starts, counts) + 1
+            h = np.maximum.reduceat(np.minimum(tv, rank), starts)
+            new = rho.copy()
+            upos = np.searchsorted(eid, ue)
+            new[upos] = np.minimum(new[upos], h)
+        else:
+            new = rho
+        changed = new < rho
+        st = dict(state, rho=new, rep_rho=rep_rho, frontier=changed)
+        return st, bool(changed.any())
+
+    @ray.remote
+    def to_table(state) -> pa.Table:
+        return pa.table(
+            {
+                "u": pa.array(state["eu"], pa.int64()),
+                "v": pa.array(state["ev"], pa.int64()),
+                "truss": pa.array(state["rho"] + 2, pa.int64()),
+            }
+        )
+
+    return (split_edges, split_tris, concat_part, sub_msgs, sub_reduce,
+            push_msgs, reduce_part, to_table)
+
+
+def truss_decomposition(edges_ds, max_iters: int = 100,
+                        num_partitions: int | None = None):
+    """k-truss decomposition of the UNDIRECTED simple graph: for every
+    edge, the largest k such that the edge survives in the k-truss (the
+    subgraph where every edge closes >= k-2 triangles) -> (u, v, truss)
+    int-node-id rows, u < v, triangle-free edges at the floor truss = 2.
+
+    Algorithm: the edge-level iterated h-index (Sariyuce et al., local
+    nucleus decomposition — the same convergence family as this repo's
+    :func:`coreness`): rho_0(e) = support(e); each round
+    rho(e) <- min(rho(e), H({min(rho(f), rho(g)) over e's triangles}))
+    converges monotonically from above to truss(e) - 2.
+
+    Engine shape: triangles are enumerated ONCE with the degree-oriented
+    wedge join of :func:`triangle_counts` (bounded skew), then each
+    triangle ships one (own, partner, partner) row to each of its three
+    edges' owner partitions (edge ids hash-partitioned).  Partner values
+    live in a per-partition replica updated by a subscription exchange:
+    owners push only CHANGED values to the partitions that registered
+    interest, so per-round traffic is O(changed edges x subscribers),
+    not O(triangles).  Partner-slot indices are precomputed, so a round
+    is pure vectorized arithmetic (no searches on the triangle table).
+
+    Edge ids are the md5 bridge hash of "u:v" (the node_id_of collision
+    assumption this engine already makes for node ids)."""
+    import numpy as np
+    import ray
+    import ray.data
+    from ray.data.aggregate import Max
+
+    from ..ops.dedup import _join_partitions
+
+    def to_und(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src_id" not in batch.column_names:
+            e = pa.array([], pa.int64())
+            return pa.table({"a": e, "b": e})
+        s = batch.column("src_id")
+        d = batch.column("dst_id")
+        lt = pc.less(s, d)
+        t = pa.table(
+            {"a": pc.if_else(lt, s, d), "b": pc.if_else(lt, d, s)}
+        ).filter(pc.not_equal(s, d))
+        return t.group_by(["a", "b"]).aggregate([])
+
+    und = (
+        edges_ds.select_columns(["src_id", "dst_id"])
+        .map_batches(to_und, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+
+    empty_out = pa.table(
+        {
+            "u": pa.array([], pa.int64()),
+            "v": pa.array([], pa.int64()),
+            "truss": pa.array([], pa.int64()),
+        }
+    )
+    if und.count() == 0:
+        return ray.data.from_arrow(empty_out)
+
+    n_part = num_partitions
+    if n_part is None:
+        n_part = 1 if und.count() < 10_000 else _join_partitions()
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return pa.table({"node": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [batch.column("a").combine_chunks(), batch.column("b").combine_chunks()]
+                )
+            }
+        )
+
+    degrees = (
+        und.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+        .rename_columns({"count()": "deg"})
+    )
+
+    def explode_sides(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            e = pa.array([], pa.int64())
+            return pa.table(
+                {"a": e, "b": e, "side": pa.array([], pa.int32()), "key": e}
+            )
+        a, b = batch.column("a").combine_chunks(), batch.column("b").combine_chunks()
+        n = batch.num_rows
+        return pa.table(
+            {
+                "a": pa.concat_arrays([a, a]),
+                "b": pa.concat_arrays([b, b]),
+                "side": pa.array([0] * n + [1] * n, pa.int32()),
+                "key": pa.concat_arrays([a, b]),
+            }
+        )
+
+    def split_sides(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "side" not in batch.column_names:
+            e = pa.array([], pa.int64())
+            return pa.table({"a": e, "b": e, "deg_a": e, "deg_b": e})
+        is_a = pc.equal(batch.column("side"), pa.scalar(0, pa.int32()))
+        zero = pa.scalar(0, pa.int64())
+        deg = batch.column("deg").cast(pa.int64())
+        return pa.table(
+            {
+                "a": batch.column("a"),
+                "b": batch.column("b"),
+                "deg_a": pc.if_else(is_a, deg, zero),
+                "deg_b": pc.if_else(is_a, zero, deg),
+            }
+        )
+
+    with_deg = (
+        und.map_batches(explode_sides, batch_format="pyarrow")
+        .join(degrees, join_type="inner", num_partitions=n_part,
+              on=("key",), right_on=("node",))
+        .map_batches(split_sides, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Max("deg_a", alias_name="deg_a"), Max("deg_b", alias_name="deg_b"))
+    )
+
+    def orient(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            e = pa.array([], pa.int64())
+            return pa.table({"u": e, "v": e, "vdeg": e})
+        da, db = batch.column("deg_a"), batch.column("deg_b")
+        fwd = pc.less_equal(da, db)
+        return pa.table(
+            {
+                "u": pc.if_else(fwd, batch.column("a"), batch.column("b")),
+                "v": pc.if_else(fwd, batch.column("b"), batch.column("a")),
+                "vdeg": pc.if_else(fwd, db, da),
+            }
+        )
+
+    oriented = with_deg.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def make_wedges(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2 or "u" not in group.column_names:
+            e = pa.array([], pa.int64())
+            return pa.table({"apex": e, "wa": e, "wb": e})
+        idx = pc.sort_indices(
+            group, sort_keys=[("vdeg", "ascending"), ("v", "ascending")]
+        )
+        vs = group.column("v").take(idx).combine_chunks()
+        ii, jj = np.triu_indices(len(vs), k=1)
+        return pa.table(
+            {
+                "apex": pa.array(
+                    [group.column("u")[0].as_py()] * len(ii), pa.int64()
+                ),
+                "wa": vs.take(pa.array(ii, pa.int64())),
+                "wb": vs.take(pa.array(jj, pa.int64())),
+            }
+        )
+
+    wedges = oriented.groupby("u").map_groups(
+        make_wedges, batch_format="pyarrow"
+    ).materialize()
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            e = pa.array([], pa.int64())
+            return pa.table({"eid": e, "u": e, "v": e})
+        a = batch.column("a").to_pylist()
+        b = batch.column("b").to_pylist()
+        eids = [_edge_id64(x, y) for x, y in zip(a, b)]
+        return pa.table(
+            {
+                "eid": pa.array(eids, pa.int64()),
+                "u": batch.column("a"),
+                "v": batch.column("b"),
+            }
+        )
+
+    if wedges.count() == 0:
+        # triangle-free graph: every edge sits at the truss floor
+        def floor_rows(batch: pa.Table) -> pa.Table:
+            t = edge_rows(batch)
+            return pa.table(
+                {
+                    "u": t.column("u"),
+                    "v": t.column("v"),
+                    "truss": pa.array(np.full(t.num_rows, 2, np.int64)),
+                }
+            )
+
+        return und.map_batches(floor_rows, batch_format="pyarrow")
+
+    tri = wedges.join(
+        oriented.select_columns(["u", "v"]),
+        join_type="inner",
+        num_partitions=n_part,
+        on=("wa", "wb"),
+        right_on=("u", "v"),
+    )
+
+    def tri_member_rows(batch: pa.Table) -> pa.Table:
+        """Triangle (apex, wa, wb) -> three (own, f, g) rows keyed by the
+        normalized (min, max) edge-id hashes."""
+        if batch.num_rows == 0 or "apex" not in batch.column_names:
+            e = pa.array([], pa.int64())
+            return pa.table({"own": e, "f": e, "g": e})
+        ax = batch.column("apex").to_pylist()
+        wa = batch.column("wa").to_pylist()
+        wb = batch.column("wb").to_pylist()
+
+        own, f, g = [], [], []
+        for x, y, z in zip(ax, wa, wb):
+            e1, e2, e3 = _edge_id64(x, y), _edge_id64(x, z), _edge_id64(y, z)
+            own += [e1, e2, e3]
+            f += [e2, e1, e1]
+            g += [e3, e3, e2]
+        return pa.table(
+            {
+                "own": pa.array(own, pa.int64()),
+                "f": pa.array(f, pa.int64()),
+                "g": pa.array(g, pa.int64()),
+            }
+        )
+
+    edge_tbl = und.map_batches(edge_rows, batch_format="pyarrow").materialize()
+    tri_tbl = tri.map_batches(tri_member_rows, batch_format="pyarrow").materialize()
+
+    P = num_partitions or max(4, int(ray.cluster_resources().get("CPU", 4)))
+    (split_edges, split_tris, concat_part, sub_msgs, sub_reduce,
+     push_msgs, reduce_part, to_table) = _truss_remotes()
+
+    e_refs = list(edge_tbl.to_arrow_refs())
+    t_refs = list(tri_tbl.to_arrow_refs())
+    e_shards = [split_edges.options(num_returns=P).remote(r, P) for r in e_refs]
+    t_shards = [split_tris.options(num_returns=P).remote(r, P) for r in t_refs]
+    if P == 1:
+        e_shards = [[s] for s in e_shards]
+        t_shards = [[s] for s in t_shards]
+    parts = [
+        concat_part.remote(
+            len(e_refs),
+            *[e_shards[i][p] for i in range(len(e_refs))],
+            *[t_shards[i][p] for i in range(len(t_refs))],
+        )
+        for p in range(P)
+    ]
+
+    # subscription exchange (once)
+    subs = [sub_msgs.options(num_returns=P).remote(parts[p], P) for p in range(P)]
+    if P == 1:
+        subs = [[s] for s in subs]
+    parts = [
+        sub_reduce.remote(parts[p], *[subs[q][p] for q in range(P)])
+        for p in range(P)
+    ]
+
+    converged = False
+    for _ in range(max_iters):
+        msgs = [push_msgs.options(num_returns=P).remote(parts[p], P) for p in range(P)]
+        if P == 1:
+            msgs = [[m] for m in msgs]
+        new = [
+            reduce_part.options(num_returns=2).remote(
+                parts[p], *[msgs[q][p] for q in range(P)]
+            )
+            for p in range(P)
+        ]
+        parts = [n[0] for n in new]
+        if not any(ray.get([n[1] for n in new])):
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"truss_decomposition did not converge in {max_iters} rounds"
+        )
+
+    return ray.data.from_arrow_refs([to_table.remote(p) for p in parts])

@@ -763,6 +763,7 @@ def write_corpus(
         write_gold_linkrank(out_dir, n_pages)
         write_gold_hits(out_dir)
         write_gold_hyperball(out_dir)
+        write_gold_truss(out_dir)
 
     # synthesis-version marker: cached corpus dirs from an older synthesizer
     # (e.g. pre-link-graph) are detected and regenerated by consumers
@@ -1131,4 +1132,68 @@ def write_gold_hyperball(out_dir: str, max_t: int = 4, p_bits: int = 8) -> None:
             }
         ),
         f"{out_dir}/gold_hyperball/part-0.parquet",
+    )
+
+
+def truss_reference(pairs: set[tuple[int, int]]) -> dict[tuple[int, int], int]:
+    """Single-process k-truss decomposition of an undirected simple graph
+    (distinct (u, v) pairs, u < v, no self-loops) via support peeling:
+    repeatedly remove the minimum-support edge; its truss number is the
+    running maximum of (support at removal + 2)."""
+    import heapq
+
+    adj: dict[int, set[int]] = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    sup = {
+        (u, v): len(adj[u] & adj[v]) for u, v in pairs
+    }
+    heap = [(s, e) for e, s in sup.items()]
+    heapq.heapify(heap)
+    truss: dict[tuple[int, int], int] = {}
+    k = 2
+    while heap:
+        s, e = heapq.heappop(heap)
+        if e in truss or s != sup[e]:
+            continue  # stale heap entry
+        k = max(k, s + 2)
+        truss[e] = k
+        u, v = e
+        for w in adj[u] & adj[v]:
+            for f in ((min(u, w), max(u, w)), (min(v, w), max(v, w))):
+                if f not in truss:
+                    sup[f] -= 1
+                    heapq.heappush(heap, (sup[f], f))
+        adj[u].discard(v)
+        adj[v].discard(u)
+    return truss
+
+
+def write_gold_truss(out_dir: str) -> None:
+    """Single-process truss decomposition over the gold graph -> a
+    ``gold_truss`` table (u, v, truss) keyed by int node ids (u < v),
+    matching the engine's ops/graph_stats.truss_decomposition output."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    uv = {
+        (min(u, v), max(u, v))
+        for u, _p, v in gold_edge_rows(out_dir)
+        if u != v
+    }
+    truss = truss_reference(uv)
+    rows = sorted(truss.items())
+    os.makedirs(f"{out_dir}/gold_truss", exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "u": pa.array([e[0] for e, _ in rows], pa.int64()),
+                "v": pa.array([e[1] for e, _ in rows], pa.int64()),
+                "truss": pa.array([t for _, t in rows], pa.int64()),
+            }
+        ),
+        f"{out_dir}/gold_truss/part-0.parquet",
     )

@@ -282,3 +282,70 @@ def test_hyperball_path_saturates_and_fills():
     assert out[(2, 0)] == out[(2, 4)]  # sink never grows
     exp = _hyperball_gold(edges, max_t=4)
     assert out == exp
+
+
+def _truss_run(edge_list, **kw):
+    import ray
+
+    from pdf_entity_extraction_ray.ops.graph_stats import truss_decomposition
+
+    tbl = pa.table(
+        {
+            "src_id": pa.array([u for u, _ in edge_list], pa.int64()),
+            "dst_id": pa.array([v for _, v in edge_list], pa.int64()),
+        }
+    )
+    out = {}
+    for b in truss_decomposition(ray.data.from_arrow(tbl), **kw).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for r in b.to_pylist():
+            out[(r["u"], r["v"])] = r["truss"]
+    return out
+
+
+def test_truss_reference_on_k4_plus_pendant():
+    from pdf_entity_extraction_ray.sources.corpus import truss_reference
+
+    k4 = {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)}
+    pend = k4 | {(3, 4)}
+    t = truss_reference(pend)
+    assert all(t[e] == 4 for e in k4)
+    assert t[(3, 4)] == 2
+
+
+def test_truss_bsp_matches_peeling_hand_cases():
+    from pdf_entity_extraction_ray.sources.corpus import truss_reference
+
+    # K4 + pendant + separate triangle + isolated edge
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4),
+             (5, 6), (6, 7), (5, 7), (8, 9)]
+    exp = truss_reference({(min(u, v), max(u, v)) for u, v in edges})
+    assert _truss_run(edges) == exp
+    assert exp[(5, 6)] == 3 and exp[(8, 9)] == 2
+
+
+def test_truss_bsp_matches_peeling_random_and_partition_invariant():
+    import random
+
+    from pdf_entity_extraction_ray.sources.corpus import truss_reference
+
+    rng = random.Random(23)
+    n = 30
+    und = {
+        (min(u, v), max(u, v))
+        for u, v in ((rng.randrange(n), rng.randrange(n)) for _ in range(160))
+        if u != v
+    }
+    exp = truss_reference(und)
+    edges = sorted(und)
+    assert _truss_run(edges, num_partitions=1) == exp
+    assert _truss_run(edges, num_partitions=5) == exp
+
+
+def test_truss_triangle_free_and_empty():
+    # path graph: no triangles, every edge truss 2
+    edges = [(0, 1), (1, 2), (2, 3)]
+    out = _truss_run(edges)
+    assert out == {(0, 1): 2, (1, 2): 2, (2, 3): 2}
+    assert _truss_run([]) == {}
