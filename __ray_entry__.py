@@ -1116,6 +1116,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_scc": _kg_scc,
         # --- HITS hubs/authorities (ppm grid vs single-process gold) ---
         "kg_hits": _kg_hits_ppm,
+        # --- condensation DAG (distinct edges between different SCCs) ---
+        "kg_condensation": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["condensation_edges"]
+        ).condensation_edges(
+            __import__("ray.data", fromlist=["read_parquet"]).read_parquet(
+                _kg_artifacts(sf)["edges"],
+                columns=["src_id", "dst_id", "src_canonical", "dst_canonical"],
+            )
+        ),
         # --- k-truss decomposition (edge-level h-index BSP) ---
         "kg_truss": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["truss_decomposition"]
@@ -1503,6 +1512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_resource_alloc",
         "kg_hyperball",
         "kg_truss",
+        "kg_condensation",
         # newest additions (round 4 close, fifth batch): entity cards,
         # dangling-reference audit, assortativity moments, length filter
         "kg_cards",
@@ -2257,6 +2267,33 @@ def oracle_sql() -> dict[str, str]:
             select w.a, w.b, w.common, w.ra_micro,
                    coalesce(ed.is_edge, 0)::bigint as is_edge
             from wed w left join ed using (a, b)
+        """,
+        # condensation DAG: scc labels (same closure as kg_scc) re-key the
+        # directed edges; distinct cross-SCC pairs
+        "kg_condensation": f"""
+            with recursive {kg_cte},
+            tri as ({tri_canon}),
+            dir as (select distinct subj_canonical as u, obj_canonical as v
+                    from tri
+                    where subj_canonical is not null
+                      and obj_canonical is not null),
+            nodes as (select u as node from dir union select v from dir),
+            reach(a, b) as (
+                select u, v from dir
+                union
+                select r.a, d.v from reach r join dir d on r.b = d.u
+            ),
+            mutual as (select r1.a as node, r1.b as other
+                       from reach r1 join reach r2
+                         on r1.a = r2.b and r1.b = r2.a),
+            lbl as (select node, least(node, coalesce(min(other), node)) as scc
+                    from nodes left join mutual using (node)
+                    group by node)
+            select distinct l1.scc as scc_src, l2.scc as scc_dst
+            from dir d
+            join lbl l1 on l1.node = d.u
+            join lbl l2 on l2.node = d.v
+            where l1.scc != l2.scc
         """,
         # common-neighbor / jaccard link-prediction features over the same
         # canonical undirected graph as kg_components: wedge counting ==

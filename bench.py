@@ -213,6 +213,12 @@ def run_ops(sf_dir: str, repeat: int = 1) -> dict[str, list[float]]:
         "docs_length_filter": lambda: text.length_percentile_filter(
             read("documents")
         ),
+        "docs_gopher_filter": lambda: read("documents").map_batches(
+            text.gopher_filter_batch, batch_format="pyarrow"
+        ),
+        "docs_blocklist_filter": lambda: read("documents").map_batches(
+            text.blocklist_filter_batch, batch_format="pyarrow"
+        ),
     }
     times: dict[str, list[float]] = {}
     for name, make in ops.items():
@@ -443,6 +449,49 @@ def main() -> None:
                 fromlist=["pagerank", "smallest_node_ids"],
             ),
             ray.data.read_parquet(kg_edges, columns=["src_id", "dst_id"]),
+        ),
+        "kg_scc": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["scc_components"]
+        ).scc_components(
+            ray.data.read_parquet(
+                kg_edges,
+                columns=["src_id", "dst_id", "src_canonical", "dst_canonical"],
+            )
+        ),
+        "kg_hits": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["hits"]
+        ).hits(
+            ray.data.read_parquet(kg_edges, columns=["src_id", "dst_id"]),
+            iterations=20,
+        ),
+        "kg_resource_alloc": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats",
+            fromlist=["resource_allocation"],
+        ).resource_allocation(
+            ray.data.read_parquet(
+                kg_edges, columns=["src_canonical", "dst_canonical"]
+            )
+        ),
+        "kg_hyperball": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["hyperball"]
+        ).hyperball(
+            ray.data.read_parquet(kg_edges, columns=["src_id", "dst_id"]),
+            max_t=4,
+        ),
+        "kg_truss": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats",
+            fromlist=["truss_decomposition"],
+        ).truss_decomposition(
+            ray.data.read_parquet(kg_edges, columns=["src_id", "dst_id"])
+        ),
+        "kg_condensation": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats",
+            fromlist=["condensation_edges"],
+        ).condensation_edges(
+            ray.data.read_parquet(
+                kg_edges,
+                columns=["src_id", "dst_id", "src_canonical", "dst_canonical"],
+            )
         ),
     }.items():
         walls = []

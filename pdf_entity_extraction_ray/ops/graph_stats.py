@@ -4785,3 +4785,118 @@ def truss_decomposition(edges_ds, max_iters: int = 100,
         )
 
     return ray.data.from_arrow_refs([to_table.remote(p) for p in parts])
+
+
+def condensation_edges(edges_ds, num_partitions: int | None = None,
+                       max_outer: int = 256):
+    """Condensation DAG of the directed entity graph: distinct
+    (scc_src, scc_dst) pairs between DIFFERENT strongly connected
+    components — the acyclic super-graph downstream schedulers and
+    reachability indexes operate on.
+
+    Composition: :func:`scc_components` labels every node, one hash join
+    re-keys each directed edge's endpoints to their SCC representatives
+    (side-tagged: both endpoints resolved by a single join against the
+    node->scc table, the triangle_counts degree-fetch pattern), and a
+    distinct groupby collapses multi-edges.  Self-pairs (intra-SCC edges)
+    drop."""
+    from ray.data.aggregate import Max
+
+    import ray.data
+
+    from .dedup import _join_partitions
+
+    scc = scc_components(
+        edges_ds, num_partitions=num_partitions, max_outer=max_outer
+    ).materialize()
+    empty = pa.table(
+        {"scc_src": pa.array([], pa.string()), "scc_dst": pa.array([], pa.string())}
+    )
+    if scc.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    def explode_sides(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src_canonical" not in batch.column_names:
+            return pa.table(
+                {
+                    "eid": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int32()),
+                    "key": pa.array([], pa.string()),
+                }
+            )
+        s = batch.column("src_canonical").combine_chunks()
+        d = batch.column("dst_canonical").combine_chunks()
+        n = batch.num_rows
+        # NOTE: _edge_id64 normalizes the pair, so a reciprocal (b -> a)
+        # shares the id of (a -> b) — safe: mutual edges are intra-SCC by
+        # definition, so the merged row re-keys to a self-pair and drops
+        eids = pa.array(
+            [
+                _edge_id64(_neg_hash_u64(a), _neg_hash_u64(b))
+                for a, b in zip(s.to_pylist(), d.to_pylist())
+            ],
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "eid": pa.concat_arrays([eids, eids]),
+                "side": pa.array([0] * n + [1] * n, pa.int32()),
+                "key": pa.concat_arrays([s, d]),
+            }
+        )
+
+    def split_sides(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "side" not in batch.column_names:
+            return pa.table(
+                {
+                    "eid": pa.array([], pa.int64()),
+                    "scc_src": pa.array([], pa.string()),
+                    "scc_dst": pa.array([], pa.string()),
+                }
+            )
+        is_src = pc.equal(batch.column("side"), pa.scalar(0, pa.int32()))
+        lbl = batch.column("scc")
+        empty = pa.scalar("", pa.string())
+        return pa.table(
+            {
+                "eid": batch.column("eid"),
+                "scc_src": pc.if_else(is_src, lbl, empty),
+                "scc_dst": pc.if_else(is_src, empty, lbl),
+            }
+        )
+
+    n_part = num_partitions
+    if n_part is None:
+        n_part = 1 if scc.count() < 10_000 else _join_partitions()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "scc_src" not in batch.column_names:
+            return pa.table(
+                {
+                    "scc_src": pa.array([], pa.string()),
+                    "scc_dst": pa.array([], pa.string()),
+                }
+            )
+        t = batch.filter(
+            pc.not_equal(batch.column("scc_src"), batch.column("scc_dst"))
+        )
+        return pa.table(
+            {"scc_src": t.column("scc_src"), "scc_dst": t.column("scc_dst")}
+        ).group_by(["scc_src", "scc_dst"]).aggregate([])
+
+    return (
+        edges_ds.select_columns(["src_canonical", "dst_canonical"])
+        .map_batches(explode_sides, batch_format="pyarrow")
+        .join(scc, join_type="inner", num_partitions=n_part,
+              on=("key",), right_on=("canonical",))
+        .map_batches(split_sides, batch_format="pyarrow")
+        .groupby("eid")
+        .aggregate(
+            Max("scc_src", alias_name="scc_src"),
+            Max("scc_dst", alias_name="scc_dst"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+        .groupby(["scc_src", "scc_dst"])
+        .count()
+        .select_columns(["scc_src", "scc_dst"])
+    )

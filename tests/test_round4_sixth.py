@@ -349,3 +349,35 @@ def test_truss_triangle_free_and_empty():
     out = _truss_run(edges)
     assert out == {(0, 1): 2, (1, 2): 2, (2, 3): 2}
     assert _truss_run([]) == {}
+
+
+def test_condensation_edges():
+    import ray
+
+    from pdf_entity_extraction_ray.ops.graph_stats import condensation_edges
+
+    # SCC {A,B} -> SCC {C} -> SCC {D,E}; reciprocal + multi-pred edges
+    # must collapse; intra-SCC edges must not appear
+    edges = [
+        ("A", "B"), ("B", "A"),          # SCC {A,B}, min canonical A
+        ("B", "C"), ("A", "C"),          # two edges into C -> one pair
+        ("C", "D"),
+        ("D", "E"), ("E", "D"),          # SCC {D,E}
+    ]
+    ids = {c: 1000 - ord(c) for c in "ABCDE"}  # ids anti-ordered
+    tbl = pa.table(
+        {
+            "src_id": pa.array([ids[a] for a, _ in edges], pa.int64()),
+            "dst_id": pa.array([ids[b] for _, b in edges], pa.int64()),
+            "src_canonical": [a for a, _ in edges],
+            "dst_canonical": [b for _, b in edges],
+        }
+    )
+    got = set()
+    for b in condensation_edges(ray.data.from_arrow(tbl)).iter_batches(
+        batch_format="pyarrow"
+    ):
+        got.update(
+            zip(b.column("scc_src").to_pylist(), b.column("scc_dst").to_pylist())
+        )
+    assert got == {("A", "C"), ("C", "D")}
