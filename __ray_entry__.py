@@ -1462,6 +1462,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).winnow_pairs(_read(sf, "documents")),
         # --- C4-style line-level cleaning (>=5-word sentences, no '{';
         # keep docs with >=3 survivors) ---
+        # --- deterministic shuffle + shard layout for training loaders ---
+        "docs_shuffle_shard": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.sample", fromlist=["shuffle_shard"]
+        ).shuffle_shard(_read(sf, "documents"), 16),
         # --- blocklist ("bad words") content filter ---
         "docs_blocklist_filter": docs_op(
             __import__(
@@ -1513,6 +1517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_hyperball",
         "kg_truss",
         "kg_condensation",
+        "docs_shuffle_shard",
         # newest additions (round 4 close, fifth batch): entity cards,
         # dangling-reference audit, assortativity moments, length filter
         "kg_cards",
@@ -1872,6 +1877,11 @@ def oracle_sql() -> dict[str, str]:
                    group by 1, 2)
             select doc_a, doc_b, shared_fps from pr where shared_fps >= 2
         """,
+        # deterministic shuffle-shard layout (hugeint hash, unsigned order)
+        "docs_shuffle_shard": __import__(
+            "pdf_entity_extraction_ray.ops.sample",
+            fromlist=["shuffle_shard_oracle_sql"],
+        ).shuffle_shard_oracle_sql(16),
         # blocklist word-ratio filter: 100*blocked <= 2*words, whitespace
         # words, lowercase exact-token match (ops/text.blocklist_filter_batch)
         "docs_blocklist_filter": """

@@ -507,3 +507,88 @@ def dsir_oracle_sql(target_lang: str = "en", hash_buckets: int | None = 1024) ->
                cast(coalesce(s.score_ppm, 0) > 0 as bigint) as keep
         from documents left join s using (doc_id)
     """
+
+
+def _shard_hash_u64(doc_id: int) -> int:
+    """Salted shard hash ("shard:" prefix keeps it independent of the
+    split/mix hashes) — equals DuckDB
+    ``md5_number_upper('shard:' || cast(doc_id as varchar))``."""
+    return int.from_bytes(
+        hashlib.md5(f"shard:{doc_id}".encode()).digest()[:8], "little"
+    )
+
+
+def shuffle_shard(docs_ds, n_shards: int = 16):
+    """Deterministic global shuffle + shard assignment for training:
+    (doc_id, shard, pos) where ``shard = shard_hash %% n_shards`` and
+    ``pos`` is the document's rank inside its shard under the
+    (hash, doc_id) order — i.e. every shard is an independent,
+    reproducible random permutation slice of the corpus, the layout a
+    data loader consumes (read shard k, stream in pos order).
+
+    Engine shape: a stateless hash pass then ONE groupby("shard")
+    ``map_groups`` that sorts each shard and enumerates positions — the
+    only exchange is the shard partition itself.  Scale contract: pick
+    ``n_shards`` so a shard fits a worker (the same contract as any
+    partitioned sort); at 100 TB that means thousands of shards, which
+    also matches how loaders want their inputs."""
+    import numpy as np
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            e = pa.array([], pa.int64())
+            return pa.table({"doc_id": e, "h": e, "shard": e})
+        ids = batch.column("doc_id").to_pylist()
+        hs = [_shard_hash_u64(i) for i in ids]
+        signed = [h - (1 << 64) if h >= (1 << 63) else h for h in hs]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "h": pa.array(signed, pa.int64()),
+                "shard": pa.array([h % n_shards for h in hs], pa.int64()),
+            }
+        )
+
+    def enumerate_shard(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "doc_id" not in group.column_names:
+            e = pa.array([], pa.int64())
+            return pa.table({"doc_id": e, "shard": e, "pos": e})
+        # unsigned hash order == signed order shifted; sort on the
+        # UNSIGNED value (mirrors the hugeint oracle) via two keys:
+        # negative signed values are the large unsigned half
+        t = group.append_column(
+            "neg", pc.less(group.column("h"), pa.scalar(0, pa.int64()))
+        )
+        t = t.sort_by(
+            [("neg", "ascending"), ("h", "ascending"), ("doc_id", "ascending")]
+        )
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "shard": t.column("shard"),
+                "pos": pa.array(np.arange(n, dtype=np.int64)),
+            }
+        )
+
+    return (
+        docs_ds.select_columns(["doc_id"])
+        .map_batches(add_hash, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(enumerate_shard, batch_format="pyarrow")
+    )
+
+
+def shuffle_shard_oracle_sql(n_shards: int = 16) -> str:
+    """DuckDB mirror of :func:`shuffle_shard` (hugeint hash, unsigned
+    order)."""
+    return f"""
+        with h as (select doc_id,
+                          md5_number_upper('shard:' || cast(doc_id as varchar))::hugeint
+                              as hv
+                   from documents)
+        select doc_id, (hv % {n_shards})::bigint as shard,
+               (row_number() over (partition by hv % {n_shards}
+                                   order by hv, doc_id) - 1)::bigint as pos
+        from h
+    """

@@ -381,3 +381,33 @@ def test_condensation_edges():
             zip(b.column("scc_src").to_pylist(), b.column("scc_dst").to_pylist())
         )
     assert got == {("A", "C"), ("C", "D")}
+
+
+def test_shuffle_shard_permutation_properties():
+    import ray
+
+    from pdf_entity_extraction_ray.ops.sample import (
+        _shard_hash_u64,
+        shuffle_shard,
+    )
+
+    ids = list(range(200))
+    docs = pa.table({"doc_id": pa.array(ids, pa.int64())})
+    rows = []
+    for b in shuffle_shard(ray.data.from_arrow(docs), 4).iter_batches(
+        batch_format="pyarrow"
+    ):
+        rows.extend(b.to_pylist())
+    # every doc exactly once; shard matches the salted hash
+    assert sorted(r["doc_id"] for r in rows) == ids
+    for r in rows:
+        assert r["shard"] == _shard_hash_u64(r["doc_id"]) % 4
+    # positions within each shard are 0..k-1 and follow unsigned hash order
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["pos"])
+        assert [r["pos"] for r in rs] == list(range(len(rs)))
+        hashes = [_shard_hash_u64(r["doc_id"]) for r in rs]
+        assert hashes == sorted(hashes)
