@@ -1116,6 +1116,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_scc": _kg_scc,
         # --- HITS hubs/authorities (ppm grid vs single-process gold) ---
         "kg_hits": _kg_hits_ppm,
+        # --- deterministic DeepWalk-style walks (hash-bridge RNG) ---
+        "kg_random_walks": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["random_walks"]
+        ).random_walks(
+            __import__("ray.data", fromlist=["read_parquet"]).read_parquet(
+                _kg_artifacts(sf)["edges"],
+                columns=["src_canonical", "dst_canonical"],
+            ),
+            length=4,
+        ),
         # --- condensation DAG (distinct edges between different SCCs) ---
         "kg_condensation": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["condensation_edges"]
@@ -1518,6 +1528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_truss",
         "kg_condensation",
         "docs_shuffle_shard",
+        "kg_random_walks",
         # newest additions (round 4 close, fifth batch): entity cards,
         # dangling-reference audit, assortativity moments, length filter
         "kg_cards",
@@ -2277,6 +2288,48 @@ def oracle_sql() -> dict[str, str]:
             select w.a, w.b, w.common, w.ra_micro,
                    coalesce(ed.is_edge, 0)::bigint as is_edge
             from wed w left join ed using (a, b)
+        """,
+        # deterministic walks: ranked adjacency + per-hop md5 pick, four
+        # chained hop CTEs (mirrors ops/graph_stats.random_walks)
+        "kg_random_walks": f"""
+            with {kg_cte},
+            tri as ({tri_canon}),
+            adj as (select distinct subj_canonical as u, obj_canonical as v
+                    from tri
+                    where subj_canonical is not null
+                      and obj_canonical is not null),
+            ranked as (select u, v,
+                              (row_number() over (partition by u order by v)
+                               - 1)::bigint as idx
+                       from adj),
+            deg as (select u, count(*)::hugeint as deg from adj group by u),
+            n0 as (select u as start from adj union select v from adj),
+            w0 as (select start, start as cur from n0),
+            w1 as (select w.start, r.v as cur from w0 w
+                   join deg d on d.u = w.cur
+                   join ranked r on r.u = w.cur and r.idx =
+                     (md5_number_upper('walk:' || w.start || ':1')::hugeint
+                      % d.deg)::bigint),
+            w2 as (select w.start, r.v as cur from w1 w
+                   join deg d on d.u = w.cur
+                   join ranked r on r.u = w.cur and r.idx =
+                     (md5_number_upper('walk:' || w.start || ':2')::hugeint
+                      % d.deg)::bigint),
+            w3 as (select w.start, r.v as cur from w2 w
+                   join deg d on d.u = w.cur
+                   join ranked r on r.u = w.cur and r.idx =
+                     (md5_number_upper('walk:' || w.start || ':3')::hugeint
+                      % d.deg)::bigint),
+            w4 as (select w.start, r.v as cur from w3 w
+                   join deg d on d.u = w.cur
+                   join ranked r on r.u = w.cur and r.idx =
+                     (md5_number_upper('walk:' || w.start || ':4')::hugeint
+                      % d.deg)::bigint)
+            select start, 0::bigint as step, cur as node from w0
+            union all select start, 1, cur from w1
+            union all select start, 2, cur from w2
+            union all select start, 3, cur from w3
+            union all select start, 4, cur from w4
         """,
         # condensation DAG: scc labels (same closure as kg_scc) re-key the
         # directed edges; distinct cross-SCC pairs

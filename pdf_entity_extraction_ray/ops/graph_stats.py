@@ -4900,3 +4900,182 @@ def condensation_edges(edges_ds, num_partitions: int | None = None,
         .count()
         .select_columns(["scc_src", "scc_dst"])
     )
+
+
+def random_walks(edges_ds, length: int = 4, num_partitions: int | None = None):
+    """Deterministic "random" walks over the directed entity graph — the
+    DeepWalk/node2vec corpus-generation step of a KG-embedding pipeline,
+    with the RNG replaced by the engine's cross-engine hash bridge so the
+    walks are a pure function of the graph: from every node, one walk of
+    up to ``length`` hops where hop ``s`` picks neighbor index
+
+        ``md5_number_upper("walk:{start}:{s}") %% out_degree(cur)``
+
+    over the current node's neighbors in canonical sort order.  Walks
+    stop early at sink nodes (inner joins drop them — exactly the
+    random-walk-with-teleport-less semantics).
+
+    Engine shape: NO per-row Python in the hop loop — a ranked adjacency
+    table (u, idx, v) and a degree table are built once (one groupby
+    each); each hop is a degree fetch + an (u, idx) composite-key hash
+    join, the standard relational DeepWalk formulation.  Output rows
+    (start, step, node) for steps 0..length."""
+    import numpy as np
+    import ray.data
+
+    from .dedup import _join_partitions
+
+    def dedupe(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src_canonical" not in batch.column_names:
+            e = pa.array([], pa.string())
+            return pa.table({"u": e, "v": e})
+        return pa.table(
+            {"u": batch.column("src_canonical"), "v": batch.column("dst_canonical")}
+        ).group_by(["u", "v"]).aggregate([])
+
+    adj = (
+        edges_ds.select_columns(["src_canonical", "dst_canonical"])
+        .map_batches(dedupe, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .count()
+        .select_columns(["u", "v"])
+        .materialize()
+    )
+    empty = pa.table(
+        {
+            "start": pa.array([], pa.string()),
+            "step": pa.array([], pa.int64()),
+            "node": pa.array([], pa.string()),
+        }
+    )
+    if adj.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    def rank_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "u" not in group.column_names:
+            return pa.table(
+                {
+                    "u": pa.array([], pa.string()),
+                    "idx": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.string()),
+                }
+            )
+        t = group.sort_by([("v", "ascending")])
+        return pa.table(
+            {
+                "u": t.column("u"),
+                "idx": pa.array(np.arange(t.num_rows, dtype=np.int64)),
+                "v": t.column("v"),
+            }
+        )
+
+    ranked = adj.groupby("u").map_groups(rank_group, batch_format="pyarrow").materialize()
+    degrees = (
+        adj.select_columns(["u"]).groupby("u").count()
+        .rename_columns({"count()": "deg"})
+        .materialize()
+    )
+
+    n_part = num_partitions
+    if n_part is None:
+        n_part = 1 if adj.count() < 10_000 else _join_partitions()
+
+    def starts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return pa.table(
+                {"start": pa.array([], pa.string()), "cur": pa.array([], pa.string())}
+            )
+        seen = sorted(
+            set(batch.column("u").to_pylist()) | set(batch.column("v").to_pylist())
+        )
+        return pa.table(
+            {"start": pa.array(seen, pa.string()), "cur": pa.array(seen, pa.string())}
+        )
+
+    from ray.data.aggregate import Min
+
+    frontier = (
+        adj.map_batches(starts, batch_format="pyarrow")
+        .groupby("start")
+        .aggregate(Min("cur", alias_name="cur"))
+        .materialize()
+    )
+
+    out_parts = []
+
+    def emit(step):
+        def f(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "start" not in batch.column_names:
+                return empty
+            return pa.table(
+                {
+                    "start": batch.column("start"),
+                    "step": pa.array(
+                        np.full(batch.num_rows, step, np.int64)
+                    ),
+                    "node": batch.column("cur"),
+                }
+            )
+
+        return f
+
+    out_parts.append(frontier.map_batches(emit(0), batch_format="pyarrow"))
+
+    for step in range(1, length + 1):
+        # degree fetch, then pick = H(start, step) % deg
+        with_deg = frontier.join(
+            degrees, join_type="inner", num_partitions=n_part,
+            on=("cur",), right_on=("u",),
+        ).materialize()
+        if with_deg.count() == 0:
+            break
+
+        def pick(batch: pa.Table, _step=step) -> pa.Table:
+            if batch.num_rows == 0 or "start" not in batch.column_names:
+                return pa.table(
+                    {
+                        "start": pa.array([], pa.string()),
+                        "cur": pa.array([], pa.string()),
+                        "idx": pa.array([], pa.int64()),
+                    }
+                )
+            st = batch.column("start").to_pylist()
+            dg = batch.column("deg").to_pylist()
+            idx = [
+                _neg_hash_u64(f"walk:{s}:{_step}") % d for s, d in zip(st, dg)
+            ]
+            return pa.table(
+                {
+                    "start": batch.column("start"),
+                    "cur": batch.column("cur"),
+                    "idx": pa.array(idx, pa.int64()),
+                }
+            )
+
+        picked = with_deg.map_batches(pick, batch_format="pyarrow")
+        nxt = picked.join(
+            ranked, join_type="inner", num_partitions=n_part,
+            on=("cur", "idx"), right_on=("u", "idx"),
+        )
+
+        def advance(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "start" not in batch.column_names:
+                return pa.table(
+                    {
+                        "start": pa.array([], pa.string()),
+                        "cur": pa.array([], pa.string()),
+                    }
+                )
+            return pa.table(
+                {"start": batch.column("start"), "cur": batch.column("v")}
+            )
+
+        frontier = nxt.map_batches(advance, batch_format="pyarrow").materialize()
+        if frontier.count() == 0:
+            break
+        out_parts.append(frontier.map_batches(emit(step), batch_format="pyarrow"))
+
+    out = out_parts[0]
+    for part in out_parts[1:]:
+        out = out.union(part)
+    return out

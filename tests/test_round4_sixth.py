@@ -411,3 +411,46 @@ def test_shuffle_shard_permutation_properties():
         assert [r["pos"] for r in rs] == list(range(len(rs)))
         hashes = [_shard_hash_u64(r["doc_id"]) for r in rs]
         assert hashes == sorted(hashes)
+
+
+def test_random_walks_deterministic_and_hash_correct():
+    import ray
+
+    from pdf_entity_extraction_ray.ops.graph_stats import (
+        _neg_hash_u64,
+        random_walks,
+    )
+
+    # diamond with a sink: A -> {B, C}, B -> D, C -> D (D is a sink)
+    edges = [("A", "B"), ("A", "C"), ("B", "D"), ("C", "D")]
+    tbl = pa.table(
+        {
+            "src_canonical": [a for a, _ in edges],
+            "dst_canonical": [b for _, b in edges],
+        }
+    )
+    rows = {}
+    for b in random_walks(ray.data.from_arrow(tbl), length=4).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for r in b.to_pylist():
+            rows[(r["start"], r["step"])] = r["node"]
+    # step 0 = every node
+    for n in "ABCD":
+        assert rows[(n, 0)] == n
+    # A's first hop follows the hash pick over sorted neighbors [B, C]
+    pick = _neg_hash_u64("walk:A:1") % 2
+    assert rows[("A", 1)] == ["B", "C"][pick]
+    # whichever branch, step 2 from A lands on D; D is a sink -> no step 3
+    assert rows[("A", 2)] == "D"
+    assert ("A", 3) not in rows
+    # walks from the sink stop immediately
+    assert ("D", 1) not in rows
+    # full determinism: second run identical
+    rows2 = {}
+    for b in random_walks(ray.data.from_arrow(tbl), length=4).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for r in b.to_pylist():
+            rows2[(r["start"], r["step"])] = r["node"]
+    assert rows == rows2
