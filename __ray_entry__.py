@@ -71,6 +71,7 @@ def _kg_artifacts(sf_dir: str) -> dict:
         and os.path.isdir(f"{base}/gold_hits")
         and os.path.isdir(f"{base}/gold_hyperball")
         and os.path.isdir(f"{base}/gold_truss")
+        and os.path.isdir(f"{base}/gold_communities")
         and os.path.isfile(f"{base}/{CORPUS_VERSION_MARKER}")
     ):
         shutil.rmtree(base, ignore_errors=True)
@@ -609,6 +610,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )[:3]
         return bfs_depths(edges, seeds, max_depth=4)
 
+    def _kg_sssp(sf_dir):
+        """Entity proximity: bounded weighted shortest paths (<= 4 hops,
+        edge cost = 1_000_000 // pair assertion multiplicity) from the 3
+        lexicographically smallest canonical entities — frontier-pruned
+        Bellman-Ford on the BFS BSP machinery
+        (ops/graph_stats.sssp_costs).  Seeds via the same min-3 combiner
+        as kg_bfs."""
+        import pyarrow as pa
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import sssp_costs
+
+        res = _kg_artifacts(sf_dir)
+        edges = ray.data.read_parquet(
+            res["edges"],
+            columns=["src_id", "dst_id", "src_canonical", "dst_canonical"],
+        )
+
+        def min3(batch: pa.Table) -> pa.Table:
+            cs = sorted(
+                set(batch.column("src_canonical").to_pylist())
+                | set(batch.column("dst_canonical").to_pylist())
+            )[:3]
+            return pa.table({"canonical": pa.array(cs, pa.string())})
+
+        seeds = sorted(
+            {
+                r["canonical"]
+                for r in edges.select_columns(["src_canonical", "dst_canonical"])
+                .map_batches(min3, batch_format="pyarrow")
+                .take_all()
+            }
+        )[:3]
+        return sssp_costs(edges, seeds, max_hops=4)
+
+    def _kg_communities(sf_dir):
+        """Label-propagation communities (4 synchronous rounds,
+        most-frequent-neighbor-label rule, min-id ties) over the entity
+        graph — BSP loop in ops/graph_stats.label_propagation; oracle is
+        the single-process gold mirror written at corpus synthesis."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import label_propagation
+
+        res = _kg_artifacts(sf_dir)
+        return label_propagation(
+            ray.data.read_parquet(res["edges"], columns=["src_id", "dst_id"]),
+            rounds=4,
+        )
+
     def _kg_host_quality(sf_dir):
         """Domain-level curation: per-host page-quality keep rates in
         pure integer arithmetic (ops/web.host_quality)."""
@@ -1112,6 +1163,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 columns=["src_id", "dst_id", "src_canonical", "dst_canonical"],
             )
         ),
+        # --- label-propagation communities (BSP, gold-mirror oracle) ---
+        "kg_communities": _kg_communities,
+        # --- bounded weighted shortest paths (proximity; CTE oracle) ---
+        "kg_sssp": _kg_sssp,
+        # --- market-basket co-purchase pairs over lineitem ---
+        "parts_copurchase": lambda sf: relational.parts_copurchase(
+            _read(sf, "lineitem")
+        ),
         # --- strongly connected components (directed mutual reachability) ---
         "kg_scc": _kg_scc,
         # --- HITS hubs/authorities (ppm grid vs single-process gold) ---
@@ -1517,6 +1576,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # has never itself checked (judge-run only in r3), then the long-green
     # remainder in their original order.
     front = [
+        # newest additions (round 4, seventh batch): LPA communities,
+        # bounded weighted shortest paths, market-basket pairs
+        "kg_communities",
+        "kg_sssp",
+        "parts_copurchase",
         # newest additions (round 4, sixth batch): directed SCC,
         # Gopher quality rules, HITS hubs/authorities
         "kg_scc",
@@ -2028,6 +2092,44 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::bigint as n_users
             from ud join c using (user_id)
             group by 1, 2
+        """,
+        "kg_communities": f"""
+            select node, community
+            from read_parquet('{gold}/gold_communities/*.parquet')
+        """,
+        "kg_sssp": f"""
+            with recursive {kg_cte},
+            tri as ({tri_canon}),
+            e0 as (select distinct subj_canonical as a, pred,
+                          obj_canonical as b
+                   from tri where subj_canonical <> obj_canonical),
+            pw as (select least(a, b) as u, greatest(a, b) as v,
+                          count(*)::bigint as n
+                   from e0 group by 1, 2),
+            edges as (select u, v, 1000000 // n as w from pw
+                      union all
+                      select v, u, 1000000 // n from pw),
+            seeds as (select u as node from (
+                          select u from edges union select v from edges)
+                      order by node limit 3),
+            reach(node, dist, hops) as (
+                select node, 0::bigint, 0 from seeds
+                union
+                select e.v, r.dist + e.w, r.hops + 1 from reach r
+                join edges e on e.u = r.node
+                where r.hops < 4
+            )
+            select node as canonical, min(dist)::bigint as dist
+            from reach group by node
+        """,
+        "parts_copurchase": """
+            with lp as (select distinct l_orderkey, l_partkey from lineitem),
+            pairs as (select a.l_partkey as part_a, b.l_partkey as part_b
+                      from lp a join lp b
+                      on a.l_orderkey = b.l_orderkey
+                      and a.l_partkey < b.l_partkey)
+            select part_a, part_b, count(*)::bigint as n_orders
+            from pairs group by 1, 2 having count(*) >= 2
         """,
         "kg_bfs": f"""
             with recursive {kg_cte},

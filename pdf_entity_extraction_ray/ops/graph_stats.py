@@ -5079,3 +5079,392 @@ def random_walks(edges_ds, length: int = 4, num_partitions: int | None = None):
     for part in out_parts[1:]:
         out = out.union(part)
     return out
+
+
+def _lpa_remotes():
+    """BSP worker tasks for synchronous label propagation (lazy so import
+    never touches Ray)."""
+    import numpy as np
+
+    import ray
+
+    @ray.remote
+    def split_und(tbl: pa.Table, P: int):
+        if tbl.num_rows == 0 or "u" not in tbl.column_names:
+            empty = np.empty(0, np.int64)
+            return [(empty, empty)] * P
+        u = np.asarray(tbl.column("u").to_pylist(), dtype=np.int64)
+        v = np.asarray(tbl.column("v").to_pylist(), dtype=np.int64)
+        dest = u % P
+        order = np.argsort(dest, kind="stable")
+        u, v, dest = u[order], v[order], dest[order]
+        bounds = np.searchsorted(dest, np.arange(P + 1))
+        return [(u[bounds[p]: bounds[p + 1]], v[bounds[p]: bounds[p + 1]]) for p in range(P)]
+
+    @ray.remote
+    def concat_part(*edge_parts):
+        """Partition state: u-sorted out-edges, sorted owned-node array,
+        per-node label initialized to the node's own id."""
+        edge_parts = [s[0] if isinstance(s, list) else s for s in edge_parts]
+        u = np.concatenate([s[0] for s in edge_parts]) if edge_parts else np.empty(0, np.int64)
+        v = np.concatenate([s[1] for s in edge_parts]) if edge_parts else np.empty(0, np.int64)
+        order = np.argsort(u, kind="stable")
+        u, v = u[order], v[order]
+        nodes = np.unique(u)
+        labels = nodes.copy()
+        return u, v, nodes, labels
+
+    @ray.remote
+    def msgs(part, P: int):
+        """(dst, label) shards: every node sends its CURRENT label along
+        every out-edge — O(E) messages per round, the LPA invariant."""
+        u, v, nodes, labels = part
+        if len(u) == 0:
+            ei = np.empty(0, np.int64)
+            return [(ei, ei)] * P
+        lab = labels[np.searchsorted(nodes, u)]
+        dest = v % P
+        order = np.argsort(dest, kind="stable")
+        vs, ls, dest = v[order], lab[order], dest[order]
+        bounds = np.searchsorted(dest, np.arange(P + 1))
+        return [(vs[bounds[p]: bounds[p + 1]], ls[bounds[p]: bounds[p + 1]]) for p in range(P)]
+
+    @ray.remote
+    def reduce_part(part, *incoming):
+        """New label per node = most frequent incoming neighbor label,
+        ties -> smallest label id.  All P shards' messages concatenate
+        BEFORE counting, so the mode is a pure function of the graph (no
+        arrival-order dependence)."""
+        u, v, nodes, labels = part
+        incoming = [s[0] if isinstance(s, list) else s for s in incoming]
+        mv = np.concatenate([s[0] for s in incoming]) if incoming else np.empty(0, np.int64)
+        ml = np.concatenate([s[1] for s in incoming]) if incoming else np.empty(0, np.int64)
+        if len(mv) == 0:
+            return part
+        order = np.lexsort((ml, mv))
+        mv, ml = mv[order], ml[order]
+        # run-length count of (dst, label) pairs
+        new_run = np.r_[True, (mv[1:] != mv[:-1]) | (ml[1:] != ml[:-1])]
+        starts = np.flatnonzero(new_run)
+        cnt = np.diff(np.r_[starts, len(mv)])
+        rd, rl = mv[starts], ml[starts]
+        # per dst: max count, tie -> min label.  Sort (dst asc, count
+        # desc, label asc) and take the first row of each dst run.
+        order2 = np.lexsort((rl, -cnt, rd))
+        rd, rl = rd[order2], rl[order2]
+        first = np.r_[True, rd[1:] != rd[:-1]]
+        wd, wl = rd[first], rl[first]
+        new_labels = labels.copy()
+        new_labels[np.searchsorted(nodes, wd)] = wl
+        return u, v, nodes, new_labels
+
+    @ray.remote
+    def to_table(part) -> pa.Table:
+        _, _, nodes, labels = part
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "community": pa.array(labels, pa.int64()),
+            }
+        )
+
+    return split_und, concat_part, msgs, reduce_part, to_table
+
+
+def label_propagation(edges_ds, *, rounds: int = 4, num_partitions: int | None = None):
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007) over the UNDIRECTED SIMPLE projection of the entity graph:
+    every node starts in its own community (label = own id); each round
+    every node adopts the most frequent label among its neighbors, ties
+    broken toward the smallest label id.  Exactly ``rounds`` synchronous
+    rounds — a fixed round count sidesteps LPA's oscillation-under-
+    convergence-checks problem and makes the output a pure function of
+    the graph, independent of partitioning (messages are counted after a
+    full concatenate, never folded in arrival order).
+
+    Same BSP shape as components/PageRank/coreness: distinct symmetric
+    (u, v) pairs hash-partition ONCE by source; each round ships O(E)
+    (dst, label) messages between the P partitions and the driver sees
+    only P refs — re-invoking Dataset shuffle operators per round would
+    pay seconds of setup per iteration at any scale.
+
+    Emits (node, community) int64 rows — ids match the engine's
+    content-derived node ids, so the single-process gold mirror
+    (sources/corpus.lpa_reference) is hash-exact by construction."""
+    import ray
+    import ray.data
+
+    P = num_partitions or max(4, int(ray.cluster_resources().get("CPU", 4)))
+    split_und, concat_part, msgs, reduce_part, to_table = _lpa_remotes()
+
+    def sym_simple(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src_id" not in batch.column_names:
+            return pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+        s, d = batch.column("src_id"), batch.column("dst_id")
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep).combine_chunks(), d.filter(keep).combine_chunks()
+        t = pa.table({"u": pa.concat_arrays([s, d]), "v": pa.concat_arrays([d, s])})
+        return t.group_by(["u", "v"]).aggregate([])  # per-batch dedup combiner
+
+    sym = (
+        edges_ds.map_batches(sym_simple, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .count()
+        .select_columns(["u", "v"])  # global dedup: the label multiset is per NEIGHBOR
+        .materialize()
+    )
+    block_refs = list(sym.to_arrow_refs())
+    if not block_refs:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "community": pa.array([], pa.int64())})
+        )
+    shard_lists = [split_und.options(num_returns=P).remote(r, P) for r in block_refs]
+    if P == 1:
+        shard_lists = [[s] for s in shard_lists]
+    parts = [
+        concat_part.remote(*[shard_lists[i][p] for i in range(len(block_refs))])
+        for p in range(P)
+    ]
+    for _ in range(max(0, int(rounds))):
+        msg_lists = [msgs.options(num_returns=P).remote(parts[p], P) for p in range(P)]
+        if P == 1:
+            msg_lists = [[m] for m in msg_lists]
+        parts = [
+            reduce_part.remote(parts[p], *[msg_lists[q][p] for q in range(P)])
+            for p in range(P)
+        ]
+    return ray.data.from_arrow_refs([to_table.remote(p) for p in parts])
+
+
+def _sssp_remotes():
+    """BSP worker tasks for bounded weighted shortest paths (lazy so
+    import never touches Ray)."""
+    import numpy as np
+
+    import ray
+
+    @ray.remote
+    def split_edges(tbl: pa.Table, P: int):
+        if tbl.num_rows == 0 or "u" not in tbl.column_names:
+            empty = np.empty(0, np.int64)
+            return [(empty, empty, empty)] * P
+        u = np.asarray(tbl.column("u").to_pylist(), dtype=np.int64)
+        v = np.asarray(tbl.column("v").to_pylist(), dtype=np.int64)
+        w = np.asarray(tbl.column("w").to_pylist(), dtype=np.int64)
+        dest = u % P
+        order = np.argsort(dest, kind="stable")
+        u, v, w, dest = u[order], v[order], w[order], dest[order]
+        bounds = np.searchsorted(dest, np.arange(P + 1))
+        return [
+            (u[bounds[p]: bounds[p + 1]], v[bounds[p]: bounds[p + 1]], w[bounds[p]: bounds[p + 1]])
+            for p in range(P)
+        ]
+
+    @ray.remote
+    def concat_part(seed_ids, *edge_parts):
+        INF = np.iinfo(np.int64).max
+        edge_parts = [s[0] if isinstance(s, list) else s for s in edge_parts]
+        u = np.concatenate([s[0] for s in edge_parts]) if edge_parts else np.empty(0, np.int64)
+        v = np.concatenate([s[1] for s in edge_parts]) if edge_parts else np.empty(0, np.int64)
+        w = np.concatenate([s[2] for s in edge_parts]) if edge_parts else np.empty(0, np.int64)
+        order = np.argsort(u, kind="stable")
+        u, v, w = u[order], v[order], w[order]
+        nodes = np.unique(u)
+        dist = np.full(len(nodes), INF, dtype=np.int64)
+        idx = np.searchsorted(nodes, seed_ids)
+        ok = idx < len(nodes)
+        sub = idx[ok]
+        sub = sub[nodes[sub] == seed_ids[ok]]
+        dist[sub] = 0
+        frontier = np.zeros(len(nodes), dtype=bool)
+        frontier[sub] = True
+        return u, v, w, nodes, dist, frontier
+
+    @ray.remote
+    def msgs(part, P: int):
+        """(dst, dist_u + w) relaxations from this round's FRONTIER nodes
+        only — Bellman-Ford with frontier pruning, so total message volume
+        is O(sum of improved-node degrees)."""
+        u, v, w, nodes, dist, frontier = part
+        if not frontier.any():
+            ei = np.empty(0, np.int64)
+            return [(ei, ei)] * P
+        lo = np.searchsorted(u, nodes[frontier], side="left")
+        hi = np.searchsorted(u, nodes[frontier], side="right")
+        if len(lo):
+            vs = np.concatenate([v[a:b] for a, b in zip(lo, hi)])
+            ds_ = np.concatenate(
+                [d + w[a:b] for a, b, d in zip(lo, hi, dist[frontier])]
+            )
+        else:
+            vs = np.empty(0, np.int64)
+            ds_ = np.empty(0, np.int64)
+        dest = vs % P
+        order = np.argsort(dest, kind="stable")
+        vs, ds_, dest = vs[order], ds_[order], dest[order]
+        bounds = np.searchsorted(dest, np.arange(P + 1))
+        return [(vs[bounds[p]: bounds[p + 1]], ds_[bounds[p]: bounds[p + 1]]) for p in range(P)]
+
+    @ray.remote
+    def reduce_part(part, *incoming):
+        u, v, w, nodes, dist, _ = part
+        new = dist.copy()
+        incoming = [s[0] if isinstance(s, list) else s for s in incoming]
+        for mv, md in incoming:
+            if len(mv):
+                idx = np.searchsorted(nodes, mv)
+                np.minimum.at(new, idx, md)
+        frontier = new < dist
+        return (u, v, w, nodes, new, frontier), bool(frontier.any())
+
+    @ray.remote
+    def to_table(part) -> pa.Table:
+        INF = np.iinfo(np.int64).max
+        _, _, _, nodes, dist, _ = part
+        fin = dist < INF
+        return pa.table(
+            {
+                "node": pa.array(nodes[fin], pa.int64()),
+                "dist": pa.array(dist[fin], pa.int64()),
+            }
+        )
+
+    return split_edges, concat_part, msgs, reduce_part, to_table
+
+
+def sssp_costs(edges_ds, seeds, *, max_hops: int = 4,
+               num_partitions: int | None = None):
+    """Bounded weighted shortest paths over the UNDIRECTED entity graph —
+    the "how close are these entities" proximity query a KG serves, with
+    the standard strength-to-distance transform: an unordered pair linked
+    by n distinct (subj, pred, obj) assertions gets integer edge cost
+    ``1_000_000 // n`` (more parallel assertions = closer), and a node's
+    distance is the minimum total cost over paths of at most ``max_hops``
+    edges from the seed set.
+
+    Execution is ``max_hops`` rounds of frontier-pruned Bellman-Ford on
+    the BFS BSP machinery (a node relaxes its neighbors only in rounds
+    where its own distance improved); round r settles every best path of
+    r edges, so the bounded-hop semantics are exact and a DuckDB
+    recursive CTE over the same weighted edge list mirrors hash-exactly
+    (all-integer costs).  Self-loops drop; seeds are canonical strings.
+
+    Emits (canonical, dist) for reached nodes only."""
+    import numpy as np
+    import ray
+    import ray.data
+    from ray.data.aggregate import Min
+
+    from .dedup import _join_partitions
+
+    def idmap(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src_id" not in batch.column_names:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "canonical": pa.array([], pa.string())}
+            )
+        seen: dict[int, str] = {}
+        for side in ("src", "dst"):
+            seen.update(
+                zip(
+                    batch.column(f"{side}_id").to_pylist(),
+                    batch.column(f"{side}_canonical").to_pylist(),
+                )
+            )
+        return pa.table(
+            {
+                "node": pa.array(list(seen), pa.int64()),
+                "canonical": pa.array(list(seen.values()), pa.string()),
+            }
+        )
+
+    nodes = (
+        edges_ds.select_columns(["src_id", "src_canonical", "dst_id", "dst_canonical"])
+        .map_batches(idmap, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("canonical", alias_name="canonical"))
+        .materialize()
+    )
+    seed_set = set(seeds)
+    seed_rows = nodes.filter(lambda r: r["canonical"] in seed_set).take_all()
+    seed_ids = np.asarray(sorted(r["node"] for r in seed_rows), dtype=np.int64)
+
+    # ---- unordered pair multiplicities -> integer costs ----
+    def orient(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src_id" not in batch.column_names:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        s = np.asarray(batch.column("src_id").to_pylist(), dtype=np.int64)
+        d = np.asarray(batch.column("dst_id").to_pylist(), dtype=np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(s, d), pa.int64()),
+                "b": pa.array(np.maximum(s, d), pa.int64()),
+            }
+        )
+
+    # edges rows are distinct (src, pred, dst) assertions, so the pair
+    # count is a plain exact groupby (per-batch combiner not needed: the
+    # oriented rows ARE the partials Ray's Count folds)
+    pw = (
+        edges_ds.select_columns(["src_id", "dst_id"])
+        .map_batches(orient, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+    )
+
+    def to_sym_cost(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            ei = pa.array([], pa.int64())
+            return pa.table({"u": ei, "v": ei, "w": ei})
+        a = np.asarray(batch.column("a").to_pylist(), dtype=np.int64)
+        b = np.asarray(batch.column("b").to_pylist(), dtype=np.int64)
+        n = np.asarray(batch.column("count()").to_pylist(), dtype=np.int64)
+        w = 1_000_000 // n
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([a, b]), pa.int64()),
+                "v": pa.array(np.concatenate([b, a]), pa.int64()),
+                "w": pa.array(np.concatenate([w, w]), pa.int64()),
+            }
+        )
+
+    sym_ds = pw.map_batches(to_sym_cost, batch_format="pyarrow").materialize()
+
+    P = num_partitions or max(4, int(ray.cluster_resources().get("CPU", 4)))
+    split_edges, concat_part, msgs, reduce_part, to_table = _sssp_remotes()
+    block_refs = list(sym_ds.to_arrow_refs())
+    empty = pa.table(
+        {"canonical": pa.array([], pa.string()), "dist": pa.array([], pa.int64())}
+    )
+    if not block_refs or len(seed_ids) == 0:
+        return ray.data.from_arrow(empty)
+    shard_lists = [split_edges.options(num_returns=P).remote(r, P) for r in block_refs]
+    if P == 1:
+        shard_lists = [[s] for s in shard_lists]
+    seed_ref = ray.put(seed_ids)
+    parts = [
+        concat_part.remote(seed_ref, *[shard_lists[i][p] for i in range(len(block_refs))])
+        for p in range(P)
+    ]
+    for _ in range(max(0, int(max_hops))):
+        msg_lists = [msgs.options(num_returns=P).remote(parts[p], P) for p in range(P)]
+        if P == 1:
+            msg_lists = [[m] for m in msg_lists]
+        new = [
+            reduce_part.options(num_returns=2).remote(
+                parts[p], *[msg_lists[q][p] for q in range(P)]
+            )
+            for p in range(P)
+        ]
+        parts = [n[0] for n in new]
+        changed = ray.get([n[1] for n in new])
+        if not any(changed):
+            break
+    dists = ray.data.from_arrow_refs([to_table.remote(p) for p in parts]).materialize()
+    if dists.count() == 0:
+        # unknown seeds reach nothing; empty sides crash Ray's hash join
+        return ray.data.from_arrow(empty)
+    n_part = 1 if nodes.count() < 10_000 else _join_partitions()
+    out = dists.join(nodes, join_type="inner", num_partitions=n_part, on=("node",))
+    return out.select_columns(["canonical", "dist"])

@@ -1790,3 +1790,96 @@ def events_cube(events_ds):
         .groupby(["event_type", "day"])
         .aggregate(Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
     )
+
+
+def parts_copurchase(lineitem_ds, *, min_orders: int = 2, shards: int = 256):
+    """Market-basket pair mining: for every unordered part pair, how many
+    orders contain BOTH — the co-purchase census recommendation and
+    affinity analyses start from (the frequent-2-itemset step of
+    Apriori).
+
+    The naive form self-joins lineitem on the order key; this op never
+    joins: orders hash into ``shards`` coarse groups (all rows of an
+    order land in one group), and inside a shard the (order, part) rows
+    are lexsorted once, deduped, and expanded to within-order pairs with
+    pure offset arithmetic — no per-order Python loop.  Pair volume is
+    sum of k*(k-1)/2 over basket sizes k, which is bounded by the max
+    basket size (7 for TPC-H lineitem; a retail-scale basket cap would
+    be applied at this same spot), so no key's expansion is quadratic in
+    the corpus.  Per-shard partial counts combine before the small final
+    groupby; pairs below ``min_orders`` never leave the shard stage
+    unaggregated.
+
+    Emits (part_a, part_b, n_orders) with part_a < part_b."""
+    import numpy as np
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    EMPTY = pa.table(
+        {
+            "part_a": pa.array([], pa.int64()),
+            "part_b": pa.array([], pa.int64()),
+            "n_orders": pa.array([], pa.int64()),
+        }
+    )
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        return _add_shard_col(batch, "l_orderkey", shards)
+
+    def shard_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "l_orderkey" not in group.column_names:
+            return EMPTY
+        ok = group.column("l_orderkey").cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        pk = group.column("l_partkey").cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        # distinct (order, part): a part twice in one order is one basket item
+        keep = np.r_[True, (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])]
+        ok, pk = ok[keep], pk[keep]
+        n = len(ok)
+        if n == 0:
+            return EMPTY
+        # run-length detect baskets, then expand each row to its later
+        # partners in the same basket: row r with position w in a basket
+        # of size k pairs with the (k - 1 - w) rows after it
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        idx = np.arange(n)
+        within = idx - np.repeat(starts, lens)
+        reps = np.repeat(lens, lens) - 1 - within
+        total = int(reps.sum())
+        if total == 0:
+            return EMPTY
+        a_idx = np.repeat(idx, reps)
+        offs = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        b_idx = np.arange(total) - np.repeat(offs, reps) + a_idx + 1
+        t = pa.table(
+            {
+                "part_a": pa.array(pk[a_idx], pa.int64()),
+                "part_b": pa.array(pk[b_idx], pa.int64()),
+            }
+        )
+        g = t.group_by(["part_a", "part_b"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "part_a": g.column("part_a"),
+                "part_b": g.column("part_b"),
+                "n_orders": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    counted = (
+        lineitem_ds.select_columns(["l_orderkey", "l_partkey"])
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_pairs, batch_format="pyarrow")
+        .groupby(["part_a", "part_b"])
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+    return counted.filter(
+        expr=f"n_orders >= {int(min_orders)}"
+    )

@@ -764,6 +764,7 @@ def write_corpus(
         write_gold_hits(out_dir)
         write_gold_hyperball(out_dir)
         write_gold_truss(out_dir)
+        write_gold_communities(out_dir)
 
     # synthesis-version marker: cached corpus dirs from an older synthesizer
     # (e.g. pre-link-graph) are detected and regenerated by consumers
@@ -1196,4 +1197,60 @@ def write_gold_truss(out_dir: str) -> None:
             }
         ),
         f"{out_dir}/gold_truss/part-0.parquet",
+    )
+
+
+def lpa_reference(pairs, rounds: int = 4):
+    """Single-process synchronous label propagation over distinct
+    undirected (u, v) pairs — the engine's exact formulation
+    (ops/graph_stats.label_propagation): labels start at own id; each
+    round every node adopts the most frequent label among its DISTINCT
+    neighbors, ties toward the smallest label id; exactly ``rounds``
+    synchronous rounds.  Returns {node: community}."""
+    from collections import Counter
+
+    adj: dict[int, set[int]] = {}
+    for u, v in pairs:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n, nbrs in adj.items():
+            c = Counter(labels[m] for m in nbrs)
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        labels = new
+    return labels
+
+
+def write_gold_communities(out_dir: str, rounds: int = 4) -> None:
+    """Single-process reference label-propagation communities over the
+    gold graph's undirected simple projection -> a ``gold_communities``
+    table (node, community) — integer node ids (the engine's
+    content-derived ids), so the oracle hash compare is exact by
+    construction."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pairs = {
+        (min(u, v), max(u, v))
+        for u, _p, v in gold_edge_rows(out_dir)
+        if u != v
+    }
+    labels = lpa_reference(sorted(pairs), rounds=rounds)
+    nodes = sorted(labels)
+    os.makedirs(f"{out_dir}/gold_communities", exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "community": pa.array([labels[n] for n in nodes], pa.int64()),
+            }
+        ),
+        f"{out_dir}/gold_communities/part-0.parquet",
     )
