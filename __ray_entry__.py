@@ -660,6 +660,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rounds=4,
         )
 
+    def _kg_mis(sf_dir):
+        """Luby-style maximal independent set over the entity graph
+        (deterministic splitmix64 priorities == lexicographically-first
+        MIS); gold = single-process greedy over the gold graph, written
+        lazily per scale."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import (
+            maximal_independent_set,
+            write_gold_mis,
+        )
+
+        res = _kg_artifacts(sf_dir)
+        name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        gold_dir = f"/tmp/graft_mis_v1/{name}"
+        if not os.path.isfile(f"{gold_dir}/gold_mis.parquet"):
+            write_gold_mis(f"/tmp/graft_kg/{name}", gold_dir)
+        return maximal_independent_set(
+            ray.data.read_parquet(res["edges"], columns=["src_id", "dst_id"])
+        )
+
     def _kg_host_quality(sf_dir):
         """Domain-level curation: per-host page-quality keep rates in
         pure integer arithmetic (ops/web.host_quality)."""
@@ -1038,6 +1059,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             m=16, n_codes=32, iterations=5, source_path=path,
         )
 
+    def _ivfpq_gold(sf_dir):
+        """Single-process gold IVF+PQ top-k (written once per scale;
+        shared codebook-training/encode/ADC/probe kernels with the
+        distributed op)."""
+        from pdf_entity_extraction_ray.ops.pq import write_gold_ivfpq
+
+        name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        out = f"/tmp/graft_ivfpq_v1/{name}"
+        if not os.path.isfile(f"{out}/gold_ivfpq.parquet"):
+            write_gold_ivfpq(
+                os.path.join(sf_dir, "embeddings.parquet"), out,
+                query_ids=[0, 1, 2, 3, 4], k=10, n_probe=8, m=16,
+                n_codes=32, iterations=5,
+            )
+        return out
+
+    def emb_knn_ivfpq(sf_dir):
+        from pdf_entity_extraction_ray.ops.pq import knn_ivfpq
+
+        _ivfpq_gold(sf_dir)
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        return knn_ivfpq(
+            _read(sf_dir, "embeddings"), [0, 1, 2, 3, 4], 10,
+            n_probe=8, m=16, n_codes=32, iterations=5, source_path=path,
+        )
+
     def _lm_gold(sf_dir):
         """Single-process gold n-gram LM + per-doc perplexities (written
         once per scale; deterministic)."""
@@ -1163,8 +1210,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 columns=["src_id", "dst_id", "src_canonical", "dst_canonical"],
             )
         ),
+        # --- IVF+PQ ANN (probe-pruned read over m-byte codes) ---
+        "emb_knn_ivfpq": emb_knn_ivfpq,
+        # --- RFM segmentation with exact tie-respecting quantile scores ---
+        "events_rfm": lambda sf: relational.events_rfm(_read(sf, "events")),
         # --- label-propagation communities (BSP, gold-mirror oracle) ---
         "kg_communities": _kg_communities,
+        # --- Luby maximal independent set (deterministic priorities) ---
+        "kg_mis": _kg_mis,
         # --- bounded weighted shortest paths (proximity; CTE oracle) ---
         "kg_sssp": _kg_sssp,
         # --- market-basket co-purchase pairs over lineitem ---
@@ -1581,6 +1634,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_communities",
         "kg_sssp",
         "parts_copurchase",
+        "emb_knn_ivfpq",
+        "events_rfm",
+        "kg_mis",
         # newest additions (round 4, sixth batch): directed SCC,
         # Gopher quality rules, HITS hubs/authorities
         "kg_scc",
@@ -2097,6 +2153,10 @@ def oracle_sql() -> dict[str, str]:
             select node, community
             from read_parquet('{gold}/gold_communities/*.parquet')
         """,
+        "kg_mis": """
+            select node, selected
+            from read_parquet('/tmp/graft_mis_v1/sf0.01/gold_mis.parquet')
+        """,
         "kg_sssp": f"""
             with recursive {kg_cte},
             tri as ({tri_canon}),
@@ -2121,6 +2181,29 @@ def oracle_sql() -> dict[str, str]:
             )
             select node as canonical, min(dist)::bigint as dist
             from reach group by node
+        """,
+        "events_rfm": """
+            with pe as (select user_id,
+                               epoch_us(ts) // 86400000000 as day,
+                               coalesce(cast(floor(value * 100 + 0.5)
+                                             as bigint), 0) as cents
+                        from events where event_type = 'purchase'),
+            u as (select user_id, max(day)::bigint as last_day,
+                         count(*)::bigint as freq,
+                         sum(cents)::bigint as cents
+                  from pe group by 1),
+            s as (select user_id, last_day, freq,
+                         cents // 100 as monetary_dollars,
+                         count(*) over (order by last_day) as rc,
+                         count(*) over (order by freq) as fc,
+                         count(*) over (order by cents // 100) as mc,
+                         count(*) over () as nn
+                  from u)
+            select user_id, last_day, freq, monetary_dollars,
+                   ((5 * rc + nn - 1) // nn)::bigint as r_score,
+                   ((5 * fc + nn - 1) // nn)::bigint as f_score,
+                   ((5 * mc + nn - 1) // nn)::bigint as m_score
+            from s
         """,
         "parts_copurchase": """
             with lp as (select distinct l_orderkey, l_partkey from lineitem),
@@ -3484,6 +3567,10 @@ qualify rank <= 5
         "emb_knn_pq": """
             select query_id, neighbor_id, rank
             from read_parquet('/tmp/graft_pq_v1/sf0.01/gold_pq.parquet')
+        """,
+        "emb_knn_ivfpq": """
+            select query_id, neighbor_id, rank
+            from read_parquet('/tmp/graft_ivfpq_v1/sf0.01/gold_ivfpq.parquet')
         """,
         # BPE: iterative merge learning is not SQL-expressible; the gold
         # tables are a single-process mirror over the SAME documents, so

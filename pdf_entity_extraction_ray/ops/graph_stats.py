@@ -5468,3 +5468,267 @@ def sssp_costs(edges_ds, seeds, *, max_hops: int = 4,
     n_part = 1 if nodes.count() < 10_000 else _join_partitions()
     out = dists.join(nodes, join_type="inner", num_partitions=n_part, on=("node",))
     return out.select_columns(["canonical", "dist"])
+
+
+def _mix64(x):
+    """splitmix64 finalizer — the deterministic 'random' priority for
+    Luby's MIS, vectorized over uint64 and identical in the gold mirror
+    (a hash priority bounds expected rounds at O(log n); node ids alone
+    would degenerate to a sequential chain on adversarial orderings)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.uint64).copy()
+    x += np.uint64(0x9E3779B97F4A7C15)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def mis_reference(pairs):
+    """Single-process gold: the lexicographically-first MIS under the
+    (priority, id) order — sequential greedy, provably equal to the
+    parallel local-minima algorithm's output."""
+    import numpy as np
+
+    nodes = sorted({u for u, _ in pairs} | {v for _, v in pairs})
+    arr = np.asarray(nodes, dtype=np.int64)
+    pri = _mix64(arr.view(np.uint64) if arr.dtype == np.int64 else arr)
+    order = sorted(range(len(nodes)), key=lambda i: (int(pri[i]), nodes[i]))
+    adj: dict[int, set[int]] = {n: set() for n in nodes}
+    for u, v in pairs:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    excluded: set[int] = set()
+    selected: set[int] = set()
+    for i in order:
+        n = nodes[i]
+        if n not in excluded:
+            selected.add(n)
+            excluded |= adj[n]
+    return {n: (1 if n in selected else 0) for n in nodes}
+
+
+def _mis_remotes():
+    """BSP worker tasks for Luby-style maximal independent set (lazy so
+    import never touches Ray)."""
+    import numpy as np
+
+    import ray
+
+    @ray.remote
+    def split_und(tbl: pa.Table, P: int):
+        if tbl.num_rows == 0 or "u" not in tbl.column_names:
+            empty = np.empty(0, np.int64)
+            return [(empty, empty)] * P
+        u = np.asarray(tbl.column("u").to_pylist(), dtype=np.int64)
+        v = np.asarray(tbl.column("v").to_pylist(), dtype=np.int64)
+        dest = u % P
+        order = np.argsort(dest, kind="stable")
+        u, v, dest = u[order], v[order], dest[order]
+        bounds = np.searchsorted(dest, np.arange(P + 1))
+        return [(u[bounds[p]: bounds[p + 1]], v[bounds[p]: bounds[p + 1]]) for p in range(P)]
+
+    @ray.remote
+    def concat_part(*edge_parts):
+        """State: u-sorted out-edges, owned nodes, per-node priority,
+        status (0 undecided / 1 selected / 2 excluded), joined-last-round
+        mask (only new members broadcast exclusions)."""
+        edge_parts = [s[0] if isinstance(s, list) else s for s in edge_parts]
+        u = np.concatenate([s[0] for s in edge_parts]) if edge_parts else np.empty(0, np.int64)
+        v = np.concatenate([s[1] for s in edge_parts]) if edge_parts else np.empty(0, np.int64)
+        order = np.argsort(u, kind="stable")
+        u, v = u[order], v[order]
+        nodes = np.unique(u)
+        pri = _mix64(nodes.view(np.uint64))
+        status = np.zeros(len(nodes), dtype=np.int8)
+        joined = np.zeros(len(nodes), dtype=bool)
+        return u, v, nodes, pri, status, joined
+
+    @ray.remote
+    def msgs(part, P: int):
+        """Per out-edge: undecided senders ship (flag=0, pri, id) for the
+        local-minimum test; last round's NEW members ship (flag=1, _, _)
+        exclusions.  Settled nodes send nothing, so message volume decays
+        with the undecided frontier."""
+        u, v, nodes, pri, status, joined = part
+        active = (status[np.searchsorted(nodes, u)] == 0)
+        newly = joined[np.searchsorted(nodes, u)]
+        send = active | newly
+        if not send.any():
+            ei = np.empty(0, np.int64)
+            eu = np.empty(0, np.uint64)
+            return [(ei, ei.astype(np.int8), eu, ei)] * P
+        su, sv = u[send], v[send]
+        sflag = np.where(newly[send], np.int8(1), np.int8(0))
+        spri = pri[np.searchsorted(nodes, su)]
+        dest = sv % P
+        order = np.argsort(dest, kind="stable")
+        sv, sflag, spri, su = sv[order], sflag[order], spri[order], su[order]
+        bounds = np.searchsorted(dest[order], np.arange(P + 1))
+        return [
+            (
+                sv[bounds[p]: bounds[p + 1]],
+                sflag[bounds[p]: bounds[p + 1]],
+                spri[bounds[p]: bounds[p + 1]],
+                su[bounds[p]: bounds[p + 1]],
+            )
+            for p in range(P)
+        ]
+
+    @ray.remote
+    def reduce_part(part, *incoming):
+        """Undecided node: any MIS-flag message -> excluded; else if its
+        (pri, id) beats the min over incoming UNDECIDED-neighbor messages
+        (or none arrive) -> selected.  Messages fold after a full
+        concatenate — arrival-order free."""
+        u, v, nodes, pri, status, _ = part
+        incoming = [s[0] if isinstance(s, list) else s for s in incoming]
+        dsts = np.concatenate([s[0] for s in incoming]) if incoming else np.empty(0, np.int64)
+        flags = (
+            np.concatenate([s[1] for s in incoming]) if incoming else np.empty(0, np.int8)
+        )
+        pris = (
+            np.concatenate([s[2] for s in incoming]) if incoming else np.empty(0, np.uint64)
+        )
+        sids = np.concatenate([s[3] for s in incoming]) if incoming else np.empty(0, np.int64)
+        new_status = status.copy()
+        und = status == 0
+        # exclusions from new MIS members
+        if len(dsts):
+            mis_d = np.unique(dsts[flags == 1])
+            idx = np.searchsorted(nodes, mis_d)
+            ok = (idx < len(nodes)) & und[np.minimum(idx, len(nodes) - 1)]
+            new_status[idx[ok]] = 2
+        # local-minimum joins among still-undecided nodes
+        und2 = new_status == 0
+        if und2.any():
+            m0 = flags == 0
+            d0, p0, s0 = dsts[m0], pris[m0], sids[m0]
+            order = np.lexsort((s0, p0, d0))
+            d0, p0, s0 = d0[order], p0[order], s0[order]
+            first = np.r_[True, d0[1:] != d0[:-1]] if len(d0) else np.empty(0, bool)
+            md, mp, ms = d0[first], p0[first], s0[first]
+            # per owned undecided node, the min incoming (pri, id) if any
+            cand = np.flatnonzero(und2)
+            pos = np.searchsorted(md, nodes[cand])
+            has = (pos < len(md)) & (md[np.minimum(pos, max(len(md) - 1, 0))] == nodes[cand]) if len(md) else np.zeros(len(cand), bool)
+            own_p, own_i = pri[cand], nodes[cand]
+            join = ~has
+            if has.any():
+                hp = mp[pos[has]]
+                hi = ms[pos[has]]
+                better = (own_p[has] < hp) | ((own_p[has] == hp) & (own_i[has] < hi))
+                join[has] = better
+            new_status[cand[join]] = 1
+        joined = (new_status == 1) & (status == 0)
+        changed = bool((new_status != status).any())
+        return (u, v, nodes, pri, new_status, joined), changed
+
+    @ray.remote
+    def to_table(part) -> pa.Table:
+        _, _, nodes, _, status, _ = part
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "selected": pa.array((status == 1).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return split_und, concat_part, msgs, reduce_part, to_table
+
+
+def maximal_independent_set(edges_ds, *, max_rounds: int = 200,
+                            num_partitions: int | None = None):
+    """Luby-style maximal independent set over the UNDIRECTED SIMPLE
+    entity graph — the classic symmetry-breaking primitive (conflict-free
+    scheduling, landmark selection, coarsening seeds).  Deterministic:
+    priorities are the splitmix64 hash of the node id, and the parallel
+    local-minima algorithm (join when your (priority, id) beats every
+    undecided neighbor; newly-joined members exclude their neighbors next
+    round) provably computes the lexicographically-first MIS under that
+    order — the same set the sequential greedy gold
+    (:func:`mis_reference`) produces, independent of partitioning.
+
+    BSP shards as in components/coreness; message volume decays with the
+    undecided frontier and expected rounds are O(log n) under the hash
+    order.  Emits (node, selected 0/1) for every node with >= 1 edge."""
+    import ray
+    import ray.data
+
+    P = num_partitions or max(4, int(ray.cluster_resources().get("CPU", 4)))
+    split_und, concat_part, msgs, reduce_part, to_table = _mis_remotes()
+
+    def sym_simple(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src_id" not in batch.column_names:
+            return pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+        s, d = batch.column("src_id"), batch.column("dst_id")
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep).combine_chunks(), d.filter(keep).combine_chunks()
+        t = pa.table({"u": pa.concat_arrays([s, d]), "v": pa.concat_arrays([d, s])})
+        return t.group_by(["u", "v"]).aggregate([])
+
+    sym = (
+        edges_ds.map_batches(sym_simple, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .count()
+        .select_columns(["u", "v"])
+        .materialize()
+    )
+    block_refs = list(sym.to_arrow_refs())
+    if not block_refs:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "selected": pa.array([], pa.int64())})
+        )
+    shard_lists = [split_und.options(num_returns=P).remote(r, P) for r in block_refs]
+    if P == 1:
+        shard_lists = [[s] for s in shard_lists]
+    parts = [
+        concat_part.remote(*[shard_lists[i][p] for i in range(len(block_refs))])
+        for p in range(P)
+    ]
+    for _ in range(max_rounds):
+        msg_lists = [msgs.options(num_returns=P).remote(parts[p], P) for p in range(P)]
+        if P == 1:
+            msg_lists = [[m] for m in msg_lists]
+        new = [
+            reduce_part.options(num_returns=2).remote(
+                parts[p], *[msg_lists[q][p] for q in range(P)]
+            )
+            for p in range(P)
+        ]
+        parts = [n[0] for n in new]
+        changed = ray.get([n[1] for n in new])
+        if not any(changed):
+            break
+    return ray.data.from_arrow_refs([to_table.remote(p) for p in parts])
+
+
+def write_gold_mis(corpus_dir: str, out_dir: str) -> None:
+    """Gold MIS over the gold graph's undirected simple projection -> a
+    ``gold_mis.parquet`` (node, selected) the ``kg_mis`` oracle reads."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..sources.corpus import gold_edge_rows
+
+    pairs = {
+        (min(u, v), max(u, v)) for u, _p, v in gold_edge_rows(corpus_dir) if u != v
+    }
+    sel = mis_reference(sorted(pairs))
+    nodes = sorted(sel)
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "selected": pa.array([sel[n] for n in nodes], pa.int64()),
+            }
+        ),
+        os.path.join(out_dir, "gold_mis.parquet"),
+    )

@@ -273,6 +273,32 @@ def knn_pq(
     )
 
 
+def _reference_books(
+    ids: np.ndarray, X: np.ndarray, m: int, n_codes: int, iterations: int
+) -> np.ndarray:
+    """Single-process codebook training shared by :func:`pq_reference`
+    and :func:`ivfpq_reference` — same init (n_codes smallest vec_ids),
+    same per-round Lloyd update as the distributed :func:`pq_fit`."""
+    order = np.argsort(ids, kind="stable")
+    ids_s, X_s = ids[order], X[order]
+    spans_init = np.searchsorted(ids_s, np.arange(n_codes))
+    init = X_s[spans_init]
+    books = np.stack([init[:, a:b].copy() for a, b in _subspaces(X.shape[1], m)])
+    for _ in range(iterations):
+        new = books.copy()
+        for s, (a, b) in enumerate(_subspaces(X.shape[1], m)):
+            Xs = X[:, a:b]
+            C = books[s]
+            d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (Xs @ C.T)
+            assign = np.argmin(d2, axis=1)
+            for c in range(n_codes):
+                members = Xs[assign == c]
+                if len(members):
+                    new[s, c] = members.sum(axis=0) / len(members)
+        books = new
+    return books
+
+
 def pq_reference(
     vec_ids: np.ndarray,
     M: np.ndarray,
@@ -292,23 +318,7 @@ def pq_reference(
     # (cosine-metric PQ); _normalized here matches _collect_queries AND the
     # per-batch normalize bit-for-bit
     X = _normalized(M)
-    order = np.argsort(ids, kind="stable")
-    ids_s, X_s = ids[order], X[order]
-    spans_init = np.searchsorted(ids_s, np.arange(n_codes))
-    init = X_s[spans_init]
-    books = np.stack([init[:, a:b].copy() for a, b in _subspaces(X.shape[1], m)])
-    for _ in range(iterations):
-        new = books.copy()
-        for s, (a, b) in enumerate(_subspaces(X.shape[1], m)):
-            Xs = X[:, a:b]
-            C = books[s]
-            d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (Xs @ C.T)
-            assign = np.argmin(d2, axis=1)
-            for c in range(n_codes):
-                members = Xs[assign == c]
-                if len(members):
-                    new[s, c] = members.sum(axis=0) / len(members)
-        books = new
+    books = _reference_books(ids, X, m, n_codes, iterations)
     codes = _encode_matrix(X, books)
     qpos = {int(i): p for p, i in enumerate(ids)}
     lut = _adc_tables(X[[qpos[q] for q in sorted(set(query_ids))]], books)
@@ -354,4 +364,272 @@ def write_gold_pq(
             }
         ),
         os.path.join(out_dir, "gold_pq.parquet"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ composition (Jégou et al.'s IVFADC layout, non-residual variant)
+
+
+def build_ivfpq_index(emb_ds, books: np.ndarray, index_dir: str,
+                      fingerprint: str | None = None) -> str:
+    """Materialize the inverted file OVER CODES: every vector reduces to
+    (vec_id, bucket, codes) where bucket is the deterministic coarse
+    quantizer of ops/ann (dominant |dimension| — scale-invariant, so raw
+    and normalized vectors bucket identically) and codes are the m-byte
+    PQ words.  Hive-partitioned by bucket: a probe reads only its
+    partitions AND only m bytes per vector — the two savings compose,
+    which is the whole point of the IVFADC layout at 100 TB (the raw
+    floats never travel after the one-time build pass).
+
+    Non-residual variant: one global codebook tensor (no per-bucket
+    centroid subtraction) — documented simplification; the dominant-dim
+    quantizer has no centroid to subtract."""
+    import os
+
+    import ray
+
+    from .ann import _normalized, dataset_fingerprint
+
+    bref = ray.put(books)
+
+    def encode_batch(batch: pa.Table) -> pa.Table:
+        cols = {
+            "vec_id": pa.array([], pa.int64()),
+            "bucket": pa.array([], pa.int32()),
+            "codes": pa.array([], pa.list_(pa.int8())),
+        }
+        if batch.num_rows == 0 or "embedding" not in batch.column_names:
+            return pa.table(cols)
+        B = ray.get(bref)
+        raw = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        buckets = np.argmax(np.abs(raw), axis=1).astype(np.int32)
+        codes = _encode_matrix(_normalized(batch.column("embedding").to_pylist()), B)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id").cast(pa.int64()),
+                "bucket": pa.array(buckets, pa.int32()),
+                "codes": pa.array(codes.astype(np.int8).tolist(), pa.list_(pa.int8())),
+            }
+        )
+
+    (
+        emb_ds.select_columns(["vec_id", "embedding"])
+        .map_batches(encode_batch, batch_format="pyarrow")
+        .write_parquet(index_dir, partition_cols=["bucket"])
+    )
+    if fingerprint is None:
+        fingerprint = dataset_fingerprint(emb_ds)
+    with open(os.path.join(index_dir, "_FINGERPRINT"), "w") as f:
+        f.write(fingerprint)
+    return index_dir
+
+
+def knn_ivfpq(
+    emb_ds,
+    query_ids: list[int],
+    k: int = 10,
+    n_probe: int = 8,
+    m: int = 8,
+    n_codes: int = 16,
+    iterations: int = 5,
+    index_dir: str | None = None,
+    *,
+    source_path=None,
+):
+    """(query_id, neighbor_id, rank) — the FAISS-style scale path: coarse
+    inverted-file pruning (read only the queries' ``n_probe`` bucket
+    partitions) x PQ compression (ADC over m-byte codes, exact query
+    side).  Candidates are rows whose stored bucket is in the query's
+    probe set, self excluded; ties break (distance asc, neighbor_id asc).
+
+    The index (codes, not floats) persists under ``index_dir`` with the
+    same fingerprint-guarded reuse contract as :func:`ops.ann.knn_ivf` —
+    a stale or foreign index rebuilds."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray
+    import ray.data
+
+    from .ann import _collect_queries, dataset_fingerprint, ivf_probe_buckets
+
+    books = pq_fit(emb_ds, m, n_codes, iterations, source_path=source_path)
+    qids, Q = _collect_queries(emb_ds, query_ids, source_path)
+    lut = _adc_tables(np.asarray(Q, dtype=np.float64), books)
+    probe_sets = ivf_probe_buckets(np.asarray(Q, dtype=np.float64), n_probe)
+
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="ivfpq_", dir="/tmp")
+    fp = dataset_fingerprint(emb_ds)
+    fp_file = os.path.join(index_dir, "_FINGERPRINT")
+    have_index = (
+        os.path.isdir(index_dir)
+        and any(name.startswith("bucket=") for name in os.listdir(index_dir))
+        and os.path.isfile(fp_file)
+        and open(fp_file).read().strip() == fp
+    )
+    if not have_index:
+        if os.path.isdir(index_dir):
+            shutil.rmtree(index_dir, ignore_errors=True)
+        build_ivfpq_index(emb_ds, books, index_dir, fingerprint=fp)
+
+    union: set[int] = set()
+    for s in probe_sets.values():
+        union |= s
+    probe_paths = []
+    for b in sorted(union):
+        part = os.path.join(index_dir, f"bucket={b}")
+        if os.path.isdir(part):
+            probe_paths.extend(
+                os.path.join(part, f)
+                for f in sorted(os.listdir(part))
+                if f.endswith(".parquet")
+            )
+    probes_by_qid = {int(q): probe_sets[i] for i, q in enumerate(qids)}
+    qref = ray.put((qids, lut, probes_by_qid))
+
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "dist": pa.array([], pa.float64()),
+        }
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "codes" not in batch.column_names:
+            return empty
+        qids_, lut_, probes = ray.get(qref)
+        bids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        codes = np.asarray(batch.column("codes").to_pylist(), dtype=np.int64)
+        # hive partition pruning strips the partition column from the
+        # probed read; the stored data column is the per-row bucket
+        buckets = np.asarray(batch.column("bucket").to_pylist(), dtype=np.int64)
+        out_q, out_n, out_d = [], [], []
+        for qi in range(len(qids_)):
+            q = int(qids_[qi])
+            probe = np.fromiter(probes[q], dtype=np.int64)
+            mask = np.isin(buckets, probe) & (bids != q)
+            if not mask.any():
+                continue
+            cand_ids = bids[mask]
+            cand_d = _adc_distances(lut_[qi], codes[mask])
+            if len(cand_ids) > k:
+                idx = np.lexsort((cand_ids, cand_d))[:k]
+                cand_ids, cand_d = cand_ids[idx], cand_d[idx]
+            out_q.extend([q] * len(cand_ids))
+            out_n.extend(int(x) for x in cand_ids)
+            out_d.extend(float(x) for x in cand_d)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "dist": pa.array(out_d, pa.float64()),
+            }
+        )
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(group.column("dist").to_pylist(), group.column("neighbor_id").to_pylist()),
+        )[:k]
+        qid = group.column("query_id")[0].as_py()
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(rows), pa.int64()),
+                "neighbor_id": pa.array([r[1] for r in rows], pa.int64()),
+                "rank": pa.array(list(range(1, len(rows) + 1)), pa.int64()),
+            }
+        )
+
+    if not probe_paths:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        )
+    probed = ray.data.read_parquet(probe_paths, columns=["vec_id", "bucket", "codes"])
+    return (
+        probed.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pyarrow")
+    )
+
+
+def ivfpq_reference(
+    vec_ids: np.ndarray,
+    M: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    n_probe: int = 8,
+    m: int = 8,
+    n_codes: int = 16,
+    iterations: int = 5,
+):
+    """Single-process gold mirror of :func:`knn_ivfpq`: same codebooks
+    (shared :func:`_reference_books`), same dominant-dim buckets, same
+    probe rule, shared encode/ADC kernels and tie-break.  Returns
+    (query_id, neighbor_id, rank) row lists."""
+    from .ann import _normalized, ivf_probe_buckets
+
+    ids = np.asarray(vec_ids, dtype=np.int64)
+    raw = np.asarray(M, dtype=np.float64)
+    X = _normalized(M)
+    books = _reference_books(ids, X, m, n_codes, iterations)
+    codes = _encode_matrix(X, books)
+    buckets = np.argmax(np.abs(raw), axis=1)
+    qs = sorted(set(query_ids))
+    qpos = {int(i): p for p, i in enumerate(ids)}
+    Q = X[[qpos[q] for q in qs]]
+    lut = _adc_tables(Q, books)
+    probe_sets = ivf_probe_buckets(raw[[qpos[q] for q in qs]], n_probe)
+    rows_q, rows_n, rows_r = [], [], []
+    for qi, q in enumerate(qs):
+        probe = np.fromiter(probe_sets[qi], dtype=np.int64)
+        mask = np.isin(buckets, probe) & (ids != q)
+        cand_ids = ids[mask]
+        cand_d = _adc_distances(lut[qi], codes[mask])
+        idx = np.lexsort((cand_ids, cand_d))[:k]
+        for r, j in enumerate(idx, 1):
+            rows_q.append(int(q))
+            rows_n.append(int(cand_ids[j]))
+            rows_r.append(r)
+    return rows_q, rows_n, rows_r
+
+
+def write_gold_ivfpq(
+    emb_path: str,
+    out_dir: str,
+    query_ids: list[int],
+    k: int = 10,
+    n_probe: int = 8,
+    m: int = 8,
+    n_codes: int = 16,
+    iterations: int = 5,
+) -> None:
+    """Write the single-process gold (query_id, neighbor_id, rank) parquet
+    for the ``emb_knn_ivfpq`` oracle."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    M = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    q, n, r = ivfpq_reference(ids, M, query_ids, k, n_probe, m, n_codes, iterations)
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "query_id": pa.array(q, pa.int64()),
+                "neighbor_id": pa.array(n, pa.int64()),
+                "rank": pa.array(r, pa.int64()),
+            }
+        ),
+        os.path.join(out_dir, "gold_ivfpq.parquet"),
     )

@@ -1883,3 +1883,160 @@ def parts_copurchase(lineitem_ds, *, min_orders: int = 2, shards: int = 256):
     return counted.filter(
         expr=f"n_orders >= {int(min_orders)}"
     )
+
+
+def events_rfm(events_ds, *, event_type: str = "purchase", n_scores: int = 5):
+    """RFM customer segmentation over the event stream: per user the
+    recency (last active day), frequency (event count) and monetary
+    (lifetime spend, whole dollars) metrics plus their exact quantile
+    scores 1..``n_scores`` — the standard marketing-segmentation table.
+
+    Scores use the all-integer tie-respecting rule of
+    ``ops.text.length_percentile_filter``: score(v) =
+    ``ceil(n_scores * cum(v) / N)`` where cum(v) counts users with
+    metric <= v — users sharing a value always share a score (unlike
+    ntile), and the arithmetic is integer-exact so the SQL window mirror
+    (``count(*) over (order by metric)`` includes peers) hashes
+    identically.
+
+    Shape: per-batch (user, day, cents) combiner -> ONE user groupby
+    (the only data-proportional exchange) -> per-metric distinct-value
+    histograms (driver state is O(distinct days + distinct counts +
+    distinct dollar amounts) — metrics are quantized to days / whole
+    dollars precisely so this is bounded by value RANGES, not user
+    count; a 100-TB run would coarsen the money grid further) -> score
+    lookup broadcast into a stateless map.  Null values count toward
+    frequency but contribute 0 cents (the SQL ``case`` mirror).
+
+    Emits (user_id, last_day, freq, monetary_dollars, r_score, f_score,
+    m_score)."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "day": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "ts" not in batch.column_names:
+            return empty
+        mask = pc.equal(batch.column("event_type"), event_type)
+        t = batch.filter(mask)
+        if t.num_rows == 0:
+            return empty
+        ts = t.column("ts").cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        vals = t.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+        cents = np.where(
+            np.isnan(vals), 0, np.floor(np.nan_to_num(vals) * 100.0 + 0.5)
+        ).astype(np.int64)
+        g = pa.table(
+            {
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "day": pa.array(ts // DAY_US, pa.int64()),
+                "cents": pa.array(cents),
+            }
+        ).group_by(["user_id"]).aggregate(
+            [("day", "max"), ("cents", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "day": g.column("day_max"),
+                "n": g.column("count_all").cast(pa.int64()),
+                "cents": g.column("cents_sum").cast(pa.int64()),
+            }
+        )
+
+    users = (
+        events_ds.select_columns(["user_id", "ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Max("day", alias_name="last_day"),
+            Sum("n", alias_name="freq"),
+            Sum("cents", alias_name="cents"),
+        )
+        .materialize()
+    )
+
+    # per-metric distinct-value cumulative counts -> score per value
+    def hist(col, quantize=None):
+        def f(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or col not in batch.column_names:
+                return pa.table(
+                    {"v": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+                )
+            x = batch.column(col).cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            if quantize:
+                x = x // quantize
+            vs, cs = np.unique(x, return_counts=True)
+            return pa.table(
+                {"v": pa.array(vs, pa.int64()), "n": pa.array(cs, pa.int64())}
+            )
+
+        rows = (
+            users.map_batches(f, batch_format="pyarrow")
+            .groupby("v")
+            .aggregate(Sum("n", alias_name="n"))
+            .take_all()
+        )
+        rows.sort(key=lambda r: r["v"])
+        vs = np.asarray([r["v"] for r in rows], dtype=np.int64)
+        cum = np.cumsum(np.asarray([r["n"] for r in rows], dtype=np.int64))
+        N = int(cum[-1]) if len(cum) else 0
+        scores = (
+            (n_scores * cum + N - 1) // N if N else np.empty(0, np.int64)
+        ).astype(np.int64)
+        return vs, scores
+
+    r_vs, r_sc = hist("last_day")
+    f_vs, f_sc = hist("freq")
+    m_vs, m_sc = hist("cents", quantize=100)
+    ref = ray.put((r_vs, r_sc, f_vs, f_sc, m_vs, m_sc))
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "last_day": pa.array([], pa.int64()),
+                "freq": pa.array([], pa.int64()),
+                "monetary_dollars": pa.array([], pa.int64()),
+                "r_score": pa.array([], pa.int64()),
+                "f_score": pa.array([], pa.int64()),
+                "m_score": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return empty
+        rv, rs, fv, fs, mv, ms = ray.get(ref)
+        ld = batch.column("last_day").cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        fr = batch.column("freq").cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        dl = batch.column("cents").cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        ) // 100
+        return pa.table(
+            {
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "last_day": pa.array(ld, pa.int64()),
+                "freq": pa.array(fr, pa.int64()),
+                "monetary_dollars": pa.array(dl, pa.int64()),
+                "r_score": pa.array(rs[np.searchsorted(rv, ld)], pa.int64()),
+                "f_score": pa.array(fs[np.searchsorted(fv, fr)], pa.int64()),
+                "m_score": pa.array(ms[np.searchsorted(mv, dl)], pa.int64()),
+            }
+        )
+
+    return users.map_batches(score_batch, batch_format="pyarrow")
