@@ -219,6 +219,15 @@ def run_ops(sf_dir: str, repeat: int = 1) -> dict[str, list[float]]:
         "docs_blocklist_filter": lambda: read("documents").map_batches(
             text.blocklist_filter_batch, batch_format="pyarrow"
         ),
+        "parts_copurchase": lambda: relational.parts_copurchase(read("lineitem")),
+        "events_rfm": lambda: relational.events_rfm(read("events")),
+        "emb_knn_ivfpq": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.pq", fromlist=["knn_ivfpq"]
+        ).knn_ivfpq(
+            read("embeddings"), [0, 1, 2, 3, 4], 10, n_probe=8, m=16, n_codes=32,
+            index_dir=f"/tmp/graft_ivfpq_bench_{os.path.basename(os.path.normpath(sf_dir))}",
+            source_path=os.path.join(sf_dir, "embeddings.parquet"),
+        ),
     }
     times: dict[str, list[float]] = {}
     for name, make in ops.items():
@@ -492,6 +501,33 @@ def main() -> None:
                 kg_edges,
                 columns=["src_id", "dst_id", "src_canonical", "dst_canonical"],
             )
+        ),
+        "kg_communities": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats",
+            fromlist=["label_propagation"],
+        ).label_propagation(
+            ray.data.read_parquet(kg_edges, columns=["src_id", "dst_id"]),
+            rounds=4,
+        ),
+        "kg_mis": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats",
+            fromlist=["maximal_independent_set"],
+        ).maximal_independent_set(
+            ray.data.read_parquet(kg_edges, columns=["src_id", "dst_id"])
+        ),
+        "kg_sssp": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["sssp_costs"]
+        ).sssp_costs(
+            ray.data.read_parquet(
+                kg_edges,
+                columns=["src_id", "dst_id", "src_canonical", "dst_canonical"],
+            ),
+            sorted(
+                r["src_canonical"]
+                for r in ray.data.read_parquet(kg_edges, columns=["src_canonical"])
+                .take(2048)
+            )[:3],
+            max_hops=4,
         ),
     }.items():
         walls = []
