@@ -681,6 +681,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ray.data.read_parquet(res["edges"], columns=["src_id", "dst_id"])
         )
 
+    def _kg_coloring(sf_dir):
+        """Jones-Plassmann greedy coloring (deterministic splitmix64
+        order == sequential greedy); gold = single-process greedy over
+        the gold graph, written lazily per scale."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import (
+            greedy_coloring,
+            write_gold_coloring,
+        )
+
+        res = _kg_artifacts(sf_dir)
+        name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        gold_dir = f"/tmp/graft_coloring_v1/{name}"
+        if not os.path.isfile(f"{gold_dir}/gold_coloring.parquet"):
+            write_gold_coloring(f"/tmp/graft_kg/{name}", gold_dir)
+        return greedy_coloring(
+            ray.data.read_parquet(res["edges"], columns=["src_id", "dst_id"])
+        )
+
     def _kg_host_quality(sf_dir):
         """Domain-level curation: per-host page-quality keep rates in
         pure integer arithmetic (ops/web.host_quality)."""
@@ -1218,6 +1238,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_communities": _kg_communities,
         # --- Luby maximal independent set (deterministic priorities) ---
         "kg_mis": _kg_mis,
+        # --- Jones-Plassmann greedy coloring (== sequential greedy) ---
+        "kg_coloring": _kg_coloring,
+        # --- lexical diversity: TTR / hapax integer stats ---
+        "docs_lexical_stats": docs_op(text.lexical_stats_batch),
+        # --- SoftDeDup: per-doc sampling weights from near-dup clusters ---
+        "docs_softdedup": lambda sf: dedup.softdedup_weights(
+            _read(sf, "documents"), 0.7
+        ),
         # --- bounded weighted shortest paths (proximity; CTE oracle) ---
         "kg_sssp": _kg_sssp,
         # --- market-basket co-purchase pairs over lineitem ---
@@ -1637,6 +1665,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_ivfpq",
         "events_rfm",
         "kg_mis",
+        "kg_coloring",
+        "docs_lexical_stats",
+        "docs_softdedup",
         # newest additions (round 4, sixth batch): directed SCC,
         # Gopher quality rules, HITS hubs/authorities
         "kg_scc",
@@ -2156,6 +2187,57 @@ def oracle_sql() -> dict[str, str]:
         "kg_mis": """
             select node, selected
             from read_parquet('/tmp/graft_mis_v1/sf0.01/gold_mis.parquet')
+        """,
+        "kg_coloring": """
+            select node, color
+            from read_parquet('/tmp/graft_coloring_v1/sf0.01/gold_coloring.parquet')
+        """,
+        "docs_lexical_stats": f"""
+            with w as (select doc_id,
+                              unnest(regexp_extract_all(lower(text), '{token_re}'))
+                                  as tok
+                       from documents),
+            c as (select doc_id, tok, count(*) as n from w group by 1, 2),
+            agg as (select doc_id, sum(n)::bigint as n_tokens,
+                           count(*)::bigint as n_distinct,
+                           sum(case when n = 1 then 1 else 0 end)::bigint
+                               as n_hapax
+                    from c group by 1)
+            select d.doc_id,
+                   coalesce(a.n_tokens, 0)::bigint as n_tokens,
+                   coalesce(a.n_distinct, 0)::bigint as n_distinct,
+                   coalesce(a.n_hapax, 0)::bigint as n_hapax
+            from documents d left join agg a using (doc_id)
+        """,
+        "docs_softdedup": """
+            with recursive w as (select doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') as ws
+                       from documents),
+                 t as (select doc_id,
+                              case when len(ws) >= 3 then
+                                     list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                                    for i in range(1, len(ws) - 1)])
+                                   when len(ws) > 0 then [list_aggregate(ws, 'string_agg', ' ')]
+                                   else [] end as sh
+                       from w),
+            pairs as (select a.doc_id as u, b.doc_id as v
+                      from t a join t b on a.doc_id < b.doc_id
+                      where len(list_intersect(a.sh, b.sh))::double
+                            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7),
+            edges as (select u, v from pairs union all select v as u, u as v from pairs),
+            reach(a, b) as (
+                select u, v from edges
+                union
+                select r.a, e.v from reach r join edges e on r.b = e.u where r.a != e.v
+            ),
+            comp as (select a as doc_id, least(a, min(b)) as component
+                     from reach group by a),
+            sizes as (select component, count(*)::bigint as n
+                      from comp group by 1)
+            select d.doc_id,
+                   coalesce(1000000 // s.n, 1000000)::bigint as weight_ppm
+            from documents d
+            left join comp c on d.doc_id = c.doc_id
+            left join sizes s on c.component = s.component
         """,
         "kg_sssp": f"""
             with recursive {kg_cte},

@@ -515,6 +515,11 @@ def main() -> None:
         ).maximal_independent_set(
             ray.data.read_parquet(kg_edges, columns=["src_id", "dst_id"])
         ),
+        "kg_coloring": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["greedy_coloring"]
+        ).greedy_coloring(
+            ray.data.read_parquet(kg_edges, columns=["src_id", "dst_id"])
+        ),
         "kg_sssp": lambda: __import__(
             "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["sssp_costs"]
         ).sssp_costs(

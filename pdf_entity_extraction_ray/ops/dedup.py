@@ -1916,3 +1916,75 @@ def winnow_pairs(
         lambda b: b.filter(pc.greater_equal(b.column("shared_fps"), min_shared)),
         batch_format="pyarrow",
     )
+
+
+def softdedup_weights(docs_ds, threshold: float = 0.7,
+                      num_partitions: int | None = None,
+                      method: str = "minhash"):
+    """Soft deduplication (the SoftDeDup idea: He et al. 2024, public):
+    instead of DROPPING near-duplicates, every document gets a training
+    sampling weight inversely proportional to its near-dup cluster size —
+    ``weight_ppm = 1_000_000 // |cluster|``, 1_000_000 for unclustered
+    docs — so duplicated content contributes one document's worth of
+    gradient in expectation without discarding any page.
+
+    Composition of proven pieces: the exact-verified pair generators +
+    BSP min-label components (:func:`near_dup_components`) -> one tiny
+    per-cluster size groupby -> weights joined back; docs outside any
+    cluster arrive via a left-anti-style null fill on a left-outer hash
+    join (the cluster table is orders of magnitude smaller than the
+    corpus).  Emits (doc_id, weight_ppm) for EVERY document."""
+    import numpy as np
+    import ray.data
+    from ray.data.aggregate import Count
+
+    comp = near_dup_components(docs_ds, threshold, num_partitions, method)
+    sizes = comp.groupby("component").aggregate(Count(alias_name="n"))
+    comp_m = comp.materialize()
+
+    ids = docs_ds.select_columns(["doc_id"])
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "weight_ppm": pa.array([], pa.int64())}
+    )
+    if comp_m.count() == 0:
+        # no near-dup clusters: every doc weighs 1.0 (and Ray's hash join
+        # crashes on an empty side — short-circuit unconditionally)
+        def all_one(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+                return empty
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id").cast(pa.int64()),
+                    "weight_ppm": pa.array(
+                        np.full(batch.num_rows, 1_000_000, np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        return ids.map_batches(all_one, batch_format="pyarrow")
+
+    n_part = num_partitions
+    if n_part is None:
+        n_part = 1 if comp_m.count() < 10_000 else _join_partitions()
+    weighted = comp_m.join(sizes, join_type="inner", num_partitions=n_part,
+                           on=("component",))
+    out = ids.join(
+        weighted.select_columns(["doc_id", "n"]),
+        join_type="left_outer",
+        num_partitions=n_part,
+        on=("doc_id",),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return empty
+        n = batch.column("n").to_pylist()
+        w = np.asarray([1_000_000 // v if v else 1_000_000 for v in n], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "weight_ppm": pa.array(w, pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -5732,3 +5732,249 @@ def write_gold_mis(corpus_dir: str, out_dir: str) -> None:
         ),
         os.path.join(out_dir, "gold_mis.parquet"),
     )
+
+
+def coloring_reference(pairs):
+    """Single-process gold: greedy coloring in (splitmix64 priority, id)
+    order, each node taking the smallest color unused by its
+    already-colored neighbors — exactly the coloring Jones-Plassmann
+    computes in parallel."""
+    import numpy as np
+
+    nodes = sorted({u for u, _ in pairs} | {v for _, v in pairs})
+    arr = np.asarray(nodes, dtype=np.int64)
+    pri = _mix64(arr.view(np.uint64))
+    order = sorted(range(len(nodes)), key=lambda i: (int(pri[i]), nodes[i]))
+    adj: dict[int, set[int]] = {n: set() for n in nodes}
+    for u, v in pairs:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    color: dict[int, int] = {}
+    for i in order:
+        n = nodes[i]
+        used = {color[m] for m in adj[n] if m in color}
+        c = 0
+        while c in used:
+            c += 1
+        color[n] = c
+    return color
+
+
+def _coloring_remotes():
+    """BSP worker tasks for Jones-Plassmann greedy coloring (lazy so
+    import never touches Ray)."""
+    import numpy as np
+
+    import ray
+
+    @ray.remote
+    def split_und(tbl: pa.Table, P: int):
+        if tbl.num_rows == 0 or "u" not in tbl.column_names:
+            empty = np.empty(0, np.int64)
+            return [(empty, empty)] * P
+        u = np.asarray(tbl.column("u").to_pylist(), dtype=np.int64)
+        v = np.asarray(tbl.column("v").to_pylist(), dtype=np.int64)
+        dest = u % P
+        order = np.argsort(dest, kind="stable")
+        u, v, dest = u[order], v[order], dest[order]
+        bounds = np.searchsorted(dest, np.arange(P + 1))
+        return [(u[bounds[p]: bounds[p + 1]], v[bounds[p]: bounds[p + 1]]) for p in range(P)]
+
+    @ray.remote
+    def concat_part(*edge_parts):
+        """State: u-sorted out-edges, owned nodes, per-node color (-1
+        uncolored), remaining higher-priority-neighbor count (priorities
+        are a pure hash of the id, so hp_count needs NO exchange), and a
+        growing (node_idx, color) buffer of received neighbor colors."""
+        edge_parts = [s[0] if isinstance(s, list) else s for s in edge_parts]
+        u = np.concatenate([s[0] for s in edge_parts]) if edge_parts else np.empty(0, np.int64)
+        v = np.concatenate([s[1] for s in edge_parts]) if edge_parts else np.empty(0, np.int64)
+        order = np.argsort(u, kind="stable")
+        u, v = u[order], v[order]
+        nodes = np.unique(u)
+        pu = _mix64(u.view(np.uint64))
+        pv = _mix64(v.view(np.uint64))
+        smaller = (pv < pu) | ((pv == pu) & (v < u))
+        hp = np.zeros(len(nodes), dtype=np.int64)
+        np.add.at(hp, np.searchsorted(nodes, u[smaller]), 1)
+        color = np.full(len(nodes), -1, dtype=np.int64)
+        buf_n = np.empty(0, np.int64)
+        buf_c = np.empty(0, np.int64)
+        # round 0: nodes with no smaller-priority neighbors take color 0
+        newly = hp == 0
+        color[newly] = 0
+        return u, v, nodes, hp, color, buf_n, buf_c, newly
+
+    @ray.remote
+    def msgs(part, P: int):
+        """Newly-colored nodes ship (dst, color) along edges toward
+        LARGER-(pri, id) neighbors only — the only receivers whose greedy
+        turn is still ahead."""
+        u, v, nodes, hp, color, _bn, _bc, newly = part
+        if not newly.any():
+            ei = np.empty(0, np.int64)
+            return [(ei, ei)] * P
+        src_new = newly[np.searchsorted(nodes, u)]
+        pu = _mix64(u.view(np.uint64))
+        pv = _mix64(v.view(np.uint64))
+        larger = (pu < pv) | ((pu == pv) & (u < v))
+        send = src_new & larger
+        sv = v[send]
+        sc = color[np.searchsorted(nodes, u[send])]
+        dest = sv % P
+        order = np.argsort(dest, kind="stable")
+        sv, sc, dest = sv[order], sc[order], dest[order]
+        bounds = np.searchsorted(dest, np.arange(P + 1))
+        return [(sv[bounds[p]: bounds[p + 1]], sc[bounds[p]: bounds[p + 1]]) for p in range(P)]
+
+    @ray.remote
+    def reduce_part(part, *incoming):
+        """Fold received colors into the buffer, decrement hp counts;
+        nodes reaching hp == 0 take mex(buffered colors) — a vectorized
+        run-length mex, no per-node Python loop."""
+        u, v, nodes, hp, color, buf_n, buf_c, _ = part
+        incoming = [s[0] if isinstance(s, list) else s for s in incoming]
+        mv = np.concatenate([s[0] for s in incoming]) if incoming else np.empty(0, np.int64)
+        mc = np.concatenate([s[1] for s in incoming]) if incoming else np.empty(0, np.int64)
+        new_hp = hp.copy()
+        if len(mv):
+            idx = np.searchsorted(nodes, mv)
+            np.subtract.at(new_hp, idx, 1)
+            buf_n = np.concatenate([buf_n, idx])
+            buf_c = np.concatenate([buf_c, mc])
+        eligible = (new_hp == 0) & (color < 0)
+        new_color = color.copy()
+        if eligible.any():
+            # mex per eligible node over its buffered neighbor colors
+            el = np.flatnonzero(eligible)
+            sel = np.isin(buf_n, el)
+            bn, bc = buf_n[sel], buf_c[sel]
+            order = np.lexsort((bc, bn))
+            bn, bc = bn[order], bc[order]
+            # distinct (node, color)
+            if len(bn):
+                keep = np.r_[True, (bn[1:] != bn[:-1]) | (bc[1:] != bc[:-1])]
+                bn, bc = bn[keep], bc[keep]
+            mex = np.zeros(len(nodes), dtype=np.int64)
+            if len(bn):
+                starts = np.flatnonzero(np.r_[True, bn[1:] != bn[:-1]])
+                lens = np.diff(np.r_[starts, len(bn)])
+                within = np.arange(len(bn)) - np.repeat(starts, lens)
+                # first position where sorted distinct colors diverge from
+                # 0,1,2,... is the mex; all-matching runs mex at run length
+                mism = bc != within
+                big = np.where(mism, within, np.iinfo(np.int64).max)
+                first_mism = np.minimum.reduceat(big, starts)
+                run_mex = np.where(
+                    first_mism == np.iinfo(np.int64).max, lens, first_mism
+                )
+                mex[bn[starts]] = run_mex
+            new_color[el] = mex[el]
+        newly = (new_color >= 0) & (color < 0)
+        changed = bool(newly.any())
+        return (u, v, nodes, new_hp, new_color, buf_n, buf_c, newly), changed
+
+    @ray.remote
+    def to_table(part) -> pa.Table:
+        _, _, nodes, _, color, _, _, _ = part
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "color": pa.array(color, pa.int64()),
+            }
+        )
+
+    return split_und, concat_part, msgs, reduce_part, to_table
+
+
+def greedy_coloring(edges_ds, *, max_rounds: int = 500,
+                    num_partitions: int | None = None):
+    """Jones-Plassmann greedy graph coloring over the UNDIRECTED SIMPLE
+    entity graph: each node waits for all neighbors with smaller
+    (splitmix64 priority, id) to color, then takes the smallest color
+    they left free — provably identical to the sequential greedy coloring
+    in that order (:func:`coloring_reference`), hence deterministic and
+    partition-invariant, with at most Δ+1 colors.
+
+    The priority is a pure hash of the node id, so the
+    higher-priority-neighbor counts initialize with NO exchange; each
+    round ships only newly-colored nodes' (dst, color) messages toward
+    their later-turn neighbors — total message volume over the whole run
+    is exactly E/2.  Expected rounds are O(log n) under the hash order.
+    Emits (node, color) for every node with >= 1 edge."""
+    import ray
+    import ray.data
+
+    P = num_partitions or max(4, int(ray.cluster_resources().get("CPU", 4)))
+    split_und, concat_part, msgs, reduce_part, to_table = _coloring_remotes()
+
+    def sym_simple(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src_id" not in batch.column_names:
+            return pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+        s, d = batch.column("src_id"), batch.column("dst_id")
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep).combine_chunks(), d.filter(keep).combine_chunks()
+        t = pa.table({"u": pa.concat_arrays([s, d]), "v": pa.concat_arrays([d, s])})
+        return t.group_by(["u", "v"]).aggregate([])
+
+    sym = (
+        edges_ds.map_batches(sym_simple, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .count()
+        .select_columns(["u", "v"])
+        .materialize()
+    )
+    block_refs = list(sym.to_arrow_refs())
+    if not block_refs:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "color": pa.array([], pa.int64())})
+        )
+    shard_lists = [split_und.options(num_returns=P).remote(r, P) for r in block_refs]
+    if P == 1:
+        shard_lists = [[s] for s in shard_lists]
+    parts = [
+        concat_part.remote(*[shard_lists[i][p] for i in range(len(block_refs))])
+        for p in range(P)
+    ]
+    for _ in range(max_rounds):
+        msg_lists = [msgs.options(num_returns=P).remote(parts[p], P) for p in range(P)]
+        if P == 1:
+            msg_lists = [[m] for m in msg_lists]
+        new = [
+            reduce_part.options(num_returns=2).remote(
+                parts[p], *[msg_lists[q][p] for q in range(P)]
+            )
+            for p in range(P)
+        ]
+        parts = [n[0] for n in new]
+        changed = ray.get([n[1] for n in new])
+        if not any(changed):
+            break
+    return ray.data.from_arrow_refs([to_table.remote(p) for p in parts])
+
+
+def write_gold_coloring(corpus_dir: str, out_dir: str) -> None:
+    """Gold greedy coloring over the gold graph -> ``gold_coloring.parquet``
+    (node, color) the ``kg_coloring`` oracle reads."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..sources.corpus import gold_edge_rows
+
+    pairs = {
+        (min(u, v), max(u, v)) for u, _p, v in gold_edge_rows(corpus_dir) if u != v
+    }
+    col = coloring_reference(sorted(pairs))
+    nodes = sorted(col)
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "color": pa.array([col[n] for n in nodes], pa.int64()),
+            }
+        ),
+        os.path.join(out_dir, "gold_coloring.parquet"),
+    )

@@ -556,3 +556,31 @@ def blocklist_filter_batch(batch: pa.Table, blocklist=DEFAULT_BLOCKLIST,
             "keep": keep,
         }
     )
+
+
+def lexical_stats_batch(batch: pa.Table) -> pa.Table:
+    """Lexical-diversity signals as INTEGER columns (exactly reproducible
+    in SQL): per doc the token count, distinct-token count (type-token
+    ratio numerator/denominator) and hapax-legomenon count — the classic
+    vocabulary-richness trio quality pipelines threshold on (a machine-
+    generated or template-stamped page has anomalously low TTR; a
+    gibberish page anomalously high hapax share).  Tokens are lowercased
+    ``TOKEN_RE`` words, matching the other text ops' grammar."""
+    from collections import Counter
+
+    texts = batch.column("text").to_pylist()
+    n_tokens, n_distinct, n_hapax = [], [], []
+    for t in texts:
+        toks = TOKEN_RE.findall(t.lower())
+        c = Counter(toks)
+        n_tokens.append(len(toks))
+        n_distinct.append(len(c))
+        n_hapax.append(sum(1 for v in c.values() if v == 1))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_distinct": pa.array(n_distinct, pa.int64()),
+            "n_hapax": pa.array(n_hapax, pa.int64()),
+        }
+    )
