@@ -1246,6 +1246,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_softdedup": lambda sf: dedup.softdedup_weights(
             _read(sf, "documents"), 0.7
         ),
+        # --- TPC-H Q5-style 6-table local-supplier volume ---
+        "q5_supplier_volume": lambda sf: relational.q5_supplier_volume(
+            _read(sf, "lineitem"), _read(sf, "orders"), _read(sf, "customer"),
+            _read(sf, "supplier"), _read(sf, "nation"), _read(sf, "region"),
+        ),
         # --- bounded weighted shortest paths (proximity; CTE oracle) ---
         "kg_sssp": _kg_sssp,
         # --- market-basket co-purchase pairs over lineitem ---
@@ -1668,6 +1673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_coloring",
         "docs_lexical_stats",
         "docs_softdedup",
+        "q5_supplier_volume",
         # newest additions (round 4, sixth batch): directed SCC,
         # Gopher quality rules, HITS hubs/authorities
         "kg_scc",
@@ -2286,6 +2292,21 @@ def oracle_sql() -> dict[str, str]:
                    ((5 * fc + nn - 1) // nn)::bigint as f_score,
                    ((5 * mc + nn - 1) // nn)::bigint as m_score
             from s
+        """,
+        "q5_supplier_volume": """
+            select n_name, count(*)::bigint as n_items,
+                   sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint)
+                       * (100 - cast(floor(l_discount * 100 + 0.5) as bigint))
+                       )::bigint as revenue_e4
+            from region
+            join nation on n_regionkey = r_regionkey
+            join customer on c_nationkey = n_nationkey
+            join orders on o_custkey = c_custkey
+            join lineitem on l_orderkey = o_orderkey
+            join supplier on s_suppkey = l_suppkey
+                         and s_nationkey = c_nationkey
+            where r_name = 'ASIA'
+            group by 1
         """,
         "parts_copurchase": """
             with lp as (select distinct l_orderkey, l_partkey from lineitem),

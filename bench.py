@@ -221,6 +221,10 @@ def run_ops(sf_dir: str, repeat: int = 1) -> dict[str, list[float]]:
         ),
         "parts_copurchase": lambda: relational.parts_copurchase(read("lineitem")),
         "events_rfm": lambda: relational.events_rfm(read("events")),
+        "q5_supplier_volume": lambda: relational.q5_supplier_volume(
+            read("lineitem"), read("orders"), read("customer"),
+            read("supplier"), read("nation"), read("region"),
+        ),
         "emb_knn_ivfpq": lambda: __import__(
             "pdf_entity_extraction_ray.ops.pq", fromlist=["knn_ivfpq"]
         ).knn_ivfpq(

@@ -2040,3 +2040,274 @@ def events_rfm(events_ds, *, event_type: str = "purchase", n_scores: int = 5):
         )
 
     return users.map_batches(score_batch, batch_format="pyarrow")
+
+
+def q5_supplier_volume(
+    lineitem_ds, orders_ds, customer_ds, supplier_ds, nation_ds, region_ds,
+    *, region: str = "ASIA",
+    broadcast_limit_bytes: int = BROADCAST_LIMIT_BYTES,
+    num_partitions: int | None = None,
+):
+    """TPC-H Q5-style local-supplier volume: revenue per nation from
+    lineitems whose CUSTOMER and SUPPLIER sit in the same nation of one
+    region — the deepest join chain in the suite (region ⋈ nation ⋈
+    customer ⋈ orders ⋈ lineitem ⋈ supplier with the
+    ``c_nationkey = s_nationkey`` equality).
+
+    Join plan, smallest-first, every level size-dispatched:
+
+    1. region ⋈ nation and supplier are dimension tables by construction
+       -> region-filtered ``nationkey -> name`` and
+       ``suppkey -> nationkey`` maps broadcast once via ``ray.put``.
+    2. customer (region-filtered to ``custkey -> nationkey``) broadcasts
+       under ``broadcast_limit_bytes``, else hash-joins into orders.
+    3. orders (reduced to ``orderkey -> cust nationkey``) likewise
+       broadcasts or hash-joins into lineitem — at 100 TB this level IS
+       the shuffle join; the region+nation filters have already cut it
+       by ~1/R before any wide move.
+    4. the fact scan attaches both nationkeys, keeps the local rows
+       (vectorized ``pc.index_in`` lookups), and aggregates revenue in
+       exact integer 1e-4 dollars with a per-batch combiner before the
+       25-row final groupby.
+
+    Emits (n_name, n_items, revenue_e4)."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..ops.dedup import _join_partitions
+
+    # --- level 1: tiny dimensions, always broadcast ---
+    rkeys = [
+        r["r_regionkey"]
+        for r in region_ds.take_all()
+        if r["r_name"] == region
+    ]
+    nat_key, nat_name = [], []
+    for r in nation_ds.take_all():
+        if r["n_regionkey"] in rkeys:
+            nat_key.append(int(r["n_nationkey"]))
+            nat_name.append(r["n_name"])
+    nat_set = set(nat_key)
+    supp_map = {
+        int(r["s_suppkey"]): int(r["s_nationkey"])
+        for r in supplier_ds.select_columns(["s_suppkey", "s_nationkey"]).take_all()
+        if int(r["s_nationkey"]) in nat_set
+    }
+    dims_ref = ray.put(
+        (
+            pa.array(nat_key, pa.int64()),
+            pa.array(nat_name, pa.string()),
+            pa.array(sorted(supp_map), pa.int64()),
+            pa.array([supp_map[k] for k in sorted(supp_map)], pa.int64()),
+        )
+    )
+
+    # --- level 2: customers of the region -> (custkey, nationkey) ---
+    def cust_in_region(batch: pa.Table) -> pa.Table:
+        nk, _nn, _sk, _sn = ray.get(dims_ref)
+        idx = pc.index_in(batch.column("c_nationkey").cast(pa.int64()), value_set=nk)
+        t = pa.table(
+            {
+                "c_custkey": batch.column("c_custkey").cast(pa.int64()),
+                "cn": batch.column("c_nationkey").cast(pa.int64()),
+            }
+        )
+        return t.filter(pc.is_valid(idx))
+
+    cust = customer_ds.select_columns(["c_custkey", "c_nationkey"]).map_batches(
+        cust_in_region, batch_format="pyarrow"
+    )
+
+    if _build_side_bytes(customer_ds) <= broadcast_limit_bytes:
+        ck, cn = [], []
+        for b in cust.iter_batches(batch_format="pyarrow"):
+            ck.append(b.column("c_custkey").combine_chunks())
+            cn.append(b.column("cn").combine_chunks())
+        cust_ref = ray.put(
+            (
+                pa.concat_arrays(ck) if ck else pa.array([], pa.int64()),
+                pa.concat_arrays(cn) if cn else pa.array([], pa.int64()),
+            )
+        )
+
+        def attach_cn(batch: pa.Table) -> pa.Table:
+            k, n = ray.get(cust_ref)
+            idx = pc.index_in(batch.column("o_custkey").cast(pa.int64()), value_set=k)
+            cn_col = n.take(idx)
+            return pa.table(
+                {
+                    "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+                    "cn": cn_col,
+                }
+            ).filter(pc.is_valid(cn_col))
+
+        orders_cn = orders_ds.select_columns(["o_orderkey", "o_custkey"]).map_batches(
+            attach_cn, batch_format="pyarrow"
+        )
+    else:
+        orders_cn = (
+            orders_ds.select_columns(["o_orderkey", "o_custkey"])
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+                        "o_custkey": b.column("o_custkey").cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .join(
+                cust,
+                join_type="inner",
+                num_partitions=num_partitions or _join_partitions(),
+                on=("o_custkey",),
+                right_on=("c_custkey",),
+            )
+            .select_columns(["o_orderkey", "cn"])
+        )
+
+    # --- level 3: fact scan ---
+    def fact_partial_broadcast(orders_ref):
+        def f(batch: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "n_nationkey": pa.array([], pa.int64()),
+                    "n_items": pa.array([], pa.int64()),
+                    "revenue_e4": pa.array([], pa.int64()),
+                }
+            )
+            if batch.num_rows == 0 or "l_orderkey" not in batch.column_names:
+                return empty
+            ok, on = ray.get(orders_ref)
+            _nk, _nn, sk, sn = ray.get(dims_ref)
+            oidx = pc.index_in(batch.column("l_orderkey").cast(pa.int64()), value_set=ok)
+            sidx = pc.index_in(batch.column("l_suppkey").cast(pa.int64()), value_set=sk)
+            cn_col = on.take(oidx)
+            sn_col = sn.take(sidx)
+            keep = pc.and_(
+                pc.and_(pc.is_valid(cn_col), pc.is_valid(sn_col)),
+                pc.equal(cn_col, sn_col),
+            )
+            t = batch.append_column("nk", cn_col).filter(keep)
+            if t.num_rows == 0:
+                return empty
+            rev = _q5_revenue(t)
+            g = pa.table({"n_nationkey": t.column("nk"), "rev": rev}).group_by(
+                ["n_nationkey"]
+            ).aggregate([("rev", "sum"), ([], "count_all")])
+            return pa.table(
+                {
+                    "n_nationkey": g.column("n_nationkey"),
+                    "n_items": g.column("count_all").cast(pa.int64()),
+                    "revenue_e4": g.column("rev_sum").cast(pa.int64()),
+                }
+            )
+
+        return f
+
+    def _q5_revenue(t: pa.Table) -> pa.Array:
+        price = t.column("l_extendedprice").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        disc = t.column("l_discount").combine_chunks().to_numpy(zero_copy_only=False)
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        pct = np.floor(disc * 100.0 + 0.5).astype(np.int64)
+        return pa.array(cents * (100 - pct), pa.int64())
+
+    li = lineitem_ds.select_columns(
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+    if _build_side_bytes(orders_ds) <= broadcast_limit_bytes:
+        ok, on = [], []
+        for b in orders_cn.iter_batches(batch_format="pyarrow"):
+            ok.append(b.column("o_orderkey").combine_chunks())
+            on.append(b.column("cn").combine_chunks())
+        orders_ref = ray.put(
+            (
+                pa.concat_arrays(ok) if ok else pa.array([], pa.int64()),
+                pa.concat_arrays(on) if on else pa.array([], pa.int64()),
+            )
+        )
+        partials = li.map_batches(
+            fact_partial_broadcast(orders_ref), batch_format="pyarrow"
+        )
+    else:
+        joined = li.map_batches(
+            lambda b: pa.table(
+                {
+                    "l_orderkey": b.column("l_orderkey").cast(pa.int64()),
+                    "l_suppkey": b.column("l_suppkey").cast(pa.int64()),
+                    "l_extendedprice": b.column("l_extendedprice"),
+                    "l_discount": b.column("l_discount"),
+                }
+            ),
+            batch_format="pyarrow",
+        ).join(
+            orders_cn,
+            join_type="inner",
+            num_partitions=num_partitions or _join_partitions(),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+
+        def fact_partial_joined(batch: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "n_nationkey": pa.array([], pa.int64()),
+                    "n_items": pa.array([], pa.int64()),
+                    "revenue_e4": pa.array([], pa.int64()),
+                }
+            )
+            if batch.num_rows == 0 or "cn" not in batch.column_names:
+                return empty
+            _nk, _nn, sk, sn = ray.get(dims_ref)
+            sidx = pc.index_in(batch.column("l_suppkey").cast(pa.int64()), value_set=sk)
+            sn_col = sn.take(sidx)
+            keep = pc.and_(
+                pc.is_valid(sn_col), pc.equal(batch.column("cn"), sn_col)
+            )
+            t = batch.rename_columns(
+                [c if c != "cn" else "nk" for c in batch.column_names]
+            ).filter(keep)
+            if t.num_rows == 0:
+                return empty
+            rev = _q5_revenue(t)
+            g = pa.table({"n_nationkey": t.column("nk"), "rev": rev}).group_by(
+                ["n_nationkey"]
+            ).aggregate([("rev", "sum"), ([], "count_all")])
+            return pa.table(
+                {
+                    "n_nationkey": g.column("n_nationkey"),
+                    "n_items": g.column("count_all").cast(pa.int64()),
+                    "revenue_e4": g.column("rev_sum").cast(pa.int64()),
+                }
+            )
+
+        partials = joined.map_batches(fact_partial_joined, batch_format="pyarrow")
+
+    agg = partials.groupby("n_nationkey").aggregate(
+        Sum("n_items", alias_name="n_items"),
+        Sum("revenue_e4", alias_name="revenue_e4"),
+    )
+
+    def name_join(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "n_nationkey" not in batch.column_names:
+            return pa.table(
+                {
+                    "n_name": pa.array([], pa.string()),
+                    "n_items": pa.array([], pa.int64()),
+                    "revenue_e4": pa.array([], pa.int64()),
+                }
+            )
+        nk, nn, _sk, _sn = ray.get(dims_ref)
+        idx = pc.index_in(batch.column("n_nationkey").cast(pa.int64()), value_set=nk)
+        return pa.table(
+            {
+                "n_name": nn.take(idx),
+                "n_items": batch.column("n_items"),
+                "revenue_e4": batch.column("revenue_e4"),
+            }
+        )
+
+    return agg.map_batches(name_join, batch_format="pyarrow")

@@ -148,3 +148,70 @@ def test_softdedup_no_clusters_all_one():
             zip(b.column("doc_id").to_pylist(), b.column("weight_ppm").to_pylist())
         )
     assert out == {0: 1_000_000, 1: 1_000_000}
+
+
+# ---------------------------------------------------------------------------
+# Q5 six-table join
+
+
+def _q5_tables():
+    region = pa.table(
+        {"r_regionkey": pa.array([0, 1], pa.int64()),
+         "r_name": pa.array(["ASIA", "EUROPE"], pa.string())}
+    )
+    nation = pa.table(
+        {"n_nationkey": pa.array([10, 11, 20], pa.int32()),
+         "n_name": pa.array(["CHINA", "JAPAN", "FRANCE"], pa.string()),
+         "n_regionkey": pa.array([0, 0, 1], pa.int64())}
+    )
+    customer = pa.table(
+        {"c_custkey": pa.array([1, 2, 3], pa.int64()),
+         "c_nationkey": pa.array([10, 11, 20], pa.int32())}
+    )
+    supplier = pa.table(
+        {"s_suppkey": pa.array([100, 101, 102], pa.int64()),
+         "s_nationkey": pa.array([10, 11, 20], pa.int32())}
+    )
+    orders = pa.table(
+        {"o_orderkey": pa.array([1000, 1001, 1002], pa.int64()),
+         "o_custkey": pa.array([1, 2, 3], pa.int64())}
+    )
+    # item 1: cust CHINA + supp CHINA -> local (rev 10000 cents * 95)
+    # item 2: cust CHINA + supp JAPAN -> dropped (cross-nation)
+    # item 3: cust JAPAN + supp JAPAN -> local
+    # item 4: cust FRANCE + supp FRANCE -> local but EUROPE -> dropped
+    lineitem = pa.table(
+        {"l_orderkey": pa.array([1000, 1000, 1001, 1002], pa.int64()),
+         "l_suppkey": pa.array([100, 101, 101, 102], pa.int64()),
+         "l_extendedprice": pa.array([100.0, 50.0, 80.0, 70.0], pa.float64()),
+         "l_discount": pa.array([0.05, 0.0, 0.1, 0.0], pa.float64())}
+    )
+    return lineitem, orders, customer, supplier, nation, region
+
+
+def _q5_run(**kw):
+    import ray
+
+    from pdf_entity_extraction_ray.ops.relational import q5_supplier_volume
+
+    tables = [ray.data.from_arrow(t) for t in _q5_tables()]
+    out = {}
+    for b in q5_supplier_volume(*tables, region="ASIA", **kw).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for r in b.to_pylist():
+            out[r["n_name"]] = (r["n_items"], r["revenue_e4"])
+    return out
+
+
+def test_q5_local_supplier_volume_broadcast_path():
+    out = _q5_run()
+    assert out == {
+        "CHINA": (1, 10000 * 95),
+        "JAPAN": (1, 8000 * 90),
+    }
+
+
+def test_q5_hash_join_path_matches_broadcast():
+    # force the shuffle-join fallback at every size-dispatched level
+    assert _q5_run(broadcast_limit_bytes=0, num_partitions=2) == _q5_run()
