@@ -5168,10 +5168,25 @@ def _lpa_remotes():
             }
         )
 
-    return split_und, concat_part, msgs, reduce_part, to_table
+    @ray.remote(num_returns=2)
+    def expose(part):
+        _, _, nodes, labels = part
+        return nodes, labels
+
+    @ray.remote
+    def splice(part, nodes_loaded, labels_loaded):
+        u, v, nodes, _ = part
+        if len(nodes_loaded) != len(nodes) or not (nodes_loaded == nodes).all():
+            raise ValueError("checkpoint partition node set mismatch")
+        return u, v, nodes, labels_loaded.astype(np.int64)
+
+    return split_und, concat_part, msgs, reduce_part, to_table, expose, splice
 
 
-def label_propagation(edges_ds, *, rounds: int = 4, num_partitions: int | None = None):
+def label_propagation(edges_ds, *, rounds: int = 4, num_partitions: int | None = None,
+                      checkpoint_dir: str | None = None,
+                      checkpoint_every: int = 2,
+                      checkpoint_fingerprint: str | None = None):
     """Community detection by synchronous label propagation (Raghavan et
     al. 2007) over the UNDIRECTED SIMPLE projection of the entity graph:
     every node starts in its own community (label = own id); each round
@@ -5195,7 +5210,7 @@ def label_propagation(edges_ds, *, rounds: int = 4, num_partitions: int | None =
     import ray.data
 
     P = num_partitions or max(4, int(ray.cluster_resources().get("CPU", 4)))
-    split_und, concat_part, msgs, reduce_part, to_table = _lpa_remotes()
+    split_und, concat_part, msgs, reduce_part, to_table, expose, splice = _lpa_remotes()
 
     def sym_simple(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "src_id" not in batch.column_names:
@@ -5225,7 +5240,26 @@ def label_propagation(edges_ds, *, rounds: int = 4, num_partitions: int | None =
         concat_part.remote(*[shard_lists[i][p] for i in range(len(block_refs))])
         for p in range(P)
     ]
-    for _ in range(max(0, int(rounds))):
+    # per-round lineage: labels resume from the newest complete checkpoint
+    # whose fingerprint matches (params + input CONTENT digest — same-count
+    # rewired inputs never share a checkpoint)
+    start_round = 0
+    fp = None
+    if checkpoint_dir:
+        from ..state import bsp_ckpt
+
+        fp = checkpoint_fingerprint or (
+            f"lpa:P={P}:rounds={int(rounds)}"
+            f":digest={bsp_ckpt.content_digest(block_refs):016x}"
+        )
+        loaded = bsp_ckpt.load_latest(checkpoint_dir, fp, P)
+        if loaded is not None:
+            start_round, value_refs = loaded
+            parts = [
+                splice.remote(parts[p], value_refs[p][0], value_refs[p][1])
+                for p in range(P)
+            ]
+    for rnd in range(start_round, max(0, int(rounds))):
         msg_lists = [msgs.options(num_returns=P).remote(parts[p], P) for p in range(P)]
         if P == 1:
             msg_lists = [[m] for m in msg_lists]
@@ -5233,6 +5267,13 @@ def label_propagation(edges_ds, *, rounds: int = 4, num_partitions: int | None =
             reduce_part.remote(parts[p], *[msg_lists[q][p] for q in range(P)])
             for p in range(P)
         ]
+        if checkpoint_dir and (rnd + 1) % checkpoint_every == 0:
+            from ..state import bsp_ckpt
+
+            bsp_ckpt.save_round(
+                checkpoint_dir, fp, rnd + 1,
+                [expose.remote(parts[p]) for p in range(P)],
+            )
     return ray.data.from_arrow_refs([to_table.remote(p) for p in parts])
 
 
@@ -5329,11 +5370,36 @@ def _sssp_remotes():
             }
         )
 
-    return split_edges, concat_part, msgs, reduce_part, to_table
+    @ray.remote(num_returns=2)
+    def expose(part):
+        """(dist, frontier) encoded as one int64 per node: finite dists
+        (bounded by max_hops x 1e6, far below 2^62) pack as dist*2 +
+        frontier; INF stays the sentinel (its frontier is always False)."""
+        INF = np.iinfo(np.int64).max
+        _, _, _, nodes, dist, frontier = part
+        enc = np.where(dist == INF, INF, dist * 2 + frontier.astype(np.int64))
+        return nodes, enc
+
+    @ray.remote
+    def splice(part, nodes_loaded, enc_loaded):
+        INF = np.iinfo(np.int64).max
+        u, v, w, nodes, _, _ = part
+        if len(nodes_loaded) != len(nodes) or not (nodes_loaded == nodes).all():
+            raise ValueError("checkpoint partition node set mismatch")
+        enc = enc_loaded.astype(np.int64)
+        inf = enc == INF
+        dist = np.where(inf, INF, enc // 2)
+        frontier = np.where(inf, False, (enc & 1).astype(bool))
+        return u, v, w, nodes, dist, frontier
+
+    return split_edges, concat_part, msgs, reduce_part, to_table, expose, splice
 
 
 def sssp_costs(edges_ds, seeds, *, max_hops: int = 4,
-               num_partitions: int | None = None):
+               num_partitions: int | None = None,
+               checkpoint_dir: str | None = None,
+               checkpoint_every: int = 2,
+               checkpoint_fingerprint: str | None = None):
     """Bounded weighted shortest paths over the UNDIRECTED entity graph —
     the "how close are these entities" proximity query a KG serves, with
     the standard strength-to-distance transform: an unordered pair linked
@@ -5432,7 +5498,7 @@ def sssp_costs(edges_ds, seeds, *, max_hops: int = 4,
     sym_ds = pw.map_batches(to_sym_cost, batch_format="pyarrow").materialize()
 
     P = num_partitions or max(4, int(ray.cluster_resources().get("CPU", 4)))
-    split_edges, concat_part, msgs, reduce_part, to_table = _sssp_remotes()
+    split_edges, concat_part, msgs, reduce_part, to_table, expose, splice = _sssp_remotes()
     block_refs = list(sym_ds.to_arrow_refs())
     empty = pa.table(
         {"canonical": pa.array([], pa.string()), "dist": pa.array([], pa.int64())}
@@ -5447,7 +5513,24 @@ def sssp_costs(edges_ds, seeds, *, max_hops: int = 4,
         concat_part.remote(seed_ref, *[shard_lists[i][p] for i in range(len(block_refs))])
         for p in range(P)
     ]
-    for _ in range(max(0, int(max_hops))):
+    start_round = 0
+    fp = None
+    if checkpoint_dir:
+        from ..state import bsp_ckpt
+
+        seeds_tag = ",".join(str(s) for s in seed_ids.tolist())
+        fp = checkpoint_fingerprint or (
+            f"sssp:P={P}:hops={int(max_hops)}:seeds={seeds_tag}"
+            f":digest={bsp_ckpt.content_digest(block_refs):016x}"
+        )
+        loaded = bsp_ckpt.load_latest(checkpoint_dir, fp, P)
+        if loaded is not None:
+            start_round, value_refs = loaded
+            parts = [
+                splice.remote(parts[p], value_refs[p][0], value_refs[p][1])
+                for p in range(P)
+            ]
+    for rnd in range(start_round, max(0, int(max_hops))):
         msg_lists = [msgs.options(num_returns=P).remote(parts[p], P) for p in range(P)]
         if P == 1:
             msg_lists = [[m] for m in msg_lists]
@@ -5459,6 +5542,13 @@ def sssp_costs(edges_ds, seeds, *, max_hops: int = 4,
         ]
         parts = [n[0] for n in new]
         changed = ray.get([n[1] for n in new])
+        if checkpoint_dir and (rnd + 1) % checkpoint_every == 0:
+            from ..state import bsp_ckpt
+
+            bsp_ckpt.save_round(
+                checkpoint_dir, fp, rnd + 1,
+                [expose.remote(parts[p]) for p in range(P)],
+            )
         if not any(changed):
             break
     dists = ray.data.from_arrow_refs([to_table.remote(p) for p in parts]).materialize()
@@ -5638,11 +5728,33 @@ def _mis_remotes():
             }
         )
 
-    return split_und, concat_part, msgs, reduce_part, to_table
+    @ray.remote(num_returns=2)
+    def expose(part):
+        """status (0/1/2) + 4*joined packed per node — the joined mask is
+        live state (next round's exclusion messages come from it), so a
+        checkpoint without it would let neighbors of a just-joined member
+        join later."""
+        _, _, nodes, _, status, joined = part
+        return nodes, status.astype(np.int64) + 4 * joined.astype(np.int64)
+
+    @ray.remote
+    def splice(part, nodes_loaded, enc_loaded):
+        u, v, nodes, pri, _, _ = part
+        if len(nodes_loaded) != len(nodes) or not (nodes_loaded == nodes).all():
+            raise ValueError("checkpoint partition node set mismatch")
+        enc = enc_loaded.astype(np.int64)
+        status = (enc % 4).astype(np.int8)
+        joined = (enc // 4).astype(bool)
+        return u, v, nodes, pri, status, joined
+
+    return split_und, concat_part, msgs, reduce_part, to_table, expose, splice
 
 
 def maximal_independent_set(edges_ds, *, max_rounds: int = 200,
-                            num_partitions: int | None = None):
+                            num_partitions: int | None = None,
+                            checkpoint_dir: str | None = None,
+                            checkpoint_every: int = 5,
+                            checkpoint_fingerprint: str | None = None):
     """Luby-style maximal independent set over the UNDIRECTED SIMPLE
     entity graph — the classic symmetry-breaking primitive (conflict-free
     scheduling, landmark selection, coarsening seeds).  Deterministic:
@@ -5660,7 +5772,7 @@ def maximal_independent_set(edges_ds, *, max_rounds: int = 200,
     import ray.data
 
     P = num_partitions or max(4, int(ray.cluster_resources().get("CPU", 4)))
-    split_und, concat_part, msgs, reduce_part, to_table = _mis_remotes()
+    split_und, concat_part, msgs, reduce_part, to_table, expose, splice = _mis_remotes()
 
     def sym_simple(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "src_id" not in batch.column_names:
@@ -5690,7 +5802,22 @@ def maximal_independent_set(edges_ds, *, max_rounds: int = 200,
         concat_part.remote(*[shard_lists[i][p] for i in range(len(block_refs))])
         for p in range(P)
     ]
-    for _ in range(max_rounds):
+    start_round = 0
+    fp = None
+    if checkpoint_dir:
+        from ..state import bsp_ckpt
+
+        fp = checkpoint_fingerprint or (
+            f"mis:P={P}:digest={bsp_ckpt.content_digest(block_refs):016x}"
+        )
+        loaded = bsp_ckpt.load_latest(checkpoint_dir, fp, P)
+        if loaded is not None:
+            start_round, value_refs = loaded
+            parts = [
+                splice.remote(parts[p], value_refs[p][0], value_refs[p][1])
+                for p in range(P)
+            ]
+    for rnd in range(start_round, max_rounds):
         msg_lists = [msgs.options(num_returns=P).remote(parts[p], P) for p in range(P)]
         if P == 1:
             msg_lists = [[m] for m in msg_lists]
@@ -5702,6 +5829,13 @@ def maximal_independent_set(edges_ds, *, max_rounds: int = 200,
         ]
         parts = [n[0] for n in new]
         changed = ray.get([n[1] for n in new])
+        if checkpoint_dir and (rnd + 1) % checkpoint_every == 0:
+            from ..state import bsp_ckpt
+
+            bsp_ckpt.save_round(
+                checkpoint_dir, fp, rnd + 1,
+                [expose.remote(parts[p]) for p in range(P)],
+            )
         if not any(changed):
             break
     return ray.data.from_arrow_refs([to_table.remote(p) for p in parts])

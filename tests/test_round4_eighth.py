@@ -203,3 +203,19 @@ def test_mis_triangle_selects_exactly_one():
 
 def test_mis_empty():
     assert _mis_run([]) == {}
+
+
+
+def test_mis_checkpoint_resume_preserves_joined_mask(tmp_path):
+    import random
+
+    rng = random.Random(31)
+    edges = sorted({(rng.randrange(20), rng.randrange(20)) for _ in range(50)})
+    edges = [(u, v) for u, v in edges if u != v]
+    ck = str(tmp_path / "mis_ck")
+    want = _mis_run(edges)
+    # checkpoint EVERY round: resume state always includes a joined mask
+    # whose exclusion messages are still pending — replay must stay exact
+    got = _mis_run(edges, checkpoint_dir=ck, checkpoint_every=1)
+    assert got == want
+    assert _mis_run(edges, checkpoint_dir=ck, checkpoint_every=1) == want

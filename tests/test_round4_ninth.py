@@ -215,3 +215,4 @@ def test_q5_local_supplier_volume_broadcast_path():
 def test_q5_hash_join_path_matches_broadcast():
     # force the shuffle-join fallback at every size-dispatched level
     assert _q5_run(broadcast_limit_bytes=0, num_partitions=2) == _q5_run()
+

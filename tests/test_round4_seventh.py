@@ -248,3 +248,51 @@ def test_copurchase_matches_brute_force_across_shards():
             gold[(a, b)] = gold.get((a, b), 0) + 1
     assert _copurchase_run(rows, min_orders=1, shards=8) == gold
     assert _copurchase_run(rows, min_orders=1, shards=1) == gold
+
+
+# ---------------------------------------------------------------------------
+# checkpoint/resume for the new BSP ops
+
+
+def test_lpa_checkpoint_resume(tmp_path):
+    import json
+    import random
+
+    rng = random.Random(23)
+    edges = sorted({(rng.randrange(20), rng.randrange(20)) for _ in range(50)})
+    edges = [(u, v) for u, v in edges if u != v]
+    ck = str(tmp_path / "lpa_ck")
+    want = _lpa_run(edges, rounds=4)
+    got = _lpa_run(edges, rounds=4, checkpoint_dir=ck, checkpoint_every=2)
+    assert got == want
+    assert json.load(open(f"{ck}/manifest.json"))["round"] == 4
+    # rerun with the same dir resumes from round 4 (zero live rounds) and
+    # must reproduce the same labels
+    assert _lpa_run(edges, rounds=4, checkpoint_dir=ck, checkpoint_every=2) == want
+
+
+def test_sssp_checkpoint_resume(tmp_path):
+    import json
+    import random
+
+    rng = random.Random(29)
+    rows = [(rng.randrange(15), rng.randrange(15)) for _ in range(40)]
+    rows = [(u, v) for u, v in rows if u != v]
+    ck = str(tmp_path / "sssp_ck")
+    want = _sssp_run(rows, seeds=[0])
+    got = _sssp_run(rows, seeds=[0], checkpoint_dir=ck, checkpoint_every=1)
+    assert got == want
+    assert json.load(open(f"{ck}/manifest.json"))["round"] >= 1
+    assert _sssp_run(rows, seeds=[0], checkpoint_dir=ck, checkpoint_every=1) == want
+
+
+def test_new_bsp_checkpoints_reject_rewired_input(tmp_path):
+    # same node/edge COUNTS, different wiring: the content digest in the
+    # default fingerprint must force a recompute, not a stale resume
+    a = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    b = [(0, 2), (2, 4), (4, 1), (1, 3)]
+    ck = str(tmp_path / "digest_ck")
+    _lpa_run(a, rounds=4, checkpoint_dir=ck, checkpoint_every=1)
+    assert _lpa_run(b, rounds=4, checkpoint_dir=ck, checkpoint_every=1) == _lpa_run(
+        b, rounds=4
+    )
