@@ -31,6 +31,22 @@ _MIX_RATES = {"src0": 2.5, "src1": 0.3, "src2": 1.7, "src3": 0.0}
 # vocabulary so idf weighting and the length norm both matter
 _BM25_QUERIES = {0: "fast hash join", 1: "window agg stream", 2: "customer order query"}
 
+# dictionary-tagging lexicon (kg_gazetteer): single tokens, multi-word
+# phrases, an accented surface and an always-present boilerplate phrase,
+# spanning hit rates from ~1% of pages to 100% — shared verbatim with the
+# DuckDB oracle (no quotes/backslashes allowed; SQL-literal safe)
+_GAZETTEER = [
+    "Statute",
+    "cites",
+    "lagoon",
+    "marble",
+    "granite",
+    "kappa lambda",
+    "Ossandón",
+    "was born on",
+    "Terms of service",
+]
+
 
 def _read(sf_dir: str, table: str):
     """Read a testdata table, stripping the pandas schema metadata the
@@ -701,6 +717,98 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ray.data.read_parquet(res["edges"], columns=["src_id", "dst_id"])
         )
 
+    def _kg_gazetteer(sf_dir):
+        """Dictionary tagging over the pages corpus: per-page occurrence
+        counts for the shared ``_GAZETTEER`` lexicon (ops/text.
+        gazetteer_counts — one vectorized count_substring pass per term,
+        Aho-Corasick actor pool documented as the 10^4+-term upgrade)."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.text import gazetteer_counts
+
+        _kg_artifacts(sf_dir)
+        name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        return gazetteer_counts(
+            ray.data.read_parquet(
+                f"/tmp/graft_kg/{name}/pages", columns=["url", "text"]
+            ),
+            _GAZETTEER,
+        )
+
+    def _kg_katz(sf_dir):
+        """Katz walk centrality (4 rounds, beta=8, exact integers) over
+        the directed simple canonical graph — one hash join + groupby-sum
+        per round (ops/graph_stats.katz_walks); oracle = chained CTEs."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import katz_walks
+
+        res = _kg_artifacts(sf_dir)
+        return katz_walks(
+            ray.data.read_parquet(
+                res["edges"], columns=["src_canonical", "dst_canonical"]
+            ),
+            rounds=4,
+            beta=8,
+        )
+
+    def _kg_motifs(sf_dir):
+        """Directed triad census: every triangle classified by the
+        permutation-invariant (n_dir, n_recip, n_cycles) key
+        (ops/graph_stats.motif_census, degree-oriented wedge enumeration
+        with direction flags carried through the join)."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import motif_census
+
+        res = _kg_artifacts(sf_dir)
+        return motif_census(
+            ray.data.read_parquet(
+                res["edges"], columns=["src_canonical", "dst_canonical"]
+            )
+        )
+
+    def _kg_warc_roundtrip(sf_dir):
+        """WARC container roundtrip: render the pages corpus to .warc
+        shards (sources/warc.write_warc, cached inside the corpus dir so
+        corpus regeneration invalidates it), parse them back distributed,
+        and emit (url, warc_ts, n_bytes, html_md5) — the oracle reads the
+        same projection straight off the Parquet pages, so a pass proves
+        the sink+source preserve every byte."""
+        import hashlib
+
+        import ray.data
+
+        from pdf_entity_extraction_ray.sources.warc import read_warc, write_warc
+
+        _kg_artifacts(sf_dir)
+        name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        warc_dir = f"/tmp/graft_kg/{name}/warc_v1"
+        if not os.path.exists(os.path.join(warc_dir, "_WARC_DONE")):
+            write_warc(ray.data.read_parquet(f"/tmp/graft_kg/{name}/pages"), warc_dir)
+
+        def digest(batch):
+            import pyarrow as pa
+
+            htmls = batch.column("html").to_pylist()
+            return pa.table(
+                {
+                    "url": batch.column("url"),
+                    "warc_ts": batch.column("warc_ts"),
+                    "n_bytes": pa.array([len(h) for h in htmls], pa.int64()),
+                    # DuckDB blob hashing goes through hex(): md5(hex(html))
+                    "html_md5": pa.array(
+                        [
+                            hashlib.md5(h.hex().upper().encode()).hexdigest()
+                            for h in htmls
+                        ],
+                        pa.string(),
+                    ),
+                }
+            )
+
+        return read_warc(warc_dir).map_batches(digest, batch_format="pyarrow")
+
     def _kg_host_quality(sf_dir):
         """Domain-level curation: per-host page-quality keep rates in
         pure integer arithmetic (ops/web.host_quality)."""
@@ -1234,6 +1342,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_ivfpq": emb_knn_ivfpq,
         # --- RFM segmentation with exact tie-respecting quantile scores ---
         "events_rfm": lambda sf: relational.events_rfm(_read(sf, "events")),
+        # --- dictionary tagging: gazetteer occurrence counts ---
+        "kg_gazetteer": _kg_gazetteer,
+        # --- Katz walk centrality (exact-integer attenuation series) ---
+        "kg_katz": _kg_katz,
+        # --- directed triad (motif) census over the entity graph ---
+        "kg_motifs": _kg_motifs,
+        # --- WARC sink+source byte-exact roundtrip ---
+        "kg_warc_roundtrip": _kg_warc_roundtrip,
         # --- label-propagation communities (BSP, gold-mirror oracle) ---
         "kg_communities": _kg_communities,
         # --- Luby maximal independent set (deterministic priorities) ---
@@ -1662,6 +1778,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # has never itself checked (judge-run only in r3), then the long-green
     # remainder in their original order.
     front = [
+        # newest additions (round 4, tenth batch): gazetteer tagging,
+        # Katz centrality, triad census, WARC roundtrip
+        "kg_gazetteer",
+        "kg_katz",
+        "kg_motifs",
+        "kg_warc_roundtrip",
         # newest additions (round 4, seventh batch): LPA communities,
         # bounded weighted shortest paths, market-basket pairs
         "kg_communities",
@@ -1829,7 +1951,63 @@ def oracle_sql() -> dict[str, str]:
                         and alo.type = t.obj_type and alo.alias = t.obj
         left join rep ro on ro.cluster_id = alo.cluster_id
     """
+    gaz_values = ", ".join(f"('{t}')" for t in _GAZETTEER)
     return {
+        "kg_gazetteer": f"""
+            with terms(term) as (values {gaz_values}),
+            p as (select url, text from read_parquet('{gold}/pages/*.parquet'))
+            select p.url, t.term,
+                   ((length(p.text) - length(replace(p.text, t.term, '')))
+                    // length(t.term))::bigint as n
+            from p cross join terms t
+            where length(p.text) - length(replace(p.text, t.term, '')) > 0
+        """,
+        "kg_katz": f"""
+            with {kg_cte},
+            tri as ({tri_canon}),
+            e as (select distinct subj_canonical as s, obj_canonical as o
+                  from tri where subj_canonical <> obj_canonical),
+            nodes as (select s as node from e union select o from e),
+            w1 as (select o as node, count(*)::bigint as w from e group by 1),
+            w2 as (select e.o as node, sum(w1.w)::bigint as w
+                   from e join w1 on w1.node = e.s group by 1),
+            w3 as (select e.o as node, sum(w2.w)::bigint as w
+                   from e join w2 on w2.node = e.s group by 1),
+            w4 as (select e.o as node, sum(w3.w)::bigint as w
+                   from e join w3 on w3.node = e.s group by 1),
+            tot as (select node, 512 * w as part from w1
+                    union all select node, 64 * w from w2
+                    union all select node, 8 * w from w3
+                    union all select node, w from w4)
+            select n.node, coalesce(sum(t.part), 0)::bigint as katz
+            from nodes n left join tot t using (node) group by 1
+        """,
+        "kg_motifs": f"""
+            with {kg_cte},
+            tri as ({tri_canon}),
+            de as (select distinct subj_canonical as s, obj_canonical as o
+                   from tri where subj_canonical <> obj_canonical),
+            und as (select least(s, o) as a, greatest(s, o) as b,
+                           max(case when s < o then 1 else 0 end)::bigint as f,
+                           max(case when s > o then 1 else 0 end)::bigint as r
+                    from de group by 1, 2),
+            t3 as (select e1.f as f_pq, e1.r as r_pq,
+                          e2.f as f_pr, e2.r as r_pr,
+                          e3.f as f_qr, e3.r as r_qr
+                   from und e1
+                   join und e2 on e2.a = e1.a and e2.b > e1.b
+                   join und e3 on e3.a = e1.b and e3.b = e2.b)
+            select (f_pq + r_pq + f_pr + r_pr + f_qr + r_qr)::bigint as n_dir,
+                   (f_pq * r_pq + f_pr * r_pr + f_qr * r_qr)::bigint as n_recip,
+                   (f_pq * f_qr * r_pr + r_pq * r_qr * f_pr)::bigint as n_cycles,
+                   count(*)::bigint as n
+            from t3 group by 1, 2, 3
+        """,
+        "kg_warc_roundtrip": f"""
+            select url, warc_ts, octet_length(html)::bigint as n_bytes,
+                   md5(hex(html)) as html_md5
+            from read_parquet('{gold}/pages/*.parquet')
+        """,
         "docs_bm25_search": __import__(
             "pdf_entity_extraction_ray.ops.bm25", fromlist=["bm25_oracle_sql"]
         ).bm25_oracle_sql(_BM25_QUERIES, 10),

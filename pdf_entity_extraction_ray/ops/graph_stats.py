@@ -6112,3 +6112,473 @@ def write_gold_coloring(corpus_dir: str, out_dir: str) -> None:
         ),
         os.path.join(out_dir, "gold_coloring.parquet"),
     )
+
+
+def katz_walks(edges_ds, rounds: int = 4, beta: int = 8,
+               num_partitions: int | None = None):
+    """Katz-style walk centrality over the directed SIMPLE graph (distinct
+    ``(src, dst)`` canonical pairs, self-loops dropped) in EXACT integer
+    arithmetic: with ``w_k(v)`` = number of directed walks of length ``k``
+    ending at ``v``,
+
+        ``katz = sum_{k=1..rounds} beta^(rounds-k) * w_k(v)``
+
+    — the classic attenuation series ``sum alpha^k (A^T)^k 1`` with
+    ``alpha = 1/beta`` scaled by ``beta^rounds`` so every term is an
+    integer and the DuckDB oracle (chained CTEs, one per round) is
+    bit-exact.  Emits ``(node, katz)`` for EVERY node (sinks with no
+    inbound walks score 0).
+
+    Scale shape: each round is one hash join (edges x current weights on
+    the source key — the O(E) exchange) plus one groupby-sum; the
+    accumulator is a lazy union re-aggregated once at the end, so no
+    driver-side state beyond the per-round overflow scalar.  Overflow is
+    CHECKED, not wrapped: walk counts grow like indeg^k, so each round
+    asserts ``max(w) * beta^rounds`` stays far inside int64 and raises
+    with the offending magnitude (the kg_trend lesson: int64 products on
+    real corpus moments must fail loudly).  For celebrity-hub graphs at
+    100 TB keep ``rounds`` small or pre-cap degrees; the series semantics
+    (and this oracle) are unchanged."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..ops.dedup import _join_partitions
+
+    def to_e(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src_canonical" not in batch.column_names:
+            return pa.table(
+                {"s": pa.array([], pa.string()), "o": pa.array([], pa.string())}
+            )
+        s = batch.column("src_canonical")
+        o = batch.column("dst_canonical")
+        t = pa.table({"s": s, "o": o}).filter(pc.not_equal(s, o))
+        return t.group_by(["s", "o"]).aggregate([])
+
+    e = (
+        edges_ds.select_columns(["src_canonical", "dst_canonical"])
+        .map_batches(to_e, batch_format="pyarrow")
+        .groupby(["s", "o"])
+        .count()
+        .select_columns(["s", "o"])
+        .materialize()
+    )
+    if e.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.string()), "katz": pa.array([], pa.int64())}
+            )
+        )
+    n_part = num_partitions
+    if n_part is None:
+        n_part = 1 if e.count() < 10_000 else _join_partitions()
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "s" not in batch.column_names:
+            return pa.table({"node": pa.array([], pa.string())})
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [batch.column("s").combine_chunks(), batch.column("o").combine_chunks()]
+                )
+            }
+        )
+
+    def zero(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "node" not in batch.column_names:
+            return pa.table(
+                {"node": pa.array([], pa.string()), "part": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "part": pa.array([0] * batch.num_rows, pa.int64()),
+            }
+        )
+
+    nodes0 = (
+        e.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+        .select_columns(["node"])
+        .map_batches(zero, batch_format="pyarrow")
+    )
+
+    def scaled(w_ds, factor: int):
+        def scale(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "node" not in batch.column_names:
+                return pa.table(
+                    {"node": pa.array([], pa.string()), "part": pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {
+                    "node": batch.column("node"),
+                    "part": pc.multiply_checked(
+                        batch.column("w").cast(pa.int64()),
+                        pa.scalar(factor, pa.int64()),
+                    ),
+                }
+            )
+
+        return w_ds.map_batches(scale, batch_format="pyarrow")
+
+    # w_1 = indegree (w_0 == 1 everywhere)
+    w = (
+        e.groupby("o")
+        .count()
+        .rename_columns({"o": "node", "count()": "w"})
+        .materialize()
+    )
+    total = nodes0.union(scaled(w, beta ** (rounds - 1)))
+    for k in range(2, rounds + 1):
+        cap = (1 << 62) // (beta**rounds)
+        mx = w.max("w")
+        if mx is not None and int(mx) > cap:
+            raise OverflowError(
+                f"katz_walks: round-{k - 1} walk count {mx} would overflow "
+                f"int64 under beta^{rounds} scaling; reduce rounds or cap "
+                "degrees upstream"
+            )
+
+        def fold(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "o" not in batch.column_names:
+                return pa.table(
+                    {"node": pa.array([], pa.string()), "w": pa.array([], pa.int64())}
+                )
+            t = pa.table(
+                {"node": batch.column("o"), "w": batch.column("w").cast(pa.int64())}
+            )
+            # per-batch combiner before the groupby sum
+            t = t.group_by("node").aggregate([("w", "sum")])
+            return pa.table({"node": t.column("node"), "w": t.column("w_sum")})
+
+        w = (
+            e.join(
+                w,
+                join_type="inner",
+                num_partitions=n_part,
+                on=("s",),
+                right_on=("node",),
+            )
+            .map_batches(fold, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("w", alias_name="w"))
+            .materialize()
+        )
+        # a DAG shallower than `rounds` drains the walk frontier; an empty
+        # Dataset has no schema to hash-join on, and every later term is 0
+        if w.count() == 0:
+            break
+        total = total.union(scaled(w, beta ** (rounds - k)))
+
+    return (
+        total.groupby("node")
+        .aggregate(Sum("part", alias_name="katz"))
+        .select_columns(["node", "katz"])
+    )
+
+
+def motif_census(edges_ds, num_partitions: int | None = None):
+    """Directed triad (3-node motif) census over the KG's canonical edge
+    pairs: every triangle of the underlying undirected simple graph is
+    classified by the permutation-invariant key
+
+        ``(n_dir, n_recip, n_cycles)``
+
+    — total directed edges among the 3 pairs (3..6), reciprocal pairs
+    (0..3), and directed 3-cycles (0..2) — which separates the classic
+    transitive/feed-forward triad (3,0,0) from the cyclic one (3,0,1)
+    and counts the denser reciprocal classes, the standard motif
+    signature used to characterize web/citation graphs.  Emits one row
+    per observed key: ``(n_dir, n_recip, n_cycles, n)``.
+
+    Scale shape = :func:`triangle_counts` (degree-oriented wedge
+    enumeration, so celebrity hubs fan out through their few
+    higher-degree neighbors and oriented out-degree stays O(sqrt E)),
+    with per-lex-pair direction flags (has lo->hi / has hi->lo, a Max
+    groupby — the OR combiner) carried through the wedge join so the
+    classification is a vectorized per-triangle pass with no extra
+    exchange; the result table is at most 24 rows, so the final count
+    groupby is trivial."""
+    import numpy as np
+    import ray.data
+    from ray.data.aggregate import Max
+
+    from ..ops.dedup import _join_partitions
+
+    empty_out = pa.table(
+        {
+            "n_dir": pa.array([], pa.int64()),
+            "n_recip": pa.array([], pa.int64()),
+            "n_cycles": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def to_flags(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src_canonical" not in batch.column_names:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "f": pa.array([], pa.int64()),
+                    "r": pa.array([], pa.int64()),
+                }
+            )
+        s = batch.column("src_canonical")
+        d = batch.column("dst_canonical")
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        lt = pc.less(s, d)
+        one = pa.scalar(1, pa.int64())
+        zero = pa.scalar(0, pa.int64())
+        t = pa.table(
+            {
+                "a": pc.if_else(lt, s, d),
+                "b": pc.if_else(lt, d, s),
+                "f": pc.if_else(lt, one, zero),
+                "r": pc.if_else(lt, zero, one),
+            }
+        )
+        # per-batch OR combiner (Max == boolean OR on 0/1 flags)
+        t = t.group_by(["a", "b"]).aggregate([("f", "max"), ("r", "max")])
+        return pa.table(
+            {
+                "a": t.column("a"),
+                "b": t.column("b"),
+                "f": t.column("f_max"),
+                "r": t.column("r_max"),
+            }
+        )
+
+    und = (
+        edges_ds.select_columns(["src_canonical", "dst_canonical"])
+        .map_batches(to_flags, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Max("f", alias_name="f"), Max("r", alias_name="r"))
+        .materialize()
+    )
+    if und.count() < 3:
+        return ray.data.from_arrow(empty_out)
+    n_part = num_partitions
+    if n_part is None:
+        n_part = 1 if und.count() < 10_000 else _join_partitions()
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return pa.table({"node": pa.array([], pa.string())})
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [batch.column("a").combine_chunks(), batch.column("b").combine_chunks()]
+                )
+            }
+        )
+
+    degrees = (
+        und.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+        .rename_columns({"count()": "deg"})
+    )
+
+    def explode_sides(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "f": pa.array([], pa.int64()),
+                    "r": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int32()),
+                    "key": pa.array([], pa.string()),
+                }
+            )
+        a = batch.column("a").combine_chunks()
+        b = batch.column("b").combine_chunks()
+        f = batch.column("f").cast(pa.int64()).combine_chunks()
+        r = batch.column("r").cast(pa.int64()).combine_chunks()
+        n = batch.num_rows
+        return pa.table(
+            {
+                "a": pa.concat_arrays([a, a]),
+                "b": pa.concat_arrays([b, b]),
+                "f": pa.concat_arrays([f, f]),
+                "r": pa.concat_arrays([r, r]),
+                "side": pa.array([0] * n + [1] * n, pa.int32()),
+                "key": pa.concat_arrays([a, b]),
+            }
+        )
+
+    def split_sides(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "side" not in batch.column_names:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "f": pa.array([], pa.int64()),
+                    "r": pa.array([], pa.int64()),
+                    "deg_a": pa.array([], pa.int64()),
+                    "deg_b": pa.array([], pa.int64()),
+                }
+            )
+        is_a = pc.equal(batch.column("side"), pa.scalar(0, pa.int32()))
+        zero = pa.scalar(0, pa.int64())
+        deg = batch.column("deg").cast(pa.int64())
+        return pa.table(
+            {
+                "a": batch.column("a"),
+                "b": batch.column("b"),
+                "f": batch.column("f"),
+                "r": batch.column("r"),
+                "deg_a": pc.if_else(is_a, deg, zero),
+                "deg_b": pc.if_else(is_a, zero, deg),
+            }
+        )
+
+    with_deg = (
+        und.map_batches(explode_sides, batch_format="pyarrow")
+        .join(degrees, join_type="inner", num_partitions=n_part,
+              on=("key",), right_on=("node",))
+        .map_batches(split_sides, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(
+            Max("f", alias_name="f"),
+            Max("r", alias_name="r"),
+            Max("deg_a", alias_name="deg_a"),
+            Max("deg_b", alias_name="deg_b"),
+        )
+    )
+
+    def orient(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return pa.table(
+                {
+                    "u": pa.array([], pa.string()),
+                    "v": pa.array([], pa.string()),
+                    "vdeg": pa.array([], pa.int64()),
+                    "f": pa.array([], pa.int64()),
+                    "r": pa.array([], pa.int64()),
+                }
+            )
+        da, db = batch.column("deg_a"), batch.column("deg_b")
+        fwd = pc.less_equal(da, db)
+        return pa.table(
+            {
+                "u": pc.if_else(fwd, batch.column("a"), batch.column("b")),
+                "v": pc.if_else(fwd, batch.column("b"), batch.column("a")),
+                "vdeg": pc.if_else(fwd, db, da),
+                # flags stay LEX-normalized (per (a, b) with a < b) no
+                # matter which endpoint the degree orientation leads with
+                "f": batch.column("f"),
+                "r": batch.column("r"),
+            }
+        )
+
+    oriented = with_deg.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def make_wedges(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "apex": pa.array([], pa.string()),
+                "wa": pa.array([], pa.string()),
+                "wb": pa.array([], pa.string()),
+                "f1": pa.array([], pa.int64()),
+                "r1": pa.array([], pa.int64()),
+                "f2": pa.array([], pa.int64()),
+                "r2": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows < 2 or "u" not in group.column_names:
+            return empty
+        idx = pc.sort_indices(
+            group, sort_keys=[("vdeg", "ascending"), ("v", "ascending")]
+        )
+        vs = group.column("v").take(idx).combine_chunks()
+        fs = group.column("f").cast(pa.int64()).take(idx).combine_chunks()
+        rs = group.column("r").cast(pa.int64()).take(idx).combine_chunks()
+        ii, jj = np.triu_indices(len(vs), k=1)
+        ii = pa.array(ii, pa.int64())
+        jj = pa.array(jj, pa.int64())
+        return pa.table(
+            {
+                "apex": pa.array([group.column("u")[0].as_py()] * len(ii), pa.string()),
+                "wa": vs.take(ii),
+                "wb": vs.take(jj),
+                "f1": fs.take(ii),
+                "r1": rs.take(ii),
+                "f2": fs.take(jj),
+                "r2": rs.take(jj),
+            }
+        )
+
+    wedges = oriented.groupby("u").map_groups(
+        make_wedges, batch_format="pyarrow"
+    ).materialize()
+    if wedges.count() == 0:
+        return ray.data.from_arrow(empty_out)
+
+    tri = wedges.join(
+        oriented.select_columns(["u", "v", "f", "r"]),
+        join_type="inner",
+        num_partitions=n_part,
+        on=("wa", "wb"),
+        right_on=("u", "v"),
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "apex" not in batch.column_names:
+            return empty_out.drop_columns(["n"])
+        u = np.asarray(batch.column("apex").to_pylist(), dtype=object)
+        wa = np.asarray(batch.column("wa").to_pylist(), dtype=object)
+        wb = np.asarray(batch.column("wb").to_pylist(), dtype=object)
+        flags = {
+            c: np.asarray(batch.column(c).to_pylist(), dtype=np.int64)
+            for c in ("f1", "r1", "f2", "r2", "f", "r")
+        }
+        # lex keys of the 3 pairs: (u, wa) -> flags f1/r1, (u, wb) ->
+        # f2/r2, (wa, wb) -> f/r (wa < wb NOT guaranteed — flags are
+        # lex-normalized per pair, so only the key needs normalizing)
+        def key(x, y):
+            lo = np.minimum(x, y)
+            hi = np.maximum(x, y)
+            return np.char.add(np.char.add(lo.astype(str), "\x01"), hi.astype(str))
+
+        k1, k2, k3 = key(u, wa), key(u, wb), key(wa, wb)
+        ks = np.stack([k1, k2, k3])           # (3, n)
+        f = np.stack([flags["f1"], flags["f2"], flags["f"]])
+        r = np.stack([flags["r1"], flags["r2"], flags["r"]])
+        order = np.argsort(ks, axis=0, kind="stable")  # pq < pr < qr lex
+        cols = np.arange(ks.shape[1])
+        f_pq, f_pr, f_qr = (f[order[i], cols] for i in range(3))
+        r_pq, r_pr, r_qr = (r[order[i], cols] for i in range(3))
+        n_dir = f_pq + r_pq + f_pr + r_pr + f_qr + r_qr
+        n_recip = f_pq * r_pq + f_pr * r_pr + f_qr * r_qr
+        # with p < q < r: the two cyclic orientations are
+        # p->q->r->p  ==  (pq fwd) & (qr fwd) & (pr bwd), and its reverse
+        n_cycles = f_pq * f_qr * r_pr + r_pq * r_qr * f_pr
+        t = pa.table(
+            {
+                "n_dir": pa.array(n_dir, pa.int64()),
+                "n_recip": pa.array(n_recip, pa.int64()),
+                "n_cycles": pa.array(n_cycles, pa.int64()),
+                "one": pa.array(np.ones(len(n_dir), np.int64)),
+            }
+        )
+        # per-batch combiner: at most 24 keys survive per block
+        t = t.group_by(["n_dir", "n_recip", "n_cycles"]).aggregate([("one", "sum")])
+        return pa.table(
+            {
+                "n_dir": t.column("n_dir"),
+                "n_recip": t.column("n_recip"),
+                "n_cycles": t.column("n_cycles"),
+                "n": t.column("one_sum"),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        tri.map_batches(classify, batch_format="pyarrow")
+        .groupby(["n_dir", "n_recip", "n_cycles"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
