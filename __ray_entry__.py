@@ -809,6 +809,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return read_warc(warc_dir).map_batches(digest, batch_format="pyarrow")
 
+    def _kg_snm_pairs(sf_dir):
+        """Sorted-neighborhood (SNM) blocking over distinct mention
+        surfaces: every pair within a window-4 slide of the global
+        (normalized-key, type, surface) sort order — one order-preserving
+        prefix-bucket shuffle + a bounded driver-side boundary stitch
+        (ops/blocking.snm_pairs); oracle = row_number self-join."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.blocking import snm_pairs
+
+        res = _kg_artifacts(sf_dir)
+        return snm_pairs(
+            ray.data.read_parquet(res["mentions"], columns=["type", "text"]),
+            window=4,
+        )
+
+    def _kg_editdist_pairs(sf_dir):
+        """FastSS deletion-neighborhood blocking: all same-type distinct
+        surface pairs at byte-Levenshtein exactly 1 (matching DuckDB's
+        byte-based ``levenshtein``), candidates via shared 1-deletion
+        variants + exact verify (ops/blocking.editdist1_pairs)."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.blocking import editdist1_pairs
+
+        res = _kg_artifacts(sf_dir)
+        return editdist1_pairs(
+            ray.data.read_parquet(res["mentions"], columns=["type", "text"])
+        )
+
+    def _docs_bloom_delta(sf_dir):
+        """Bloom-prefiltered delta dedup: mod-3 == 0 docs play the NEW
+        batch, the rest the existing corpus; a fixed 128 KiB Bloom bitmap
+        (built in one streaming pass, broadcast once) fast-paths definite
+        non-duplicates so only bloom hits pay the exact left-anti join
+        (ops/dedup.bloom_delta_dedup)."""
+        import numpy as np
+        import pyarrow as pa
+
+        from pdf_entity_extraction_ray.ops.dedup import bloom_delta_dedup
+
+        def part(batch: pa.Table, want_new: bool) -> pa.Table:
+            ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+            m = (ids % 3) == 0
+            return batch.filter(pa.array(m if want_new else ~m))
+
+        docs = _read(sf_dir, "documents")
+        new = docs.map_batches(lambda b: part(b, True), batch_format="pyarrow")
+        existing = docs.map_batches(lambda b: part(b, False), batch_format="pyarrow")
+        return bloom_delta_dedup(new, existing)
+
     def _kg_host_quality(sf_dir):
         """Domain-level curation: per-host page-quality keep rates in
         pure integer arithmetic (ops/web.host_quality)."""
@@ -1342,6 +1393,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_ivfpq": emb_knn_ivfpq,
         # --- RFM segmentation with exact tie-respecting quantile scores ---
         "events_rfm": lambda sf: relational.events_rfm(_read(sf, "events")),
+        # --- sorted-neighborhood (SNM) ER blocking candidate pairs ---
+        "kg_snm_pairs": _kg_snm_pairs,
+        # --- FastSS deletion-neighborhood edit-distance-1 pairs ---
+        "kg_editdist_pairs": _kg_editdist_pairs,
+        # --- bloom-prefiltered incremental delta dedup ---
+        "docs_bloom_delta": _docs_bloom_delta,
+        # --- TPC-H Q3-style top-k shipping-priority join ---
+        "q3_shipping_priority": lambda sf: relational.q3_shipping_priority(
+            _read(sf, "lineitem"), _read(sf, "orders"), _read(sf, "customer")
+        ),
         # --- dictionary tagging: gazetteer occurrence counts ---
         "kg_gazetteer": _kg_gazetteer,
         # --- Katz walk centrality (exact-integer attenuation series) ---
@@ -1778,6 +1839,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # has never itself checked (judge-run only in r3), then the long-green
     # remainder in their original order.
     front = [
+        # newest additions (round 4, eleventh batch): SNM + FastSS ER
+        # blocking, bloom-prefiltered delta dedup, TPC-H Q3 top-k join
+        "kg_snm_pairs",
+        "kg_editdist_pairs",
+        "docs_bloom_delta",
+        "q3_shipping_priority",
         # newest additions (round 4, tenth batch): gazetteer tagging,
         # Katz centrality, triad census, WARC roundtrip
         "kg_gazetteer",
@@ -1953,6 +2020,57 @@ def oracle_sql() -> dict[str, str]:
     """
     gaz_values = ", ".join(f"('{t}')" for t in _GAZETTEER)
     return {
+        # window-4 SNM: every pair within rank distance 1..3 of the global
+        # (normalized key, type, surface) sort; key rule mirrors
+        # ops/blocking._snm_key_col exactly
+        "kg_snm_pairs": f"""
+            with {kg_cte},
+            s as (select distinct type, text from gm),
+            kk as (select type, text,
+                          regexp_replace(lower(text), '[^a-z0-9]', '', 'g') as key
+                   from s),
+            r as (select *, row_number() over (order by key, type, text) as rk
+                  from kk)
+            select a.type as type_a, a.text as surf_a,
+                   b.type as type_b, b.text as surf_b,
+                   (b.rk - a.rk)::bigint as dist
+            from r a join r b on b.rk - a.rk between 1 and 3
+        """,
+        # DuckDB levenshtein is UTF-8-BYTE-based; ops/blocking._byte_ed_le1
+        # implements the same semantics
+        "kg_editdist_pairs": f"""
+            with {kg_cte},
+            s as (select distinct type, text from gm)
+            select a.type, a.text as surf_a, b.text as surf_b,
+                   levenshtein(a.text, b.text)::bigint as dist
+            from s a join s b on a.type = b.type and a.text < b.text
+            where levenshtein(a.text, b.text) = 1
+        """,
+        "docs_bloom_delta": """
+            with prior as (select distinct md5(text) as k from documents
+                           where doc_id % 3 <> 0),
+            nw as (select doc_id, md5(text) as text_md5 from documents
+                   where doc_id % 3 = 0)
+            select doc_id, text_md5 from nw
+            where text_md5 not in (select k from prior)
+        """,
+        "q3_shipping_priority": """
+            select l_orderkey,
+                   epoch_us(o_orderdate)::bigint as o_orderdate_us,
+                   o_orderpriority,
+                   sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint)
+                       * (100 - cast(floor(l_discount * 100 + 0.5) as bigint))
+                       )::bigint as revenue_e4
+            from customer
+            join orders on o_custkey = c_custkey
+            join lineitem on l_orderkey = o_orderkey
+            where c_mktsegment = 'BUILDING'
+              and o_orderdate < timestamp '1998-06-01'
+              and l_shipdate > timestamp '1998-06-01'
+            group by 1, 2, 3
+            order by revenue_e4 desc, l_orderkey
+            limit 10
+        """,
         "kg_gazetteer": f"""
             with terms(term) as (values {gaz_values}),
             p as (select url, text from read_parquet('{gold}/pages/*.parquet'))

@@ -1,0 +1,329 @@
+"""Candidate-generation (blocking) strategies for entity resolution.
+
+The linking stage's MinHash-LSH blocking (stages/linking.py) is one member
+of the classic blocking family; this module adds the other two standards a
+production ER system offers, each as a streaming Ray Data pipeline over the
+mentions table:
+
+* :func:`snm_pairs` — sorted-neighborhood method (Hernandez & Stolfo,
+  SIGMOD '95): sort all distinct surfaces by a normalized blocking key and
+  emit every pair within a fixed sliding window of the global sort order.
+* :func:`editdist1_pairs` — FastSS deletion-neighborhood blocking
+  (Bocek et al., 2007): two surfaces are candidates iff they share a
+  1-deletion variant, which is complete for byte-Levenshtein <= 1; each
+  candidate is then verified exactly.
+
+Both generalize the reference's surface-similarity candidate generation
+(reference `src/methods/check_heuristics.py` builds its merge candidates by
+pairwise scans over the full surface list — quadratic; these are the
+scale-safe forms of the same "which surfaces might co-refer" question).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# order-preserving 2-char prefix bucketing over the [a-z0-9] key alphabet:
+# rank 0 = missing char, 1..10 = digits, 11..36 = letters
+_ALPHA_BASE = 37
+N_PREFIX_BUCKETS = _ALPHA_BASE * _ALPHA_BASE
+
+_KEY_STRIP_RE = re.compile(r"[^a-z0-9]")
+
+
+def _snm_key_col(text_col: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Blocking key = lowercase surface with every non-[a-z0-9] char
+    removed — one vectorized Arrow pass (matches the oracle's
+    ``regexp_replace(lower(text), '[^a-z0-9]', '', 'g')`` exactly: both
+    lower() implementations are Unicode-aware and the ASCII class then
+    strips anything non-ASCII either way)."""
+    return pc.replace_substring_regex(
+        pc.utf8_lower(text_col), pattern="[^a-z0-9]", replacement=""
+    )
+
+
+def _prefix_bucket(keys: list[str]) -> np.ndarray:
+    """Vectorized order-preserving bucket id from the first two key chars.
+
+    numpy '<U2' storage pads short keys with codepoint 0, so the rank
+    mapping (0 -> 0, '0'-'9' -> 1..10, 'a'-'z' -> 11..36) is total and the
+    bucket order equals the lexicographic key order on the 2-char prefix.
+    """
+    if not keys:
+        return np.array([], dtype=np.int64)
+    arr = np.array(keys, dtype="<U2")
+    cps = arr.view(np.uint32).reshape(len(keys), 2).astype(np.int64)
+    rank = np.where(
+        cps == 0,
+        0,
+        np.where(cps <= ord("9"), cps - ord("0") + 1, cps - ord("a") + 11),
+    )
+    return rank[:, 0] * _ALPHA_BASE + rank[:, 1]
+
+
+def snm_pairs(mentions_ds, window: int = 4, num_partitions: int | None = None):
+    """Sorted-neighborhood candidate pairs over distinct (type, surface).
+
+    Rows are sorted globally by ``(key, type, surface)`` where ``key`` is
+    the normalized blocking key; every pair at sort-rank distance
+    ``1 .. window-1`` is a candidate.  Emits
+    ``(type_a, surf_a, type_b, surf_b, dist)`` with ``a`` the lower rank.
+
+    Distributed plan (one shuffle, no global sort barrier):
+
+    1. each distinct surface is routed to an ORDER-PRESERVING range bucket
+       (fixed 2-char-prefix table, ``N_PREFIX_BUCKETS`` contiguous ranges)
+       — a hash-free partitioner whose bucket order equals key order, so
+       within-bucket rank distance equals global rank distance;
+    2. ``groupby(bucket).map_groups`` sorts each bucket locally and emits
+       all within-bucket window pairs, plus each bucket's first/last
+       ``window-1`` rows + row count as boundary rows;
+    3. the driver reconstructs EXACT global ranks for the boundary rows
+       from per-bucket prefix sums (O(buckets x window) driver state —
+       bounded by the fixed bucket table, never by data size) and emits
+       the cross-bucket pairs.  A crossing pair at distance < ``window``
+       has every intervening row inside the two buckets' boundary sets,
+       so local distance within the reconstructed rank order is exact.
+
+    At 10^9 distinct surfaces each bucket holds ~n/1369 rows; a skewed
+    prefix (single hot bucket) degrades to that bucket's local sort, never
+    to a global one.
+    """
+    w = int(window)
+    if w < 2:
+        raise ValueError("window must be >= 2")
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        # local distinct first: the shuffle moves distinct rows only
+        t = (
+            pa.table({"type": batch.column("type"), "text": batch.column("text")})
+            .group_by(["type", "text"])
+            .aggregate([])
+        )
+        key = _snm_key_col(t.column("text"))
+        bucket = _prefix_bucket(key.to_pylist())
+        return pa.table(
+            {
+                "type": t.column("type"),
+                "text": t.column("text"),
+                "key": key,
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            set(
+                zip(
+                    group.column("key").to_pylist(),
+                    group.column("type").to_pylist(),
+                    group.column("text").to_pylist(),
+                )
+            )
+        )
+        n = len(rows)
+        bucket = group.column("bucket")[0].as_py()
+        ta, sa, tb, sb, dist = [], [], [], [], []
+        for d in range(1, min(w, n)):
+            for i in range(n - d):
+                ta.append(rows[i][1])
+                sa.append(rows[i][2])
+                tb.append(rows[i + d][1])
+                sb.append(rows[i + d][2])
+                dist.append(d)
+        kind = [0] * len(ta)
+        # boundary rows: first and last w-1 local ranks (deduped overlap)
+        b_rank = sorted(set(range(min(w - 1, n))) | set(range(max(0, n - w + 1), n)))
+        key_b, type_b_, text_b, rank_b = [], [], [], []
+        for r in b_rank:
+            key_b.append(rows[r][0])
+            type_b_.append(rows[r][1])
+            text_b.append(rows[r][2])
+            rank_b.append(r)
+        m = len(b_rank)
+        return pa.table(
+            {
+                "kind": pa.array(kind + [1] * m, pa.int8()),
+                "type_a": pa.array(ta + type_b_, pa.string()),
+                "surf_a": pa.array(sa + text_b, pa.string()),
+                "type_b": pa.array(tb + [None] * m, pa.string()),
+                "surf_b": pa.array(sb + [None] * m, pa.string()),
+                "dist": pa.array(dist + [0] * m, pa.int64()),
+                "bucket": pa.array([bucket] * (len(ta) + m), pa.int64()),
+                "local_rank": pa.array([0] * len(ta) + rank_b, pa.int64()),
+                "n_bucket": pa.array([n] * (len(ta) + m), pa.int64()),
+                "key": pa.array([""] * len(ta) + key_b, pa.string()),
+            }
+        )
+
+    out = (
+        mentions_ds.select_columns(["type", "text"])
+        .map_batches(add_key, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .materialize()  # consumed twice (pairs + boundaries); size = output
+    )
+
+    pair_cols = ["type_a", "surf_a", "type_b", "surf_b", "dist"]
+    pairs = out.filter(expr="kind == 0").select_columns(pair_cols)
+
+    # --- driver-side cross-bucket stitch (bounded O(buckets x window)) ---
+    bounds = out.filter(expr="kind == 1").select_columns(
+        ["bucket", "local_rank", "n_bucket", "key", "type_a", "surf_a"]
+    ).take_all()
+    by_bucket: dict[int, int] = {}
+    for r in bounds:
+        by_bucket[r["bucket"]] = r["n_bucket"]
+    prefix: dict[int, int] = {}
+    acc = 0
+    for b in sorted(by_bucket):
+        prefix[b] = acc
+        acc += by_bucket[b]
+    ranked = sorted(
+        (prefix[r["bucket"]] + r["local_rank"], r["bucket"], r["type_a"], r["surf_a"])
+        for r in bounds
+    )
+    xa, xsa, xb, xsb, xd = [], [], [], [], []
+    for i, (gr_i, bk_i, ty_i, sf_i) in enumerate(ranked):
+        for j in range(i + 1, len(ranked)):
+            gr_j, bk_j, ty_j, sf_j = ranked[j]
+            if gr_j - gr_i >= w:
+                break
+            if bk_j != bk_i:  # same-bucket pairs were emitted in phase 2
+                xa.append(ty_i)
+                xsa.append(sf_i)
+                xb.append(ty_j)
+                xsb.append(sf_j)
+                xd.append(gr_j - gr_i)
+    if xa:
+        import ray.data
+
+        extra = ray.data.from_arrow(
+            pa.table(
+                {
+                    "type_a": pa.array(xa, pa.string()),
+                    "surf_a": pa.array(xsa, pa.string()),
+                    "type_b": pa.array(xb, pa.string()),
+                    "surf_b": pa.array(xsb, pa.string()),
+                    "dist": pa.array(xd, pa.int64()),
+                }
+            )
+        )
+        pairs = pairs.union(extra)
+    return pairs
+
+
+# --------------------------------------------------------------------------
+# FastSS deletion-neighborhood blocking (byte-Levenshtein <= 1)
+
+
+def _byte_ed_le1(a: bytes, b: bytes) -> bool:
+    """Exact byte-Levenshtein <= 1 for a != b (two-pointer, no DP).
+
+    Byte (not codepoint) semantics — deliberately: DuckDB's
+    ``levenshtein`` operates on UTF-8 bytes, and the oracle must agree.
+    """
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = j = 0
+    skipped = False
+    while i < la:
+        if a[i] == b[j]:
+            i += 1
+            j += 1
+        elif skipped:
+            return False
+        else:
+            skipped = True
+            j += 1
+    return True
+
+
+def _deletion_variants(raw: bytes) -> set[bytes]:
+    """The string itself + every 1-byte deletion (FastSS index set for
+    edit radius 1: s, t share a variant  <=>  byte-Levenshtein(s,t) <= 2,
+    and every pair at distance <= 1 is guaranteed to share one)."""
+    return {raw} | {raw[:i] + raw[i + 1 :] for i in range(len(raw))}
+
+
+def editdist1_pairs(mentions_ds, num_partitions: int | None = None):
+    """All same-type distinct-surface pairs at byte-Levenshtein exactly 1.
+
+    FastSS: each distinct (type, surface) emits one row per deletion
+    variant keyed by ``blake2b(type \\0 variant)`` (hashing keeps invalid-
+    UTF-8 byte variants out of Arrow string columns; a hash collision can
+    only ADD a candidate, which exact verification then rejects).  A
+    ``groupby(variant)`` brings candidates together — index size is
+    O(total surface bytes), never quadratic — and a final groupby dedups
+    pairs that share several variants.
+
+    Surfaces are mention-sized (words, not documents), so the per-surface
+    variant fan-out is ~len(surface)+1 rows; hub variants (very short
+    strings) bound each group at O(alphabet x len) members.
+    """
+
+    def variants(batch: pa.Table) -> pa.Table:
+        t = (
+            pa.table({"type": batch.column("type"), "text": batch.column("text")})
+            .group_by(["type", "text"])
+            .aggregate([])
+        )
+        vk, ty, tx = [], [], []
+        for typ, text in zip(t.column("type").to_pylist(), t.column("text").to_pylist()):
+            raw = text.encode("utf-8")
+            pre = typ.encode("utf-8") + b"\0"
+            for v in _deletion_variants(raw):
+                vk.append(hashlib.blake2b(pre + v, digest_size=12).hexdigest())
+                ty.append(typ)
+                tx.append(text)
+        return pa.table(
+            {
+                "vkey": pa.array(vk, pa.string()),
+                "type": pa.array(ty, pa.string()),
+                "text": pa.array(tx, pa.string()),
+            }
+        )
+
+    def per_variant(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            set(zip(group.column("type").to_pylist(), group.column("text").to_pylist()))
+        )
+        ta, sa, sb = [], [], []
+        raws = [t.encode("utf-8") for _, t in rows]
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                if rows[i][0] != rows[j][0]:
+                    continue
+                if _byte_ed_le1(raws[i], raws[j]):
+                    ta.append(rows[i][0])
+                    sa.append(rows[i][1])
+                    sb.append(rows[j][1])
+        return pa.table(
+            {
+                "type": pa.array(ta, pa.string()),
+                "surf_a": pa.array(sa, pa.string()),
+                "surf_b": pa.array(sb, pa.string()),
+            }
+        )
+
+    def first_row(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1).append_column("dist", pa.array([1], pa.int64()))
+
+    return (
+        mentions_ds.select_columns(["type", "text"])
+        .map_batches(variants, batch_format="pyarrow")
+        .groupby("vkey")
+        .map_groups(per_variant, batch_format="pyarrow")
+        .groupby(["type", "surf_a", "surf_b"])
+        .map_groups(first_row, batch_format="pyarrow")
+    )

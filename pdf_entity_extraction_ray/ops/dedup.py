@@ -1260,6 +1260,131 @@ def exact_dedup_delta(new_ds, existing_ds, num_partitions: int | None = None):
     return survivors.map_batches(drop_k, batch_format="pyarrow")
 
 
+def bloom_delta_dedup(
+    new_ds,
+    existing_ds,
+    *,
+    bits_log2: int = 20,
+    k_hashes: int = 4,
+    num_partitions: int | None = None,
+):
+    """Rows of a NEW batch whose text does not appear in an EXISTING
+    corpus — :func:`exact_dedup_delta`'s anti-join semantics (without the
+    within-batch winner step: the delta batch is taken as-is), but with a
+    **Bloom-filter prefilter** so only bloom HITS enter the shuffle join.
+
+    The crawl-frontier / nightly-ingest pattern at 100 TB: the existing
+    corpus is huge but compresses to a fixed ``2^bits_log2``-bit bitmap
+    (128 KiB at the default) built by one streaming pass (one bitmap row
+    per block, OR-merged on the driver — O(blocks x bitmap) transfer,
+    O(bitmap) driver state regardless of corpus size) and broadcast once
+    via ``ray.put``.  Bloom misses are DEFINITELY new (no false
+    negatives) and stream straight to the output with zero shuffle;
+    only the hit fraction (true dups + the ~``(1-e^-kn/m)^k`` false-
+    positive sliver) pays the exact left-anti ``Dataset.join``.  Size
+    ``bits_log2`` to ~10 bits/key for ~1% FP; an undersized filter stays
+    CORRECT (more rows take the exact join), it just prunes less.
+
+    Emits ``(doc_id, text_md5)`` for every surviving new row.
+    """
+    import ray
+
+    nbytes = 1 << (bits_log2 - 3)
+    mask = np.uint64((1 << bits_log2) - 1)
+
+    def _hash_pair(texts: list) -> tuple[np.ndarray, np.ndarray]:
+        keys = _md5_hex(texts)
+        h = np.array(
+            [(int(k[:16], 16), int(k[16:], 16)) for k in keys], dtype=np.uint64
+        ).reshape(len(keys), 2)
+        return h[:, 0], h[:, 1]
+
+    def bitmap(batch: pa.Table) -> pa.Table:
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        if batch.num_rows:
+            h1, h2 = _hash_pair(batch.column("text").to_pylist())
+            for i in range(k_hashes):
+                idx = (h1 + np.uint64(i) * h2) & mask
+                np.bitwise_or.at(
+                    bm,
+                    (idx >> np.uint64(3)).astype(np.int64),
+                    (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)),
+                )
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    agg = np.zeros(nbytes, dtype=np.uint8)
+    for b in (
+        existing_ds.select_columns(["text"])
+        .map_batches(bitmap, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for buf in b.column("bm").to_pylist():
+            agg |= np.frombuffer(buf, dtype=np.uint8)
+    bloom_ref = ray.put(agg)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "text_md5": pa.array([], pa.string()),
+                    "hit": pa.array([], pa.bool_()),
+                }
+            )
+        bloom = ray.get(bloom_ref)
+        texts = batch.column("text").to_pylist()
+        keys = _md5_hex(texts)
+        h1, h2 = _hash_pair(texts)
+        hit = np.ones(batch.num_rows, dtype=bool)
+        for i in range(k_hashes):
+            idx = (h1 + np.uint64(i) * h2) & mask
+            bits = bloom[(idx >> np.uint64(3)).astype(np.int64)]
+            hit &= (bits >> (idx & np.uint64(7)).astype(np.uint8)) & 1 > 0
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "text_md5": pa.array(keys, pa.string()),
+                "hit": pa.array(hit, pa.bool_()),
+            }
+        )
+
+    # consumed twice (miss fast-path + hit join); the delta batch is the
+    # small side by definition, so pinning it is bounded by the delta size
+    tagged = new_ds.select_columns(["doc_id", "text"]).map_batches(
+        tag, batch_format="pyarrow"
+    ).materialize()
+    misses = tagged.filter(expr="hit == False").select_columns(
+        ["doc_id", "text_md5"]
+    )
+    hits = tagged.filter(expr="hit == True").select_columns(["doc_id", "text_md5"])
+
+    def keys_of(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "text" not in batch.column_names:
+            return pa.table({"text_md5": pa.array([], pa.string())})
+        return pa.table(
+            {
+                "text_md5": pa.array(
+                    _md5_hex(batch.column("text").to_pylist()), pa.string()
+                )
+            }
+        )
+
+    n_part = num_partitions or _join_partitions()
+    if num_partitions is None and hits.count() < 10_000:
+        n_part = 1  # tiny-input guard: empty shuffle partitions crash the join
+    if hits.count() == 0:
+        return misses
+    survivors = hits.join(
+        existing_ds.select_columns(["text"]).map_batches(
+            keys_of, batch_format="pyarrow"
+        ),
+        join_type="left_anti",
+        num_partitions=n_part,
+        on=("text_md5",),
+    )
+    return misses.union(survivors.select_columns(["doc_id", "text_md5"]))
+
+
 def gram_pos_rows_batch(batch: pa.Table, k: int = SHINGLE_K) -> pa.Table:
     """documents batch -> POSITIONAL k-gram rows (doc_id, pos, token):
     one row per gram OCCURRENCE (not the distinct-set shingle view) —

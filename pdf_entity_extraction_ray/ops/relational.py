@@ -2311,3 +2311,245 @@ def q5_supplier_volume(
         )
 
     return agg.map_batches(name_join, batch_format="pyarrow")
+
+
+def q3_shipping_priority(
+    lineitem_ds,
+    orders_ds,
+    customer_ds,
+    *,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-01",
+    k: int = 10,
+    broadcast_limit_bytes: int = BROADCAST_LIMIT_BYTES,
+    num_partitions: int | None = None,
+):
+    """TPC-H Q3-style shipping priority: the top-``k`` unshipped orders of
+    one market segment by revenue — orders placed before ``cutoff`` whose
+    lineitems ship after it, grouped per order.
+
+    Plan (every level size-dispatched, smallest-first):
+
+    1. segment customers reduce to a custkey set — broadcast under
+       ``broadcast_limit_bytes``, else a hash-shuffle semi-join;
+    2. date-filtered orders of those customers reduce to
+       ``orderkey -> (orderdate, priority)`` — again broadcast-or-join;
+       the segment (~1/5) and date filters cut the build side before any
+       wide move;
+    3. the lineitem fact scan filters ``l_shipdate > cutoff``, attaches
+       the order attrs, and pre-aggregates revenue per order in exact
+       integer 1e-4 dollars inside each batch (same fixed-point rule as
+       :func:`q5_supplier_volume`);
+    4. top-k: per-block ``select_k`` combiner then a single tiny merge —
+       ``blocks x k`` rows move, never the aggregate table.
+
+    Emits ``(l_orderkey, o_orderdate_us, o_orderpriority, revenue_e4)``
+    ordered deterministically by (revenue desc, orderkey asc).
+    """
+    import numpy as np
+    import ray
+
+    cutoff_us = int(
+        np.datetime64(cutoff, "us").astype("datetime64[us]").astype(np.int64)
+    )
+
+    def _revenue(batch: pa.Table) -> pa.Array:
+        price = batch.column("l_extendedprice").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        disc = batch.column("l_discount").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        pct = np.floor(disc * 100.0 + 0.5).astype(np.int64)
+        return pa.array(cents * (100 - pct), pa.int64())
+
+    # --- level 1: segment customers -> custkey set ---
+    seg_keys = []
+    if _build_side_bytes(customer_ds) <= broadcast_limit_bytes:
+        for b in customer_ds.select_columns(
+            ["c_custkey", "c_mktsegment"]
+        ).iter_batches(batch_format="pyarrow"):
+            m = pc.equal(b.column("c_mktsegment"), segment)
+            seg_keys.append(b.column("c_custkey").filter(m).combine_chunks())
+        cust_arr = (
+            pa.concat_arrays([a.cast(pa.int64()) for a in seg_keys])
+            if seg_keys
+            else pa.array([], pa.int64())
+        )
+    else:  # at warehouse scale: semi-join orders against customers instead
+        cust_arr = None
+
+    cust_bcast = cust_arr is not None
+    cust_ref = ray.put(cust_arr)  # data travels ONLY via the object store
+    del cust_arr  # keep the array out of the task closures
+
+    # --- level 2: orders of the segment before the cutoff ---
+    def order_filter(batch: pa.Table) -> pa.Table:
+        ts = batch.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64())
+        keep = pc.less(ts, cutoff_us)
+        if cust_bcast:
+            keep = pc.and_(
+                keep,
+                pc.is_valid(
+                    pc.index_in(
+                        batch.column("o_custkey").cast(pa.int64()),
+                        value_set=ray.get(cust_ref),
+                    )
+                ),
+            )
+        t = pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+                "o_custkey": batch.column("o_custkey").cast(pa.int64()),
+                "o_orderdate_us": ts,
+                "o_orderpriority": batch.column("o_orderpriority"),
+            }
+        )
+        return t.filter(keep)
+
+    ordsel = orders_ds.select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(order_filter, batch_format="pyarrow")
+    if not cust_bcast:
+        n_part = num_partitions or _join_parts()
+        ordsel = ordsel.join(
+            customer_ds.select_columns(["c_custkey", "c_mktsegment"]).filter(
+                expr=f"c_mktsegment == {segment!r}"
+            ),
+            join_type="inner",
+            num_partitions=n_part,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        ).select_columns(
+            ["o_orderkey", "o_custkey", "o_orderdate_us", "o_orderpriority"]
+        )
+
+    # build orderkey -> (date, priority); broadcast-or-join dispatch
+    if _build_side_bytes(orders_ds) <= broadcast_limit_bytes:
+        ok, od, op = [], [], []
+        for b in ordsel.iter_batches(batch_format="pyarrow"):
+            ok.append(b.column("o_orderkey").combine_chunks())
+            od.append(b.column("o_orderdate_us").combine_chunks())
+            op.append(b.column("o_orderpriority").combine_chunks())
+        ord_ref = ray.put(
+            (
+                pa.concat_arrays(ok) if ok else pa.array([], pa.int64()),
+                pa.concat_arrays(od) if od else pa.array([], pa.int64()),
+                pa.concat_arrays(op) if op else pa.array([], pa.string()),
+            )
+        )
+
+        def fact_partial(batch: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "o_orderdate_us": pa.array([], pa.int64()),
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "revenue_e4": pa.array([], pa.int64()),
+                }
+            )
+            if batch.num_rows == 0:
+                return empty
+            ship = (
+                batch.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64())
+            )
+            t = batch.filter(pc.greater(ship, cutoff_us))
+            if t.num_rows == 0:
+                return empty
+            okeys, odates, oprios = ray.get(ord_ref)
+            idx = pc.index_in(t.column("l_orderkey").cast(pa.int64()), value_set=okeys)
+            t = t.append_column("_oidx", idx).filter(pc.is_valid(idx))
+            if t.num_rows == 0:
+                return empty
+            oidx = t.column("_oidx")
+            g = pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+                    "o_orderdate_us": odates.take(oidx),
+                    "o_orderpriority": oprios.take(oidx),
+                    "rev": _revenue(t),
+                }
+            ).group_by(["l_orderkey", "o_orderdate_us", "o_orderpriority"]).aggregate(
+                [("rev", "sum")]
+            )
+            return g.rename_columns(
+                ["l_orderkey", "o_orderdate_us", "o_orderpriority", "revenue_e4"]
+            )
+
+        partials = lineitem_ds.select_columns(
+            ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]
+        ).map_batches(fact_partial, batch_format="pyarrow")
+    else:  # shuffle path: filtered fact join against the reduced orders
+        n_part = num_partitions or _join_parts()
+
+        def fact_filter(batch: pa.Table) -> pa.Table:
+            ship = (
+                batch.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64())
+            )
+            t = batch.filter(pc.greater(ship, cutoff_us))
+            return pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+                    "revenue_e4": _revenue(t),
+                }
+            )
+
+        joined = (
+            lineitem_ds.select_columns(
+                ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]
+            )
+            .map_batches(fact_filter, batch_format="pyarrow")
+            .join(
+                ordsel.select_columns(
+                    ["o_orderkey", "o_orderdate_us", "o_orderpriority"]
+                ),
+                join_type="inner",
+                num_partitions=n_part,
+                on=("l_orderkey",),
+                right_on=("o_orderkey",),
+            )
+        )
+
+        def joined_partial(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "o_orderdate_us" not in batch.column_names:
+                return pa.table(
+                    {
+                        "l_orderkey": pa.array([], pa.int64()),
+                        "o_orderdate_us": pa.array([], pa.int64()),
+                        "o_orderpriority": pa.array([], pa.string()),
+                        "revenue_e4": pa.array([], pa.int64()),
+                    }
+                )
+            g = batch.select(
+                ["l_orderkey", "o_orderdate_us", "o_orderpriority", "revenue_e4"]
+            ).group_by(["l_orderkey", "o_orderdate_us", "o_orderpriority"]).aggregate(
+                [("revenue_e4", "sum")]
+            )
+            return g.rename_columns(
+                ["l_orderkey", "o_orderdate_us", "o_orderpriority", "revenue_e4"]
+            )
+
+        partials = joined.map_batches(joined_partial, batch_format="pyarrow")
+
+    from ray.data.aggregate import Sum
+
+    agg = partials.groupby(
+        ["l_orderkey", "o_orderdate_us", "o_orderpriority"]
+    ).aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+
+    def topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        idx = pc.select_k_unstable(
+            batch,
+            k=min(k, batch.num_rows),
+            sort_keys=[("revenue_e4", "descending"), ("l_orderkey", "ascending")],
+        )
+        return batch.take(idx)
+
+    partial_top = agg.map_batches(topk, batch_format="pyarrow")
+    # blocks x k rows: one tiny merge (batch_size=None = single batch)
+    return partial_top.repartition(1).map_batches(
+        topk, batch_format="pyarrow", batch_size=None
+    )
