@@ -809,6 +809,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return read_warc(warc_dir).map_batches(digest, batch_format="pyarrow")
 
+    def _kg_diameter(sf_dir):
+        """Diameter lower bound via the double-sweep heuristic: BFS from
+        the lexicographically smallest canonical, hop to the farthest
+        node, BFS again — two frontier-only BSP runs + per-block argmax
+        combiners (ops/graph_stats.double_sweep); oracle = two recursive
+        CTEs with the same deterministic tie-breaks."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import double_sweep
+
+        res = _kg_artifacts(sf_dir)
+        return double_sweep(
+            ray.data.read_parquet(
+                res["edges"],
+                columns=["src_id", "dst_id", "src_canonical", "dst_canonical"],
+            )
+        )
+
     def _kg_snm_pairs(sf_dir):
         """Sorted-neighborhood (SNM) blocking over distinct mention
         surfaces: every pair within a window-4 slide of the global
@@ -1393,6 +1411,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_ivfpq": emb_knn_ivfpq,
         # --- RFM segmentation with exact tie-respecting quantile scores ---
         "events_rfm": lambda sf: relational.events_rfm(_read(sf, "events")),
+        # --- double-sweep diameter lower bound over the entity graph ---
+        "kg_diameter": _kg_diameter,
+        # --- Pareto (80/20) revenue-concentration customer cut ---
+        "orders_pareto": lambda sf: relational.customer_pareto(_read(sf, "orders")),
+        # --- per-user discrete-median inter-event gap ---
+        "events_median_gap": lambda sf: relational.events_median_gap(
+            _read(sf, "events")
+        ),
         # --- sorted-neighborhood (SNM) ER blocking candidate pairs ---
         "kg_snm_pairs": _kg_snm_pairs,
         # --- FastSS deletion-neighborhood edit-distance-1 pairs ---
@@ -1839,6 +1865,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # has never itself checked (judge-run only in r3), then the long-green
     # remainder in their original order.
     front = [
+        # newest additions (round 4, twelfth batch): double-sweep
+        # diameter, Pareto revenue cut, median inter-event gap
+        "kg_diameter",
+        "orders_pareto",
+        "events_median_gap",
         # newest additions (round 4, eleventh batch): SNM + FastSS ER
         # blocking, bloom-prefiltered delta dedup, TPC-H Q3 top-k join
         "kg_snm_pairs",
@@ -2020,6 +2051,69 @@ def oracle_sql() -> dict[str, str]:
     """
     gaz_values = ", ".join(f"('{t}')" for t in _GAZETTEER)
     return {
+        # double sweep: BFS from the min canonical, re-BFS from the
+        # farthest reached node; ties break (depth desc, node asc) on
+        # both sides; depth < 64 mirrors the engine's max_depth bound
+        "kg_diameter": f"""
+            with recursive {kg_cte},
+            tri as ({tri_canon}),
+            e0 as (select distinct subj_canonical as u, obj_canonical as v
+                   from tri),
+            edges as (select u, v from e0 union select v, u from e0),
+            nodes as (select u as node from edges),
+            seed as (select min(node) as node from nodes),
+            r1(node, depth) as (
+                select node, 0 from seed
+                union
+                select e.v, r1.depth + 1 from r1
+                join edges e on e.u = r1.node
+                where r1.depth < 64
+            ),
+            d1 as (select node, min(depth) as depth from r1 group by 1),
+            f1 as (select node, depth from d1
+                   order by depth desc, node limit 1),
+            r2(node, depth) as (
+                select node, 0 from f1
+                union
+                select e.v, r2.depth + 1 from r2
+                join edges e on e.u = r2.node
+                where r2.depth < 64
+            ),
+            d2 as (select node, min(depth) as depth from r2 group by 1),
+            f2 as (select node, depth from d2
+                   order by depth desc, node limit 1)
+            select seed.node as seed, f1.node as far1,
+                   f1.depth::bigint as ecc1, f2.node as far2,
+                   f2.depth::bigint as diameter_lb
+            from seed, f1, f2
+        """,
+        # inclusive-prefix rule: a customer is kept while the cumulative
+        # revenue BEFORE it is still under pct% of the total
+        "orders_pareto": """
+            with r as (select o_custkey,
+                              sum(cast(floor(o_totalprice * 100 + 0.5)
+                                       as bigint))::bigint as rev_cents
+                       from orders group by 1),
+            c as (select *,
+                         sum(rev_cents) over (order by rev_cents desc,
+                                              o_custkey) as cum,
+                         sum(rev_cents) over () as tot
+                  from r)
+            select o_custkey, rev_cents from c
+            where (cum - rev_cents) * 100 < tot * 80
+        """,
+        # quantile_disc(0.5) = sorted gap at index (n-1)//2, matching the
+        # engine's discrete median exactly (no even-count averaging)
+        "events_median_gap": """
+            with g as (select user_id,
+                              epoch_us(ts) - lag(epoch_us(ts)) over (
+                                  partition by user_id order by ts) as gap
+                       from events)
+            select user_id, count(gap)::bigint as n_gaps,
+                   quantile_disc(gap, 0.5)::bigint as median_gap_us
+            from g where gap is not null
+            group by 1
+        """,
         # window-4 SNM: every pair within rank distance 1..3 of the global
         # (normalized key, type, surface) sort; key rule mirrors
         # ops/blocking._snm_key_col exactly

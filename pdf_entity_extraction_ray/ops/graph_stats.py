@@ -6582,3 +6582,89 @@ def motif_census(edges_ds, num_partitions: int | None = None):
         .groupby(["n_dir", "n_recip", "n_cycles"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def double_sweep(edges_ds, *, max_depth: int = 64, num_partitions: int | None = None):
+    """Graph-diameter lower bound by the standard double-sweep heuristic
+    (Magnien/Latapy/Habib): BFS from a deterministic seed (the
+    lexicographically smallest canonical), hop to the farthest node
+    reached, BFS again — the second eccentricity lower-bounds the
+    diameter of the seed's component and is exact on trees.
+
+    Two :func:`bfs_depths` BSP runs (each O(E) total message volume with
+    frontier early-exit; ``max_depth`` only bounds a pathological chain)
+    plus two argmax reductions done as per-block ``select_k`` combiners —
+    ``blocks x 1`` rows move, never the depth table.  Emits ONE row
+    ``(seed, far1, ecc1, far2, diameter_lb)``; farthest-node ties break
+    to the lexicographically smallest canonical, matching the SQL
+    ``order by depth desc, node limit 1``.
+    """
+
+    def _argmax_depth(depths_ds) -> tuple[str, int]:
+        def top1(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            idx = pc.select_k_unstable(
+                batch,
+                k=1,
+                sort_keys=[("depth", "descending"), ("canonical", "ascending")],
+            )
+            return batch.take(idx)
+
+        rows = (
+            depths_ds.map_batches(top1, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(top1, batch_format="pyarrow", batch_size=None)
+            .take_all()
+        )
+        return rows[0]["canonical"], int(rows[0]["depth"])
+
+    # deterministic seed: global min canonical via a <=1-row-per-block combiner
+    def min1(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src_canonical" not in batch.column_names:
+            return pa.table({"canonical": pa.array([], pa.string())})
+        lo = min(
+            min(batch.column("src_canonical").to_pylist()),
+            min(batch.column("dst_canonical").to_pylist()),
+        )
+        return pa.table({"canonical": pa.array([lo], pa.string())})
+
+    seed_rows = (
+        edges_ds.select_columns(["src_canonical", "dst_canonical"])
+        .map_batches(min1, batch_format="pyarrow")
+        .take_all()
+    )
+    if not seed_rows:
+        return __import__("ray.data", fromlist=["from_arrow"]).from_arrow(
+            pa.table(
+                {
+                    "seed": pa.array([], pa.string()),
+                    "far1": pa.array([], pa.string()),
+                    "ecc1": pa.array([], pa.int64()),
+                    "far2": pa.array([], pa.string()),
+                    "diameter_lb": pa.array([], pa.int64()),
+                }
+            )
+        )
+    seed = min(r["canonical"] for r in seed_rows)
+
+    d1 = bfs_depths(edges_ds, [seed], max_depth=max_depth,
+                    num_partitions=num_partitions)
+    far1, ecc1 = _argmax_depth(d1)
+    d2 = bfs_depths(edges_ds, [far1], max_depth=max_depth,
+                    num_partitions=num_partitions)
+    far2, ecc2 = _argmax_depth(d2)
+
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "seed": pa.array([seed], pa.string()),
+                "far1": pa.array([far1], pa.string()),
+                "ecc1": pa.array([ecc1], pa.int64()),
+                "far2": pa.array([far2], pa.string()),
+                "diameter_lb": pa.array([ecc2], pa.int64()),
+            }
+        )
+    )

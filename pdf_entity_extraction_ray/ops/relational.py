@@ -2553,3 +2553,255 @@ def q3_shipping_priority(
     return partial_top.repartition(1).map_batches(
         topk, batch_format="pyarrow", batch_size=None
     )
+
+
+def customer_pareto(orders_ds, *, pct: int = 80):
+    """Pareto (80/20) revenue concentration: the minimal prefix of
+    customers — ranked by total order revenue desc, custkey asc — whose
+    cumulative revenue reaches ``pct``% of the whole.  Emits
+    ``(o_custkey, rev_cents)`` for every kept customer.
+
+    The global "sorted cumulative prefix" is computed WITHOUT a global
+    sort: per-customer revenues (two-stage combiner groupby, exact
+    integer cents) reduce to a 64-row magnitude histogram
+    (``bit_length`` buckets -> count + sum each), the driver walks it to
+    find the boundary bucket, and only that one bucket's rows are
+    re-scanned to pick the exact threshold value T and the custkey-order
+    tie prefix at T — all integer arithmetic, O(64 + |ties at T|) driver
+    state.  The final cut is a vectorized filter ``rev > T or (rev == T
+    and custkey <= K)`` over the streaming revenue table.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    if not 0 < pct < 100:
+        raise ValueError("pct must be in (0, 100)")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "o_custkey": pa.array([], pa.int64()),
+                    "rev_cents": pa.array([], pa.int64()),
+                }
+            )
+        price = batch.column("o_totalprice").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        g = pa.table(
+            {
+                "o_custkey": batch.column("o_custkey").cast(pa.int64()),
+                "rev_cents": pa.array(cents, pa.int64()),
+            }
+        ).group_by("o_custkey").aggregate([("rev_cents", "sum")])
+        return g.rename_columns(["o_custkey", "rev_cents"])
+
+    rev = (
+        orders_ds.select_columns(["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("rev_cents", alias_name="rev_cents"))
+        .materialize()  # consumed up to 3x (histogram, boundary scan, cut)
+    )
+
+    # --- 64-bucket magnitude histogram (driver state: <= 64 rows) ---
+    # bit_length vectorized: floor(log2(r)) + 1 for r > 0, with exact
+    # integer fix-ups at the 2^k boundaries float log2 can straddle
+    def hist(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "blen": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+        r = batch.column("rev_cents").combine_chunks().to_numpy(zero_copy_only=False)
+        blen = np.zeros(len(r), dtype=np.int64)
+        nz = r > 0
+        blen[nz] = np.floor(np.log2(r[nz].astype(np.float64))).astype(np.int64) + 1
+        # float log2 is exact for the bucket decision except at 2^k
+        # boundaries where rounding could land one off — fix up exactly:
+        too_hi = nz & (np.left_shift(np.int64(1), np.minimum(blen - 1, 62)) > r)
+        blen[too_hi] -= 1
+        lo = np.left_shift(np.int64(1), np.minimum(blen, 62))
+        too_lo = nz & (blen < 62) & (lo <= r)
+        blen[too_lo] += 1
+        g = pa.table(
+            {"blen": pa.array(blen, pa.int64()), "rv": pa.array(r, pa.int64())}
+        ).group_by("blen").aggregate([("rv", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "blen": g.column("blen"),
+                "n": g.column("count_all").cast(pa.int64()),
+                "s": g.column("rv_sum").cast(pa.int64()),
+            }
+        )
+
+    buckets: dict[int, list[int]] = {}
+    for b in rev.map_batches(hist, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for bl, n, s in zip(
+            b.column("blen").to_pylist(),
+            b.column("n").to_pylist(),
+            b.column("s").to_pylist(),
+        ):
+            acc = buckets.setdefault(bl, [0, 0])
+            acc[0] += n
+            acc[1] += s
+    if not buckets:
+        return rev  # empty input: empty output, schema preserved
+    total = sum(s for _, s in buckets.values())
+    target_num = total * pct  # keep while cum_before * 100 < total * pct
+    # walk magnitude buckets high -> low to find the boundary bucket
+    cum = 0
+    boundary = None
+    for bl in sorted(buckets, reverse=True):
+        n, s = buckets[bl]
+        if (cum + s) * 100 >= target_num:
+            boundary = bl
+            break
+        cum += s
+    if boundary is None:  # pct of 0-total revenue: keep nothing
+        boundary, cum = min(buckets), 0
+    cum_above = cum  # revenue strictly above the boundary bucket
+
+    # --- boundary bucket: exact value-ordered walk (driver state
+    # O(distinct values in ONE magnitude bucket's histogram)) ---
+    lo_edge = 0 if boundary == 0 else 1 << (boundary - 1)
+    hi_edge = 1 << boundary
+
+    def val_hist(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"rv": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        t = batch.filter(
+            pc.and_(
+                pc.greater_equal(batch.column("rev_cents"), lo_edge),
+                pc.less(batch.column("rev_cents"), hi_edge),
+            )
+        )
+        g = t.select(["rev_cents"]).group_by("rev_cents").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "rv": g.column("rev_cents"),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    vals: dict[int, int] = {}
+    for b in rev.map_batches(val_hist, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for v, n in zip(b.column("rv").to_pylist(), b.column("n").to_pylist()):
+            vals[v] = vals.get(v, 0) + n
+    T, m_at_T = None, 0
+    for v in sorted(vals, reverse=True):
+        n = vals[v]
+        if (cum_above + v * n) * 100 >= target_num:
+            T = v
+            # j-th tie row (1-indexed, custkey asc) is kept while
+            # (cum_above + (j-1) * T) * 100 < target_num
+            if v > 0:
+                num = target_num - cum_above * 100
+                m_at_T = min(n, -(-num // (100 * v)))  # ceildiv
+            else:
+                m_at_T = 0
+            break
+        cum_above += v * n
+    if T is None:  # ran out: keep everything
+        T, m_at_T = min(vals), vals[min(vals)]
+
+    # custkeys of the m_at_T smallest keys at value T (|ties| driver rows)
+    tie_keys: list[int] = []
+    if m_at_T > 0:
+        for b in rev.iter_batches(batch_format="pyarrow"):
+            t = b.filter(pc.equal(b.column("rev_cents"), T))
+            tie_keys.extend(t.column("o_custkey").to_pylist())
+        tie_keys = sorted(tie_keys)[:m_at_T]
+    keep_set = set(tie_keys)
+    thr = T
+
+    def cut(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        r = batch.column("rev_cents")
+        keep = pc.greater(r, thr)
+        if keep_set:
+            tie = pc.and_(
+                pc.equal(r, thr),
+                pc.is_valid(
+                    pc.index_in(
+                        batch.column("o_custkey"),
+                        value_set=pa.array(sorted(keep_set), pa.int64()),
+                    )
+                ),
+            )
+            keep = pc.or_(keep, tie)
+        return batch.filter(keep)
+
+    return rev.map_batches(cut, batch_format="pyarrow")
+
+
+def events_median_gap(events_ds, shards: int = 256):
+    """Per-user median inter-event gap: sort each user's events by time,
+    take consecutive differences, report the DISCRETE median (the sorted
+    gap at index ``(n-1)//2`` — DuckDB ``quantile_disc(0.5)`` semantics)
+    in exact microseconds, plus the gap count.  Users with fewer than two
+    events emit nothing.
+
+    Same coarse-shard + vectorized-numpy shape as
+    :func:`event_sessions`: hash(user) % ``shards`` groups ~n/shards
+    users per ``map_groups`` call, one lexsort + one diff per shard.
+    Emits ``(user_id, n_gaps, median_gap_us)``.
+    """
+    import numpy as np
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        return _add_shard_col(batch, "user_id", shards)
+
+    def shard_gaps(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "user_id" not in group.column_names:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_gaps": pa.array([], pa.int64()),
+                    "median_gap_us": pa.array([], pa.int64()),
+                }
+            )
+        users = group.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ts = group.column("ts").cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((ts, users))
+        users, ts = users[order], ts[order]
+        starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        counts = np.diff(np.r_[starts, len(users)])
+        gaps = np.diff(ts)  # gaps[i] = ts[i+1]-ts[i]; cross-user junk masked off
+        out_u, out_n, out_m = [], [], []
+        for s, c in zip(starts, counts):
+            if c < 2:
+                continue
+            g = np.sort(gaps[s : s + c - 1], kind="stable")
+            out_u.append(int(users[s]))
+            out_n.append(int(c - 1))
+            out_m.append(int(g[(len(g) - 1) // 2]))
+        return pa.table(
+            {
+                "user_id": pa.array(out_u, pa.int64()),
+                "n_gaps": pa.array(out_n, pa.int64()),
+                "median_gap_us": pa.array(out_m, pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.select_columns(["user_id", "ts"])
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_gaps(g.drop_columns(["shard"])), batch_format="pyarrow"
+        )
+    )
