@@ -40,6 +40,16 @@ def _consume(ds) -> int:
     return n
 
 
+def _mod3_part(batch, want_new: bool):
+    """doc_id % 3 split for the bloom-delta bench (new = mod 0)."""
+    import numpy as np
+    import pyarrow as pa
+
+    ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+    m = (ids % 3) == 0
+    return batch.filter(pa.array(m if want_new else ~m))
+
+
 def _sf_label(sf_dir: str) -> float:
     name = os.path.basename(os.path.normpath(sf_dir))
     try:
@@ -231,6 +241,19 @@ def run_ops(sf_dir: str, repeat: int = 1) -> dict[str, list[float]]:
             read("embeddings"), [0, 1, 2, 3, 4], 10, n_probe=8, m=16, n_codes=32,
             index_dir=f"/tmp/graft_ivfpq_bench_{os.path.basename(os.path.normpath(sf_dir))}",
             source_path=os.path.join(sf_dir, "embeddings.parquet"),
+        ),
+        "q3_shipping_priority": lambda: relational.q3_shipping_priority(
+            read("lineitem"), read("orders"), read("customer")
+        ),
+        "orders_pareto": lambda: relational.customer_pareto(read("orders")),
+        "events_median_gap": lambda: relational.events_median_gap(read("events")),
+        "docs_bloom_delta": lambda: dedup.bloom_delta_dedup(
+            read("documents").map_batches(
+                lambda b: _mod3_part(b, True), batch_format="pyarrow"
+            ),
+            read("documents").map_batches(
+                lambda b: _mod3_part(b, False), batch_format="pyarrow"
+            ),
         ),
     }
     times: dict[str, list[float]] = {}
@@ -537,6 +560,53 @@ def main() -> None:
                 .take(2048)
             )[:3],
             max_hops=4,
+        ),
+        "kg_katz": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["katz_walks"]
+        ).katz_walks(
+            ray.data.read_parquet(
+                kg_edges, columns=["src_canonical", "dst_canonical"]
+            ),
+            rounds=4,
+            beta=8,
+        ),
+        "kg_motifs": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["motif_census"]
+        ).motif_census(
+            ray.data.read_parquet(
+                kg_edges, columns=["src_canonical", "dst_canonical"]
+            )
+        ),
+        "kg_diameter": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["double_sweep"]
+        ).double_sweep(
+            ray.data.read_parquet(
+                kg_edges,
+                columns=["src_id", "dst_id", "src_canonical", "dst_canonical"],
+            )
+        ),
+        "kg_gazetteer": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.text", fromlist=["gazetteer_counts"]
+        ).gazetteer_counts(
+            ray.data.read_parquet(f"{pages_path}/pages", columns=["url", "text"]),
+            __import__("__ray_entry__")._GAZETTEER,
+        ),
+        "kg_snm_pairs": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.blocking", fromlist=["snm_pairs"]
+        ).snm_pairs(
+            ray.data.read_parquet(
+                os.path.join(f"/tmp/graft_bench/kg_out_{num_cpus}", "mentions"),
+                columns=["type", "text"],
+            ),
+            window=4,
+        ),
+        "kg_editdist_pairs": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.blocking", fromlist=["editdist1_pairs"]
+        ).editdist1_pairs(
+            ray.data.read_parquet(
+                os.path.join(f"/tmp/graft_bench/kg_out_{num_cpus}", "mentions"),
+                columns=["type", "text"],
+            )
         ),
     }.items():
         walls = []
