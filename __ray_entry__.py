@@ -827,6 +827,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def _kg_host_overlap(sf_dir):
+        """Host co-citation: host pairs sharing >= 2 distinct (type,
+        surface) entities — bipartite projection via coarse entity
+        shards + offset-arithmetic pair expansion, never a self-join
+        (ops/web.host_entity_overlap)."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.web import host_entity_overlap
+
+        res = _kg_artifacts(sf_dir)
+        return host_entity_overlap(
+            ray.data.read_parquet(res["mentions"], columns=["url", "type", "text"])
+        )
+
     def _kg_snm_pairs(sf_dir):
         """Sorted-neighborhood (SNM) blocking over distinct mention
         surfaces: every pair within a window-4 slide of the global
@@ -1411,6 +1425,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_ivfpq": emb_knn_ivfpq,
         # --- RFM segmentation with exact tie-respecting quantile scores ---
         "events_rfm": lambda sf: relational.events_rfm(_read(sf, "events")),
+        # --- bipartite host co-citation projection (shared entities) ---
+        "kg_host_overlap": _kg_host_overlap,
+        # --- p99-winsorized robust revenue totals per event type ---
+        "events_winsorized": lambda sf: relational.events_winsorized(
+            _read(sf, "events")
+        ),
         # --- double-sweep diameter lower bound over the entity graph ---
         "kg_diameter": _kg_diameter,
         # --- Pareto (80/20) revenue-concentration customer cut ---
@@ -1865,6 +1885,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # has never itself checked (judge-run only in r3), then the long-green
     # remainder in their original order.
     front = [
+        # newest additions (round 4, thirteenth batch): host co-citation
+        # projection, winsorized robust aggregate
+        "kg_host_overlap",
+        "events_winsorized",
         # newest additions (round 4, twelfth batch): double-sweep
         # diameter, Pareto revenue cut, median inter-event gap
         "kg_diameter",
@@ -2051,6 +2075,36 @@ def oracle_sql() -> dict[str, str]:
     """
     gaz_values = ", ".join(f"('{t}')" for t in _GAZETTEER)
     return {
+        # bipartite host-x-entity projection: hosts sharing >= 2 distinct
+        # mention surfaces; host rule mirrors ops/web._HOST_PATTERN
+        "kg_host_overlap": f"""
+            with {kg_cte},
+            he as (select distinct
+                          regexp_extract(url,
+                              '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) as host,
+                          type, text
+                   from gm),
+            p as (select a.host as host_a, b.host as host_b
+                  from he a join he b
+                  on a.type = b.type and a.text = b.text
+                 and a.host < b.host)
+            select host_a, host_b, count(*)::bigint as n_common
+            from p group by 1, 2 having count(*) >= 2
+        """,
+        # cap = quantile_disc(c, 0.99) = smallest value whose cumulative
+        # count reaches ceil(0.99 * n); cents = floor(value*100 + 0.5)
+        "events_winsorized": """
+            with v as (select event_type,
+                              cast(floor(value * 100 + 0.5) as bigint) as c
+                       from events),
+            q as (select event_type, quantile_disc(c, 0.99) as cap
+                  from v group by 1)
+            select v.event_type, count(*)::bigint as n_events,
+                   sum(least(v.c, q.cap))::bigint as winsorized_sum_cents,
+                   sum(case when v.c > q.cap then 1 else 0 end)::bigint
+                       as n_capped
+            from v join q using (event_type) group by 1
+        """,
         # double sweep: BFS from the min canonical, re-BFS from the
         # farthest reached node; ties break (depth desc, node asc) on
         # both sides; depth < 64 mirrors the engine's max_depth bound

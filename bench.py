@@ -247,6 +247,7 @@ def run_ops(sf_dir: str, repeat: int = 1) -> dict[str, list[float]]:
         ),
         "orders_pareto": lambda: relational.customer_pareto(read("orders")),
         "events_median_gap": lambda: relational.events_median_gap(read("events")),
+        "events_winsorized": lambda: relational.events_winsorized(read("events")),
         "docs_bloom_delta": lambda: dedup.bloom_delta_dedup(
             read("documents").map_batches(
                 lambda b: _mod3_part(b, True), batch_format="pyarrow"
@@ -606,6 +607,14 @@ def main() -> None:
             ray.data.read_parquet(
                 os.path.join(f"/tmp/graft_bench/kg_out_{num_cpus}", "mentions"),
                 columns=["type", "text"],
+            )
+        ),
+        "kg_host_overlap": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.web", fromlist=["host_entity_overlap"]
+        ).host_entity_overlap(
+            ray.data.read_parquet(
+                os.path.join(f"/tmp/graft_bench/kg_out_{num_cpus}", "mentions"),
+                columns=["url", "type", "text"],
             )
         ),
     }.items():

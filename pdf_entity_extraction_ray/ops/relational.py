@@ -2805,3 +2805,123 @@ def events_median_gap(events_ds, shards: int = 256):
             lambda g: shard_gaps(g.drop_columns(["shard"])), batch_format="pyarrow"
         )
     )
+
+
+def events_winsorized(events_ds, q: float = 0.99):
+    """Winsorized (p99-capped) per-type value totals — the robust
+    aggregate that keeps one fat-finger purchase from dominating a
+    revenue metric.  Two passes:
+
+    1. the cap: exact per-type discrete quantile of value-cents via the
+       same value-histogram combiner as :func:`events_value_quantiles`
+       (cap = smallest value whose cumulative count reaches
+       ``ceil(q * n)`` — DuckDB ``quantile_disc`` semantics); the per-type
+       caps (O(types) driver state) broadcast as a plain dict;
+    2. a streaming re-scan clamps each value to its type's cap and
+       pre-aggregates per batch — no shuffle beyond the tiny final
+       groupby.
+
+    Emits ``(event_type, n_events, winsorized_sum_cents, n_capped)``,
+    all exact integers.
+    """
+    import math
+
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        # floor(x*100 + 0.5): the fixed-point rule every revenue op and
+        # oracle shares (Arrow round() would be half-to-even — mismatch)
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch.column("value"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        g = pa.table(
+            {"event_type": batch.column("event_type"), "c": cents}
+        ).group_by(["event_type", "c"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "c": g.column("c"),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    def type_cap(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "c" not in group.column_names:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "cap": pa.array([], pa.int64()),
+                }
+            )
+        idx = pc.sort_indices(group, sort_keys=[("c", "ascending")])
+        g = group.take(idx)
+        cs = g.column("c").to_numpy(zero_copy_only=False)
+        ns = g.column("n").to_numpy(zero_copy_only=False)
+        cum = np.cumsum(ns)
+        rank = math.ceil(q * int(cum[-1]) - 1e-9)
+        cap = int(cs[np.searchsorted(cum, rank)])
+        return pa.table(
+            {
+                "event_type": g.column("event_type").slice(0, 1),
+                "cap": pa.array([cap], pa.int64()),
+            }
+        )
+
+    caps = {
+        r["event_type"]: r["cap"]
+        for r in (
+            events_ds.select_columns(["event_type", "value"])
+            .map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .map_groups(type_cap, batch_format="pyarrow")
+            .take_all()  # O(distinct event types) — bounded by the schema
+        )
+    }
+
+    def clamp_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "n_events": pa.array([], pa.int64()),
+                    "winsorized_sum_cents": pa.array([], pa.int64()),
+                    "n_capped": pa.array([], pa.int64()),
+                }
+            )
+        et = batch.column("event_type").to_pylist()
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch.column("value"), 100.0), 0.5)),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        cap = np.fromiter((caps[t] for t in et), dtype=np.int64, count=len(et))
+        over = cents > cap
+        g = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "w": pa.array(np.minimum(cents, cap), pa.int64()),
+                "o": pa.array(over.astype(np.int64), pa.int64()),
+            }
+        ).group_by("event_type").aggregate(
+            [("w", "sum"), ("o", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "n_events": g.column("count_all").cast(pa.int64()),
+                "winsorized_sum_cents": g.column("w_sum").cast(pa.int64()),
+                "n_capped": g.column("o_sum").cast(pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.select_columns(["event_type", "value"])
+        .map_batches(clamp_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("winsorized_sum_cents", alias_name="winsorized_sum_cents"),
+            Sum("n_capped", alias_name="n_capped"),
+        )
+    )

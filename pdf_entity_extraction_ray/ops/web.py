@@ -601,3 +601,134 @@ def host_quality_oracle_sql(pages_source: str, min_keep_ppm: int = 500_000) -> s
                (sum(keep) * 1000000 >= count(*) * {min_keep_ppm}) as keep_host
         from k group by host
     """
+
+
+def host_entity_overlap(mentions_ds, *, min_common: int = 2, shards: int = 256):
+    """Host co-citation: unordered host pairs that mention at least
+    ``min_common`` of the same distinct (type, surface) entities — the
+    bipartite host-x-entity projection behind "sites covering the same
+    subjects" clustering.
+
+    Never self-joins the mention table: entities hash into ``shards``
+    coarse groups (every (type, surface)'s host list lands in one group),
+    and inside a shard one Arrow sort + offset-arithmetic expansion turns
+    each entity's sorted host list into its C(H,2) pairs — the
+    :func:`~..ops.relational.parts_copurchase` shape with a string basket
+    key.  Pair volume is sum of H_e*(H_e-1)/2 over entities; a
+    celebrity entity mentioned by every host makes that term quadratic
+    BY DEFINITION (same finding as common_neighbors on the 1M-page
+    graph) — production runs cap or drop head entities before this op;
+    the registry corpus has no such hub so the census stays exact and
+    uncut.  Per-shard partial counts combine before the final pair
+    groupby.
+
+    Emits (host_a, host_b, n_common) with host_a < host_b.
+    """
+    import hashlib
+
+    import numpy as np
+    import ray.data  # noqa: F401  (callers pass Datasets in)
+    from ray.data.aggregate import Sum
+
+    from .relational import _shard_pow2
+
+    EMPTY = pa.table(
+        {
+            "host_a": pa.array([], pa.string()),
+            "host_b": pa.array([], pa.string()),
+            "n_common": pa.array([], pa.int64()),
+        }
+    )
+    mask = _shard_pow2(shards) - 1
+
+    def rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.string()),
+                    "host": pa.array([], pa.string()),
+                    "shard": pa.array([], pa.int32()),
+                }
+            )
+        host = host_of(batch.column("url").combine_chunks())
+        k = pc.binary_join_element_wise(
+            batch.column("type").cast(pa.string()),
+            batch.column("text").cast(pa.string()),
+            "\x00",
+        )
+        t = (
+            pa.table({"k": k, "host": host})
+            .group_by(["k", "host"])  # local distinct before the shuffle
+            .aggregate([])
+        )
+        # hash only the DISTINCT keys (dictionary values), not every row
+        dk = pc.dictionary_encode(t.column("k").combine_chunks())
+        vals = dk.dictionary.to_pylist()
+        hv = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(v.encode("utf-8"), digest_size=4).digest(), "little"
+                )
+                & mask
+                for v in vals
+            ),
+            dtype=np.int32,
+            count=len(vals),
+        )
+        shard = hv[dk.indices.to_numpy(zero_copy_only=False)]
+        return t.append_column("shard", pa.array(shard, pa.int32()))
+
+    def shard_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "k" not in group.column_names:
+            return EMPTY
+        idx = pc.sort_indices(
+            group, sort_keys=[("k", "ascending"), ("host", "ascending")]
+        )
+        g = group.take(idx)
+        ks = np.asarray(g.column("k").to_pylist(), dtype=object)
+        hs = np.asarray(g.column("host").to_pylist(), dtype=object)
+        keep = np.r_[True, (ks[1:] != ks[:-1]) | (hs[1:] != hs[:-1])]
+        ks, hs = ks[keep], hs[keep]
+        n = len(ks)
+        if n == 0:
+            return EMPTY
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        idx2 = np.arange(n)
+        within = idx2 - np.repeat(starts, lens)
+        reps = np.repeat(lens, lens) - 1 - within
+        total = int(reps.sum())
+        if total == 0:
+            return EMPTY
+        a_idx = np.repeat(idx2, reps)
+        offs = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        b_idx = np.arange(total) - np.repeat(offs, reps) + a_idx + 1
+        t = pa.table(
+            {
+                "host_a": pa.array(hs[a_idx], pa.string()),
+                "host_b": pa.array(hs[b_idx], pa.string()),
+            }
+        )
+        g2 = t.group_by(["host_a", "host_b"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "host_a": g2.column("host_a"),
+                "host_b": g2.column("host_b"),
+                "n_common": g2.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    counted = (
+        mentions_ds.select_columns(["url", "type", "text"])
+        .map_batches(rows, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_pairs(
+                g.drop_columns(["shard"]) if "shard" in g.column_names else g
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["host_a", "host_b"])
+        .aggregate(Sum("n_common", alias_name="n_common"))
+    )
+    return counted.filter(expr=f"n_common >= {int(min_common)}")
