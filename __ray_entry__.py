@@ -877,19 +877,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (built in one streaming pass, broadcast once) fast-paths definite
         non-duplicates so only bloom hits pay the exact left-anti join
         (ops/dedup.bloom_delta_dedup)."""
-        import numpy as np
-        import pyarrow as pa
+        from pdf_entity_extraction_ray.ops.dedup import bloom_delta_dedup, mod3_split
 
-        from pdf_entity_extraction_ray.ops.dedup import bloom_delta_dedup
-
-        def part(batch: pa.Table, want_new: bool) -> pa.Table:
-            ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
-            m = (ids % 3) == 0
-            return batch.filter(pa.array(m if want_new else ~m))
-
-        docs = _read(sf_dir, "documents")
-        new = docs.map_batches(lambda b: part(b, True), batch_format="pyarrow")
-        existing = docs.map_batches(lambda b: part(b, False), batch_format="pyarrow")
+        new, existing = mod3_split(_read(sf_dir, "documents"))
         return bloom_delta_dedup(new, existing)
 
     def _kg_host_quality(sf_dir):

@@ -40,16 +40,6 @@ def _consume(ds) -> int:
     return n
 
 
-def _mod3_part(batch, want_new: bool):
-    """doc_id % 3 split for the bloom-delta bench (new = mod 0)."""
-    import numpy as np
-    import pyarrow as pa
-
-    ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
-    m = (ids % 3) == 0
-    return batch.filter(pa.array(m if want_new else ~m))
-
-
 def _sf_label(sf_dir: str) -> float:
     name = os.path.basename(os.path.normpath(sf_dir))
     try:
@@ -249,12 +239,7 @@ def run_ops(sf_dir: str, repeat: int = 1) -> dict[str, list[float]]:
         "events_median_gap": lambda: relational.events_median_gap(read("events")),
         "events_winsorized": lambda: relational.events_winsorized(read("events")),
         "docs_bloom_delta": lambda: dedup.bloom_delta_dedup(
-            read("documents").map_batches(
-                lambda b: _mod3_part(b, True), batch_format="pyarrow"
-            ),
-            read("documents").map_batches(
-                lambda b: _mod3_part(b, False), batch_format="pyarrow"
-            ),
+            *dedup.mod3_split(read("documents"))
         ),
     }
     times: dict[str, list[float]] = {}

@@ -66,7 +66,7 @@ def _prefix_bucket(keys: list[str]) -> np.ndarray:
     return rank[:, 0] * _ALPHA_BASE + rank[:, 1]
 
 
-def snm_pairs(mentions_ds, window: int = 4, num_partitions: int | None = None):
+def snm_pairs(mentions_ds, window: int = 4):
     """Sorted-neighborhood candidate pairs over distinct (type, surface).
 
     Rows are sorted globally by ``(key, type, surface)`` where ``key`` is
@@ -117,47 +117,75 @@ def snm_pairs(mentions_ds, window: int = 4, num_partitions: int | None = None):
         )
 
     def per_bucket(group: pa.Table) -> pa.Table:
-        rows = sorted(
-            set(
-                zip(
-                    group.column("key").to_pylist(),
-                    group.column("type").to_pylist(),
-                    group.column("text").to_pylist(),
-                )
-            )
+        # Arrow sort + adjacent-dedup + sliced window expansion — no
+        # Python loop over rows (the same discipline as the other
+        # pair-expansion ops; a hot prefix bucket at 10^9 surfaces holds
+        # ~n/1369 rows and stays C-speed here)
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("key", "ascending"),
+                ("type", "ascending"),
+                ("text", "ascending"),
+            ],
         )
-        n = len(rows)
+        g = group.take(idx)
+        ks = np.asarray(g.column("key").to_pylist(), dtype=object)
+        tys = np.asarray(g.column("type").to_pylist(), dtype=object)
+        txs = np.asarray(g.column("text").to_pylist(), dtype=object)
+        keep = np.r_[
+            True,
+            (ks[1:] != ks[:-1]) | (tys[1:] != tys[:-1]) | (txs[1:] != txs[:-1]),
+        ]
+        ks, tys, txs = ks[keep], tys[keep], txs[keep]
+        n = len(ks)
         bucket = group.column("bucket")[0].as_py()
         ta, sa, tb, sb, dist = [], [], [], [], []
         for d in range(1, min(w, n)):
-            for i in range(n - d):
-                ta.append(rows[i][1])
-                sa.append(rows[i][2])
-                tb.append(rows[i + d][1])
-                sb.append(rows[i + d][2])
-                dist.append(d)
-        kind = [0] * len(ta)
+            ta.append(tys[:-d])
+            sa.append(txs[:-d])
+            tb.append(tys[d:])
+            sb.append(txs[d:])
+            dist.append(np.full(n - d, d, dtype=np.int64))
+        n_pairs = sum(len(a) for a in ta)
         # boundary rows: first and last w-1 local ranks (deduped overlap)
         b_rank = sorted(set(range(min(w - 1, n))) | set(range(max(0, n - w + 1), n)))
-        key_b, type_b_, text_b, rank_b = [], [], [], []
-        for r in b_rank:
-            key_b.append(rows[r][0])
-            type_b_.append(rows[r][1])
-            text_b.append(rows[r][2])
-            rank_b.append(r)
         m = len(b_rank)
+        br = np.asarray(b_rank, dtype=np.int64)
         return pa.table(
             {
-                "kind": pa.array(kind + [1] * m, pa.int8()),
-                "type_a": pa.array(ta + type_b_, pa.string()),
-                "surf_a": pa.array(sa + text_b, pa.string()),
-                "type_b": pa.array(tb + [None] * m, pa.string()),
-                "surf_b": pa.array(sb + [None] * m, pa.string()),
-                "dist": pa.array(dist + [0] * m, pa.int64()),
-                "bucket": pa.array([bucket] * (len(ta) + m), pa.int64()),
-                "local_rank": pa.array([0] * len(ta) + rank_b, pa.int64()),
-                "n_bucket": pa.array([n] * (len(ta) + m), pa.int64()),
-                "key": pa.array([""] * len(ta) + key_b, pa.string()),
+                "kind": pa.array([0] * n_pairs + [1] * m, pa.int8()),
+                "type_a": pa.array(
+                    np.concatenate(ta + [tys[br]]) if n else [], pa.string()
+                ),
+                "surf_a": pa.array(
+                    np.concatenate(sa + [txs[br]]) if n else [], pa.string()
+                ),
+                "type_b": pa.array(
+                    list(np.concatenate(tb)) + [None] * m if tb else [None] * m,
+                    pa.string(),
+                ),
+                "surf_b": pa.array(
+                    list(np.concatenate(sb)) + [None] * m if sb else [None] * m,
+                    pa.string(),
+                ),
+                "dist": pa.array(
+                    np.concatenate(dist + [np.zeros(m, dtype=np.int64)])
+                    if n
+                    else [],
+                    pa.int64(),
+                ),
+                "bucket": pa.array([bucket] * (n_pairs + m), pa.int64()),
+                "local_rank": pa.array(
+                    np.concatenate([np.zeros(n_pairs, dtype=np.int64), br])
+                    if n
+                    else [],
+                    pa.int64(),
+                ),
+                "n_bucket": pa.array([n] * (n_pairs + m), pa.int64()),
+                "key": pa.array(
+                    [""] * n_pairs + list(ks[br]), pa.string()
+                ),
             }
         )
 
@@ -256,7 +284,7 @@ def _deletion_variants(raw: bytes) -> set[bytes]:
     return {raw} | {raw[:i] + raw[i + 1 :] for i in range(len(raw))}
 
 
-def editdist1_pairs(mentions_ds, num_partitions: int | None = None):
+def editdist1_pairs(mentions_ds):
     """All same-type distinct-surface pairs at byte-Levenshtein exactly 1.
 
     FastSS: each distinct (type, surface) emits one row per deletion

@@ -1260,6 +1260,21 @@ def exact_dedup_delta(new_ds, existing_ds, num_partitions: int | None = None):
     return survivors.map_batches(drop_k, batch_format="pyarrow")
 
 
+def mod3_split(docs_ds):
+    """The bloom-delta bench/registry corpus split, defined ONCE:
+    doc_id % 3 == 0 plays the NEW batch, the rest the existing corpus
+    (mirrors the oracle's ``doc_id % 3`` SQL)."""
+
+    def part(batch: pa.Table, want_new: bool) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        m = (ids % 3) == 0
+        return batch.filter(pa.array(m if want_new else ~m))
+
+    new = docs_ds.map_batches(lambda b: part(b, True), batch_format="pyarrow")
+    existing = docs_ds.map_batches(lambda b: part(b, False), batch_format="pyarrow")
+    return new, existing
+
+
 def bloom_delta_dedup(
     new_ds,
     existing_ds,
@@ -1315,7 +1330,9 @@ def bloom_delta_dedup(
     agg = np.zeros(nbytes, dtype=np.uint8)
     for b in (
         existing_ds.select_columns(["text"])
-        .map_batches(bitmap, batch_format="pyarrow")
+        # batch_size=None: ONE bitmap row per block (the default 1024-row
+        # batching would ship rows/1024 bitmaps — 128 bytes/doc overhead)
+        .map_batches(bitmap, batch_format="pyarrow", batch_size=None)
         .iter_batches(batch_format="pyarrow")
     ):
         for buf in b.column("bm").to_pylist():
@@ -1369,11 +1386,12 @@ def bloom_delta_dedup(
             }
         )
 
-    n_part = num_partitions or _join_partitions()
-    if num_partitions is None and hits.count() < 10_000:
-        n_part = 1  # tiny-input guard: empty shuffle partitions crash the join
-    if hits.count() == 0:
+    n_hits = hits.count()
+    if n_hits == 0:
         return misses
+    n_part = num_partitions or _join_partitions()
+    if num_partitions is None and n_hits < 10_000:
+        n_part = 1  # tiny-input guard: empty shuffle partitions crash the join
     survivors = hits.join(
         existing_ds.select_columns(["text"]).map_batches(
             keys_of, batch_format="pyarrow"

@@ -6599,6 +6599,7 @@ def double_sweep(edges_ds, *, max_depth: int = 64, num_partitions: int | None = 
     to the lexicographically smallest canonical, matching the SQL
     ``order by depth desc, node limit 1``.
     """
+    import ray.data
 
     def _argmax_depth(depths_ds) -> tuple[str, int]:
         def top1(batch: pa.Table) -> pa.Table:
@@ -6635,7 +6636,7 @@ def double_sweep(edges_ds, *, max_depth: int = 64, num_partitions: int | None = 
         .take_all()
     )
     if not seed_rows:
-        return __import__("ray.data", fromlist=["from_arrow"]).from_arrow(
+        return ray.data.from_arrow(
             pa.table(
                 {
                     "seed": pa.array([], pa.string()),
@@ -6654,8 +6655,6 @@ def double_sweep(edges_ds, *, max_depth: int = 64, num_partitions: int | None = 
     d2 = bfs_depths(edges_ds, [far1], max_depth=max_depth,
                     num_partitions=num_partitions)
     far2, ecc2 = _argmax_depth(d2)
-
-    import ray.data
 
     return ray.data.from_arrow(
         pa.table(

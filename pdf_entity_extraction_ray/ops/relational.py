@@ -90,6 +90,17 @@ def _shard_pow2(shards: int) -> int:
     return 1 << max(0, (int(shards) - 1).bit_length())
 
 
+def _disc_rank(q: float, n: int) -> int:
+    """DuckDB ``quantile_disc`` rank: the 1-indexed position of the
+    smallest value whose cumulative count reaches ``ceil(q * n)`` — THE
+    single definition shared by every exact-quantile op (two competing
+    epsilon conventions here would let two ops mirror 'the same' oracle
+    differently)."""
+    import numpy as np
+
+    return int(np.ceil(q * n)) or 1
+
+
 def _add_shard_col(batch: pa.Table, key_col: str, shards: int) -> pa.Table:
     """Append the coarse ``shard`` column (hash-free: int keys are already
     uniform in the low bits for ids; the mask is the cheap grouping)."""
@@ -947,7 +958,7 @@ def events_value_quantiles(events_ds, qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
             cum = np.cumsum(seg_n)
             n = cum[-1]
             for q in qs:
-                rank = int(np.ceil(q * n)) or 1
+                rank = _disc_rank(q, n)
                 out[f"p{round(q * 100)}"].append(seg_v[np.searchsorted(cum, rank)])
         cols: dict = {"event_type": pa.array(out["event_type"], pa.string())}
         for q in qs:
@@ -2712,8 +2723,13 @@ def customer_pareto(orders_ds, *, pct: int = 80):
                 m_at_T = 0
             break
         cum_above += v * n
-    if T is None:  # ran out: keep everything
-        T, m_at_T = min(vals), vals[min(vals)]
+    if T is None:
+        if not vals:
+            # non-positive total (all-zero or negative revenue): the
+            # inclusive-prefix rule keeps nothing — mirror the oracle's
+            # empty result instead of crashing on min({})
+            return rev.map_batches(lambda b: b.slice(0, 0), batch_format="pyarrow")
+        T, m_at_T = min(vals), vals[min(vals)]  # ran out: keep everything
 
     # custkeys of the m_at_T smallest keys at value T (|ties| driver rows)
     tie_keys: list[int] = []
@@ -2824,8 +2840,6 @@ def events_winsorized(events_ds, q: float = 0.99):
     Emits ``(event_type, n_events, winsorized_sum_cents, n_capped)``,
     all exact integers.
     """
-    import math
-
     import numpy as np
     from ray.data.aggregate import Sum
 
@@ -2860,7 +2874,7 @@ def events_winsorized(events_ds, q: float = 0.99):
         cs = g.column("c").to_numpy(zero_copy_only=False)
         ns = g.column("n").to_numpy(zero_copy_only=False)
         cum = np.cumsum(ns)
-        rank = math.ceil(q * int(cum[-1]) - 1e-9)
+        rank = _disc_rank(q, int(cum[-1]))
         cap = int(cs[np.searchsorted(cum, rank)])
         return pa.table(
             {

@@ -183,3 +183,10 @@ def test_median_gap_bruteforce():
         g = np.sort(np.diff(np.sort(np.asarray(stamps))))
         gold[u] = (len(g), int(g[(len(g) - 1) // 2]))
     assert got == gold
+
+
+def test_pareto_nonpositive_total_returns_empty():
+    # all-negative / all-zero revenue: the inclusive-prefix rule keeps
+    # nothing (regression: this crashed on min() of an empty dict)
+    assert _pareto_run([(1, -5.0), (2, -3.0)], 80) == set()
+    assert _pareto_run([(1, 0.0), (2, 0.0)], 80) == set()
