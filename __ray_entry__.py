@@ -827,6 +827,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def _docs_csv_roundtrip(sf_dir):
+        """CSV sink+source roundtrip: write the documents table to CSV
+        shards (cached per scale), read them back with pinned types and
+        quoted-newline support, and emit the full table — the oracle
+        reads the same projection straight off the Parquet, so a pass
+        proves the interchange preserves every byte
+        (sources/csvio.write_docs_csv / read_docs_csv)."""
+        from pdf_entity_extraction_ray.sources.csvio import (
+            read_docs_csv,
+            write_docs_csv,
+        )
+
+        name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        csv_dir = f"/tmp/graft_csv_v1/{name}"
+        if not os.path.isdir(csv_dir) or not os.listdir(csv_dir):
+            os.makedirs(csv_dir, exist_ok=True)
+            write_docs_csv(_read(sf_dir, "documents"), csv_dir)
+        return read_docs_csv(csv_dir)
+
     def _kg_host_overlap(sf_dir):
         """Host co-citation: host pairs sharing >= 2 distinct (type,
         surface) entities — bipartite projection via coarse entity
@@ -1415,6 +1434,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_ivfpq": emb_knn_ivfpq,
         # --- RFM segmentation with exact tie-respecting quantile scores ---
         "events_rfm": lambda sf: relational.events_rfm(_read(sf, "events")),
+        # --- CSV sink+source byte-exact roundtrip ---
+        "docs_csv_roundtrip": _docs_csv_roundtrip,
+        # --- boolean AND whole-token retrieval ---
+        "docs_and_search": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.text", fromlist=["and_search"]
+        ).and_search(_read(sf, "documents"), ("fast", "hash")),
         # --- bipartite host co-citation projection (shared entities) ---
         "kg_host_overlap": _kg_host_overlap,
         # --- p99-winsorized robust revenue totals per event type ---
@@ -1875,6 +1900,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # has never itself checked (judge-run only in r3), then the long-green
     # remainder in their original order.
     front = [
+        # newest additions (round 4, fourteenth batch): CSV roundtrip,
+        # boolean AND retrieval
+        "docs_csv_roundtrip",
+        "docs_and_search",
         # newest additions (round 4, thirteenth batch): host co-citation
         # projection, winsorized robust aggregate
         "kg_host_overlap",
@@ -2065,6 +2094,18 @@ def oracle_sql() -> dict[str, str]:
     """
     gaz_values = ", ".join(f"('{t}')" for t in _GAZETTEER)
     return {
+        "docs_csv_roundtrip": """
+            select doc_id, text, lang, source, n_chars from documents
+        """,
+        # whole-token AND: tokenization mirrors the shared [a-z0-9_]+
+        # grammar via regexp_extract_all + list_contains
+        "docs_and_search": """
+            with t as (select doc_id,
+                              regexp_extract_all(lower(text), '[a-z0-9_]+') as ws
+                       from documents)
+            select doc_id from t
+            where list_contains(ws, 'fast') and list_contains(ws, 'hash')
+        """,
         # bipartite host-x-entity projection: hosts sharing >= 2 distinct
         # mention surfaces; host rule mirrors ops/web._HOST_PATTERN
         "kg_host_overlap": f"""

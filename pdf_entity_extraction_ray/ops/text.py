@@ -648,3 +648,38 @@ def gazetteer_counts(pages_ds, terms: list[str]):
     return pages_ds.select_columns(["url", "text"]).map_batches(
         count, batch_format="pyarrow"
     )
+
+
+def and_search(docs_ds, terms: tuple[str, ...]):
+    """Boolean AND retrieval: doc_ids whose text contains EVERY query
+    term as a whole token (the shared ``[a-z0-9_]+`` grammar) — the
+    exact-match complement of the BM25 ranked path (ops/bm25): filter
+    pipelines use this shape for "must contain all of ..." corpus cuts.
+
+    Fully streaming, zero shuffle: the terms broadcast in the task
+    closure (bytes, not a table) and each batch is ONE vectorized RE2
+    pass per term over the lowered text — whole-token semantics via
+    boundary guards, so 'fast' never matches inside 'fastest'.
+    """
+    import re as _re
+
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    for t in terms:
+        if not _re.fullmatch(r"[a-z0-9_]+", t):
+            raise ValueError(f"term {t!r} is not a lowercase token")
+    pats = [rf"(^|[^a-z0-9_]){_re.escape(t)}([^a-z0-9_]|$)" for t in terms]
+
+    def match(batch: pa.Table) -> pa.Table:
+        lowered = pc.utf8_lower(batch.column("text"))
+        keep = None
+        for p in pats:
+            m = pc.match_substring_regex(lowered, pattern=p)
+            keep = m if keep is None else pc.and_(keep, m)
+        return pa.table(
+            {"doc_id": batch.column("doc_id").cast(pa.int64()).filter(keep)}
+        )
+
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        match, batch_format="pyarrow"
+    )
