@@ -1434,6 +1434,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_ivfpq": emb_knn_ivfpq,
         # --- RFM segmentation with exact tie-respecting quantile scores ---
         "events_rfm": lambda sf: relational.events_rfm(_read(sf, "events")),
+        # --- growth accounting: new users per day + cumulative ---
+        "events_new_users": lambda sf: relational.events_new_users(
+            _read(sf, "events")
+        ),
         # --- CSV sink+source byte-exact roundtrip ---
         "docs_csv_roundtrip": _docs_csv_roundtrip,
         # --- boolean AND whole-token retrieval ---
@@ -1901,7 +1905,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remainder in their original order.
     front = [
         # newest additions (round 4, fourteenth batch): CSV roundtrip,
-        # boolean AND retrieval
+        # boolean AND retrieval, new-user growth curve
+        "events_new_users",
         "docs_csv_roundtrip",
         "docs_and_search",
         # newest additions (round 4, thirteenth batch): host co-citation
@@ -2094,6 +2099,14 @@ def oracle_sql() -> dict[str, str]:
     """
     gaz_values = ", ".join(f"('{t}')" for t in _GAZETTEER)
     return {
+        "events_new_users": """
+            with f as (select user_id, min(strftime(ts, '%Y-%m-%d')) as day
+                       from events group by 1),
+            d as (select day, count(*)::bigint as n_new from f group by 1)
+            select day, n_new,
+                   sum(n_new) over (order by day)::bigint as cum_users
+            from d
+        """,
         "docs_csv_roundtrip": """
             select doc_id, text, lang, source, n_chars from documents
         """,

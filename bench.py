@@ -238,6 +238,10 @@ def run_ops(sf_dir: str, repeat: int = 1) -> dict[str, list[float]]:
         "orders_pareto": lambda: relational.customer_pareto(read("orders")),
         "events_median_gap": lambda: relational.events_median_gap(read("events")),
         "events_winsorized": lambda: relational.events_winsorized(read("events")),
+        "events_new_users": lambda: relational.events_new_users(read("events")),
+        "docs_and_search": lambda: text.and_search(
+            read("documents"), ("fast", "hash")
+        ),
         "docs_bloom_delta": lambda: dedup.bloom_delta_dedup(
             *dedup.mod3_split(read("documents"))
         ),

@@ -284,21 +284,36 @@ def _deletion_variants(raw: bytes) -> set[bytes]:
     return {raw} | {raw[:i] + raw[i + 1 :] for i in range(len(raw))}
 
 
-def editdist1_pairs(mentions_ds):
+def editdist1_pairs(mentions_ds, shards: int = 256):
     """All same-type distinct-surface pairs at byte-Levenshtein exactly 1.
 
-    FastSS: each distinct (type, surface) emits one row per deletion
-    variant keyed by ``blake2b(type \\0 variant)`` (hashing keeps invalid-
-    UTF-8 byte variants out of Arrow string columns; a hash collision can
-    only ADD a candidate, which exact verification then rejects).  A
-    ``groupby(variant)`` brings candidates together — index size is
-    O(total surface bytes), never quadratic — and a final groupby dedups
-    pairs that share several variants.
+    FastSS: each distinct (type, surface) emits one row per 1-deletion
+    variant (raw bytes in a BINARY column — invalid UTF-8 is fine there)
+    tagged with a coarse ``crc32(variant) % shards`` group; one shuffle
+    brings all rows of a variant into the same shard, where an Arrow sort
+    + offset-arithmetic run expansion yields the candidate pairs and the
+    exact two-pointer verify keeps the true distance-1 ones.  Index size
+    is O(total surface bytes), never quadratic; a final vectorized
+    groupby dedups pairs that share several variants.
 
     Surfaces are mention-sized (words, not documents), so the per-surface
     variant fan-out is ~len(surface)+1 rows; hub variants (very short
-    strings) bound each group at O(alphabet x len) members.
+    strings) bound each run at O(alphabet x len) members.
     """
+
+    import zlib
+
+    from ray.data.aggregate import Count
+
+    n_shards = 1 << max(1, int(shards) - 1).bit_length()
+    mask = n_shards - 1
+    EMPTY = pa.table(
+        {
+            "type": pa.array([], pa.string()),
+            "surf_a": pa.array([], pa.string()),
+            "surf_b": pa.array([], pa.string()),
+        }
+    )
 
     def variants(batch: pa.Table) -> pa.Table:
         t = (
@@ -306,52 +321,107 @@ def editdist1_pairs(mentions_ds):
             .group_by(["type", "text"])
             .aggregate([])
         )
-        vk, ty, tx = [], [], []
+        vk, ty, tx, sh = [], [], [], []
         for typ, text in zip(t.column("type").to_pylist(), t.column("text").to_pylist()):
             raw = text.encode("utf-8")
             pre = typ.encode("utf-8") + b"\0"
             for v in _deletion_variants(raw):
-                vk.append(hashlib.blake2b(pre + v, digest_size=12).hexdigest())
+                key = pre + v
+                vk.append(key)
                 ty.append(typ)
                 tx.append(text)
+                sh.append(zlib.crc32(key) & mask)
         return pa.table(
             {
-                "vkey": pa.array(vk, pa.string()),
+                "vkey": pa.array(vk, pa.binary()),
                 "type": pa.array(ty, pa.string()),
                 "text": pa.array(tx, pa.string()),
+                "shard": pa.array(sh, pa.int32()),
             }
         )
 
-    def per_variant(group: pa.Table) -> pa.Table:
-        rows = sorted(
-            set(zip(group.column("type").to_pylist(), group.column("text").to_pylist()))
+    def shard_pairs(group: pa.Table) -> pa.Table:
+        """One COARSE shard (~n_variants/shards rows): Arrow sort, run
+        detection and offset-arithmetic candidate expansion are all
+        vectorized; Python touches only the surviving candidate pairs in
+        the exact verify.  (The first cut ran ``groupby(vkey)`` — one
+        map_groups invocation per variant, tens of millions of Python
+        calls at the 2M-surface design point, 345 s; this shape does the
+        same work in ~256 calls.)"""
+        if group.num_rows == 0 or "vkey" not in group.column_names:
+            return EMPTY
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("vkey", "ascending"),
+                ("type", "ascending"),
+                ("text", "ascending"),
+            ],
         )
+        g = group.take(idx)
+        vks = np.asarray(g.column("vkey").to_pylist(), dtype=object)
+        tys = np.asarray(g.column("type").to_pylist(), dtype=object)
+        txs = np.asarray(g.column("text").to_pylist(), dtype=object)
+        keep = np.r_[
+            True,
+            (vks[1:] != vks[:-1]) | (tys[1:] != tys[:-1]) | (txs[1:] != txs[:-1]),
+        ]
+        vks, tys, txs = vks[keep], tys[keep], txs[keep]
+        n = len(vks)
+        if n == 0:
+            return EMPTY
+        starts = np.flatnonzero(np.r_[True, vks[1:] != vks[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        idx2 = np.arange(n)
+        within = idx2 - np.repeat(starts, lens)
+        reps = np.repeat(lens, lens) - 1 - within
+        total = int(reps.sum())
+        if total == 0:
+            return EMPTY
+        a_idx = np.repeat(idx2, reps)
+        offs = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        b_idx = np.arange(total) - np.repeat(offs, reps) + a_idx + 1
+        # type equality is part of the vkey prefix, but enforce it anyway
+        # (a crc collision may co-locate different variants in a shard —
+        # harmless: the exact verify rejects, this just prunes earlier)
+        same_type = tys[a_idx] == tys[b_idx]
+        a_idx, b_idx = a_idx[same_type], b_idx[same_type]
+        raws = np.asarray([t.encode("utf-8") for t in txs], dtype=object)
         ta, sa, sb = [], [], []
-        raws = [t.encode("utf-8") for _, t in rows]
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                if rows[i][0] != rows[j][0]:
-                    continue
-                if _byte_ed_le1(raws[i], raws[j]):
-                    ta.append(rows[i][0])
-                    sa.append(rows[i][1])
-                    sb.append(rows[j][1])
-        return pa.table(
+        for i, j in zip(a_idx, b_idx):
+            if _byte_ed_le1(raws[i], raws[j]):
+                ta.append(tys[i])
+                sa.append(txs[i])
+                sb.append(txs[j])
+        t = pa.table(
             {
                 "type": pa.array(ta, pa.string()),
                 "surf_a": pa.array(sa, pa.string()),
                 "surf_b": pa.array(sb, pa.string()),
             }
         )
+        # local dedup (a pair can share several variants in one shard)
+        return t.group_by(["type", "surf_a", "surf_b"]).aggregate([])
 
-    def first_row(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1).append_column("dist", pa.array([1], pa.int64()))
-
-    return (
+    pairs = (
         mentions_ds.select_columns(["type", "text"])
         .map_batches(variants, batch_format="pyarrow")
-        .groupby("vkey")
-        .map_groups(per_variant, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_pairs(
+                g.drop_columns(["shard"]) if "shard" in g.column_names else g
+            ),
+            batch_format="pyarrow",
+        )
+        # global dedup: variants of one pair can hash to different shards
         .groupby(["type", "surf_a", "surf_b"])
-        .map_groups(first_row, batch_format="pyarrow")
+        .aggregate(Count(alias_name="_n"))
     )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch.select(["type", "surf_a", "surf_b"])
+        return t.append_column(
+            "dist", pa.array(np.ones(t.num_rows, dtype=np.int64), pa.int64())
+        )
+
+    return pairs.map_batches(finish, batch_format="pyarrow")

@@ -2939,3 +2939,66 @@ def events_winsorized(events_ds, q: float = 0.99):
             Sum("n_capped", alias_name="n_capped"),
         )
     )
+
+
+def events_new_users(events_ds):
+    """Growth accounting: per-day NEW users (first-ever event that day)
+    and the cumulative user count — the signup-curve analytic.
+
+    Distributed min-reduction: a per-batch ``(user -> min day)`` combiner
+    shrinks each block to one row per user seen, a ``Min`` groupby settles
+    the global first day, a second combiner+groupby counts users per
+    first-day; the final cumulative sum runs on the driver over the
+    per-day counts (O(distinct days) — bounded by the calendar, not the
+    corpus).  Emits ``(day, n_new, cum_users)``.
+    """
+    import numpy as np
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    def first_seen(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "day": pc.strftime(batch.column("ts"), format="%Y-%m-%d"),
+            }
+        )
+        g = t.group_by("user_id").aggregate([("day", "min")])
+        return g.rename_columns(["user_id", "day"])
+
+    def day_counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "day" not in batch.column_names:
+            return pa.table(
+                {"day": pa.array([], pa.string()), "n_new": pa.array([], pa.int64())}
+            )
+        g = batch.select(["day"]).group_by("day").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "day": g.column("day"),
+                "n_new": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    per_day = (
+        events_ds.select_columns(["user_id", "ts"])
+        .map_batches(first_seen, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("day", alias_name="day"))
+        .map_batches(day_counts, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n_new", alias_name="n_new"))
+    )
+    rows = sorted(
+        ((r["day"], r["n_new"]) for r in per_day.take_all())  # O(days)
+    )
+    days = [d for d, _ in rows]
+    news = np.asarray([n for _, n in rows], dtype=np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "day": pa.array(days, pa.string()),
+                "n_new": pa.array(news, pa.int64()),
+                "cum_users": pa.array(np.cumsum(news), pa.int64()),
+            }
+        )
+    )

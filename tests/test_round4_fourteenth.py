@@ -100,3 +100,43 @@ def test_and_search_rejects_non_token_terms():
         _search(["x"], ("a b",))
     with pytest.raises(ValueError):
         _search(["x"], ())
+
+
+def test_new_users_bruteforce():
+    import random
+
+    import numpy as np
+    import ray
+
+    from pdf_entity_extraction_ray.ops.relational import events_new_users
+
+    rng = random.Random(17)
+    users, ts = [], []
+    base = np.datetime64("2024-03-01T12:00:00", "us")
+    for u in range(60):
+        for _ in range(rng.randrange(1, 6)):
+            users.append(u)
+            ts.append(base + np.timedelta64(rng.randrange(0, 20 * 86400), "s"))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+            }
+        )
+    )
+    rows = events_new_users(ds).take_all()
+    got = [(r["day"], r["n_new"], r["cum_users"]) for r in rows]
+    first = {}
+    for u, t in zip(users, ts):
+        d = str(t.astype("datetime64[D]"))
+        first[u] = min(first.get(u, d), d)
+    per_day = {}
+    for d in first.values():
+        per_day[d] = per_day.get(d, 0) + 1
+    gold, cum = [], 0
+    for d in sorted(per_day):
+        cum += per_day[d]
+        gold.append((d, per_day[d], cum))
+    assert got == gold
+    assert got[-1][2] == 60  # every user counted exactly once
