@@ -490,13 +490,18 @@ def main() -> None:
             ray.data.read_parquet(kg_edges, columns=["src_id", "dst_id"]),
             iterations=20,
         ),
+        # the bench graph carries degree-2.4k hub entities, so the EXACT
+        # wedge set is quadratic by definition (see BASELINE.md's 1M-page
+        # finding); bench the documented production configuration — the
+        # max_degree celebrity cut — not the out-of-contract exact census
         "kg_resource_alloc": lambda: __import__(
             "pdf_entity_extraction_ray.ops.graph_stats",
             fromlist=["resource_allocation"],
         ).resource_allocation(
             ray.data.read_parquet(
                 kg_edges, columns=["src_canonical", "dst_canonical"]
-            )
+            ),
+            max_degree=1000,
         ),
         "kg_hyperball": lambda: __import__(
             "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["hyperball"]
