@@ -1434,6 +1434,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_ivfpq": emb_knn_ivfpq,
         # --- RFM segmentation with exact tie-respecting quantile scores ---
         "events_rfm": lambda sf: relational.events_rfm(_read(sf, "events")),
+        # --- TPC-H Q6-style filtered aggregate (exact integers) ---
+        "q6_forecast_revenue": lambda sf: relational.q6_forecast_revenue(
+            _read(sf, "lineitem")
+        ),
+        # --- TPC-H Q4-style EXISTS semi-join priority census ---
+        "q4_order_priority": lambda sf: relational.q4_order_priority(
+            _read(sf, "lineitem"), _read(sf, "orders")
+        ),
         # --- growth accounting: new users per day + cumulative ---
         "events_new_users": lambda sf: relational.events_new_users(
             _read(sf, "events")
@@ -1904,6 +1912,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # has never itself checked (judge-run only in r3), then the long-green
     # remainder in their original order.
     front = [
+        # newest additions (round 4, fifteenth batch): TPC-H Q6 filtered
+        # aggregate, Q4 EXISTS semi-join
+        "q6_forecast_revenue",
+        "q4_order_priority",
         # newest additions (round 4, fourteenth batch): CSV roundtrip,
         # boolean AND retrieval, new-user growth curve
         "events_new_users",
@@ -2099,6 +2111,29 @@ def oracle_sql() -> dict[str, str]:
     """
     gaz_values = ", ".join(f"('{t}')" for t in _GAZETTEER)
     return {
+        "q6_forecast_revenue": """
+            with f as (select cast(floor(l_extendedprice * 100 + 0.5) as bigint)
+                              as cents,
+                              cast(floor(l_discount * 100 + 0.5) as bigint) as pct
+                       from lineitem
+                       where l_shipdate >= timestamp '1997-01-01'
+                         and l_shipdate < timestamp '1998-01-01'
+                         and cast(floor(l_discount * 100 + 0.5) as bigint)
+                             between 5 and 7
+                         and l_quantity < 24)
+            select coalesce(sum(cents * pct), 0)::bigint as revenue_e4,
+                   count(*)::bigint as n_rows
+            from f
+        """,
+        "q4_order_priority": """
+            select o_orderpriority, count(*)::bigint as n_orders
+            from orders o
+            where exists (select 1 from lineitem l
+                          where l.l_orderkey = o.o_orderkey
+                            and l.l_shipdate > o.o_orderdate
+                                              + interval 30 day)
+            group by 1
+        """,
         "events_new_users": """
             with f as (select user_id, min(strftime(ts, '%Y-%m-%d')) as day
                        from events group by 1),

