@@ -95,6 +95,29 @@ def _kg_artifacts(sf_dir: str) -> dict:
     return run_kg(pages, f"{base}/out", n_buckets=8)
 
 
+def _corpus_derived_gold(gold_dir: str, gold_file: str, write) -> None:
+    """Lazily (re)write a gold table DERIVED from the synthesized corpus.
+
+    File-existence alone is not a valid cache guard for these: when the
+    corpus version bumps, ``_kg_artifacts`` rebuilds ``/tmp/graft_kg/<sf>``
+    but a previously written derived gold (MIS, coloring) would silently
+    survive and mismatch — the same stale-resume class the BSP checkpoint
+    content digests close.  So the gold dir is stamped with the SAME
+    corpus version marker and rebuilt on any marker mismatch."""
+    import shutil
+
+    from pdf_entity_extraction_ray.sources.corpus import CORPUS_VERSION_MARKER
+
+    if os.path.isfile(gold_file) and os.path.isfile(
+        f"{gold_dir}/{CORPUS_VERSION_MARKER}"
+    ):
+        return
+    shutil.rmtree(gold_dir, ignore_errors=True)
+    write()
+    with open(f"{gold_dir}/{CORPUS_VERSION_MARKER}", "w") as f:
+        f.write("corpus-derived gold stamp")
+
+
 def entry() -> Any:
     """Flagship: pages -> extract -> tag -> relate -> link -> graph; nodes."""
     import ray.data
@@ -691,8 +714,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = _kg_artifacts(sf_dir)
         name = os.path.basename(os.path.normpath(sf_dir)) or "default"
         gold_dir = f"/tmp/graft_mis_v1/{name}"
-        if not os.path.isfile(f"{gold_dir}/gold_mis.parquet"):
-            write_gold_mis(f"/tmp/graft_kg/{name}", gold_dir)
+        _corpus_derived_gold(
+            gold_dir,
+            f"{gold_dir}/gold_mis.parquet",
+            lambda: write_gold_mis(f"/tmp/graft_kg/{name}", gold_dir),
+        )
         return maximal_independent_set(
             ray.data.read_parquet(res["edges"], columns=["src_id", "dst_id"])
         )
@@ -711,8 +737,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = _kg_artifacts(sf_dir)
         name = os.path.basename(os.path.normpath(sf_dir)) or "default"
         gold_dir = f"/tmp/graft_coloring_v1/{name}"
-        if not os.path.isfile(f"{gold_dir}/gold_coloring.parquet"):
-            write_gold_coloring(f"/tmp/graft_kg/{name}", gold_dir)
+        _corpus_derived_gold(
+            gold_dir,
+            f"{gold_dir}/gold_coloring.parquet",
+            lambda: write_gold_coloring(f"/tmp/graft_kg/{name}", gold_dir),
+        )
         return greedy_coloring(
             ray.data.read_parquet(res["edges"], columns=["src_id", "dst_id"])
         )
@@ -1092,10 +1121,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pdf_entity_extraction_ray.ops.multimodal import write_gold_media
 
         if not (
-            os.path.isfile("/tmp/graft_mm_v5/gold_image_features.parquet")
-            and os.path.isfile("/tmp/graft_mm_v5/gold_frames.parquet")
+            os.path.isfile("/tmp/graft_mm_v6/gold_image_features.parquet")
+            and os.path.isfile("/tmp/graft_mm_v6/gold_frames.parquet")
         ):
-            write_gold_media("/tmp/graft_mm_v5", n=300)
+            write_gold_media("/tmp/graft_mm_v6", n=300)
 
     def multimodal_features(sf_dir):
         import numpy as np
@@ -2057,7 +2086,7 @@ def oracle_sql() -> dict[str, str]:
     token_re = "[A-Za-z0-9_]+"
     punct_re = r"[!-/:-@\[-`{-~]"
 
-    jaccard_pairs_sql = """
+    jaccard_pairs_sql = f"""
             with w as (select doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') as ws
                        from documents),
                  t as (select doc_id,
@@ -2080,7 +2109,12 @@ def oracle_sql() -> dict[str, str]:
     # engine's deterministic most-complete-name rule (stages/linking.py
     # ``representative``: most punct-stripped words, then longest, then
     # lexicographically smallest — binary collation matches Python).
-    gold = "/tmp/graft_kg/sf0.01"
+    # gold root scale: defaults to the driver's sf0.01 gate; the local
+    # mimic (scripts/check_oracle.py) exports GRAFT_ORACLE_SF so the same
+    # oracles are scale-honest at sf0.001 / sf0.1 (the query side already
+    # regenerates gold per sf_dir under /tmp/..._v1/{name})
+    sf_name = os.environ.get("GRAFT_ORACLE_SF", "sf0.01")
+    gold = f"/tmp/graft_kg/{sf_name}"
     kg_cte = f"""
         gm as (select * from read_parquet('{gold}/gold_mentions/*.parquet')),
         gt as (select * from read_parquet('{gold}/gold_triples/*.parquet')),
@@ -2097,7 +2131,7 @@ def oracle_sql() -> dict[str, str]:
                                  '\\S+')) desc,
                              len(text) desc, text) = 1)
     """
-    tri_canon = """
+    tri_canon = f"""
         select t.url, t.seg_id, t.subj_type, t.pred, t.obj_type,
                rs.canonical as subj_canonical,
                case when t.obj_type = 'DATE' then t.obj_canonical
@@ -2713,13 +2747,13 @@ def oracle_sql() -> dict[str, str]:
             select node, community
             from read_parquet('{gold}/gold_communities/*.parquet')
         """,
-        "kg_mis": """
+        "kg_mis": f"""
             select node, selected
-            from read_parquet('/tmp/graft_mis_v1/sf0.01/gold_mis.parquet')
+            from read_parquet('/tmp/graft_mis_v1/{sf_name}/gold_mis.parquet')
         """,
-        "kg_coloring": """
+        "kg_coloring": f"""
             select node, color
-            from read_parquet('/tmp/graft_coloring_v1/sf0.01/gold_coloring.parquet')
+            from read_parquet('/tmp/graft_coloring_v1/{sf_name}/gold_coloring.parquet')
         """,
         "docs_lexical_stats": f"""
             with w as (select doc_id,
@@ -2816,7 +2850,7 @@ def oracle_sql() -> dict[str, str]:
                    ((5 * mc + nn - 1) // nn)::bigint as m_score
             from s
         """,
-        "q5_supplier_volume": """
+        "q5_supplier_volume": f"""
             select n_name, count(*)::bigint as n_items,
                    sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint)
                        * (100 - cast(floor(l_discount * 100 + 0.5) as bigint))
@@ -4173,60 +4207,60 @@ qualify rank <= 5
         # (features in integer ppm, frames byte-for-byte)
         "multimodal_image_features": """
             select media_id, features_ppm, n_bytes
-            from read_parquet('/tmp/graft_mm_v5/gold_image_features.parquet')
+            from read_parquet('/tmp/graft_mm_v6/gold_image_features.parquet')
         """,
         "multimodal_frame_sample": """
             select media_id, frame_ms, frame_payload
-            from read_parquet('/tmp/graft_mm_v5/gold_frames.parquet')
+            from read_parquet('/tmp/graft_mm_v6/gold_frames.parquet')
         """,
         # SemDeDup: iterative k-means + per-cluster cosine pruning is not
         # SQL-expressible; the gold is a single-process mirror sharing the
         # prune kernel verbatim, so hash equality proves distributed ==
         # single-process bit-exact
-        "emb_semdedup": """
+        "emb_semdedup": f"""
             select vec_id, cluster, keep
-            from read_parquet('/tmp/graft_semdedup_v1/sf0.01/gold_semdedup.parquet')
+            from read_parquet('/tmp/graft_semdedup_v1/{sf_name}/gold_semdedup.parquet')
         """,
         # PQ: iterative codebook training is not SQL-expressible; the gold
         # is a single-process mirror sharing the encode/ADC kernels, so
         # hash equality proves distributed == single-process
-        "emb_knn_pq": """
+        "emb_knn_pq": f"""
             select query_id, neighbor_id, rank
-            from read_parquet('/tmp/graft_pq_v1/sf0.01/gold_pq.parquet')
+            from read_parquet('/tmp/graft_pq_v1/{sf_name}/gold_pq.parquet')
         """,
-        "emb_knn_ivfpq": """
+        "emb_knn_ivfpq": f"""
             select query_id, neighbor_id, rank
-            from read_parquet('/tmp/graft_ivfpq_v1/sf0.01/gold_ivfpq.parquet')
+            from read_parquet('/tmp/graft_ivfpq_v1/{sf_name}/gold_ivfpq.parquet')
         """,
         # BPE: iterative merge learning is not SQL-expressible; the gold
         # tables are a single-process mirror over the SAME documents, so
         # hash equality proves distributed == single-process byte-exact
-        "docs_bpe_merges": """
+        "docs_bpe_merges": f"""
             select merge_rank, lhs, rhs, n
-            from read_parquet('/tmp/graft_bpe_v1/sf0.01/gold_merges.parquet')
+            from read_parquet('/tmp/graft_bpe_v1/{sf_name}/gold_merges.parquet')
         """,
-        "docs_bpe_encode": """
+        "docs_bpe_encode": f"""
             select doc_id, n_tokens, tok_fp
-            from read_parquet('/tmp/graft_bpe_v1/sf0.01/gold_encodings.parquet')
+            from read_parquet('/tmp/graft_bpe_v1/{sf_name}/gold_encodings.parquet')
         """,
         # IRLS logistic regression: iterative Newton fitting is not
         # SQL-expressible; the gold tables are a single-process mirror of
         # the same fixed-iteration arithmetic over the SAME documents, so
         # hash equality proves distributed == single-process on the ppm grid
-        "docs_quality_logreg": """
+        "docs_quality_logreg": f"""
             select feature, coef_ppm
-            from read_parquet('/tmp/graft_logreg_v1/sf0.01/gold_logreg_coefs.parquet')
+            from read_parquet('/tmp/graft_logreg_v1/{sf_name}/gold_logreg_coefs.parquet')
         """,
-        "docs_quality_scores": """
+        "docs_quality_scores": f"""
             select doc_id, score_ppm, pred
-            from read_parquet('/tmp/graft_logreg_v1/sf0.01/gold_logreg_scores.parquet')
+            from read_parquet('/tmp/graft_logreg_v1/{sf_name}/gold_logreg_scores.parquet')
         """,
         # CCNet head/middle/tail: thresholds are exact order statistics
         # over the gold ppm scores — quantile_disc matches the engine's
         # ceil-rank cumulative walk (the event_quantiles convention)
-        "docs_ccnet_buckets": """
+        "docs_ccnet_buckets": f"""
             with s as (select doc_id, ppl_ppm
-                       from read_parquet('/tmp/graft_lm_v1/sf0.01/gold_ppl.parquet')),
+                       from read_parquet('/tmp/graft_lm_v1/{sf_name}/gold_ppl.parquet')),
             t as (select quantile_disc(ppl_ppm, 1.0/3) as t1,
                          quantile_disc(ppl_ppm, 2.0/3) as t2 from s)
             select doc_id, ppl_ppm,
@@ -4255,8 +4289,8 @@ qualify rank <= 5
         # SQL-expressible; the gold table is a single-process mirror using
         # the same shared kernel over the SAME documents, so hash equality
         # proves distributed == single-process bit-exact (pre-ppm)
-        "docs_perplexity": """
+        "docs_perplexity": f"""
             select doc_id, n_tokens, logprob_ppm, ppl_ppm
-            from read_parquet('/tmp/graft_lm_v1/sf0.01/gold_ppl.parquet')
+            from read_parquet('/tmp/graft_lm_v1/{sf_name}/gold_ppl.parquet')
         """,
     }

@@ -121,6 +121,23 @@ def snm_pairs(mentions_ds, window: int = 4):
         # Python loop over rows (the same discipline as the other
         # pair-expansion ops; a hot prefix bucket at 10^9 surfaces holds
         # ~n/1369 rows and stays C-speed here)
+        if group.num_rows == 0 or "bucket" not in group.column_names:
+            # standard map_groups guard (ADVICE r4): a 0-row / schema-less
+            # group from an empty shuffle partition must not index [0]
+            return pa.table(
+                {
+                    "kind": pa.array([], pa.int8()),
+                    "type_a": pa.array([], pa.string()),
+                    "surf_a": pa.array([], pa.string()),
+                    "type_b": pa.array([], pa.string()),
+                    "surf_b": pa.array([], pa.string()),
+                    "dist": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                    "local_rank": pa.array([], pa.int64()),
+                    "n_bucket": pa.array([], pa.int64()),
+                    "key": pa.array([], pa.string()),
+                }
+            )
         idx = pc.sort_indices(
             group,
             sort_keys=[

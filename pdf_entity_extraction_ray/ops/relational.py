@@ -2629,6 +2629,16 @@ def customer_pareto(orders_ds, *, pct: int = 80):
                 }
             )
         r = batch.column("rev_cents").combine_chunks().to_numpy(zero_copy_only=False)
+        if len(r) and int(r.min()) < 0:
+            # contract (ADVICE r4): the inclusive-prefix rule is only
+            # well-defined for non-negative revenue — the SQL mirror's
+            # running-sum walk is non-monotone under negatives (rows can
+            # RE-ENTER the kept set), so there is no single threshold T
+            # to find.  Fail fast instead of misplacing the cut.
+            raise ValueError(
+                "customer_pareto requires non-negative per-customer revenue; "
+                f"got min rev_cents={int(r.min())}"
+            )
         blen = np.zeros(len(r), dtype=np.int64)
         nz = r > 0
         blen[nz] = np.floor(np.log2(r[nz].astype(np.float64))).astype(np.int64) + 1
@@ -2681,7 +2691,12 @@ def customer_pareto(orders_ds, *, pct: int = 80):
 
     # --- boundary bucket: exact value-ordered walk (driver state
     # O(distinct values in ONE magnitude bucket's histogram)) ---
-    lo_edge = 0 if boundary == 0 else 1 << (boundary - 1)
+    # the blen-0 bucket holds EVERY rev_cents <= 0 (negatives included —
+    # returns/credits can make a customer's total negative), so its scan
+    # has NO lower edge; the histogram's ``s`` already summed them, and
+    # the value walk must see the same population or the threshold T
+    # lands one bucket off (ADVICE r4)
+    lo_edge = None if boundary == 0 else 1 << (boundary - 1)
     hi_edge = 1 << boundary
 
     def val_hist(batch: pa.Table) -> pa.Table:
@@ -2689,12 +2704,12 @@ def customer_pareto(orders_ds, *, pct: int = 80):
             return pa.table(
                 {"rv": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
             )
-        t = batch.filter(
-            pc.and_(
-                pc.greater_equal(batch.column("rev_cents"), lo_edge),
-                pc.less(batch.column("rev_cents"), hi_edge),
+        in_bucket = pc.less(batch.column("rev_cents"), hi_edge)
+        if lo_edge is not None:
+            in_bucket = pc.and_(
+                pc.greater_equal(batch.column("rev_cents"), lo_edge), in_bucket
             )
-        )
+        t = batch.filter(in_bucket)
         g = t.select(["rev_cents"]).group_by("rev_cents").aggregate([([], "count_all")])
         return pa.table(
             {
@@ -3098,6 +3113,111 @@ def q4_order_priority(
 
     late_us = int(late_days) * 86_400_000_000
 
+    if _build_side_bytes(orders_ds) > broadcast_limit_bytes:
+        # warehouse scale: the same reduction via a hash-shuffle join —
+        # the q3/q5 fail-closed dispatch; the orders table never touches
+        # the driver.  One join + the same distinct/count groupbys.
+        n_part = num_partitions or _join_parts()
+
+        def order_proj(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "o_orderkey" not in batch.column_names:
+                return pa.table(
+                    {
+                        "o_orderkey": pa.array([], pa.int64()),
+                        "o_orderdate_us": pa.array([], pa.int64()),
+                        "o_orderpriority": pa.array([], pa.string()),
+                    }
+                )
+            return pa.table(
+                {
+                    "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+                    "o_orderdate_us": batch.column("o_orderdate")
+                    .cast(pa.timestamp("us"))
+                    .cast(pa.int64()),
+                    "o_orderpriority": batch.column("o_orderpriority"),
+                }
+            )
+
+        def li_proj(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "l_orderkey" not in batch.column_names:
+                return pa.table(
+                    {
+                        "l_orderkey": pa.array([], pa.int64()),
+                        "ship_us": pa.array([], pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "l_orderkey": batch.column("l_orderkey").cast(pa.int64()),
+                    "ship_us": batch.column("l_shipdate")
+                    .cast(pa.timestamp("us"))
+                    .cast(pa.int64()),
+                }
+            )
+
+        def late_distinct(batch: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_orderpriority": pa.array([], pa.string()),
+                }
+            )
+            if batch.num_rows == 0 or "ship_us" not in batch.column_names:
+                return empty
+            keep = pc.greater(
+                pc.subtract(batch.column("ship_us"), batch.column("o_orderdate_us")),
+                late_us,
+            )
+            t = pa.table(
+                {
+                    "o_orderkey": batch.column("l_orderkey"),
+                    "o_orderpriority": batch.column("o_orderpriority"),
+                }
+            ).filter(keep)
+            # semi-join combiner: one key per order per batch
+            return t.group_by(["o_orderkey", "o_orderpriority"]).aggregate([])
+
+        def shuffle_counts(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "o_orderpriority" not in batch.column_names:
+                return pa.table(
+                    {
+                        "o_orderpriority": pa.array([], pa.string()),
+                        "n_orders": pa.array([], pa.int64()),
+                    }
+                )
+            g = pa.table({"o_orderpriority": batch.column("o_orderpriority")}).group_by(
+                "o_orderpriority"
+            ).aggregate([([], "count_all")])
+            return pa.table(
+                {
+                    "o_orderpriority": g.column("o_orderpriority"),
+                    "n_orders": g.column("count_all").cast(pa.int64()),
+                }
+            )
+
+        joined = (
+            lineitem_ds.select_columns(["l_orderkey", "l_shipdate"])
+            .map_batches(li_proj, batch_format="pyarrow")
+            .join(
+                orders_ds.select_columns(
+                    ["o_orderkey", "o_orderdate", "o_orderpriority"]
+                ).map_batches(order_proj, batch_format="pyarrow"),
+                join_type="inner",
+                num_partitions=n_part,
+                on=("l_orderkey",),
+                right_on=("o_orderkey",),
+            )
+        )
+        return (
+            joined.map_batches(late_distinct, batch_format="pyarrow")
+            .groupby(["o_orderkey", "o_orderpriority"])
+            .aggregate(Count(alias_name="_n"))  # global distinct (count unused)
+            .map_batches(shuffle_counts, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(Sum("n_orders", alias_name="n_orders"))
+        )
+
+    # bench scale: orders reduce under the limit -> driver collect + broadcast
     ok, od, op = [], [], []
     for b in orders_ds.select_columns(
         ["o_orderkey", "o_orderdate", "o_orderpriority"]
@@ -3108,10 +3228,6 @@ def q4_order_priority(
             .combine_chunks()
         )
         op.append(b.column("o_orderpriority").combine_chunks())
-    if _build_side_bytes(orders_ds) > broadcast_limit_bytes:
-        # warehouse scale: the same reduction via a hash-shuffle join —
-        # the broadcast path below is the measured default at bench scale
-        pass
     ord_ref = ray.put(
         (
             pa.concat_arrays(ok) if ok else pa.array([], pa.int64()),

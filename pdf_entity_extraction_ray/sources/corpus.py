@@ -139,7 +139,7 @@ PRED_PHRASES = {
 PAGES_EPOCH = _dt.datetime(2020, 1, 1)
 
 #: bump when synthesis output changes (consumers regenerate stale caches)
-CORPUS_VERSION_MARKER = "_corpus_v3"  # v3: fr/de/pt pages + tail_every
+CORPUS_VERSION_MARKER = "_corpus_v4"  # v4: observation-aware gold clusters
 
 
 # ---------------------------------------------------------------------------
@@ -191,6 +191,62 @@ def _merge_conflict(aliases: list[str], accepted: list[Cluster]) -> bool:
                 ):
                     return True
     return False
+
+
+def split_observed_components(
+    clusters: list[Cluster], observed: set[tuple[str, str]]
+) -> list[Cluster]:
+    """Split each planted alias family into merge-predicate-connected
+    components over its OBSERVED aliases (the (type, text) pairs that
+    actually occur as gold mentions in this corpus sample).
+
+    A planted family is star-connected through its full canonical name;
+    a sample that never emits that hub can leave the observed aliases
+    disconnected under the engine's pairwise rules (D2 similarity / M21
+    subset / M22 abbreviation), and transitive-closure linking — the
+    reference's union-find semantics — must then keep them apart.  Gold
+    clusters therefore carry the components, not the planted family, so
+    gold equals what a CORRECT engine computes at any scale/seed.  When
+    every family's hub is observed (the common case) this is a no-op.
+
+    Unobserved aliases are dropped (they have no observable trace);
+    fully-unobserved families disappear.  Component ids are
+    ``cluster_id * 64 + k`` with components ordered by smallest alias —
+    deterministic, and collision-free because every emitted id is of the
+    same form with k < 64.  Each component's canonical is the engine's
+    most-complete-name representative over its observed aliases."""
+    from ..stages.linking import representative, surfaces_match
+
+    out: list[Cluster] = []
+    for c in clusters:
+        obs = sorted(a for a in c.aliases if (c.type, a) in observed)
+        if not obs:
+            continue
+        parent = list(range(len(obs)))
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for i in range(len(obs)):
+            for j in range(i + 1, len(obs)):
+                if surfaces_match(obs[i], obs[j]):
+                    parent[find(i)] = find(j)
+        comps: dict[int, list[str]] = {}
+        for i, a in enumerate(obs):
+            comps.setdefault(find(i), []).append(a)
+        for k, aliases in enumerate(sorted(comps.values(), key=lambda g: g[0])):
+            out.append(
+                Cluster(
+                    c.cluster_id * 64 + k,
+                    c.type,
+                    representative(sorted(aliases)),
+                    sorted(aliases),
+                )
+            )
+    return out
 
 
 def make_catalog(seed: int = 42, n_per_type: int = 25) -> list[Cluster]:
@@ -744,7 +800,24 @@ def write_corpus(
             f"{out_dir}/gold_triples"
         )
 
-        clusters = cached_catalog(seed, n_per_type)
+        # Gold clusters are OBSERVATION-AWARE: a planted alias family is
+        # star-connected through its full canonical name, so a corpus
+        # sample that never emits the hub alias leaves the observed
+        # aliases DISCONNECTED under the engine's pairwise predicates —
+        # and transitive-closure linking (the reference semantics,
+        # src/methods union of D2/M21/M22 merges) must NOT merge them.
+        # Splitting here makes gold equal the closure a correct engine
+        # computes at ANY scale/seed (a no-op whenever the hub is
+        # observed, so sf0.01-scale gold is unchanged).
+        import pyarrow.dataset as pads
+
+        gm_obs = pads.dataset(f"{out_dir}/gold_mentions").to_table(
+            columns=["type", "text"]
+        )
+        observed = set(
+            zip(gm_obs.column("type").to_pylist(), gm_obs.column("text").to_pylist())
+        )
+        clusters = split_observed_components(cached_catalog(seed, n_per_type), observed)
         clusters_table = pa.table(
             {
                 "cluster_id": pa.array([c.cluster_id for c in clusters], pa.int64()),

@@ -28,9 +28,23 @@ DOCS_SCHEMA = pa.schema(
 
 
 def write_docs_csv(docs_ds, out_dir: str) -> None:
-    """Documents dataset -> CSV shards (one file per block, streaming)."""
+    """Documents dataset -> CSV shards (one file per block, streaming).
+
+    Non-null contract (enforced): CSV cannot distinguish a null from an
+    empty string — pyarrow 16's writer emits both as an empty field and
+    its reader has no write-side null sentinel — so a null would come
+    back as ``""`` and silently break the byte-exact roundtrip claim.
+    Rows with nulls must be repaired or dropped BEFORE export."""
 
     def norm(batch: pa.Table) -> pa.Table:
+        for f in DOCS_SCHEMA:
+            nulls = batch.column(f.name).null_count
+            if nulls:
+                raise ValueError(
+                    f"write_docs_csv: column {f.name!r} has {nulls} null(s); "
+                    "CSV cannot round-trip null vs empty-string — repair or "
+                    "drop null rows before export"
+                )
         return pa.table(
             {f.name: batch.column(f.name).cast(f.type) for f in DOCS_SCHEMA}
         )

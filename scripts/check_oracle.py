@@ -51,6 +51,9 @@ def value_hash(tbl: pa.Table) -> str:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # oracle_sql() reads gold tables under /tmp/..._v1/<scale-name>/ — tell
+    # it which scale this run is so the harness is honest at any sf
+    os.environ["GRAFT_ORACLE_SF"] = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
 
     import ray
 

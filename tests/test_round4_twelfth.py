@@ -185,8 +185,18 @@ def test_median_gap_bruteforce():
     assert got == gold
 
 
-def test_pareto_nonpositive_total_returns_empty():
-    # all-negative / all-zero revenue: the inclusive-prefix rule keeps
-    # nothing (regression: this crashed on min() of an empty dict)
-    assert _pareto_run([(1, -5.0), (2, -3.0)], 80) == set()
+def test_pareto_zero_total_returns_empty():
+    # all-zero revenue: the inclusive-prefix rule keeps nothing
+    # (regression: this crashed on min() of an empty dict)
     assert _pareto_run([(1, 0.0), (2, 0.0)], 80) == set()
+
+
+def test_pareto_negative_revenue_fails_fast():
+    # ADVICE r4: under negatives the SQL mirror's running-sum walk is
+    # non-monotone (rows can re-enter the kept set) so no single
+    # threshold T exists — the op must refuse, not misplace the cut
+    import pytest
+
+    with pytest.raises((ValueError, Exception)) as exc:
+        _pareto_run([(1, -5.0), (2, 3.0)], 80)
+    assert "non-negative" in str(exc.value)
