@@ -5,13 +5,14 @@ are overwhelmingly JPEG, and ``ops/multimodal.py`` import-gated the
 decode.  This module implements the public ITU-T T.81 baseline process
 directly:
 
-* ``decode_jpeg`` — a GENERAL baseline decoder: canonical Huffman tables
-  built from the file's own DHT segments, any component count, 4:4:4 /
-  4:2:2 / 4:2:0 subsampling via sampling factors, 8/16-bit DQT, restart
-  markers, JFIF YCbCr -> RGB.  Progressive (SOF2) and arithmetic-coded
-  files raise ``NotImplementedError`` naming the gap (baseline covers the
-  dominant share of web JPEGs; a real cluster adds libjpeg-turbo for the
-  rest).
+* ``decode_jpeg`` — a GENERAL baseline + progressive decoder: canonical
+  Huffman tables built from the file's own DHT segments, any component
+  count, 4:4:4 / 4:2:2 / 4:2:0 subsampling via sampling factors, 8/16-bit
+  DQT, restart markers, JFIF YCbCr -> RGB.  Progressive (SOF2) implements
+  the full T.81 Annex G Huffman path: spectral selection, successive
+  approximation (DC + AC first/refinement scans), EOB runs, and buffered
+  correction bits.  Arithmetic-coded and lossless/hierarchical frames
+  raise ``NotImplementedError`` naming the gap.
 * ``encode_jpeg`` — a bitstream-legal baseline encoder used to synthesize
   deterministic test payloads: Annex-K quantization tables with libjpeg
   quality scaling, forward DCT, and fixed-length canonical Huffman tables
@@ -354,10 +355,10 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF JPEG -> (H, W, 3) uint8 RGB.
+    """Baseline or progressive JFIF JPEG -> (H, W, 3) uint8 RGB.
 
-    General table-driven baseline decoder (see module docstring); raises
-    NotImplementedError for progressive/arithmetic/hierarchical frames."""
+    General table-driven decoder (see module docstring); raises
+    NotImplementedError for arithmetic/lossless/hierarchical frames."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -366,6 +367,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     ac_tabs: dict[int, _Huff] = {}
     frame = None  # (h, w, comps) comps: list of (cid, hf, vf, tq)
     restart_interval = 0
+    progressive = False
+    coefs: dict[int, np.ndarray] = {}  # cid -> (nby, nbx, 64) zigzag ints
     n = len(payload)
 
     while pos < n:
@@ -394,17 +397,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 nat = np.empty(64, np.int32)
                 nat[_ZZ] = vals
                 qts[tq] = nat.reshape(8, 8)
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline(-ish)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             _prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + ci * 3 : 9 + ci * 3]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}); a real "
-                "cluster adds libjpeg-turbo/PIL for progressive files"
+                f"unsupported JPEG frame (SOF marker 0xFF{marker:02X}): "
+                "arithmetic/lossless/hierarchical coding; baseline and "
+                "progressive Huffman frames are implemented here"
             )
         elif marker == 0xC4:  # DHT
             bp = 0
@@ -424,10 +429,24 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, tt = body[1 + si * 2 : 3 + si * 2]
                 scan.append((cid, tt >> 4, tt & 15))
             data_start = pos + seglen
-            return _decode_scan(
-                payload, data_start, frame, scan, qts, dc_tabs, ac_tabs, restart_interval
+            if not progressive:
+                return _decode_scan(
+                    payload, data_start, frame, scan, qts, dc_tabs, ac_tabs,
+                    restart_interval,
+                )
+            ss = body[1 + ns * 2]
+            se = body[2 + ns * 2]
+            ahal = body[3 + ns * 2]
+            if not coefs:
+                coefs = _init_prog_coefs(frame)
+            pos = _decode_progressive_scan(
+                payload, data_start, frame, scan, ss, se, ahal >> 4, ahal & 15,
+                dc_tabs, ac_tabs, restart_interval, coefs,
             )
+            continue
         pos += seglen
+    if progressive and coefs:
+        return _prog_reconstruct(frame, coefs, qts)
     raise ValueError("no SOS segment found")
 
 
@@ -506,3 +525,471 @@ def _decode_scan(payload, pos, frame, scan, qts, dc_tabs, ac_tabs, restart_inter
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+# --------------------------------------------------------------------------
+# progressive (SOF2) — ITU-T T.81 Annex G, Huffman path.  Coefficients are
+# accumulated across scans in ZIGZAG order per component over the padded
+# MCU block grid; non-interleaved scans address only the component's REAL
+# block grid (padded-only blocks keep zero AC — they are cropped away).
+
+
+def _prog_geom(frame):
+    """Frame -> (hmax, vmax, mcus_x, mcus_y, per-cid geometry dict with
+    (hf, vf, tq, padded nby/nbx, real rbh/rbw))."""
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+    geo = {}
+    for cid, hf, vf, tq in comps:
+        cw = (fw * hf + hmax - 1) // hmax
+        ch = (fh * vf + vmax - 1) // vmax
+        geo[cid] = (
+            hf, vf, tq,
+            mcus_y * vf, mcus_x * hf,           # padded block grid
+            (ch + 7) // 8, (cw + 7) // 8,       # real block grid
+        )
+    return hmax, vmax, mcus_x, mcus_y, geo
+
+
+def _init_prog_coefs(frame):
+    _h, _v, _mx, _my, geo = _prog_geom(frame)
+    return {
+        cid: np.zeros((nby, nbx, 64), dtype=np.int32)
+        for cid, (_hf, _vf, _tq, nby, nbx, _rbh, _rbw) in geo.items()
+    }
+
+
+def _decode_progressive_scan(
+    payload, pos, frame, scan, ss, se, ah, al, dc_tabs, ac_tabs,
+    restart_interval, coefs,
+):
+    """Decode one progressive SOS into ``coefs``; returns the stream
+    position of the next marker.  Implements T.81 G.2 (the jdphuff
+    decision structure): DC first/refine, AC first/refine with EOB runs
+    and in-band correction bits."""
+    _hmax, _vmax, mcus_x, mcus_y, geo = _prog_geom(frame)
+    br = _BitReader(payload, pos)
+    state = {"eobrun": 0, "pred": {cid: 0 for cid, _t1, _t2 in scan}}
+
+    def reset():
+        state["eobrun"] = 0
+        for k in state["pred"]:
+            state["pred"][k] = 0
+
+    def maybe_restart(unit_idx):
+        if restart_interval and unit_idx and unit_idx % restart_interval == 0:
+            try:
+                while True:
+                    br.read(1)
+            except _RestartMarker:
+                br.align_after_restart()
+                reset()
+            except _SegmentEnd:
+                pass
+
+    if ss == 0:  # ---- DC scan (interleaved or single-component) ----
+        if se != 0:
+            raise ValueError("DC scan must have Se == 0")
+        if len(scan) > 1:
+            units = [
+                (cid, my * geo[cid][1] + by, mx * geo[cid][0] + bx)
+                for my in range(mcus_y)
+                for mx in range(mcus_x)
+                for cid, _td, _ta in scan
+                for by in range(geo[cid][1])
+                for bx in range(geo[cid][0])
+            ]
+            # restart counting is per MCU: tag each unit with its MCU index
+            blocks_per_mcu = sum(geo[cid][0] * geo[cid][1] for cid, _t, _a in scan)
+        else:
+            cid = scan[0][0]
+            _hf, _vf, _tq, _nby, _nbx, rbh, rbw = geo[cid]
+            units = [(cid, by, bx) for by in range(rbh) for bx in range(rbw)]
+            blocks_per_mcu = 1
+        for ui, (cid, by, bx) in enumerate(units):
+            if ui % blocks_per_mcu == 0:
+                maybe_restart(ui // blocks_per_mcu)
+            blk = coefs[cid]
+            if ah == 0:
+                td = next(t for c, t, _a in scan if c == cid)
+                s = dc_tabs[td].decode(br)
+                diff = _extend(br.read(s), s) if s else 0
+                state["pred"][cid] += diff
+                blk[by, bx, 0] = state["pred"][cid] << al
+            else:
+                if br.read(1):
+                    blk[by, bx, 0] |= 1 << al
+        return br.pos
+
+    # ---- AC scan: always single-component, band ss..se ----
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    cid, _td, ta = scan[0]
+    _hf, _vf, _tq, _nby, _nbx, rbh, rbw = geo[cid]
+    ac = ac_tabs[ta]
+    p1, m1 = 1 << al, -1 << al
+
+    for ui in range(rbh * rbw):
+        maybe_restart(ui)
+        by, bx = divmod(ui, rbw)
+        blk = coefs[cid][by, bx]
+        if ah == 0:  # ---- AC first scan ----
+            if state["eobrun"] > 0:
+                state["eobrun"] -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = ac.decode(br)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r != 15:
+                        state["eobrun"] = (1 << r) - 1
+                        if r:
+                            state["eobrun"] += br.read(r)
+                        break
+                    k += 16
+                else:
+                    k += r
+                    if k > se:
+                        raise ValueError("AC index overflow in progressive scan")
+                    blk[k] = _extend(br.read(s), s) << al
+                    k += 1
+            continue
+        # ---- AC refinement scan (G.2 / jdphuff structure) ----
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = ac.decode(br)
+                r, s = rs >> 4, rs & 15
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += br.read(r)
+                        break
+                    # r == 15: skip 16 zero-history coefficients
+                else:
+                    # refinement symbols carry s == 1 only
+                    val = p1 if br.read(1) else m1
+                while k <= se:
+                    if blk[k] != 0:
+                        if br.read(1) and (int(blk[k]) & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    if br.read(1) and (int(blk[k]) & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                k += 1
+            state["eobrun"] -= 1
+    return br.pos
+
+
+def _prog_reconstruct(frame, coefs, qts):
+    """Accumulated zigzag coefficients -> (H, W, 3) uint8 RGB: dequantize,
+    vectorized IDCT over all blocks, upsample, crop, color-convert (the
+    same math as the baseline tail)."""
+    fh, fw, comps = frame
+    hmax, vmax, _mx, _my, geo = _prog_geom(frame)
+    full = []
+    for cid, hf, vf, tq in comps:
+        zz = coefs[cid].astype(np.float64)
+        nby, nbx = zz.shape[:2]
+        nat = np.zeros_like(zz)
+        nat[:, :, _ZZ] = zz
+        F = nat.reshape(nby, nbx, 8, 8) * qts[tq].astype(np.float64)
+        blocks = np.einsum("ba,xybc,cd->xyad", _C, F, _C) + 128.0
+        plane = blocks.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        plane = np.repeat(np.repeat(plane, vmax // vf, axis=0), hmax // hf, axis=1)
+        full.append(plane[:fh, :fw])
+    if len(full) == 1:
+        ych = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.stack([ych, ych, ych], axis=-1)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# progressive encoder — libjpeg-style scan script (spectral selection +
+# one level of successive approximation), per-scan Huffman tables built
+# from the symbols each scan actually emits (same fixed-length canonical
+# construction as the baseline encoder).
+
+
+class _ScanOps:
+    """Two-pass scan buffer: collect (symbol | raw-bit) ops, then build a
+    Huffman table over the emitted symbols and serialize."""
+
+    def __init__(self):
+        self.ops: list[tuple] = []
+
+    def sym(self, s: int) -> None:
+        self.ops.append(("s", s))
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.ops.append(("b", v, n))
+
+    def symbols(self) -> list[int]:
+        return sorted({op[1] for op in self.ops if op[0] == "s"})
+
+    def serialize(self, bw: _BitWriter, table: dict[int, tuple[int, int]]) -> None:
+        for op in self.ops:
+            if op[0] == "s":
+                code, ln = table[op[1]]
+                bw.write(code, ln)
+            else:
+                bw.write(op[1], op[2])
+
+
+def _shift_trunc(v: int, al: int) -> int:
+    """T.81 point transform: v / 2^al truncated toward zero."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+def _prog_component_coefs(img, quality, subsampling):
+    """RGB -> (frame params, per-component quantized ZIGZAG coefficient
+    arrays over the padded MCU grid) — the same per-block math as
+    ``encode_jpeg``'s put_block, vectorized with one einsum per plane."""
+    h, w = img.shape[:2]
+    f = img.astype(np.float64)
+    y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2] + 128.0
+    cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2] + 128.0
+    if subsampling == "4:2:0":
+        hy, vy = 2, 2
+        ce = _pad_to(cb, 2, 2)
+        re = _pad_to(cr, 2, 2)
+        cb = ce.reshape(ce.shape[0] // 2, 2, ce.shape[1] // 2, 2).mean(axis=(1, 3))
+        cr = re.reshape(re.shape[0] // 2, 2, re.shape[1] // 2, 2).mean(axis=(1, 3))
+    elif subsampling == "4:4:4":
+        hy, vy = 1, 1
+    else:
+        raise ValueError("subsampling must be '4:4:4' or '4:2:0'")
+    qt_l = _scaled_qt(_QT_LUMA, quality)
+    qt_c = _scaled_qt(_QT_CHROMA, quality)
+    ypad = _pad_to(y, 8 * vy, 8 * hy)
+    mcus_x = ypad.shape[1] // (8 * hy)
+    mcus_y = ypad.shape[0] // (8 * vy)
+    cbpad = _pad_to(_pad_to(cb, 8, 8), mcus_y * 8, mcus_x * 8, absolute=True)
+    crpad = _pad_to(_pad_to(cr, 8, 8), mcus_y * 8, mcus_x * 8, absolute=True)
+
+    def blockify(plane, qt):
+        nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+        F = np.einsum("ab,xybc,dc->xyad", _C, blocks - 128.0, _C)
+        q = np.round(F / qt.astype(np.float64)).astype(np.int64)
+        return q.reshape(nby, nbx, 64)[:, :, _ZZ]
+
+    coefs = [blockify(ypad, qt_l), blockify(cbpad, qt_c), blockify(crpad, qt_c)]
+    return h, w, hy, vy, qt_l, qt_c, coefs
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 85, subsampling: str = "4:4:4"
+) -> bytes:
+    """(H, W, 3) uint8 RGB -> PROGRESSIVE (SOF2) JFIF JPEG bytes.
+
+    Scan script (libjpeg-shaped; exercises every Annex-G decode path):
+    DC first at Al=1 (interleaved), per-component AC first scans at Al=1
+    with the luma band split 1-5 / 6-63, then DC refinement (Ah=1) and
+    per-component AC refinement scans (Ah=1 -> Al=0) with EOB runs and
+    buffered correction bits.  The quantized coefficients are identical
+    to ``encode_jpeg``'s, so decoding both encodings of the same image
+    yields byte-identical pixels — the roundtrip oracle the tests pin."""
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("expected (H, W, 3) RGB")
+    h, w, hy, vy, qt_l, qt_c, coefs = _prog_component_coefs(img, quality, subsampling)
+    mcus_y, _nbx = coefs[0].shape[0] // vy, None
+    mcus_x = coefs[0].shape[1] // hy
+    samp = [(hy, vy), (1, 1), (1, 1)]
+    # real (non-padded) block grids, per component
+    real = []
+    for ci, (hf, vf) in enumerate(samp):
+        cw = (w * hf + hy - 1) // hy
+        ch = (h * vf + vy - 1) // vy
+        real.append(((ch + 7) // 8, (cw + 7) // 8))
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, qt in ((0, qt_l), (1, qt_c)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+        out += bytes(int(qt.reshape(-1)[_ZZ[k]]) for k in range(64))
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += bytes([1, (hy << 4) | vy, 0, 2, 0x11, 1, 3, 0x11, 1])
+
+    def emit_scan(ops, scan_comps, ss, se, ah, al, table_class):
+        """DHT (if the scan has symbols) + SOS + entropy data."""
+        syms = ops.symbols()
+        if syms:
+            table, bits, vals = _fixed_huffman(syms)
+            out.extend(b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (table_class << 4) | 0))
+            out.extend(bytes(bits) + bytes(vals))
+        else:
+            table = {}
+        ns = len(scan_comps)
+        out.extend(b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns))
+        for ci in scan_comps:
+            out.extend(bytes([ci + 1, 0x00]))
+        out.extend(bytes([ss, se, (ah << 4) | al]))
+        bw = _BitWriter()
+        ops.serialize(bw, table)
+        bw.flush()
+        out.extend(bw.out)
+
+    # ---- scan 1: DC first, interleaved, Al=1 ----
+    al = 1
+    ops = _ScanOps()
+    pred = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (hf, vf) in enumerate(samp):
+                for by in range(vf):
+                    for bx in range(hf):
+                        v = int(coefs[ci][my * vf + by, mx * hf + bx, 0]) >> al
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        s, bitsv = _magnitude(diff)
+                        ops.sym(s)
+                        ops.bits(bitsv, s)
+    emit_scan(ops, [0, 1, 2], 0, 0, 0, al, 0)
+
+    # ---- AC first scans, Al=1 ----
+    def ac_first(ci, ss, se, al):
+        ops = _ScanOps()
+        eobrun = 0
+
+        def flush():
+            nonlocal eobrun
+            if eobrun > 0:
+                nbits = eobrun.bit_length() - 1
+                ops.sym(nbits << 4)
+                if nbits:
+                    ops.bits(eobrun & ((1 << nbits) - 1), nbits)
+                eobrun = 0
+
+        rbh, rbw = real[ci]
+        for ui in range(rbh * rbw):
+            by, bx = divmod(ui, rbw)
+            blk = coefs[ci][by, bx]
+            t = [_shift_trunc(int(blk[k]), al) for k in range(ss, se + 1)]
+            if not any(t):
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+                continue
+            flush()
+            r = 0
+            for off, v in enumerate(t):
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    ops.sym(0xF0)
+                    r -= 16
+                s, bitsv = _magnitude(v)
+                ops.sym((r << 4) | s)
+                ops.bits(bitsv, s)
+                r = 0
+            if r:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+        flush()
+        emit_scan(ops, [ci], ss, se, 0, al, 1)
+
+    ac_first(0, 1, 5, 1)
+    ac_first(1, 1, 63, 1)
+    ac_first(2, 1, 63, 1)
+    ac_first(0, 6, 63, 1)
+
+    # ---- DC refinement: Ah=1 -> Al=0, interleaved, raw bits ----
+    ops = _ScanOps()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (hf, vf) in enumerate(samp):
+                for by in range(vf):
+                    for bx in range(hf):
+                        ops.bits(int(coefs[ci][my * vf + by, mx * hf + bx, 0]) & 1, 1)
+    emit_scan(ops, [0, 1, 2], 0, 0, 1, 0, 0)
+
+    # ---- AC refinement scans: Ah=1 -> Al=0 (jcphuff structure) ----
+    def ac_refine(ci, ss, se, al):
+        ops = _ScanOps()
+        eobrun = 0
+        eob_bits: list[int] = []
+
+        def flush():
+            nonlocal eobrun
+            if eobrun > 0:
+                nbits = eobrun.bit_length() - 1
+                ops.sym(nbits << 4)
+                if nbits:
+                    ops.bits(eobrun & ((1 << nbits) - 1), nbits)
+                eobrun = 0
+                for b in eob_bits:
+                    ops.bits(b, 1)
+                eob_bits.clear()
+
+        rbh, rbw = real[ci]
+        for ui in range(rbh * rbw):
+            by, bx = divmod(ui, rbw)
+            blk = coefs[ci][by, bx]
+            absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+            eobpos = ss - 1
+            for off, t in enumerate(absv):
+                if t == 1:
+                    eobpos = ss + off
+            r = 0
+            pending: list[int] = []
+            for off, t in enumerate(absv):
+                k = ss + off
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eobpos:
+                    flush()
+                    ops.sym(0xF0)
+                    r -= 16
+                    for b in pending:
+                        ops.bits(b, 1)
+                    pending = []
+                if t > 1:
+                    pending.append(t & 1)
+                    continue
+                flush()
+                ops.sym((r << 4) | 1)
+                ops.bits(0 if int(blk[k]) < 0 else 1, 1)
+                for b in pending:
+                    ops.bits(b, 1)
+                pending = []
+                r = 0
+            if r > 0 or pending:
+                eobrun += 1
+                eob_bits.extend(pending)
+                if eobrun == 0x7FFF or len(eob_bits) > 930:
+                    flush()
+        flush()
+        emit_scan(ops, [ci], ss, se, 1, al, 1)
+
+    ac_refine(0, 1, 63, 0)
+    ac_refine(1, 1, 63, 0)
+    ac_refine(2, 1, 63, 0)
+
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -145,11 +145,15 @@ def synthesize_media_batch(batch: pa.Table) -> pa.Table:
             # (every unfilter branch in one payload)
             phase = (i // 3) % 3
             if phase == 1:
-                from .jpegc import encode_jpeg
+                from .jpegc import encode_jpeg, encode_jpeg_progressive
 
                 raw = decode_raw_rgb8(_raw_image_payload(i), _RAW_W, _RAW_H)
                 sub = "4:2:0" if (i // 6) % 2 else "4:4:4"
-                payloads.append(encode_jpeg(raw, quality=_JPEG_QUALITY, subsampling=sub))
+                # alternate baseline / progressive (SOF2) so BOTH entropy
+                # layouts are oracle-covered; (i//9)%2 flips per jpeg row,
+                # crossing the subsampling cycle -> all four combos appear
+                enc = encode_jpeg_progressive if (i // 9) % 2 else encode_jpeg
+                payloads.append(enc(raw, quality=_JPEG_QUALITY, subsampling=sub))
                 mimes.append(JPEG_IMAGE)
             elif phase == 2:
                 from .pngc import encode_png
@@ -215,11 +219,12 @@ def write_gold_media(out_dir: str, n: int = 300, every_ms: int = 250) -> None:
         if kind == "image":
             phase = (i // 3) % 3  # raw/jpeg/png, mirroring synthesize_media_batch
             if phase == 1:
-                from .jpegc import decode_jpeg, encode_jpeg
+                from .jpegc import decode_jpeg, encode_jpeg, encode_jpeg_progressive
 
                 raw = decode_raw_rgb8(_raw_image_payload(i), _RAW_W, _RAW_H)
                 sub = "4:2:0" if (i // 6) % 2 else "4:4:4"
-                payload = encode_jpeg(raw, quality=_JPEG_QUALITY, subsampling=sub)
+                enc = encode_jpeg_progressive if (i // 9) % 2 else encode_jpeg
+                payload = enc(raw, quality=_JPEG_QUALITY, subsampling=sub)
                 feats = rgb8_features(decode_jpeg(payload))
             elif phase == 2:
                 from .pngc import decode_png, encode_png

@@ -69,12 +69,13 @@ def test_markers_and_gates():
     assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01not a jpeg")
-    # progressive SOF2 raises the named gap, not garbage
-    prog = bytearray(enc)
-    sof = prog.find(b"\xff\xc0")
-    prog[sof + 1] = 0xC2
+    # lossless SOF3 raises the named gap, not garbage (progressive SOF2
+    # is implemented now — covered by TestProgressive below)
+    lossless = bytearray(enc)
+    sof = lossless.find(b"\xff\xc0")
+    lossless[sof + 1] = 0xC3
     with pytest.raises(NotImplementedError):
-        decode_jpeg(bytes(prog))
+        decode_jpeg(bytes(lossless))
 
 
 def test_decoder_is_table_driven():
@@ -90,3 +91,42 @@ def test_decoder_is_table_driven():
     enc[q_at] = min(enc[q_at] * 4, 255)
     out = decode_jpeg(bytes(enc))
     assert not np.array_equal(out, decode_jpeg(encode_jpeg(img, 85)))
+
+
+class TestProgressive:
+    """Progressive (SOF2) codec: T.81 Annex G spectral selection +
+    successive approximation.  The oracle is exact: baseline and
+    progressive encodings share the quantized coefficients, so decoding
+    both must yield BYTE-IDENTICAL pixels."""
+
+    def _imgs(self):
+        rng = np.random.RandomState(11)
+        yield rng.randint(0, 256, size=(17, 23, 3), dtype=np.uint8)
+        yield rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
+        yield _gradient(40, 24)
+        yield np.full((24, 40, 3), 200, np.uint8)  # flat: EOB runs everywhere
+
+    def test_pixels_match_baseline(self):
+        from pdf_entity_extraction_ray.ops.jpegc import encode_jpeg_progressive
+
+        for img in self._imgs():
+            for sub in ("4:4:4", "4:2:0"):
+                for q in (85, 50):
+                    base = decode_jpeg(encode_jpeg(img, q, subsampling=sub))
+                    prog = decode_jpeg(
+                        encode_jpeg_progressive(img, q, subsampling=sub)
+                    )
+                    assert np.array_equal(base, prog), (img.shape, sub, q)
+
+    def test_emits_sof2_and_multiple_scans(self):
+        from pdf_entity_extraction_ray.ops.jpegc import encode_jpeg_progressive
+
+        enc = encode_jpeg_progressive(_gradient(16, 16))
+        assert b"\xff\xc2" in enc and b"\xff\xc0" not in enc
+        assert enc.count(b"\xff\xda") == 9  # the full scan script
+
+    def test_deterministic_bytes(self):
+        from pdf_entity_extraction_ray.ops.jpegc import encode_jpeg_progressive
+
+        img = _gradient(24, 24)
+        assert encode_jpeg_progressive(img) == encode_jpeg_progressive(img)
