@@ -746,6 +746,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ray.data.read_parquet(res["edges"], columns=["src_id", "dst_id"])
         )
 
+    def _kg_resource_alloc(sf_dir, max_degree=None):
+        """Resource-allocation link prediction over the entity graph
+        (ops/graph_stats.resource_allocation).  ``max_degree`` is the
+        documented celebrity cut: apexes of undirected degree > max_degree
+        contribute no wedges (wedge volume per apex is deg*(deg-1)/2, so a
+        mega-hub makes the EXACT answer quadratic by definition — the cut
+        is the production contract at scale; see BASELINE.md 'celebrity
+        cut' for the measured sf0.1 recall).  The registry/oracle run is
+        UNCUT (max_degree=None): sf0.01 degrees are small, so the oracle
+        stays hash-exact; bench.py measures the max_degree=1000 production
+        configuration."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import resource_allocation
+
+        return resource_allocation(
+            ray.data.read_parquet(
+                _kg_artifacts(sf_dir)["edges"],
+                columns=["src_canonical", "dst_canonical"],
+            ),
+            max_degree=max_degree,
+        )
+
+    def _kg_common_neighbors(sf_dir, max_degree=None):
+        """Common-neighbor counts per candidate pair
+        (ops/graph_stats.common_neighbors); ``max_degree`` carries the same
+        celebrity-cut contract as _kg_resource_alloc (uncut in the
+        registry/oracle, cut in the scale configuration)."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import common_neighbors
+
+        return common_neighbors(
+            ray.data.read_parquet(
+                _kg_artifacts(sf_dir)["edges"],
+                columns=["src_canonical", "dst_canonical"],
+            ),
+            max_degree=max_degree,
+        )
+
     def _kg_gazetteer(sf_dir):
         """Dictionary tagging over the pages corpus: per-page occurrence
         counts for the shared ``_GAZETTEER`` lexicon (ops/text.
@@ -1577,22 +1617,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             max_t=4,
         ),
         # --- resource-allocation link-prediction index (exact integer) ---
-        "kg_resource_alloc": lambda sf: __import__(
-            "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["resource_allocation"]
-        ).resource_allocation(
-            __import__("ray.data", fromlist=["read_parquet"]).read_parquet(
-                _kg_artifacts(sf)["edges"],
-                columns=["src_canonical", "dst_canonical"],
-            )
-        ),
-        "kg_common_neighbors": lambda sf: __import__(
-            "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["common_neighbors"]
-        ).common_neighbors(
-            __import__("ray.data", fromlist=["read_parquet"]).read_parquet(
-                _kg_artifacts(sf)["edges"],
-                columns=["src_canonical", "dst_canonical"],
-            )
-        ),
+        "kg_resource_alloc": _kg_resource_alloc,
+        "kg_common_neighbors": _kg_common_neighbors,
         # --- text analysis over documents ---
         "docs_token_stats": docs_op(text.token_stats_batch),
         "docs_quality": docs_op(text.quality_batch),
