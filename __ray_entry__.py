@@ -746,6 +746,94 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ray.data.read_parquet(res["edges"], columns=["src_id", "dst_id"])
         )
 
+    def _kg_url_dedup(sf_dir):
+        """Crawl-frontier URL dedup over the pages corpus: each page also
+        contributes one deterministic MESSY variant of its url (page_no%3
+        selects: upper-cased scheme+host plus tracking params and a
+        fragment / an explicit :443 default port / an appended fragment),
+        then ops/web.url_dedup canonicalizes (lowercase scheme+host,
+        default-port/fragment strip, tracking-param strip, byte-sorted
+        query params) and keeps the first crawl per canonical url
+        (warc_ts asc, url asc).  Every variant canonicalizes back to its
+        original, so the output is exactly one winner per page — the
+        oracle mirrors the variant construction AND the canonicalization
+        in DuckDB expression form with a window winner."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.web import url_dedup
+
+        _kg_artifacts(sf_dir)
+        name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+
+        def with_variants(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "url" not in batch.column_names:
+                return pa.table(
+                    {
+                        "url": pa.array([], pa.string()),
+                        "warc_ts": pa.array([], pa.timestamp("us")),
+                    }
+                )
+            url = batch.column("url").combine_chunks()
+            ts = batch.column("warc_ts").cast(pa.timestamp("us"))
+            pageno = pc.cast(
+                pc.struct_field(
+                    pc.extract_regex(url, pattern=r"/page/(?P<n>\d+)$"), "n"
+                ),
+                pa.int64(),
+            )
+            sel = pc.if_else(pc.is_valid(pageno), pageno, pa.scalar(0, pa.int64()))
+            mod3 = pc.subtract(sel, pc.multiply(pc.divide(sel, 3), 3))
+            ex = pc.extract_regex(
+                url, pattern=r"^(?P<head>[a-z]+://[^/]+)(?P<rest>.*)$"
+            )
+            head = pc.fill_null(pc.struct_field(ex, "head"), "")
+            rest = pc.fill_null(pc.struct_field(ex, "rest"), "")
+            v0 = pc.binary_join_element_wise(
+                pc.utf8_upper(head), rest, "?utm_source=x&b=2&a=1#f", ""
+            )
+            v1 = pc.binary_join_element_wise(head, ":443", rest, "")
+            v2 = pc.binary_join_element_wise(url, "#frag", "")
+            variant = pc.if_else(
+                pc.equal(mod3, 0), v0, pc.if_else(pc.equal(mod3, 1), v1, v2)
+            )
+            return pa.table(
+                {
+                    "url": pa.concat_arrays(
+                        [url, variant.combine_chunks()
+                         if isinstance(variant, pa.ChunkedArray) else variant]
+                    ),
+                    "warc_ts": pa.concat_arrays(
+                        [ts.combine_chunks()] * 2
+                        if isinstance(ts, pa.ChunkedArray)
+                        else [ts, ts]
+                    ),
+                }
+            )
+
+        pages = ray.data.read_parquet(
+            f"/tmp/graft_kg/{name}/pages", columns=["url", "warc_ts"]
+        ).map_batches(with_variants, batch_format="pyarrow")
+        return url_dedup(pages)
+
+    def _emb_mmr(sf_dir):
+        """Maximal-marginal-relevance diversified top-10 (lambda=0.7, 50
+        candidates) for queries [0..4]: distributed exact top-candidates
+        (the knn_bruteforce combiner plan) + the shared greedy kernel; the
+        gold is a single-process mirror over the same table, so hash
+        equality proves distributed == single-process bit-exact."""
+        from pdf_entity_extraction_ray.ops import ann
+
+        name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        gold_dir = f"/tmp/graft_mmr_v1/{name}"
+        if not os.path.isfile(f"{gold_dir}/gold_mmr.parquet"):
+            ann.write_gold_mmr(sf_dir, gold_dir, [0, 1, 2, 3, 4])
+        return ann.mmr_topk(
+            _read(sf_dir, "embeddings"), [0, 1, 2, 3, 4], 10,
+            source_path=os.path.join(sf_dir, "embeddings.parquet"),
+        )
+
     def _kg_resource_alloc(sf_dir, max_degree=None):
         """Resource-allocation link prediction over the entity graph
         (ops/graph_stats.resource_allocation).  ``max_degree`` is the
@@ -1503,6 +1591,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_ivfpq": emb_knn_ivfpq,
         # --- RFM segmentation with exact tie-respecting quantile scores ---
         "events_rfm": lambda sf: relational.events_rfm(_read(sf, "events")),
+        # --- TPC-H Q1-style pricing summary (exact integer measures) ---
+        "q1_pricing_summary": lambda sf: relational.q1_pricing_summary(
+            _read(sf, "lineitem")
+        ),
+        # --- TPC-H Q2-shaped argmin join (cheapest sale per part) ---
+        "q2_min_price_supplier": lambda sf: relational.q2_min_price_supplier(
+            _read(sf, "lineitem"), _read(sf, "part"), _read(sf, "supplier")
+        ),
+        # --- crawl-frontier URL canonicalization + first-seen dedup ---
+        "kg_url_dedup": _kg_url_dedup,
+        # --- MMR diversified top-k retrieval over embeddings ---
+        "emb_mmr": _emb_mmr,
         # --- TPC-H Q6-style filtered aggregate (exact integers) ---
         "q6_forecast_revenue": lambda sf: relational.q6_forecast_revenue(
             _read(sf, "lineitem")
@@ -1967,7 +2067,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # has never itself checked (judge-run only in r3), then the long-green
     # remainder in their original order.
     front = [
-        # newest additions (round 4, fifteenth batch): TPC-H Q6 filtered
+        # newest additions (round 5, first batch): TPC-H Q1 pricing
+        # summary, Q2-shaped argmin join, URL canonicalization dedup,
+        # MMR diversified retrieval
+        "q1_pricing_summary",
+        "q2_min_price_supplier",
+        "kg_url_dedup",
+        "emb_mmr",
+        # round 4, fifteenth batch: TPC-H Q6 filtered
         # aggregate, Q4 EXISTS semi-join
         "q6_forecast_revenue",
         "q4_order_priority",
@@ -2171,6 +2278,92 @@ def oracle_sql() -> dict[str, str]:
     """
     gaz_values = ", ".join(f"('{t}')" for t in _GAZETTEER)
     return {
+        "q1_pricing_summary": """
+            with f as (select l_returnflag, l_linestatus,
+                              cast(floor(l_quantity + 0.5) as bigint) as qty,
+                              cast(floor(l_extendedprice * 100 + 0.5) as bigint)
+                                  as cents,
+                              cast(floor(l_discount * 100 + 0.5) as bigint)
+                                  as dpct,
+                              cast(floor(l_tax * 100 + 0.5) as bigint) as tpct
+                       from lineitem
+                       where l_shipdate <= timestamp '1998-09-01')
+            select l_returnflag, l_linestatus,
+                   sum(qty)::bigint as sum_qty,
+                   sum(cents)::bigint as sum_base_e2,
+                   sum(cents * (100 - dpct))::bigint as sum_disc_e4,
+                   sum(cents * (100 - dpct) * (100 + tpct))::bigint
+                       as sum_charge_e6,
+                   sum(dpct)::bigint as sum_disc_pct,
+                   count(*)::bigint as n_rows
+            from f group by 1, 2
+        """,
+        "q2_min_price_supplier": """
+            with c as (select l_partkey, l_suppkey,
+                              cast(floor(l_extendedprice * 100 + 0.5) as bigint)
+                                  as price_e2
+                       from lineitem),
+            w as (select *, row_number() over (partition by l_partkey
+                       order by price_e2, l_suppkey) as rn from c)
+            select w.l_partkey as p_partkey, p.p_name,
+                   w.l_suppkey as s_suppkey, s.s_name,
+                   w.price_e2 as min_price_e2
+            from w
+            join part p on p.p_partkey = w.l_partkey
+            join supplier s on s.s_suppkey = w.l_suppkey
+            where w.rn = 1
+        """,
+        "kg_url_dedup": f"""
+            with p as (select url, warc_ts
+                       from read_parquet('{gold}/pages/*.parquet')),
+            -- the SAME deterministic messy-variant construction as the
+            -- engine query (page_no %% 3 selects the variant class)
+            v as (select case cast(regexp_extract(url, '/page/(\\d+)$', 1)
+                                   as bigint) % 3
+                    when 0 then upper(regexp_extract(url,
+                                      '^([a-z]+://[^/]+)', 1))
+                                || regexp_extract(url,
+                                      '^[a-z]+://[^/]+(.*)$', 1)
+                                || '?utm_source=x&b=2&a=1#f'
+                    when 1 then regexp_replace(url, '^(https://[^/]+)',
+                                               '\\1:443')
+                    else url || '#frag' end as url, warc_ts
+                  from p),
+            allu as (select * from p union all select * from v),
+            -- canonicalization mirror: drop fragment, split query, lower
+            -- scheme+host, strip :443/:80 default port, strip tracking
+            -- params, byte-sort surviving params
+            parts as (select url, warc_ts,
+                        regexp_replace(split_part(url, '?', 1), '#.*$', '')
+                            as base0,
+                        regexp_replace(split_part(split_part(url, '?', 2),
+                                                  '#', 1),
+                            '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g')
+                            as q0
+                      from allu),
+            canon as (select url, warc_ts,
+                        lower(regexp_extract(base0,
+                              '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*?)(:443|:80)?(/|$)',
+                              1))
+                        || regexp_extract(base0,
+                              '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$', 1)
+                        || case when regexp_replace(q0, '&+$', '') = ''
+                                then ''
+                                else '?' || array_to_string(list_sort(
+                                     string_split(
+                                         regexp_replace(q0, '&+$', ''), '&')),
+                                     '&') end as canon
+                      from parts),
+            w as (select canon, url, warc_ts,
+                         row_number() over (partition by canon
+                             order by warc_ts, url) as rn
+                  from canon)
+            select canon, url, warc_ts from w where rn = 1
+        """,
+        "emb_mmr": f"""
+            select query_id, vec_id, rank, mmr_milli
+            from read_parquet('/tmp/graft_mmr_v1/{sf_name}/gold_mmr.parquet')
+        """,
         "q6_forecast_revenue": """
             with f as (select cast(floor(l_extendedprice * 100 + 0.5) as bigint)
                               as cents,

@@ -279,3 +279,147 @@ def knn_ivf(
         .groupby("query_id")
         .map_groups(final_topk, batch_format="pyarrow")
     )
+
+
+def _mmr_select(Q: np.ndarray, cand_ids: np.ndarray, C: np.ndarray,
+                k: int, lam: float) -> list[tuple[int, float]]:
+    """Greedy Maximal Marginal Relevance over ONE query's candidate set
+    (Carbonell & Goldstein 1998): repeatedly pick the candidate maximizing
+    ``lam * sim(q, d) - (1 - lam) * max_{s in selected} sim(d, s)``,
+    ties broken by ascending vec_id.  Shared verbatim by the distributed
+    query and the single-process gold writer, so hash equality proves the
+    distributed candidate generation + this kernel reproduce the
+    single-process reference bit-for-bit.  Returns [(vec_id, score)]."""
+    rel = C @ Q  # (n_cand,) cosine to the query (rows pre-normalized)
+    n = len(cand_ids)
+    if n == 0 or k <= 0:
+        return []
+    picked: list[int] = []
+    out: list[tuple[int, float]] = []
+    max_sim = np.full(n, -np.inf)
+    avail = np.ones(n, dtype=bool)
+    for _ in range(min(k, n)):
+        red = np.where(np.isneginf(max_sim), 0.0, max_sim)
+        score = lam * rel - (1.0 - lam) * red
+        best, best_score = -1, None
+        for i in range(n):
+            if not avail[i]:
+                continue
+            s = float(score[i])
+            if best_score is None or s > best_score or (
+                s == best_score and int(cand_ids[i]) < int(cand_ids[best])
+            ):
+                best, best_score = i, s
+        picked.append(best)
+        avail[best] = False
+        out.append((int(cand_ids[best]), best_score))
+        sims = C @ C[best]
+        max_sim = np.maximum(max_sim, sims)
+    return out
+
+
+def mmr_topk(emb_ds, query_ids: list[int], k: int = 10, *, lam: float = 0.7,
+             candidates: int = 50, source_path=None):
+    """Diversified top-k per query via Maximal Marginal Relevance:
+    exact distributed top-``candidates`` by cosine (the
+    :func:`knn_bruteforce` combiner plan — per-batch local top-N, one
+    small groupby reduce), then the greedy :func:`_mmr_select` kernel on
+    the reduced set.  Driver state is O(queries x candidates x dim) —
+    the documented bound; the corpus itself never leaves the cluster.
+
+    Emits ``(query_id, vec_id, rank, mmr_milli)`` where ``mmr_milli`` is
+    the selection score in exact-floor milli units (the repo's
+    float-hash rule)."""
+    import pyarrow.compute as pc
+
+    cand = knn_bruteforce(emb_ds, query_ids, k=candidates, source_path=source_path)
+    rows: dict[int, list[int]] = {}
+    for b in cand.iter_batches(batch_format="pyarrow"):
+        for q, nb, r in zip(
+            b.column("query_id").to_pylist(),
+            b.column("neighbor_id").to_pylist(),
+            b.column("rank").to_pylist(),
+        ):
+            rows.setdefault(q, []).append((r, nb))
+    qids, Q = _collect_queries(emb_ds, query_ids, source_path)
+    need = sorted({nb for lst in rows.values() for _r, nb in lst})
+    nids, N = _collect_queries(emb_ds, need, source_path)
+    pos = {int(v): i for i, v in enumerate(nids)}
+
+    out_q, out_v, out_r, out_s = [], [], [], []
+    for qi, qid in enumerate(qids):
+        lst = sorted(rows.get(int(qid), []))
+        cand_ids = np.asarray([nb for _r, nb in lst], dtype=np.int64)
+        C = N[[pos[int(nb)] for nb in cand_ids]] if len(cand_ids) else N[:0]
+        for rank, (vid, score) in enumerate(
+            _mmr_select(Q[qi], cand_ids, C, k, lam), start=1
+        ):
+            out_q.append(int(qid))
+            out_v.append(vid)
+            out_r.append(rank)
+            out_s.append(int(np.floor(score * 1000.0)))
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "rank": pa.array(out_r, pa.int64()),
+                "mmr_milli": pa.array(out_s, pa.int64()),
+            }
+        )
+    )
+
+
+def write_gold_mmr(sf_dir: str, out_dir: str, query_ids: list[int],
+                   k: int = 10, lam: float = 0.7, candidates: int = 50) -> None:
+    """Single-process MMR gold: brute-force top-``candidates`` over the
+    whole embeddings table in one numpy pass (no Ray), then the SAME
+    :func:`_mmr_select` kernel — so the oracle proves the distributed
+    combiner/reduce candidate generation is exact."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    M = _normalized(tbl.column("embedding").to_pylist())
+    order = np.argsort(ids)
+    ids, M = ids[order], M[order]
+    qpos = {int(v): i for i, v in enumerate(ids)}
+
+    out_q, out_v, out_r, out_s = [], [], [], []
+    for qid in sorted(set(query_ids)):
+        qv = M[qpos[qid]]
+        sims = M @ qv
+        mask = ids != qid
+        cids, csims = ids[mask], sims[mask]
+        idx = np.lexsort((cids, -csims))[:candidates]
+        # candidate set in rank order, then id-sorted exactly like the
+        # distributed path sorts its (rank, neighbor) rows
+        cand_ids = cids[idx]
+        sel_order = np.argsort(np.arange(len(cand_ids)))  # already rank order
+        cand_ids = cand_ids[sel_order]
+        C = M[[qpos[int(v)] for v in cand_ids]]
+        for rank, (vid, score) in enumerate(
+            _mmr_select(qv, cand_ids, C, k, lam), start=1
+        ):
+            out_q.append(qid)
+            out_v.append(vid)
+            out_r.append(rank)
+            out_s.append(int(np.floor(score * 1000.0)))
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "rank": pa.array(out_r, pa.int64()),
+                "mmr_milli": pa.array(out_s, pa.int64()),
+            }
+        ),
+        os.path.join(out_dir, "gold_mmr.parquet"),
+    )

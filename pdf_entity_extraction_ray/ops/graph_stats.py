@@ -1290,6 +1290,44 @@ def connected_components(edges_ds, num_partitions: int | None = None):
     )
 
 
+_PAIR_CHUNK = 1 << 22  # 4M pair rows per emitted chunk (~100-200 MB strings)
+
+
+def _triu_pair_chunks(nbrs, chunk: int = _PAIR_CHUNK):
+    """Yield (a_chunk, b_chunk) neighbor-pair Arrow arrays for ONE apex's
+    ascending-sorted neighbor array, in bounded chunks.
+
+    An Arrow StringArray caps character data at 2^31 bytes, so a mega-hub
+    apex (degree d -> d*(d-1)/2 pairs; the cached 1M-page graph has
+    d=20,174 -> 203M pairs) must never materialize its pair set — or even
+    one take() of it — as a single array: that is exactly the
+    'offset overflow while concatenating arrays' crash this helper fixes.
+    Row-block index generation keeps peak memory O(chunk) as well."""
+    import numpy as np
+
+    d = len(nbrs)
+    if d < 2:
+        return
+    rows_per_block = max(1, chunk // max(d - 1, 1))
+    for i0 in range(0, d - 1, rows_per_block):
+        i1 = min(i0 + rows_per_block, d - 1)
+        counts = (d - 1) - np.arange(i0, i1, dtype=np.int64)
+        total = int(counts.sum())
+        ii = np.repeat(np.arange(i0, i1, dtype=np.int64), counts)
+        block_starts = np.cumsum(counts) - counts
+        jj = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(block_starts, counts)
+            + ii
+            + 1
+        )
+        for o in range(0, total, chunk):
+            yield (
+                nbrs.take(pa.array(ii[o : o + chunk], pa.int64())),
+                nbrs.take(pa.array(jj[o : o + chunk], pa.int64())),
+            )
+
+
 def common_neighbors(
     edges_ds,
     min_common: int = 1,
@@ -1414,15 +1452,18 @@ def common_neighbors(
         out_a: list[pa.Array] = []
         out_b: list[pa.Array] = []
         for s, e in zip(starts[keep], ends[keep]):
-            nbrs = vs.slice(s, e - s)
-            ii, jj = np.triu_indices(e - s, k=1)
-            out_a.append(nbrs.take(pa.array(ii, pa.int64())))
-            out_b.append(nbrs.take(pa.array(jj, pa.int64())))
+            for ca, cb in _triu_pair_chunks(vs.slice(s, e - s)):
+                out_a.append(ca)
+                out_b.append(cb)
+        if not out_a:
+            return empty
         n = sum(len(x) for x in out_a)
+        # chunked columns, never one concat: a mega-hub partition's pair
+        # strings exceed a single StringArray's 2^31-byte offset cap
         return pa.table(
             {
-                "a": pa.concat_arrays(out_a),
-                "b": pa.concat_arrays(out_b),
+                "a": pa.chunked_array(out_a),
+                "b": pa.chunked_array(out_b),
                 "common": pa.array(np.ones(n, np.int64)),
                 "edge": pa.array(np.zeros(n, np.int64)),
             }
@@ -4035,16 +4076,20 @@ def resource_allocation(
         out_b: list[pa.Array] = []
         out_ra: list[np.ndarray] = []
         for s, e in zip(starts[keep], ends[keep]):
-            nbrs = vs.slice(s, e - s)
-            ii, jj = np.triu_indices(e - s, k=1)
-            out_a.append(nbrs.take(pa.array(ii, pa.int64())))
-            out_b.append(nbrs.take(pa.array(jj, pa.int64())))
-            out_ra.append(np.full(len(ii), 1_000_000 // (e - s), np.int64))
+            ra_val = 1_000_000 // (e - s)
+            for ca, cb in _triu_pair_chunks(vs.slice(s, e - s)):
+                out_a.append(ca)
+                out_b.append(cb)
+                out_ra.append(np.full(len(ca), ra_val, np.int64))
+        if not out_a:
+            return empty
         n = sum(len(x) for x in out_a)
+        # chunked columns, never one concat: a mega-hub partition's pair
+        # strings exceed a single StringArray's 2^31-byte offset cap
         return pa.table(
             {
-                "a": pa.concat_arrays(out_a),
-                "b": pa.concat_arrays(out_b),
+                "a": pa.chunked_array(out_a),
+                "b": pa.chunked_array(out_b),
                 "common": pa.array(np.ones(n, np.int64)),
                 "ra": pa.array(np.concatenate(out_ra)),
                 "edge": pa.array(np.zeros(n, np.int64)),

@@ -3283,3 +3283,254 @@ def q4_order_priority(
         .groupby("o_orderpriority")
         .aggregate(Sum("n_orders", alias_name="n_orders"))
     )
+
+
+def q1_pricing_summary(lineitem_ds, cutoff: str = "1998-09-01"):
+    """TPC-H Q1-style pricing summary: per (l_returnflag, l_linestatus)
+    over rows with ``l_shipdate <= cutoff``, the full additive measure set
+    in EXACT integer fixed point (the repo's money rule — floats never
+    cross the hash):
+
+      sum_qty        sum of quantities (integral in this corpus)
+      sum_base_e2    sum extendedprice, cents
+      sum_disc_e4    sum extendedprice*(1-discount), 1e-4 dollars
+      sum_charge_e6  sum extendedprice*(1-discount)*(1+tax), 1e-6 dollars
+      sum_disc_pct   sum of rounded discount percents (avg = /n_rows)
+      n_rows         count
+
+    The canonical Q1 averages (avg_qty, avg_price, avg_disc) are exact
+    ratios of these integer columns — emitting numerators + counts keeps
+    the oracle bit-exact where a double ``avg()`` would be grid-noisy.
+
+    Plan: one pruned scan -> per-batch integer partials (vectorized
+    numpy) -> one tiny groupby over (flag, status) partial rows.  Zero
+    joins, no full-table shuffle: the exchange is |batches| x |groups|
+    rows."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    cutoff_us = int(
+        np.datetime64(cutoff, "us").astype("datetime64[us]").astype(np.int64)
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "l_returnflag": pa.array([], pa.string()),
+                "l_linestatus": pa.array([], pa.string()),
+                "sum_qty": pa.array([], pa.int64()),
+                "sum_base_e2": pa.array([], pa.int64()),
+                "sum_disc_e4": pa.array([], pa.int64()),
+                "sum_charge_e6": pa.array([], pa.int64()),
+                "sum_disc_pct": pa.array([], pa.int64()),
+                "n_rows": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ship = (
+            batch.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64())
+            .combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        keep = ship <= cutoff_us
+        if not keep.any():
+            return empty
+        t = batch.filter(pa.array(keep))
+        qty = t.column("l_quantity").combine_chunks().to_numpy(zero_copy_only=False)
+        price = t.column("l_extendedprice").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        disc = t.column("l_discount").combine_chunks().to_numpy(zero_copy_only=False)
+        tax = t.column("l_tax").combine_chunks().to_numpy(zero_copy_only=False)
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        dpct = np.floor(disc * 100.0 + 0.5).astype(np.int64)
+        tpct = np.floor(tax * 100.0 + 0.5).astype(np.int64)
+        g = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "sum_qty": pa.array(np.floor(qty + 0.5).astype(np.int64), pa.int64()),
+                "sum_base_e2": pa.array(cents, pa.int64()),
+                "sum_disc_e4": pa.array(cents * (100 - dpct), pa.int64()),
+                "sum_charge_e6": pa.array(
+                    cents * (100 - dpct) * (100 + tpct), pa.int64()
+                ),
+                "sum_disc_pct": pa.array(dpct, pa.int64()),
+            }
+        ).group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("sum_qty", "sum"), ("sum_base_e2", "sum"), ("sum_disc_e4", "sum"),
+                ("sum_charge_e6", "sum"), ("sum_disc_pct", "sum"),
+                ([], "count_all"),
+            ]
+        )
+        return pa.table(
+            {
+                "l_returnflag": g.column("l_returnflag"),
+                "l_linestatus": g.column("l_linestatus"),
+                "sum_qty": g.column("sum_qty_sum").cast(pa.int64()),
+                "sum_base_e2": g.column("sum_base_e2_sum").cast(pa.int64()),
+                "sum_disc_e4": g.column("sum_disc_e4_sum").cast(pa.int64()),
+                "sum_charge_e6": g.column("sum_charge_e6_sum").cast(pa.int64()),
+                "sum_disc_pct": g.column("sum_disc_pct_sum").cast(pa.int64()),
+                "n_rows": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    return (
+        lineitem_ds.select_columns(
+            [
+                "l_returnflag", "l_linestatus", "l_shipdate", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax",
+            ]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_e2", alias_name="sum_base_e2"),
+            Sum("sum_disc_e4", alias_name="sum_disc_e4"),
+            Sum("sum_charge_e6", alias_name="sum_charge_e6"),
+            Sum("sum_disc_pct", alias_name="sum_disc_pct"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+
+
+def q2_min_price_supplier(
+    lineitem_ds,
+    part_ds,
+    supplier_ds,
+    *,
+    broadcast_limit_bytes: int = BROADCAST_LIMIT_BYTES,
+):
+    """TPC-H Q2-shaped correlated-min (argmin) join on the available
+    tables: for every part that was ever sold, the single cheapest sale
+    and the supplier who made it — ties broken deterministically by
+    (price, s_suppkey).  The classic 'min per group, then recover the
+    attributing row' shape Q2's MIN(ps_supplycost) subquery exercises
+    (this corpus has no partsupp table; lineitem plays the priced
+    relation).
+
+    Plan: pruned lineitem scan -> per-batch argmin combiner (ONE row per
+    (partkey) per batch, carrying the winning suppkey) -> global
+    ``groupby(p_partkey).map_groups`` argmin (groups are tiny: one row
+    per batch that saw the part) -> part/supplier names attached from
+    broadcast maps (both dimension tables are small; fail-closed: if
+    either exceeds the broadcast limit the op raises rather than
+    silently driver-collecting — the hash-join rewrite is mechanical
+    when a corpus needs it).
+
+    Emits ``(p_partkey, p_name, s_suppkey, s_name, min_price_e2)``."""
+    import numpy as np
+
+    import ray
+
+    for name, ds in (("part", part_ds), ("supplier", supplier_ds)):
+        if _build_side_bytes(ds) > broadcast_limit_bytes:
+            raise ValueError(
+                f"q2_min_price_supplier: {name} table exceeds "
+                f"broadcast_limit_bytes={broadcast_limit_bytes}; rewrite the "
+                "name-attach as a hash join for this corpus"
+            )
+
+    def argmin_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "p_partkey": pa.array([], pa.int64()),
+                "s_suppkey": pa.array([], pa.int64()),
+                "min_price_e2": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "l_partkey" not in batch.column_names:
+            return empty
+        pk = batch.column("l_partkey").cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        sk = batch.column("l_suppkey").cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        price = batch.column("l_extendedprice").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        # vectorized per-batch argmin with (price, suppkey) tie-break:
+        # lexsort by (suppkey, price, partkey) then take each part's first
+        order = np.lexsort((sk, cents, pk))
+        pk, sk, cents = pk[order], sk[order], cents[order]
+        first = np.r_[True, pk[1:] != pk[:-1]]
+        return pa.table(
+            {
+                "p_partkey": pa.array(pk[first], pa.int64()),
+                "s_suppkey": pa.array(sk[first], pa.int64()),
+                "min_price_e2": pa.array(cents[first], pa.int64()),
+            }
+        )
+
+    def argmin_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "p_partkey" not in group.column_names:
+            return pa.table(
+                {
+                    "p_partkey": pa.array([], pa.int64()),
+                    "s_suppkey": pa.array([], pa.int64()),
+                    "min_price_e2": pa.array([], pa.int64()),
+                }
+            )
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("p_partkey", "ascending"),
+                ("min_price_e2", "ascending"),
+                ("s_suppkey", "ascending"),
+            ],
+        )
+        g = group.take(idx)
+        pk = np.asarray(g.column("p_partkey").to_pylist(), dtype=np.int64)
+        first = np.r_[True, pk[1:] != pk[:-1]]
+        return g.filter(pa.array(first))
+
+    def to_map(ds, key, val):
+        ks, vs = [], []
+        for b in ds.select_columns([key, val]).iter_batches(batch_format="pyarrow"):
+            ks.append(b.column(key).cast(pa.int64()).combine_chunks())
+            vs.append(b.column(val).combine_chunks())
+        return (
+            pa.concat_arrays(ks) if ks else pa.array([], pa.int64()),
+            pa.concat_arrays(vs) if vs else pa.array([], pa.string()),
+        )
+
+    part_ref = ray.put(to_map(part_ds, "p_partkey", "p_name"))
+    supp_ref = ray.put(to_map(supplier_ds, "s_suppkey", "s_name"))
+
+    def attach_names(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "p_partkey" not in batch.column_names:
+            return pa.table(
+                {
+                    "p_partkey": pa.array([], pa.int64()),
+                    "p_name": pa.array([], pa.string()),
+                    "s_suppkey": pa.array([], pa.int64()),
+                    "s_name": pa.array([], pa.string()),
+                    "min_price_e2": pa.array([], pa.int64()),
+                }
+            )
+        pkeys, pnames = ray.get(part_ref)
+        skeys, snames = ray.get(supp_ref)
+        pidx = pc.index_in(batch.column("p_partkey"), value_set=pkeys)
+        sidx = pc.index_in(batch.column("s_suppkey"), value_set=skeys)
+        return pa.table(
+            {
+                "p_partkey": batch.column("p_partkey"),
+                "p_name": pnames.take(pidx),
+                "s_suppkey": batch.column("s_suppkey"),
+                "s_name": snames.take(sidx),
+                "min_price_e2": batch.column("min_price_e2"),
+            }
+        )
+
+    return (
+        lineitem_ds.select_columns(["l_partkey", "l_suppkey", "l_extendedprice"])
+        .map_batches(argmin_partial, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .map_groups(argmin_group, batch_format="pyarrow")
+        .map_batches(attach_names, batch_format="pyarrow")
+    )

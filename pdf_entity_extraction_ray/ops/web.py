@@ -732,3 +732,150 @@ def host_entity_overlap(mentions_ds, *, min_common: int = 2, shards: int = 256):
         .aggregate(Sum("n_common", alias_name="n_common"))
     )
     return counted.filter(expr=f"n_common >= {int(min_common)}")
+
+
+_URL_FULL = (
+    r"^(?i)(?P<scheme>[a-z][a-z0-9+.-]*)://(?P<host>[^/?#]+?)(?P<port>:\d+)?"
+    r"(?P<path>/[^?#]*)?(?:\?(?P<query>[^#]*))?(?:#.*)?$"
+)
+_DEFAULT_PORTS = {"http": ":80", "https": ":443"}
+
+
+def canonical_url(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Full crawl-frontier URL canonicalization, stricter than
+    :func:`normalize_url` and still fully vectorized: lowercase scheme +
+    host, strip the default port (:80 for http, :443 for https), drop the
+    fragment, strip tracking parameters (utm_*/fbclid/gclid), and SORT the
+    surviving query parameters byte-ascending (``?b=2&a=1`` ==
+    ``?a=1&b=2`` — the classic frontier-dedup rule).  Empty path
+    normalizes to ``/``.  Urls without a scheme://authority prefix
+    canonicalize to ''.
+
+    Param sorting without a per-row Python loop: split the query into a
+    ListArray, flatten to (parent, param) rows, ONE table sort by
+    (parent, param), rebuild the ListArray on the original offsets, and
+    ``binary_join`` back — every step an Arrow kernel."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    ex = pc.extract_regex(urls, pattern=_URL_FULL)
+    scheme = pc.utf8_lower(pc.fill_null(pc.struct_field(ex, "scheme"), ""))
+    host = pc.utf8_lower(pc.fill_null(pc.struct_field(ex, "host"), ""))
+    port = pc.fill_null(pc.struct_field(ex, "port"), "")
+    path = pc.fill_null(pc.struct_field(ex, "path"), "")
+    query = pc.fill_null(pc.struct_field(ex, "query"), "")
+
+    # default-port strip (scheme-conditional)
+    for sch, dport in _DEFAULT_PORTS.items():
+        hit = pc.and_(pc.equal(scheme, sch), pc.equal(port, dport))
+        port = pc.if_else(hit, pa.scalar("", pa.string()), port)
+
+    path = pc.if_else(pc.equal(path, ""), pa.scalar("/", pa.string()), path)
+
+    # tracking-param strip, then sort surviving params within each url
+    query = pc.replace_substring_regex(query, pattern=_TRACKING, replacement="")
+    query = pc.replace_substring_regex(query, pattern=r"[&]+$", replacement="")
+    parts = pc.split_pattern(query, pattern="&")
+    flat = pc.list_flatten(parts)
+    n_per = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+    import numpy as np
+
+    parent = np.repeat(np.arange(len(n_per), dtype=np.int64), n_per)
+    if len(flat):
+        order_tbl = pa.table(
+            {"parent": pa.array(parent, pa.int64()), "param": flat}
+        )
+        idx = pc.sort_indices(
+            order_tbl,
+            sort_keys=[("parent", "ascending"), ("param", "ascending")],
+        )
+        sorted_flat = flat.take(idx)
+    else:
+        sorted_flat = flat
+    offsets = np.zeros(len(n_per) + 1, dtype=np.int32)
+    np.cumsum(n_per, out=offsets[1:])
+    sorted_lists = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), sorted_flat
+    )
+    joined = pc.binary_join(sorted_lists, "&")
+    # drop empty params left by the tracking strip ("a=1&&b=2" cases)
+    joined = pc.replace_substring_regex(joined, pattern=r"^&+|&&+", replacement="")
+    qmark = pc.if_else(
+        pc.equal(joined, ""), pa.scalar("", pa.string()),
+        pc.binary_join_element_wise(pa.scalar("?", pa.string()), joined, ""),
+    )
+    out = pc.binary_join_element_wise(
+        scheme, "://", host, port, path, qmark, ""
+    )
+    res = pc.if_else(pc.equal(host, ""), pa.scalar("", pa.string()), out)
+    return res.combine_chunks() if isinstance(res, pa.ChunkedArray) else res
+
+
+def url_dedup(pages_ds):
+    """One page per CANONICAL url: canonicalize (``canonical_url``), then
+    the earliest crawl wins (warc_ts asc, url asc tie-break) — the crawl
+    frontier's first-seen rule.  Same winner-per-group shape as
+    :func:`latest_crawl` (per-batch combiner -> one groupby), no joins.
+    Emits ``(canon, url, warc_ts)``."""
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        cols = {
+            "canon": pa.array([], pa.string()),
+            "url": pa.array([], pa.string()),
+            "warc_ts": pa.array([], pa.timestamp("us")),
+        }
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return pa.table(cols)
+        t = pa.table(
+            {
+                "canon": canonical_url(batch.column("url")),
+                "url": batch.column("url"),
+                "warc_ts": batch.column("warc_ts").cast(pa.timestamp("us")),
+            }
+        )
+        t = t.filter(pc.not_equal(t.column("canon"), ""))
+        # batch-local winner per canon (the combiner)
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("canon", "ascending"),
+                ("warc_ts", "ascending"),
+                ("url", "ascending"),
+            ],
+        )
+        g = t.take(idx)
+        import numpy as np
+
+        c = np.asarray(g.column("canon").to_pylist(), dtype=object)
+        first = np.r_[True, c[1:] != c[:-1]] if len(c) else np.array([], bool)
+        return g.filter(pa.array(first))
+
+    def winner(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "canon" not in group.column_names:
+            return pa.table(
+                {
+                    "canon": pa.array([], pa.string()),
+                    "url": pa.array([], pa.string()),
+                    "warc_ts": pa.array([], pa.timestamp("us")),
+                }
+            )
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("canon", "ascending"),
+                ("warc_ts", "ascending"),
+                ("url", "ascending"),
+            ],
+        )
+        g = group.take(idx)
+        import numpy as np
+
+        c = np.asarray(g.column("canon").to_pylist(), dtype=object)
+        first = np.r_[True, c[1:] != c[:-1]] if len(c) else np.array([], bool)
+        return g.filter(pa.array(first))
+
+    return (
+        pages_ds.select_columns(["url", "warc_ts"])
+        .map_batches(candidates, batch_format="pyarrow")
+        .groupby("canon")
+        .map_groups(winner, batch_format="pyarrow")
+    )

@@ -17,6 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     max_degree = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    skip_uncut = len(sys.argv) > 3 and sys.argv[3] == "--cut-only"
 
     import ray
 
@@ -24,12 +25,16 @@ def main() -> int:
         ray.init(address="local", num_cpus=32, include_dashboard=False)
     import ray.data
 
-    import __ray_entry__ as entry
     from pdf_entity_extraction_ray.ops.graph_stats import resource_allocation
 
-    res = entry._kg_artifacts(sf_dir)
+    if os.path.isdir(os.path.join(sf_dir, "edges")):
+        edges_path = os.path.join(sf_dir, "edges")  # a kg output dir directly
+    else:
+        import __ray_entry__ as entry
+
+        edges_path = entry._kg_artifacts(sf_dir)["edges"]
     edges = ray.data.read_parquet(
-        res["edges"], columns=["src_canonical", "dst_canonical"]
+        edges_path, columns=["src_canonical", "dst_canonical"]
     )
 
     # degree profile (undirected simple graph)
@@ -67,6 +72,9 @@ def main() -> int:
     cut_pairs, cut_mass, cut_s = run(max_degree)
     print(f"cut   (max_degree={max_degree}): {cut_pairs} pairs, "
           f"ra_mass={cut_mass}, {cut_s:.1f}s")
+    if skip_uncut:
+        ray.shutdown()
+        return 0
     uncut_pairs, uncut_mass, uncut_s = run(None)
     print(f"uncut: {uncut_pairs} pairs, ra_mass={uncut_mass}, {uncut_s:.1f}s")
     lost = uncut_pairs - cut_pairs

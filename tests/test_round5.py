@@ -307,3 +307,24 @@ class TestQ4ShuffleFallback:
         assert broadcast == shuffled
         assert len(broadcast) > 0
         assert all(n > 0 for _, n in broadcast)
+
+
+def test_triu_pair_chunks_exact_and_bounded():
+    """The chunked wedge-pair generator is exactly np.triu_indices in
+    bounded slices (the mega-hub StringArray offset-overflow fix)."""
+    import numpy as np
+
+    from pdf_entity_extraction_ray.ops.graph_stats import _triu_pair_chunks
+
+    nbrs = pa.array([f"n{i:03d}" for i in range(37)])
+    got_a, got_b = [], []
+    for ca, cb in _triu_pair_chunks(nbrs, chunk=50):
+        assert len(ca) <= 50 and len(ca) == len(cb)
+        got_a.extend(ca.to_pylist())
+        got_b.extend(cb.to_pylist())
+    ii, jj = np.triu_indices(37, k=1)
+    want = [(f"n{i:03d}", f"n{j:03d}") for i, j in zip(ii, jj)]
+    assert list(zip(got_a, got_b)) == want
+    # degenerate apexes yield nothing
+    assert list(_triu_pair_chunks(pa.array(["x"]))) == []
+    assert list(_triu_pair_chunks(pa.array([], pa.string()))) == []

@@ -1,0 +1,210 @@
+"""Round-5 first op batch: Q1 pricing summary, Q2 argmin join, URL
+canonicalization dedup, MMR diversified retrieval."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(ds):
+    out = []
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        out.extend(b.to_pylist())
+    return out
+
+
+class TestQ1PricingSummary:
+    def test_matches_bruteforce(self):
+        import duckdb
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.relational import q1_pricing_summary
+
+        got = {
+            (r["l_returnflag"], r["l_linestatus"]): (
+                r["sum_qty"], r["sum_base_e2"], r["sum_disc_e4"],
+                r["sum_charge_e6"], r["sum_disc_pct"], r["n_rows"],
+            )
+            for r in _rows(
+                q1_pricing_summary(ray.data.read_parquet(f"{SF}/lineitem.parquet"))
+            )
+        }
+        con = duckdb.connect()
+        want = {
+            (f, s): tuple(rest)
+            for f, s, *rest in con.execute(
+                f"""
+                select l_returnflag, l_linestatus,
+                       sum(cast(floor(l_quantity + 0.5) as bigint)),
+                       sum(cast(floor(l_extendedprice*100 + 0.5) as bigint)),
+                       sum(cast(floor(l_extendedprice*100 + 0.5) as bigint)
+                           * (100 - cast(floor(l_discount*100+0.5) as bigint))),
+                       sum(cast(floor(l_extendedprice*100 + 0.5) as bigint)
+                           * (100 - cast(floor(l_discount*100+0.5) as bigint))
+                           * (100 + cast(floor(l_tax*100+0.5) as bigint))),
+                       sum(cast(floor(l_discount*100 + 0.5) as bigint)),
+                       count(*)
+                from '{SF}/lineitem.parquet'
+                where l_shipdate <= timestamp '1998-09-01'
+                group by 1, 2
+                """
+            ).fetchall()
+        }
+        assert got == want and len(got) > 0
+
+
+class TestQ2ArgminJoin:
+    def test_tie_break_and_names(self):
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.relational import q2_min_price_supplier
+
+        li = pa.table(
+            {
+                "l_partkey": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                "l_suppkey": pa.array([30, 10, 20, 10, 11], pa.int64()),
+                "l_extendedprice": pa.array([5.0, 5.0, 7.0, 3.0, 2.5], pa.float64()),
+            }
+        )
+        part = pa.table(
+            {
+                "p_partkey": pa.array([1, 2], pa.int64()),
+                "p_name": pa.array(["alpha", "beta"], pa.string()),
+            }
+        )
+        supp = pa.table(
+            {
+                "s_suppkey": pa.array([10, 11, 20, 30], pa.int64()),
+                "s_name": pa.array(["s10", "s11", "s20", "s30"], pa.string()),
+            }
+        )
+        got = {
+            r["p_partkey"]: (r["s_suppkey"], r["s_name"], r["min_price_e2"], r["p_name"])
+            for r in _rows(
+                q2_min_price_supplier(
+                    ray.data.from_arrow(li),
+                    ray.data.from_arrow(part),
+                    ray.data.from_arrow(supp),
+                )
+            )
+        }
+        # part 1: price tie 5.00 between suppliers 30 and 10 -> lower suppkey
+        assert got == {
+            1: (10, "s10", 500, "alpha"),
+            2: (11, "s11", 250, "beta"),
+        }
+
+    def test_oversized_dimension_fails_closed(self):
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.relational import q2_min_price_supplier
+
+        li = ray.data.read_parquet(f"{SF}/lineitem.parquet")
+        part = ray.data.read_parquet(f"{SF}/part.parquet")
+        supp = ray.data.read_parquet(f"{SF}/supplier.parquet")
+        with pytest.raises(ValueError):
+            q2_min_price_supplier(li, part, supp, broadcast_limit_bytes=0)
+
+
+class TestCanonicalUrl:
+    def test_rules(self):
+        from pdf_entity_extraction_ray.ops.web import canonical_url
+
+        urls = pa.array(
+            [
+                "HTTP://Example.com:80/a/b?b=2&utm_source=x&a=1#frag",
+                "https://Site.test:443/",
+                "https://site.test:8443/x?z=1&y=2",   # non-default port kept
+                "http://h.test/p?utm_campaign=c",
+                "not a url",
+                "http://h.test/p?",
+                "https://h.test",                     # empty path -> /
+                "http://h.test/CaseKept/Path",
+            ]
+        )
+        assert canonical_url(urls).to_pylist() == [
+            "http://example.com/a/b?a=1&b=2",
+            "https://site.test/",
+            "https://site.test:8443/x?y=2&z=1",
+            "http://h.test/p",
+            "",
+            "http://h.test/p",
+            "https://h.test/",
+            "http://h.test/CaseKept/Path",
+        ]
+
+    def test_url_dedup_first_seen_wins(self):
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.web import url_dedup
+
+        pages = pa.table(
+            {
+                "url": pa.array(
+                    [
+                        "https://a.test/x?b=2&a=1",
+                        "HTTPS://A.test/x?a=1&b=2#f",   # same canonical
+                        "https://b.test/y",
+                    ]
+                ),
+                "warc_ts": pa.array(
+                    np.array([2000, 1000, 500], dtype="datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+        got = sorted(
+            (r["canon"], r["url"]) for r in _rows(url_dedup(ray.data.from_arrow(pages)))
+        )
+        # earliest crawl wins; the uppercase variant has the older ts
+        assert got == [
+            ("https://a.test/x?a=1&b=2", "HTTPS://A.test/x?a=1&b=2#f"),
+            ("https://b.test/y", "https://b.test/y"),
+        ]
+
+
+class TestMMR:
+    def test_first_pick_is_nearest_and_diversity_binds(self):
+        from pdf_entity_extraction_ray.ops.ann import _mmr_select, _normalized
+
+        # query along e0; an exact duplicate of the top hit, one diverse
+        C = _normalized(
+            [
+                [1.0, 0.0, 0.0],    # id 1: nearest
+                [1.0, 0.0, 0.0],    # id 2: exact duplicate of id 1
+                [0.8, 0.6, 0.0],    # id 3: diverse, still relevant
+            ]
+        )
+        q = _normalized([[1.0, 0.0, 0.0]])[0]
+        ids = np.array([1, 2, 3], dtype=np.int64)
+        picked = [v for v, _s in _mmr_select(q, ids, C, 2, lam=0.3)]
+        assert picked[0] == 1          # pure relevance first (id tie-break)
+        # id2 scores 0.3*1 - 0.7*1 = -0.4; id3 scores 0.3*0.8 - 0.7*0.8
+        # = -0.32 > -0.4: diversity beats the duplicate
+        assert picked[1] == 3
+
+    def test_distributed_equals_gold_mirror(self, tmp_path):
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.ann import mmr_topk, write_gold_mmr
+        import pyarrow.parquet as pq
+
+        write_gold_mmr(SF, str(tmp_path), [0, 1, 2, 3, 4])
+        gold = {
+            (r["query_id"], r["rank"]): (r["vec_id"], r["mmr_milli"])
+            for r in pq.read_table(f"{tmp_path}/gold_mmr.parquet").to_pylist()
+        }
+        got = {
+            (r["query_id"], r["rank"]): (r["vec_id"], r["mmr_milli"])
+            for r in _rows(
+                mmr_topk(
+                    ray.data.read_parquet(f"{SF}/embeddings.parquet"),
+                    [0, 1, 2, 3, 4],
+                    10,
+                    source_path=f"{SF}/embeddings.parquet",
+                )
+            )
+        }
+        assert got == gold and len(got) == 50
