@@ -834,6 +834,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
             source_path=os.path.join(sf_dir, "embeddings.parquet"),
         )
 
+    def _kg_closeness(sf_dir):
+        """Sampled closeness centrality (Eppstein-Wang): the 8
+        lexicographically smallest canonicals as sources, per-source BFS
+        (the proven bfs_depths BSP kernel), exact integer
+        (n_sources_reached, sum_dist) per node; oracle = one recursive
+        CTE over (source, node) pairs."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import closeness_sampled
+
+        res = _kg_artifacts(sf_dir)
+        return closeness_sampled(
+            ray.data.read_parquet(
+                res["edges"],
+                columns=["src_id", "src_canonical", "dst_id", "dst_canonical"],
+            ),
+            n_sources=8,
+            max_depth=32,
+        )
+
+    def _kg_cdx_index(sf_dir):
+        """CDX capture index over the WARC rendering of the pages corpus
+        (sources/warc.cdx_index), projected to the shard-layout-free
+        columns (urlkey, ts14, url, n_bytes, digest_md5) the DuckDB
+        oracle re-derives from the pages table; warc_file/offset/
+        record_len are covered by the seek-and-reparse unit test."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.sources.warc import cdx_index, write_warc
+
+        _kg_artifacts(sf_dir)
+        name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        warc_dir = f"/tmp/graft_kg/{name}/warc_v1"
+        if not os.path.isfile(f"{warc_dir}/_WARC_DONE"):
+            write_warc(
+                ray.data.read_parquet(f"/tmp/graft_kg/{name}/pages"), warc_dir
+            )
+        return cdx_index(warc_dir).select_columns(
+            ["urlkey", "ts14", "url", "n_bytes", "digest_md5"]
+        )
+
     def _kg_resource_alloc(sf_dir, max_degree=None):
         """Resource-allocation link prediction over the entity graph
         (ops/graph_stats.resource_allocation).  ``max_degree`` is the
@@ -1601,6 +1642,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # --- crawl-frontier URL canonicalization + first-seen dedup ---
         "kg_url_dedup": _kg_url_dedup,
+        # --- sampled closeness centrality (exact integer distances) ---
+        "kg_closeness": _kg_closeness,
+        # --- WARC CDX capture index ---
+        "kg_cdx_index": _kg_cdx_index,
         # --- MMR diversified top-k retrieval over embeddings ---
         "emb_mmr": _emb_mmr,
         # --- TPC-H Q6-style filtered aggregate (exact integers) ---
@@ -2074,6 +2119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q2_min_price_supplier",
         "kg_url_dedup",
         "emb_mmr",
+        "kg_closeness",
+        "kg_cdx_index",
         # round 4, fifteenth batch: TPC-H Q6 filtered
         # aggregate, Q4 EXISTS semi-join
         "q6_forecast_revenue",
@@ -3111,6 +3158,47 @@ def oracle_sql() -> dict[str, str]:
             )
             select node as canonical, min(depth)::bigint as depth
             from reach group by node
+        """,
+        "kg_closeness": f"""
+            with recursive {kg_cte},
+            tri as ({tri_canon}),
+            e0 as (select distinct subj_canonical as u, obj_canonical as v
+                   from tri),
+            edges as (select u, v from e0 union select v, u from e0),
+            seeds as (select u as src from (
+                          select u from edges union select v from edges)
+                      order by src limit 8),
+            reach(src, node, depth) as (
+                select src, src, 0 from seeds
+                union
+                select r.src, e.v, r.depth + 1 from reach r
+                join edges e on e.u = r.node
+                where r.depth < 32
+            ),
+            m as (select src, node, min(depth) as d from reach group by 1, 2)
+            select node as canonical, count(*)::bigint as n_sources_reached,
+                   sum(d)::bigint as sum_dist
+            from m group by node
+        """,
+        "kg_cdx_index": f"""
+            with p as (select url, warc_ts, html
+                       from read_parquet('{gold}/pages/*.parquet')),
+            h as (select url, warc_ts, html,
+                     lower(regexp_extract(url,
+                         '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) as host,
+                     regexp_extract(url,
+                         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1) as rest
+                  from p)
+            select array_to_string(list_reverse(string_split(host, '.')), ',')
+                   || ')' || case when rest = '' then '/' else rest end
+                       as urlkey,
+                   strftime(warc_ts, '%Y%m%d%H%M%S') as ts14,
+                   url,
+                   octet_length(html)::bigint as n_bytes,
+                   -- DuckDB md5 takes VARCHAR; the corpus html is UTF-8,
+                   -- so decode() reproduces the engine's raw-byte digest
+                   md5(decode(html)) as digest_md5
+            from h
         """,
         "kg_latest_assertions": f"""
             with {kg_cte},

@@ -245,6 +245,19 @@ def run_ops(sf_dir: str, repeat: int = 1) -> dict[str, list[float]]:
         "docs_bloom_delta": lambda: dedup.bloom_delta_dedup(
             *dedup.mod3_split(read("documents"))
         ),
+        # round-5 first batch
+        "q1_pricing_summary": lambda: relational.q1_pricing_summary(
+            read("lineitem")
+        ),
+        "q2_min_price_supplier": lambda: relational.q2_min_price_supplier(
+            read("lineitem"), read("part"), read("supplier")
+        ),
+        "emb_mmr": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.ann", fromlist=["mmr_topk"]
+        ).mmr_topk(
+            read("embeddings"), [0, 1, 2, 3, 4], 10,
+            source_path=os.path.join(sf_dir, "embeddings.parquet"),
+        ),
     }
     times: dict[str, list[float]] = {}
     for name, make in ops.items():
@@ -373,6 +386,13 @@ def main() -> None:
         ),
         "kg_host_cap": lambda: cap_per_host(
             ray.data.read_parquet(f"{pages_path}/pages"), k=3
+        ),
+        "kg_url_dedup": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.web", fromlist=["url_dedup"]
+        ).url_dedup(
+            ray.data.read_parquet(
+                f"{pages_path}/pages", columns=["url", "warc_ts"]
+            )
         ),
         "kg_host_links": lambda: __import__(
             "pdf_entity_extraction_ray.ops.web", fromlist=["host_link_graph"]

@@ -6712,3 +6712,91 @@ def double_sweep(edges_ds, *, max_depth: int = 64, num_partitions: int | None = 
             }
         )
     )
+
+
+def closeness_sampled(
+    edges_ds,
+    n_sources: int = 8,
+    max_depth: int = 32,
+    num_partitions: int | None = None,
+):
+    """Sampled closeness centrality in EXACT integers: per node, the
+    count of sampled sources that reach it within ``max_depth`` hops and
+    the SUM of those hop distances (the closeness estimate is
+    ``n_reached / sum_dist`` — left as an exact integer pair so the
+    DuckDB oracle is bit-stable; Eppstein-Wang style sampling, the
+    standard scale path since exact all-pairs closeness is O(V*E)).
+
+    Sources are the ``n_sources`` lexicographically smallest canonicals
+    in the edge set — a deterministic, SQL-mirrorable rule.  Each source
+    runs the proven :func:`bfs_depths` BSP kernel (per-source static
+    state rebuild is the simplicity trade; a shared-static multi-source
+    variant is the optimization once sources grow past tens), results
+    union and settle in ONE (canonical) groupby.
+
+    Emits ``(canonical, n_sources_reached, sum_dist)``."""
+    import numpy as np
+    from ray.data.aggregate import Count, Sum
+
+    # min-k canonicals: per-batch local head-k combiner, driver head-k
+    # over <= k x blocks rows (never the node set)
+    def local_min_k(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src_canonical" not in batch.column_names:
+            return pa.table({"canonical": pa.array([], pa.string())})
+        vals = sorted(
+            set(batch.column("src_canonical").to_pylist())
+            | set(batch.column("dst_canonical").to_pylist())
+        )[:n_sources]
+        return pa.table({"canonical": pa.array(vals, pa.string())})
+
+    cand: set[str] = set()
+    for b in (
+        edges_ds.select_columns(["src_canonical", "dst_canonical"])
+        .map_batches(local_min_k, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        cand.update(b.column("canonical").to_pylist())
+    sources = sorted(cand)[:n_sources]
+
+    runs = []
+    for s in sources:
+        d = bfs_depths(
+            edges_ds, [s], max_depth=max_depth, num_partitions=num_partitions
+        )
+        runs.append(d)
+    if not runs:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "canonical": pa.array([], pa.string()),
+                    "n_sources_reached": pa.array([], pa.int64()),
+                    "sum_dist": pa.array([], pa.int64()),
+                }
+            )
+        )
+    u = runs[0].union(*runs[1:]) if len(runs) > 1 else runs[0]
+
+    def shape(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "canonical" not in batch.column_names:
+            return pa.table(
+                {
+                    "canonical": pa.array([], pa.string()),
+                    "n_sources_reached": pa.array([], pa.int64()),
+                    "sum_dist": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "canonical": batch.column("canonical"),
+                "n_sources_reached": batch.column("count()").cast(pa.int64()),
+                "sum_dist": batch.column("sum(depth)").cast(pa.int64()),
+            }
+        )
+
+    return (
+        u.groupby("canonical")
+        .aggregate(Count(), Sum("depth"))
+        .map_batches(shape, batch_format="pyarrow")
+    )

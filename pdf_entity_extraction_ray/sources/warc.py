@@ -158,3 +158,112 @@ def read_warc(warc_dir: str):
         ]
     )
     return files.map_batches(parse, batch_format="numpy")
+
+
+_SURT_RE = None  # compiled lazily (module import stays cheap)
+
+
+def surt_key(url: str) -> str:
+    """SURT-style CDX url key: reversed dot-split lowercase host joined
+    with commas, then ``)`` and the path+query (port dropped — the corpus
+    carries none; the oracle mirrors the same rule).  '' for non-urls."""
+    global _SURT_RE
+    if _SURT_RE is None:
+        import re
+
+        _SURT_RE = re.compile(
+            r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)(:\d+)?([^#]*)"
+        )
+    m = _SURT_RE.match(url)
+    if not m:
+        return ""
+    host, _port, rest = m.group(1).lower(), m.group(2), m.group(3)
+    return ",".join(reversed(host.split("."))) + ")" + (rest or "/")
+
+
+def cdx_index(warc_dir: str):
+    """CDX-style capture index over a WARC directory — the standard
+    web-archive lookup table (urlkey, timestamp, location): one parse
+    task per ``.warc`` file (the same file-level parallelism contract as
+    :func:`read_warc`), each walking its records by declared
+    Content-Length while tracking byte offsets.
+
+    Emits ``(urlkey, ts14, url, n_bytes, digest_md5, warc_file, offset,
+    record_len)`` — urlkey/ts14/url/n_bytes/digest_md5 are pure functions
+    of the page row (the DuckDB-mirrorable projection the registry query
+    selects); warc_file/offset/record_len depend on shard layout and are
+    covered by the seek-and-reparse unit test instead."""
+    import hashlib as _hl
+
+    import ray.data
+
+    if not os.path.exists(os.path.join(warc_dir, "_WARC_DONE")):
+        raise FileNotFoundError(
+            f"{warc_dir} has no _WARC_DONE marker — incomplete WARC sink"
+        )
+
+    def index_one(path: str, data: bytes) -> pa.Table:
+        ks, ts14s, us, nb, dg, off, rl = [], [], [], [], [], [], []
+        pos = 0
+        n = len(data)
+        fname = os.path.basename(path)
+        while pos < n:
+            start = pos
+            end = data.find(b"\r\n\r\n", pos)
+            if end < 0:
+                break
+            headers: dict[str, str] = {}
+            head_lines = data[pos:end].decode("utf-8", "replace").split("\r\n")
+            if not head_lines or not head_lines[0].startswith("WARC/"):
+                raise ValueError(f"malformed WARC record header at byte {pos}")
+            for line in head_lines[1:]:
+                k, _, v = line.partition(":")
+                headers[k.strip().lower()] = v.strip()
+            length = int(headers["content-length"])
+            body = data[end + 4 : end + 4 + length]
+            pos = end + 4 + length
+            if data[pos : pos + 4] == b"\r\n\r\n":
+                pos += 4
+            if headers.get("warc-type") != "response":
+                continue
+            http_split = body.find(b"\r\n\r\n")
+            html = body[http_split + 4 :] if http_split >= 0 else b""
+            dt = datetime.strptime(headers["warc-date"], _TS_FMT).replace(
+                tzinfo=timezone.utc
+            )
+            url = headers["warc-target-uri"]
+            ks.append(surt_key(url))
+            ts14s.append(dt.strftime("%Y%m%d%H%M%S"))
+            us.append(url)
+            nb.append(len(html))
+            dg.append(_hl.md5(html).hexdigest())
+            off.append(start)
+            rl.append(pos - start)
+        return pa.table(
+            {
+                "urlkey": pa.array(ks, pa.string()),
+                "ts14": pa.array(ts14s, pa.string()),
+                "url": pa.array(us, pa.string()),
+                "n_bytes": pa.array(nb, pa.int64()),
+                "digest_md5": pa.array(dg, pa.string()),
+                "warc_file": pa.array([fname] * len(ks), pa.string()),
+                "offset": pa.array(off, pa.int64()),
+                "record_len": pa.array(rl, pa.int64()),
+            }
+        )
+
+    def parse(batch: dict) -> pa.Table:
+        tables = [
+            index_one(p, bytes(b)) for p, b in zip(batch["path"], batch["bytes"])
+        ]
+        return pa.concat_tables(tables) if tables else index_one("", b"")
+
+    files = ray.data.read_binary_files(
+        [
+            os.path.join(warc_dir, f)
+            for f in sorted(os.listdir(warc_dir))
+            if f.endswith(".warc")
+        ],
+        include_paths=True,
+    )
+    return files.map_batches(parse, batch_format="numpy")

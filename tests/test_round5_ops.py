@@ -208,3 +208,118 @@ class TestMMR:
             )
         }
         assert got == gold and len(got) == 50
+
+
+class TestClosenessSampled:
+    def test_matches_bruteforce(self):
+        import collections
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import closeness_sampled
+
+        # two components: a path a-b-c-d and a triangle x-y-z
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("y", "z"),
+                 ("x", "z")]
+        ids = {n: i for i, n in enumerate(sorted({u for e in edges for u in e}))}
+        tbl = pa.table(
+            {
+                "src_id": pa.array([ids[u] for u, _ in edges], pa.int64()),
+                "src_canonical": pa.array([u for u, _ in edges], pa.string()),
+                "dst_id": pa.array([ids[v] for _, v in edges], pa.int64()),
+                "dst_canonical": pa.array([v for _, v in edges], pa.string()),
+            }
+        )
+        got = {
+            r["canonical"]: (r["n_sources_reached"], r["sum_dist"])
+            for b in closeness_sampled(
+                ray.data.from_arrow(tbl), n_sources=3, max_depth=8
+            ).iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()
+        }
+        # sources = 3 smallest canonicals: a, b, c
+        adj = collections.defaultdict(set)
+        for u, v in edges:
+            adj[u].add(v)
+            adj[v].add(u)
+
+        def bfs(s):
+            d = {s: 0}
+            q = [s]
+            while q:
+                n = q.pop(0)
+                for m in adj[n]:
+                    if m not in d:
+                        d[m] = d[n] + 1
+                        q.append(m)
+            return d
+
+        want = collections.defaultdict(lambda: [0, 0])
+        for s in ["a", "b", "c"]:
+            for n, d in bfs(s).items():
+                want[n][0] += 1
+                want[n][1] += d
+        assert got == {n: tuple(v) for n, v in want.items()}
+        # the triangle component is unreachable from a/b/c: absent
+        assert "x" not in got
+
+
+class TestCdxIndex:
+    def test_seek_and_reparse(self, tmp_path):
+        """The layout columns (warc_file, offset, record_len) must locate
+        the exact record bytes: seeking there and reparsing yields the
+        indexed url/digest."""
+        import hashlib
+
+        import ray.data
+
+        from pdf_entity_extraction_ray.sources.warc import (
+            _parse_warc_bytes,
+            cdx_index,
+            surt_key,
+            write_warc,
+        )
+
+        pages = pa.table(
+            {
+                "url": pa.array(
+                    [f"https://s{i}.example.test/p/{i}?x=1" for i in range(7)]
+                ),
+                "warc_ts": pa.array(
+                    np.array([1_600_000_000_000_000 + i for i in range(7)],
+                             dtype="datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+                "html": pa.array(
+                    [f"<html>{i}</html>".encode() for i in range(7)], pa.binary()
+                ),
+            }
+        )
+        wdir = str(tmp_path / "warc")
+        write_warc(ray.data.from_arrow(pages), wdir)
+        rows = []
+        for b in cdx_index(wdir).iter_batches(batch_format="pyarrow"):
+            rows.extend(b.to_pylist())
+        assert len(rows) == 7
+        import os
+
+        for r in rows:
+            with open(os.path.join(wdir, r["warc_file"]), "rb") as f:
+                f.seek(r["offset"])
+                blob = f.read(r["record_len"])
+            t = _parse_warc_bytes(blob)
+            assert t.num_rows == 1
+            assert t.column("url")[0].as_py() == r["url"]
+            html = t.column("html")[0].as_py()
+            assert hashlib.md5(html).hexdigest() == r["digest_md5"]
+            assert len(html) == r["n_bytes"]
+            assert r["urlkey"] == surt_key(r["url"])
+
+    def test_surt_rules(self):
+        from pdf_entity_extraction_ray.sources.warc import surt_key
+
+        assert surt_key("https://site9.example.test/page/209") == \
+            "test,example,site9)/page/209"
+        assert surt_key("http://A.B.test:8080/X?q=1") == "test,b,a)/X?q=1"
+        assert surt_key("https://host.test") == "host,test".replace(
+            "host,test", "test,host") + ")/"
+        assert surt_key("garbage") == ""
