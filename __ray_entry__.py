@@ -1646,6 +1646,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_closeness": _kg_closeness,
         # --- WARC CDX capture index ---
         "kg_cdx_index": _kg_cdx_index,
+        # --- measured IVF recall@k vs exact (ANN quality gauge) ---
+        "emb_ivf_recall": lambda sf: ann.ivf_recall(
+            _read(sf, "embeddings"), [0, 1, 2, 3, 4], 10, n_probe=8,
+            index_dir=f"/tmp/graft_ivf/{os.path.basename(os.path.normpath(sf))}",
+            source_path=os.path.join(sf, "embeddings.parquet"),
+        ),
+        # --- code-vs-prose detection (exact integer signals) ---
+        "docs_code_detect": docs_op(text.code_detect_batch),
         # --- MMR diversified top-k retrieval over embeddings ---
         "emb_mmr": _emb_mmr,
         # --- TPC-H Q6-style filtered aggregate (exact integers) ---
@@ -2121,6 +2129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_mmr",
         "kg_closeness",
         "kg_cdx_index",
+        "emb_ivf_recall",
+        "docs_code_detect",
         # round 4, fifteenth batch: TPC-H Q6 filtered
         # aggregate, Q4 EXISTS semi-join
         "q6_forecast_revenue",
@@ -4233,6 +4243,70 @@ def oracle_sql() -> dict[str, str]:
                 where exists (select 1 from probe p
                               where p.query_id = q.query_id and p.dim = e.bucket))
             where rank <= 10
+        """,
+        "emb_ivf_recall": """
+            with q as (select vec_id as query_id, embedding as qe
+                       from embeddings where vec_id < 5),
+            pd as (select query_id, unnest(qe) as v, generate_subscripts(qe, 1) as i
+                   from q),
+            probe as (select query_id, i - 1 as dim
+                      from (select query_id, i,
+                                   row_number() over (partition by query_id
+                                                      order by abs(v) desc, i) as rn
+                            from pd)
+                      where rn <= 8),
+            cand as (select vec_id, embedding,
+                            list_position(list_transform(embedding, x -> abs(x)),
+                                          list_max(list_transform(embedding, x -> abs(x))))
+                                - 1 as bucket
+                     from embeddings),
+            ivf as (select query_id, neighbor_id from (
+                select q.query_id, e.vec_id as neighbor_id,
+                       row_number() over (partition by q.query_id
+                                          order by list_cosine_similarity(qe, e.embedding)
+                                                       desc,
+                                                   e.vec_id) as rank
+                from q join cand e on e.vec_id != q.query_id
+                where exists (select 1 from probe p
+                              where p.query_id = q.query_id and p.dim = e.bucket))
+                where rank <= 10),
+            brute as (select query_id, neighbor_id from (
+                select query_id, e.vec_id as neighbor_id,
+                       row_number() over (partition by query_id
+                                          order by list_cosine_similarity(qe, e.embedding)
+                                                       desc,
+                                                   e.vec_id) as rank
+                from q cross join embeddings e
+                where e.vec_id != query_id)
+                where rank <= 10)
+            select b.query_id,
+                   count(i.neighbor_id)::bigint as n_hits,
+                   (1000000 * count(i.neighbor_id) // 10)::bigint as recall_ppm
+            from brute b
+            left join ivf i on i.query_id = b.query_id
+                           and i.neighbor_id = b.neighbor_id
+            group by b.query_id
+        """,
+        "docs_code_detect": """
+            with f as (select doc_id, text, length(text)::bigint as n_chars,
+                              length(regexp_extract_all(text,
+                                     '[{}();=<>\\[\\]]'))::bigint as syms,
+                              length(regexp_extract_all(text,
+                                     '(^|\\n)(    |\\t)'))::bigint as indents,
+                              (1 + length(regexp_extract_all(text, '\\n')))::bigint
+                                  as n_lines
+                       from documents)
+            select doc_id, n_chars,
+                   case when n_chars > 0
+                        then 1000000 * syms // greatest(n_chars, 1)
+                        else 0 end::bigint as symbol_ppm,
+                   (1000000 * indents // n_lines)::bigint as indent_line_ppm,
+                   case when (case when n_chars > 0
+                                   then 1000000 * syms // greatest(n_chars, 1)
+                                   else 0 end) >= 30000
+                          or (1000000 * indents // n_lines) >= 300000
+                        then 1 else 0 end::bigint as is_code
+            from f
         """,
         "emb_knn": """
             with q as (select vec_id as query_id, embedding as qe from embeddings

@@ -258,6 +258,16 @@ def run_ops(sf_dir: str, repeat: int = 1) -> dict[str, list[float]]:
             read("embeddings"), [0, 1, 2, 3, 4], 10,
             source_path=os.path.join(sf_dir, "embeddings.parquet"),
         ),
+        "emb_ivf_recall": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.ann", fromlist=["ivf_recall"]
+        ).ivf_recall(
+            read("embeddings"), [0, 1, 2, 3, 4], 10, n_probe=8,
+            index_dir=f"/tmp/graft_ivf_bench_{os.path.basename(os.path.normpath(sf_dir))}",
+            source_path=os.path.join(sf_dir, "embeddings.parquet"),
+        ),
+        "docs_code_detect": lambda: read("documents").map_batches(
+            text.code_detect_batch, batch_format="pyarrow"
+        ),
     }
     times: dict[str, list[float]] = {}
     for name, make in ops.items():

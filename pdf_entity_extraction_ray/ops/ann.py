@@ -423,3 +423,48 @@ def write_gold_mmr(sf_dir: str, out_dir: str, query_ids: list[int],
         ),
         os.path.join(out_dir, "gold_mmr.parquet"),
     )
+
+
+def ivf_recall(emb_ds, query_ids: list[int], k: int = 10, n_probe: int = 8,
+               index_dir: str | None = None, *, source_path=None):
+    """Recall@k of the IVF approximate path against the exact brute-force
+    path — the standard ANN quality gauge, run as a first-class op so the
+    accuracy/cost trade is MEASURED, not asserted.  Both result sets are
+    O(queries x k) rows; the expensive parts are the two distributed runs
+    (:func:`knn_ivf` reads only probed bucket partitions,
+    :func:`knn_bruteforce` streams the corpus once), the comparison is a
+    bounded driver-side set intersection.
+
+    Emits ``(query_id, n_hits, recall_ppm)`` with
+    ``recall_ppm = 10^6 * hits // k`` (exact integer)."""
+    exact: dict[int, set[int]] = {}
+    for b in knn_bruteforce(
+        emb_ds, query_ids, k, source_path=source_path
+    ).iter_batches(batch_format="pyarrow"):
+        for q, nb in zip(
+            b.column("query_id").to_pylist(), b.column("neighbor_id").to_pylist()
+        ):
+            exact.setdefault(q, set()).add(nb)
+    approx: dict[int, set[int]] = {}
+    for b in knn_ivf(
+        emb_ds, query_ids, k, n_probe, index_dir, source_path=source_path
+    ).iter_batches(batch_format="pyarrow"):
+        for q, nb in zip(
+            b.column("query_id").to_pylist(), b.column("neighbor_id").to_pylist()
+        ):
+            approx.setdefault(q, set()).add(nb)
+    import ray.data
+
+    qs = sorted(exact)
+    hits = [len(exact[q] & approx.get(q, set())) for q in qs]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(qs, pa.int64()),
+                "n_hits": pa.array(hits, pa.int64()),
+                "recall_ppm": pa.array(
+                    [1_000_000 * h // k for h in hits], pa.int64()
+                ),
+            }
+        )
+    )

@@ -683,3 +683,54 @@ def and_search(docs_ds, terms: tuple[str, ...]):
     return docs_ds.select_columns(["doc_id", "text"]).map_batches(
         match, batch_format="pyarrow"
     )
+
+
+def code_detect_batch(batch: pa.Table) -> pa.Table:
+    """Code-vs-prose detection — the CC-pipeline filter that routes
+    source-code pages away from the prose corpus.  Exact integer
+    signals, one vectorized RE2 pass each:
+
+      symbol_ppm      = 10^6 * count of ``{}();=<>[]`` chars // n_chars
+      indent_line_ppm = 10^6 * lines starting with 4 spaces or a tab
+                        // n_lines
+      is_code         = symbol_ppm >= 30000 OR indent_line_ppm >= 300000
+
+    Emits (doc_id, n_chars, symbol_ppm, indent_line_ppm, is_code)."""
+    import numpy as np
+
+    if batch.num_rows == 0 or "text" not in batch.column_names:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_chars": pa.array([], pa.int64()),
+                "symbol_ppm": pa.array([], pa.int64()),
+                "indent_line_ppm": pa.array([], pa.int64()),
+                "is_code": pa.array([], pa.int64()),
+            }
+        )
+    text = batch.column("text")
+    n_chars = pc.utf8_length(text).cast(pa.int64()).combine_chunks().to_numpy(
+        zero_copy_only=False
+    )
+    syms = pc.count_substring_regex(
+        text, pattern=r"[{}();=<>\[\]]"
+    ).cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+    indents = pc.count_substring_regex(
+        text, pattern=r"(?:^|\n)(?:    |\t)"
+    ).cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+    newlines = pc.count_substring_regex(text, pattern=r"\n").cast(
+        pa.int64()
+    ).combine_chunks().to_numpy(zero_copy_only=False)
+    n_lines = newlines + 1
+    symbol_ppm = np.where(n_chars > 0, 1_000_000 * syms // np.maximum(n_chars, 1), 0)
+    indent_ppm = 1_000_000 * indents // n_lines
+    is_code = ((symbol_ppm >= 30_000) | (indent_ppm >= 300_000)).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "n_chars": pa.array(n_chars, pa.int64()),
+            "symbol_ppm": pa.array(symbol_ppm, pa.int64()),
+            "indent_line_ppm": pa.array(indent_ppm, pa.int64()),
+            "is_code": pa.array(is_code, pa.int64()),
+        }
+    )

@@ -323,3 +323,67 @@ class TestCdxIndex:
         assert surt_key("https://host.test") == "host,test".replace(
             "host,test", "test,host") + ")/"
         assert surt_key("garbage") == ""
+
+
+class TestIvfRecall:
+    def test_recall_bounds_and_probe_monotone(self, tmp_path):
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.ann import ivf_recall
+
+        ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+        r8 = {
+            r["query_id"]: r["recall_ppm"]
+            for r in _rows(
+                ivf_recall(ds, [0, 1, 2], 10, n_probe=8,
+                           index_dir=str(tmp_path / "ivf"),
+                           source_path=f"{SF}/embeddings.parquet")
+            )
+        }
+        assert set(r8) == {0, 1, 2}
+        assert all(0 <= v <= 1_000_000 for v in r8.values())
+        # probing EVERY bucket makes IVF exact -> recall 100%
+        dim = len(
+            ray.data.read_parquet(f"{SF}/embeddings.parquet")
+            .take(1)[0]["embedding"]
+        )
+        r_all = {
+            r["query_id"]: r["recall_ppm"]
+            for r in _rows(
+                ivf_recall(ds, [0, 1, 2], 10, n_probe=dim,
+                           index_dir=str(tmp_path / "ivf"),
+                           source_path=f"{SF}/embeddings.parquet")
+            )
+        }
+        assert all(v == 1_000_000 for v in r_all.values())
+        assert all(r8[q] <= r_all[q] for q in r8)
+
+
+class TestCodeDetect:
+    def test_signals(self):
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.text import code_detect_batch
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "plain english prose with no symbols at all",
+                        "def f(x):\n    return {x: [1]};\n    pass\n\tdone",
+                        "",
+                    ]
+                ),
+            }
+        )
+        got = {r["doc_id"]: r for r in _rows(
+            ray.data.from_arrow(docs).map_batches(
+                code_detect_batch, batch_format="pyarrow"
+            )
+        )}
+        assert got[1]["is_code"] == 0 and got[1]["symbol_ppm"] == 0
+        assert got[2]["is_code"] == 1
+        # doc 2: 4 lines, 3 indented (two 4-space + one tab) -> 750000 ppm
+        assert got[2]["indent_line_ppm"] == 750_000
+        assert got[3]["n_chars"] == 0 and got[3]["is_code"] == 0
