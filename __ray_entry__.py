@@ -1646,6 +1646,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_closeness": _kg_closeness,
         # --- WARC CDX capture index ---
         "kg_cdx_index": _kg_cdx_index,
+        # --- training-mixture report per source ---
+        "docs_source_mix": lambda sf: relational.source_mix(
+            _read(sf, "documents")
+        ),
+        # --- per-user peak hourly rate (bot/abuse screen) ---
+        "events_burst_rates": lambda sf: relational.user_burst_rates(
+            _read(sf, "events")
+        ),
+        # --- degree-distribution Gini (hub-skew diagnostic) ---
+        "kg_degree_gini": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["degree_gini"]
+        ).degree_gini(
+            __import__("ray.data", fromlist=["read_parquet"]).read_parquet(
+                _kg_artifacts(sf)["edges"],
+                columns=["src_canonical", "dst_canonical"],
+            )
+        ),
         # --- measured IVF recall@k vs exact (ANN quality gauge) ---
         "emb_ivf_recall": lambda sf: ann.ivf_recall(
             _read(sf, "embeddings"), [0, 1, 2, 3, 4], 10, n_probe=8,
@@ -2131,6 +2148,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cdx_index",
         "emb_ivf_recall",
         "docs_code_detect",
+        "docs_source_mix",
+        "events_burst_rates",
+        "kg_degree_gini",
         # round 4, fifteenth batch: TPC-H Q6 filtered
         # aggregate, Q4 EXISTS semi-join
         "q6_forecast_revenue",
@@ -3168,6 +3188,27 @@ def oracle_sql() -> dict[str, str]:
             )
             select node as canonical, min(depth)::bigint as depth
             from reach group by node
+        """,
+        "kg_degree_gini": f"""
+            with {kg_cte},
+            tri as ({tri_canon}),
+            p0 as (select subj_canonical as u, obj_canonical as v from tri
+                   where subj_canonical != obj_canonical),
+            e0 as (select distinct least(u, v) as a, greatest(u, v) as b
+                   from p0),
+            deg as (select node, count(*)::bigint as d
+                    from (select a as node from e0
+                          union all select b from e0)
+                    group by node),
+            s as (select d, row_number() over (order by d, node) as rn
+                  from deg),
+            agg as (select count(*)::bigint as n, sum(d)::bigint as sum_deg,
+                           sum(rn * d)::bigint as pos_sum
+                    from s)
+            select n as n_nodes, sum_deg,
+                   (2 * pos_sum - (n + 1) * sum_deg)::bigint as gini_num,
+                   (n * sum_deg)::bigint as gini_den
+            from agg
         """,
         "kg_closeness": f"""
             with recursive {kg_cte},
@@ -4286,6 +4327,28 @@ def oracle_sql() -> dict[str, str]:
             left join ivf i on i.query_id = b.query_id
                            and i.neighbor_id = b.neighbor_id
             group by b.query_id
+        """,
+        "docs_source_mix": """
+            with t as (select source, count(*)::bigint as n_docs,
+                              sum(len(regexp_extract_all(lower(text),
+                                  '[a-z0-9_]+')))::bigint as n_tokens
+                       from documents group by source)
+            select source, n_docs, n_tokens,
+                   (1000000 * n_tokens
+                    // (select sum(n_tokens) from t))::bigint
+                       as token_share_ppm
+            from t
+        """,
+        "events_burst_rates": """
+            with c as (select user_id,
+                              (epoch_us(ts) // 3600000000) * 3600000000
+                                  as hour_us,
+                              count(*)::bigint as n
+                       from events group by 1, 2)
+            select user_id, hour_us as peak_hour_us, n as peak_events
+            from c
+            qualify row_number() over (partition by user_id
+                                       order by n desc, hour_us) = 1
         """,
         "docs_code_detect": """
             with f as (select doc_id, text, length(text)::bigint as n_chars,

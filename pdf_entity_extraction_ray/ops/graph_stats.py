@@ -6800,3 +6800,94 @@ def closeness_sampled(
         .aggregate(Count(), Sum("depth"))
         .map_batches(shape, batch_format="pyarrow")
     )
+
+
+def degree_gini(edges_ds):
+    """Gini coefficient of the undirected-degree distribution — the one-
+    number hub-skew diagnostic that decides whether the celebrity-cut
+    ops need their ``max_degree`` bound on a given corpus.  EXACT integer
+    arithmetic end to end: the result is the ratio pair
+
+        gini = gini_num / gini_den,
+        gini_num = 2 * sum(i * d_i) - (n + 1) * sum(d),
+        gini_den = n * sum(d)
+
+    over degrees sorted ascending (1-indexed).  Driver state is the
+    DEGREE HISTOGRAM (O(distinct degree values) rows, <= max degree), and
+    the position sum per histogram bucket is closed-form
+    ``v * (c*p + c*(c+1)//2)`` — no global sort, no per-node driver rows.
+    Emits one row ``(n_nodes, sum_deg, gini_num, gini_den)``."""
+    import numpy as np
+    import ray.data
+
+    def und(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src_canonical" not in batch.column_names:
+            return pa.table(
+                {"a": pa.array([], pa.string()), "b": pa.array([], pa.string())}
+            )
+        s, d = batch.column("src_canonical"), batch.column("dst_canonical")
+        lt = pc.less(s, d)
+        t = pa.table(
+            {"a": pc.if_else(lt, s, d), "b": pc.if_else(lt, d, s)}
+        ).filter(pc.not_equal(s, d))
+        return t.group_by(["a", "b"]).aggregate([])  # batch-local distinct
+
+    edges = (
+        edges_ds.select_columns(["src_canonical", "dst_canonical"])
+        .map_batches(und, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return pa.table({"node": pa.array([], pa.string())})
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        batch.column("a").combine_chunks(),
+                        batch.column("b").combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    def deg_only(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "count()" not in batch.column_names:
+            return pa.table({"deg": pa.array([], pa.int64())})
+        return pa.table({"deg": batch.column("count()").cast(pa.int64())})
+
+    hist_ds = (
+        edges.map_batches(explode, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+        .map_batches(deg_only, batch_format="pyarrow")
+        .groupby("deg")
+        .count()
+    )
+    hist: dict[int, int] = {}
+    for b in hist_ds.iter_batches(batch_format="pyarrow"):
+        for v, c in zip(b.column("deg").to_pylist(), b.column("count()").to_pylist()):
+            hist[int(v)] = hist.get(int(v), 0) + int(c)
+
+    n = sum(hist.values())
+    sum_deg = sum(v * c for v, c in hist.items())
+    pos_sum = 0  # sum over sorted degrees of (1-indexed position * degree)
+    p = 0
+    for v in sorted(hist):
+        c = hist[v]
+        pos_sum += v * (c * p + c * (c + 1) // 2)
+        p += c
+    gini_num = 2 * pos_sum - (n + 1) * sum_deg
+    gini_den = n * sum_deg
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_nodes": pa.array([n], pa.int64()),
+                "sum_deg": pa.array([sum_deg], pa.int64()),
+                "gini_num": pa.array([gini_num], pa.int64()),
+                "gini_den": pa.array([gini_den], pa.int64()),
+            }
+        )
+    )

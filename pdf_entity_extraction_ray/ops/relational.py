@@ -3534,3 +3534,181 @@ def q2_min_price_supplier(
         .map_groups(argmin_group, batch_format="pyarrow")
         .map_batches(attach_names, batch_format="pyarrow")
     )
+
+
+def source_mix(docs_ds):
+    """Training-mixture report: per ``source``, document and token totals
+    plus the corpus token share in exact integer ppm (floor) — the table
+    every data-mixing decision reads.  Tokens = ``[a-z0-9_]+`` runs over
+    lowered text (the repo-wide token grammar).
+
+    Plan: one pruned scan -> per-batch (source, n_docs, n_tokens)
+    combiner -> one tiny groupby; the global total lands driver-side as
+    O(sources) rows and the share is attached in a final map.  Emits
+    ``(source, n_docs, n_tokens, token_share_ppm)``."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "text" not in batch.column_names:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                }
+            )
+        toks = pc.count_substring_regex(
+            pc.utf8_lower(batch.column("text")), pattern=r"[a-z0-9_]+"
+        ).cast(pa.int64())
+        g = pa.table(
+            {"source": batch.column("source"), "n_tokens": toks}
+        ).group_by("source").aggregate([("n_tokens", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "n_docs": g.column("count_all").cast(pa.int64()),
+                "n_tokens": g.column("n_tokens_sum").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        docs_ds.select_columns(["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+        )
+        .materialize()  # O(sources) rows; reused for the total + the share map
+    )
+    total = sum(r["n_tokens"] for r in agg.take_all()) or 1
+
+    def share(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "n_tokens" not in batch.column_names:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "token_share_ppm": pa.array([], pa.int64()),
+                }
+            )
+        nt = batch.column("n_tokens")
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "n_docs": batch.column("n_docs"),
+                "n_tokens": nt,
+                "token_share_ppm": pc.divide(
+                    pc.multiply(nt.cast(pa.int64()), pa.scalar(1_000_000, pa.int64())),
+                    pa.scalar(total, pa.int64()),
+                ),
+            }
+        )
+
+    return agg.map_batches(share, batch_format="pyarrow")
+
+
+def user_burst_rates(events_ds, threshold_per_hour: int = 0):
+    """Per-user PEAK hourly event rate — the rate-based bot/abuse screen
+    every web log pipeline runs: bucket events into UTC hours, count per
+    (user, hour), keep each user's max (and the hour it happened, earliest
+    hour on ties).  ``threshold_per_hour`` > 0 keeps only users at or
+    above it.
+
+    One pruned scan -> per-batch (user, hour) count combiner -> one
+    groupby settles global counts -> per-batch per-user argmax combiner
+    -> one final groupby argmax.  Emits ``(user_id, peak_hour_us,
+    peak_events)``."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    HOUR = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "ts" not in batch.column_names:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "hour_us": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        hour = pc.multiply(
+            pc.divide(
+                batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                pa.scalar(HOUR, pa.int64()),
+            ),
+            pa.scalar(HOUR, pa.int64()),
+        )
+        g = pa.table(
+            {"user_id": batch.column("user_id").cast(pa.int64()), "hour_us": hour}
+        ).group_by(["user_id", "hour_us"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "hour_us": g.column("hour_us"),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        events_ds.select_columns(["user_id", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "hour_us"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def argmax_local(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "peak_hour_us": pa.array([], pa.int64()),
+                "peak_events": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return empty
+        u = batch.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        h = batch.column("hour_us").combine_chunks().to_numpy(zero_copy_only=False)
+        n = batch.column("n").combine_chunks().to_numpy(zero_copy_only=False)
+        # (count desc, hour asc) winner per user, vectorized
+        order = np.lexsort((h, -n, u))
+        u, h, n = u[order], h[order], n[order]
+        first = np.r_[True, u[1:] != u[:-1]]
+        return pa.table(
+            {
+                "user_id": pa.array(u[first], pa.int64()),
+                "peak_hour_us": pa.array(h[first], pa.int64()),
+                "peak_events": pa.array(n[first], pa.int64()),
+            }
+        )
+
+    def argmax_group(group: pa.Table) -> pa.Table:
+        t = argmax_local(
+            group.rename_columns(
+                [
+                    {"peak_hour_us": "hour_us", "peak_events": "n"}.get(c, c)
+                    for c in group.column_names
+                ]
+            )
+        )
+        return t
+
+    out = (
+        counts.map_batches(argmax_local, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(argmax_group, batch_format="pyarrow")
+    )
+    if threshold_per_hour > 0:
+        thr = int(threshold_per_hour)
+
+        def cut(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "peak_events" not in batch.column_names:
+                return batch
+            return batch.filter(
+                pc.greater_equal(batch.column("peak_events"), thr)
+            )
+
+        out = out.map_batches(cut, batch_format="pyarrow")
+    return out

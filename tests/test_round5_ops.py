@@ -387,3 +387,102 @@ class TestCodeDetect:
         # doc 2: 4 lines, 3 indented (two 4-space + one tab) -> 750000 ppm
         assert got[2]["indent_line_ppm"] == 750_000
         assert got[3]["n_chars"] == 0 and got[3]["is_code"] == 0
+
+
+class TestSourceMix:
+    def test_matches_bruteforce(self):
+        import re
+
+        import duckdb
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.relational import source_mix
+
+        got = {
+            r["source"]: (r["n_docs"], r["n_tokens"], r["token_share_ppm"])
+            for r in _rows(
+                source_mix(ray.data.read_parquet(f"{SF}/documents.parquet"))
+            )
+        }
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{SF}/documents.parquet", columns=["source", "text"])
+        per = {}
+        for s, x in zip(t.column("source").to_pylist(), t.column("text").to_pylist()):
+            d = per.setdefault(s, [0, 0])
+            d[0] += 1
+            d[1] += len(re.findall(r"[a-z0-9_]+", x.lower()))
+        total = sum(v[1] for v in per.values())
+        want = {
+            s: (v[0], v[1], 1_000_000 * v[1] // total) for s, v in per.items()
+        }
+        assert got == want and len(got) > 1
+        assert sum(v[2] for v in got.values()) <= 1_000_000  # floor shares
+
+
+class TestBurstRates:
+    def test_peak_and_tie_break(self):
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.relational import user_burst_rates
+
+        HOUR = 3_600_000_000
+        # user 1: 3 events in hour0, 1 in hour1; user 2: tie 2-2 -> earlier hour
+        stamps = [
+            (1, 0), (1, 1), (1, 2), (1, HOUR + 5),
+            (2, 0), (2, 1), (2, HOUR), (2, HOUR + 1),
+        ]
+        ev = pa.table(
+            {
+                "user_id": pa.array([u for u, _ in stamps], pa.int64()),
+                "ts": pa.array(
+                    np.array([t for _, t in stamps], dtype="datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+        got = {
+            r["user_id"]: (r["peak_hour_us"], r["peak_events"])
+            for r in _rows(user_burst_rates(ray.data.from_arrow(ev)))
+        }
+        assert got == {1: (0, 3), 2: (0, 2)}
+        # threshold keeps only at-or-above users
+        got3 = _rows(user_burst_rates(ray.data.from_arrow(ev), threshold_per_hour=3))
+        assert [r["user_id"] for r in got3] == [1]
+
+
+class TestDegreeGini:
+    def test_star_vs_regular(self):
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import degree_gini
+
+        def run(edges):
+            tbl = pa.table(
+                {
+                    "src_canonical": pa.array([u for u, _ in edges]),
+                    "dst_canonical": pa.array([v for _, v in edges]),
+                }
+            )
+            [row] = _rows(degree_gini(ray.data.from_arrow(tbl)))
+            return row
+
+        # 4-cycle: perfectly regular -> gini 0
+        ring = run([("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])
+        assert ring["gini_num"] == 0 and ring["n_nodes"] == 4
+        # star K1,5: skewed -> positive gini; exact brute check
+        star = run([("hub", f"x{i}") for i in range(5)])
+        degs = sorted([1] * 5 + [5])
+        n, sd = len(degs), sum(degs)
+        pos = sum((i + 1) * d for i, d in enumerate(degs))
+        assert star["gini_num"] == 2 * pos - (n + 1) * sd
+        assert star["gini_den"] == n * sd
+        assert star["gini_num"] > 0
+        # duplicate + reversed edge rows do not change degrees
+        dup = run(
+            [("hub", f"x{i}") for i in range(5)]
+            + [(f"x{i}", "hub") for i in range(5)]
+        )
+        assert (dup["gini_num"], dup["gini_den"]) == (
+            star["gini_num"], star["gini_den"]
+        )
