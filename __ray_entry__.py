@@ -746,6 +746,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ray.data.read_parquet(res["edges"], columns=["src_id", "dst_id"])
         )
 
+    def _docs_compact_roundtrip(sf_dir):
+        """Table maintenance: write the documents table as MANY small
+        parquet files, compact with sources/sinks.compact_parquet, read
+        the compacted dir back — identity vs the source table proves the
+        maintenance pass is content-preserving, and the file counts prove
+        it actually compacts (pinned by the unit test)."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.sources.sinks import compact_parquet
+
+        name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        base = f"/tmp/graft_compact_v1/{name}"
+        small, big = f"{base}/small", f"{base}/compacted"
+        if not os.path.isfile(f"{base}/_DONE"):
+            import shutil
+
+            shutil.rmtree(base, ignore_errors=True)
+            _read(sf_dir, "documents").write_parquet(
+                small, min_rows_per_file=25, max_rows_per_file=25
+            )
+            compact_parquet(small, big, target_rows_per_file=100_000)
+            with open(f"{base}/_DONE", "w") as f:
+                f.write("ok")
+        return ray.data.read_parquet(big)
+
     def _kg_url_dedup(sf_dir):
         """Crawl-frontier URL dedup over the pages corpus: each page also
         contributes one deterministic MESSY variant of its url (page_no%3
@@ -1646,6 +1671,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_closeness": _kg_closeness,
         # --- WARC CDX capture index ---
         "kg_cdx_index": _kg_cdx_index,
+        # --- constrained 2-hop metapath materialization ---
+        "kg_metapath": lambda sf: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats",
+            fromlist=["metapath_instances"],
+        ).metapath_instances(
+            __import__("ray.data", fromlist=["read_parquet"]).read_parquet(
+                _kg_artifacts(sf)["edges"],
+                columns=["src_canonical", "pred", "dst_canonical"],
+            ),
+            "works_for",
+            "located_in",
+        ),
+        # --- small-files compaction roundtrip (table maintenance) ---
+        "docs_compact_roundtrip": _docs_compact_roundtrip,
         # --- training-mixture report per source ---
         "docs_source_mix": lambda sf: relational.source_mix(
             _read(sf, "documents")
@@ -2151,6 +2190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_mix",
         "events_burst_rates",
         "kg_degree_gini",
+        "kg_metapath",
+        "docs_compact_roundtrip",
         # round 4, fifteenth batch: TPC-H Q6 filtered
         # aggregate, Q4 EXISTS semi-join
         "q6_forecast_revenue",
@@ -3188,6 +3229,18 @@ def oracle_sql() -> dict[str, str]:
             )
             select node as canonical, min(depth)::bigint as depth
             from reach group by node
+        """,
+        "kg_metapath": f"""
+            with {kg_cte},
+            tri as ({tri_canon}),
+            e as (select distinct subj_canonical as s, pred,
+                         obj_canonical as o from tri)
+            select distinct l.s as a, l.o as mid, r.o as c
+            from e l join e r on r.s = l.o
+            where l.pred = 'works_for' and r.pred = 'located_in'
+        """,
+        "docs_compact_roundtrip": """
+            select * from documents
         """,
         "kg_degree_gini": f"""
             with {kg_cte},

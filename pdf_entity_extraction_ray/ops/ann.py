@@ -397,12 +397,12 @@ def write_gold_mmr(sf_dir: str, out_dir: str, query_ids: list[int],
         sims = M @ qv
         mask = ids != qid
         cids, csims = ids[mask], sims[mask]
+        # rank order (cosine desc, id asc) — matches the distributed
+        # path's (rank, neighbor) ordering; _mmr_select itself is
+        # candidate-ORDER-independent (score/id selection), only the SET
+        # must agree
         idx = np.lexsort((cids, -csims))[:candidates]
-        # candidate set in rank order, then id-sorted exactly like the
-        # distributed path sorts its (rank, neighbor) rows
         cand_ids = cids[idx]
-        sel_order = np.argsort(np.arange(len(cand_ids)))  # already rank order
-        cand_ids = cand_ids[sel_order]
         C = M[[qpos[int(v)] for v in cand_ids]]
         for rank, (vid, score) in enumerate(
             _mmr_select(qv, cand_ids, C, k, lam), start=1

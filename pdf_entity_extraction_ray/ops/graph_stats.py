@@ -6891,3 +6891,74 @@ def degree_gini(edges_ds):
             }
         )
     )
+
+
+def metapath_instances(edges_ds, pred1: str, pred2: str,
+                       num_partitions: int | None = None):
+    """Materialize the 2-hop metapath ``a -pred1-> mid -pred2-> c`` — the
+    constrained path query a KG actually serves ("people who work for
+    orgs located in X").  Both sides are PREDICATE-FILTERED before the
+    exchange, so the join moves only the matching edge subsets (predicate
+    selectivity is the free prune at 10^12 edges); one hash join on the
+    mid entity, then a distinct groupby.  Emits distinct ``(a, mid, c)``."""
+    from .dedup import _join_partitions
+
+    def side(pred: str, out_a: str, out_b: str):
+        def f(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "pred" not in batch.column_names:
+                return pa.table(
+                    {
+                        out_a: pa.array([], pa.string()),
+                        out_b: pa.array([], pa.string()),
+                    }
+                )
+            t = batch.filter(pc.equal(batch.column("pred"), pred))
+            return pa.table(
+                {
+                    out_a: t.column("src_canonical"),
+                    out_b: t.column("dst_canonical"),
+                }
+            ).group_by([out_a, out_b]).aggregate([])  # batch-local distinct
+
+        return edges_ds.select_columns(
+            ["src_canonical", "pred", "dst_canonical"]
+        ).map_batches(f, batch_format="pyarrow")
+
+    left = side(pred1, "a", "mid").materialize()
+    right = side(pred2, "mid2", "c").materialize()
+    import ray.data
+
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.string()),
+            "mid": pa.array([], pa.string()),
+            "c": pa.array([], pa.string()),
+        }
+    )
+    if left.count() == 0 or right.count() == 0:
+        return ray.data.from_arrow(empty)  # empty-side hash-join guard
+    n_part = num_partitions or _join_partitions()
+    if num_partitions is None and min(left.count(), right.count()) < 10_000:
+        n_part = 1  # tiny-input guard (empty shuffle partitions crash joins)
+    joined = left.join(
+        right, join_type="inner", num_partitions=n_part,
+        on=("mid",), right_on=("mid2",),
+    )
+
+    def shape(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return empty
+        return pa.table(
+            {
+                "a": batch.column("a"),
+                "mid": batch.column("mid"),
+                "c": batch.column("c"),
+            }
+        ).group_by(["a", "mid", "c"]).aggregate([])
+
+    return (
+        joined.map_batches(shape, batch_format="pyarrow")
+        .groupby(["a", "mid", "c"])
+        .count()
+        .select_columns(["a", "mid", "c"])
+    )

@@ -52,3 +52,19 @@ def write_surface_list(entities, path: str) -> int:
         f.write("\n".join(surfaces) + ("\n" if surfaces else ""))
     os.replace(tmp, path)
     return len(surfaces)
+
+
+def compact_parquet(in_dir: str, out_dir: str, *, target_rows_per_file: int = 100_000) -> None:
+    """Small-files compaction — the table-maintenance pass every long-
+    running Parquet lake needs: re-write a directory of many small files
+    into ~``target_rows_per_file``-row files.  Content-preserving by
+    construction (a streamed read -> write, no driver materialization);
+    the repartition is metadata-driven (row-count split, no shuffle).
+
+    Idempotence/resume story: the write lands in a fresh ``out_dir`` (the
+    caller swaps directories atomically after success) rather than
+    rewriting in place — a crashed compaction never corrupts the source."""
+    import ray.data
+
+    ds = ray.data.read_parquet(in_dir)
+    ds.write_parquet(out_dir, min_rows_per_file=target_rows_per_file)

@@ -486,3 +486,79 @@ class TestDegreeGini:
         assert (dup["gini_num"], dup["gini_den"]) == (
             star["gini_num"], star["gini_den"]
         )
+
+
+class TestMetapath:
+    def test_matches_bruteforce(self):
+        import itertools
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import metapath_instances
+
+        edges = [
+            ("p1", "works_for", "o1"), ("p2", "works_for", "o1"),
+            ("p3", "works_for", "o2"), ("o1", "located_in", "c1"),
+            ("o1", "located_in", "c2"), ("o2", "cites", "c1"),
+            ("p1", "visited", "c1"),
+            ("p1", "works_for", "o1"),  # duplicate edge row collapses
+        ]
+        tbl = pa.table(
+            {
+                "src_canonical": pa.array([e[0] for e in edges]),
+                "pred": pa.array([e[1] for e in edges]),
+                "dst_canonical": pa.array([e[2] for e in edges]),
+            }
+        )
+        got = sorted(
+            (r["a"], r["mid"], r["c"])
+            for r in _rows(
+                metapath_instances(
+                    ray.data.from_arrow(tbl), "works_for", "located_in"
+                )
+            )
+        )
+        assert got == [
+            ("p1", "o1", "c1"), ("p1", "o1", "c2"),
+            ("p2", "o1", "c1"), ("p2", "o1", "c2"),
+        ]
+
+    def test_empty_side_short_circuits(self):
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import metapath_instances
+
+        tbl = pa.table(
+            {
+                "src_canonical": pa.array(["a"]),
+                "pred": pa.array(["visited"]),
+                "dst_canonical": pa.array(["b"]),
+            }
+        )
+        out = _rows(
+            metapath_instances(ray.data.from_arrow(tbl), "works_for", "located_in")
+        )
+        assert out == []
+
+
+class TestCompactParquet:
+    def test_content_preserving_and_actually_compacts(self, tmp_path):
+        import glob
+
+        import ray.data
+
+        from pdf_entity_extraction_ray.sources.sinks import compact_parquet
+
+        src = ray.data.read_parquet(f"{SF}/documents.parquet")
+        small = str(tmp_path / "small")
+        big = str(tmp_path / "big")
+        src.write_parquet(small, min_rows_per_file=25, max_rows_per_file=25)
+        n_small = len(glob.glob(f"{small}/*.parquet"))
+        assert n_small >= 10  # genuinely fragmented input
+        compact_parquet(small, big, target_rows_per_file=100_000)
+        n_big = len(glob.glob(f"{big}/*.parquet"))
+        assert n_big < n_small
+        a = sorted(
+            repr(r) for r in _rows(ray.data.read_parquet(small))
+        )
+        b = sorted(repr(r) for r in _rows(ray.data.read_parquet(big)))
+        assert a == b and len(a) == src.count()
