@@ -477,6 +477,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
         )
 
+    def _kg_validity_intervals(sf_dir):
+        """Temporal-KG fact lifespans (ops/graph_stats.validity_intervals):
+        per distinct canonical triple, [first_seen, last_seen] crawl
+        interval + assertion count via one narrow url join and a
+        (min, max, count) combiner groupby."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import validity_intervals
+
+        res = _kg_artifacts(sf_dir)
+        name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        return validity_intervals(
+            ray.data.read_parquet(res["triples_canonical"]),
+            ray.data.read_parquet(
+                f"/tmp/graft_kg/{name}/pages", columns=["url", "warc_ts"]
+            ),
+        )
+
     def _kg_trend(sf_dir):
         """Per-entity assertion trend (ops/graph_stats.mention_trend):
         exact-integer OLS slope of per-bucket assertion counts per
@@ -1671,6 +1689,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_closeness": _kg_closeness,
         # --- WARC CDX capture index ---
         "kg_cdx_index": _kg_cdx_index,
+        # --- temporal fact validity intervals ---
+        "kg_validity_intervals": _kg_validity_intervals,
+        # --- per-language token frequency profile ---
+        "docs_top_tokens_by_lang": lambda sf: text.top_tokens_by_lang(
+            _read(sf, "documents"), k=10
+        ),
         # --- constrained 2-hop metapath materialization ---
         "kg_metapath": lambda sf: __import__(
             "pdf_entity_extraction_ray.ops.graph_stats",
@@ -2192,6 +2216,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_gini",
         "kg_metapath",
         "docs_compact_roundtrip",
+        "kg_validity_intervals",
+        "docs_top_tokens_by_lang",
         # round 4, fifteenth batch: TPC-H Q6 filtered
         # aggregate, Q4 EXISTS semi-join
         "q6_forecast_revenue",
@@ -3229,6 +3255,31 @@ def oracle_sql() -> dict[str, str]:
             )
             select node as canonical, min(depth)::bigint as depth
             from reach group by node
+        """,
+        "kg_validity_intervals": f"""
+            with {kg_cte},
+            tri as ({tri_canon}),
+            p as (select url, epoch_us(warc_ts)::bigint as ts
+                  from read_parquet('{gold}/pages/*.parquet'))
+            select tri.subj_canonical, tri.pred, tri.obj_canonical,
+                   min(p.ts)::bigint as first_seen_us,
+                   max(p.ts)::bigint as last_seen_us,
+                   count(*)::bigint as n_assertions
+            from tri join p using (url)
+            group by 1, 2, 3
+        """,
+        "docs_top_tokens_by_lang": """
+            with w as (select lang,
+                              unnest(regexp_extract_all(lower(text),
+                                     '[a-z0-9_]+')) as token
+                       from documents),
+            c as (select lang, token, count(*)::bigint as n
+                  from w group by 1, 2),
+            r as (select *, row_number() over (partition by lang
+                       order by n desc, token) as rnk
+                  from c)
+            select lang, token, n, rnk::bigint as rank from r
+            where rnk <= 10
         """,
         "kg_metapath": f"""
             with {kg_cte},

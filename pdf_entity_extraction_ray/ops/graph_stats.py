@@ -6962,3 +6962,91 @@ def metapath_instances(edges_ds, pred1: str, pred2: str,
         .count()
         .select_columns(["a", "mid", "c"])
     )
+
+
+def validity_intervals(triples_ds, pages_ds, num_partitions: int | None = None):
+    """Temporal-KG fact lifespans: for every distinct canonical triple,
+    the crawl-time interval over which it was asserted —
+    ``(subj_canonical, pred, obj_canonical, first_seen_us, last_seen_us,
+    n_assertions)``.  The interval join powers "was this fact live at
+    time T" queries and staleness audits (facts whose last_seen lags the
+    corpus horizon are deletion candidates).
+
+    Same narrow shape as :func:`latest_assertions`: triples pruned to
+    key columns join pages ``(url, warc_ts)`` once, a per-batch
+    (min, max, count) combiner per key, then one groupby folds the
+    partials — a head fact re-asserted in every crawl ships O(blocks)
+    partial rows, never every assertion."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .dedup import _join_partitions
+
+    def ts_cols(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return pa.table(
+                {"url": pa.array([], pa.string()), "ts": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "ts": batch.column("warc_ts").cast(pa.timestamp("us")).cast(pa.int64()),
+            }
+        )
+
+    n_part = num_partitions or _join_partitions()
+    if num_partitions is None and triples_ds.count() < 10_000:
+        n_part = 1  # tiny-input guard (empty shuffle partitions crash joins)
+    joined = triples_ds.select_columns(
+        ["subj_canonical", "pred", "obj_canonical", "url"]
+    ).join(
+        pages_ds.select_columns(["url", "warc_ts"]).map_batches(
+            ts_cols, batch_format="pyarrow"
+        ),
+        join_type="inner",
+        num_partitions=n_part,
+        on=("url",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "subj_canonical": pa.array([], pa.string()),
+                "pred": pa.array([], pa.string()),
+                "obj_canonical": pa.array([], pa.string()),
+                "first_seen_us": pa.array([], pa.int64()),
+                "last_seen_us": pa.array([], pa.int64()),
+                "n_assertions": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "ts" not in batch.column_names:
+            return empty
+        g = pa.table(
+            {
+                "subj_canonical": batch.column("subj_canonical"),
+                "pred": batch.column("pred"),
+                "obj_canonical": batch.column("obj_canonical"),
+                "ts": batch.column("ts"),
+            }
+        ).group_by(["subj_canonical", "pred", "obj_canonical"]).aggregate(
+            [("ts", "min"), ("ts", "max"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "subj_canonical": g.column("subj_canonical"),
+                "pred": g.column("pred"),
+                "obj_canonical": g.column("obj_canonical"),
+                "first_seen_us": g.column("ts_min").cast(pa.int64()),
+                "last_seen_us": g.column("ts_max").cast(pa.int64()),
+                "n_assertions": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["subj_canonical", "pred", "obj_canonical"])
+        .aggregate(
+            Min("first_seen_us", alias_name="first_seen_us"),
+            Max("last_seen_us", alias_name="last_seen_us"),
+            Sum("n_assertions", alias_name="n_assertions"),
+        )
+    )

@@ -734,3 +734,99 @@ def code_detect_batch(batch: pa.Table) -> pa.Table:
             "is_code": pa.array(is_code, pa.int64()),
         }
     )
+
+
+def top_tokens_by_lang(docs_ds, k: int = 10):
+    """Per-language top-``k`` tokens by total count — the stopword /
+    frequency profile a multilingual curation pass reads.  Token grammar
+    is the repo-wide ``[a-z0-9_]+`` over lowered text.
+
+    Per-batch (lang, token) count combiner -> one global groupby -> per-
+    lang top-k via a per-block select-k combiner then a final per-lang
+    cut, ties broken (count desc, token asc).  Emits
+    ``(lang, token, n, rank)``."""
+    import re
+
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    tok_re = re.compile(r"[a-z0-9_]+")
+
+    def counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "text" not in batch.column_names:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "token": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        agg: dict[tuple[str, str], int] = {}
+        for lang, text in zip(
+            batch.column("lang").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for t in tok_re.findall(text.lower()):
+                key = (lang, t)
+                agg[key] = agg.get(key, 0) + 1
+        return pa.table(
+            {
+                "lang": pa.array([kk[0] for kk in agg], pa.string()),
+                "token": pa.array([kk[1] for kk in agg], pa.string()),
+                "n": pa.array(list(agg.values()), pa.int64()),
+            }
+        )
+
+    totals = (
+        docs_ds.select_columns(["lang", "text"])
+        .map_batches(counts, batch_format="pyarrow")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "lang" not in batch.column_names:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "token": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        t = batch.sort_by(
+            [("lang", "ascending"), ("n", "descending"), ("token", "ascending")]
+        )
+        langs = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        starts = np.flatnonzero(np.r_[True, langs[1:] != langs[:-1]])
+        keep = np.zeros(len(langs), dtype=bool)
+        for s in starts:
+            e = min(s + k, len(langs))
+            while e > s and e < len(langs) and langs[e - 1] != langs[s]:
+                e -= 1
+            keep[s : s + k] = langs[s : s + k] == langs[s]
+        return t.filter(pa.array(keep)).select(["lang", "token", "n"])
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "lang" not in group.column_names:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "token": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        t = group.sort_by([("n", "descending"), ("token", "ascending")]).slice(0, k)
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "token": t.column("token"),
+                "n": t.column("n"),
+                "rank": pa.array(list(range(1, t.num_rows + 1)), pa.int64()),
+            }
+        )
+
+    return (
+        totals.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(final_topk, batch_format="pyarrow")
+    )

@@ -562,3 +562,69 @@ class TestCompactParquet:
         )
         b = sorted(repr(r) for r in _rows(ray.data.read_parquet(big)))
         assert a == b and len(a) == src.count()
+
+
+class TestValidityIntervals:
+    def test_min_max_count(self):
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import validity_intervals
+
+        tri = pa.table(
+            {
+                "subj_canonical": pa.array(["A", "A", "A", "B"]),
+                "pred": pa.array(["p", "p", "p", "q"]),
+                "obj_canonical": pa.array(["X", "X", "X", "Y"]),
+                "url": pa.array(["u1", "u2", "u3", "u1"]),
+            }
+        )
+        pages = pa.table(
+            {
+                "url": pa.array(["u1", "u2", "u3"]),
+                "warc_ts": pa.array(
+                    np.array([100, 300, 200], dtype="datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+        got = {
+            (r["subj_canonical"], r["pred"], r["obj_canonical"]): (
+                r["first_seen_us"], r["last_seen_us"], r["n_assertions"]
+            )
+            for r in _rows(
+                validity_intervals(
+                    ray.data.from_arrow(tri), ray.data.from_arrow(pages)
+                )
+            )
+        }
+        assert got == {("A", "p", "X"): (100, 300, 3), ("B", "q", "Y"): (100, 100, 1)}
+
+
+class TestTopTokensByLang:
+    def test_topk_and_ties(self):
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.text import top_tokens_by_lang
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "lang": pa.array(["en", "en", "fr"]),
+                "text": pa.array(
+                    [
+                        "cat cat dog bird",
+                        "dog bird bird",
+                        "chat chien chat",
+                    ]
+                ),
+            }
+        )
+        got = sorted(
+            (r["lang"], r["rank"], r["token"], r["n"])
+            for r in _rows(top_tokens_by_lang(ray.data.from_arrow(docs), k=2))
+        )
+        # en: bird=3, cat=2 (dog=2 loses the tie to cat alphabetically)
+        assert got == [
+            ("en", 1, "bird", 3), ("en", 2, "cat", 2),
+            ("fr", 1, "chat", 2), ("fr", 2, "chien", 1),
+        ]
