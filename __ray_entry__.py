@@ -789,6 +789,105 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 f.write("ok")
         return ray.data.read_parquet(big)
 
+    def _kg_schema_profile(sf_dir):
+        """Ontology profile: assertion counts per (subj_type, pred,
+        obj_type) — the schema census a KG consumer reads before writing
+        queries.  One pruned read + one tiny groupby."""
+        import pyarrow as pa
+        import ray.data
+
+        def shape(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "count()" not in b.column_names:
+                return pa.table(
+                    {
+                        "subj_type": pa.array([], pa.string()),
+                        "pred": pa.array([], pa.string()),
+                        "obj_type": pa.array([], pa.string()),
+                        "n": pa.array([], pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "subj_type": b.column("subj_type"),
+                    "pred": b.column("pred"),
+                    "obj_type": b.column("obj_type"),
+                    "n": b.column("count()").cast(pa.int64()),
+                }
+            )
+
+        return (
+            ray.data.read_parquet(
+                _kg_artifacts(sf_dir)["triples_canonical"],
+                columns=["subj_type", "pred", "obj_type"],
+            )
+            .groupby(["subj_type", "pred", "obj_type"])
+            .count()
+            .map_batches(shape, batch_format="pyarrow")
+        )
+
+    def _kg_relative_dates(sf_dir):
+        """Relative-date resolution (ops/text.relative_date_mentions):
+        the corpus plants no relative forms, so the query appends ONE
+        deterministic relative-date sentence per page (page_no%5 selects
+        among 'yesterday' / 'next monday' / '3 days ago' / 'in 2 weeks' /
+        none) and resolves it against that page's warc_ts; the oracle
+        mirrors both the planting and dateparser-default weekday
+        arithmetic in SQL."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.text import relative_date_mentions
+
+        _kg_artifacts(sf_dir)
+        name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+
+        SENT = ["seen yesterday", "due next monday", "posted 3 days ago",
+                "back in 2 weeks", ""]
+
+        def plant(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "url" not in batch.column_names:
+                return pa.table(
+                    {
+                        "url": pa.array([], pa.string()),
+                        "text": pa.array([], pa.string()),
+                        "warc_ts": pa.array([], pa.timestamp("us")),
+                    }
+                )
+            url = batch.column("url").combine_chunks()
+            pageno = pc.cast(
+                pc.struct_field(
+                    pc.extract_regex(url, pattern=r"/page/(?P<n>\d+)$"), "n"
+                ),
+                pa.int64(),
+            )
+            sel = pc.if_else(pc.is_valid(pageno), pageno, pa.scalar(0, pa.int64()))
+            mod5 = pc.subtract(sel, pc.multiply(pc.divide(sel, 5), 5))
+            suffix = pc.if_else(
+                pc.equal(mod5, 0), SENT[0],
+                pc.if_else(
+                    pc.equal(mod5, 1), SENT[1],
+                    pc.if_else(
+                        pc.equal(mod5, 2), SENT[2],
+                        pc.if_else(pc.equal(mod5, 3), SENT[3], SENT[4]),
+                    ),
+                ),
+            )
+            return pa.table(
+                {
+                    "url": url,
+                    "text": pc.binary_join_element_wise(
+                        batch.column("text").cast(pa.string()), " ", suffix, ""
+                    ),
+                    "warc_ts": batch.column("warc_ts").cast(pa.timestamp("us")),
+                }
+            )
+
+        pages = ray.data.read_parquet(
+            f"/tmp/graft_kg/{name}/pages", columns=["url", "text", "warc_ts"]
+        ).map_batches(plant, batch_format="pyarrow")
+        return relative_date_mentions(pages)
+
     def _kg_url_dedup(sf_dir):
         """Crawl-frontier URL dedup over the pages corpus: each page also
         contributes one deterministic MESSY variant of its url (page_no%3
@@ -1689,6 +1788,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_closeness": _kg_closeness,
         # --- WARC CDX capture index ---
         "kg_cdx_index": _kg_cdx_index,
+        # --- relative/natural-language date resolution (crawl-anchored) ---
+        "kg_relative_dates": _kg_relative_dates,
+        # --- ontology profile: (subj_type, pred, obj_type) census ---
+        "kg_schema_profile": _kg_schema_profile,
         # --- temporal fact validity intervals ---
         "kg_validity_intervals": _kg_validity_intervals,
         # --- per-language token frequency profile ---
@@ -2218,6 +2321,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_compact_roundtrip",
         "kg_validity_intervals",
         "docs_top_tokens_by_lang",
+        "kg_relative_dates",
+        "kg_schema_profile",
         # round 4, fifteenth batch: TPC-H Q6 filtered
         # aggregate, Q4 EXISTS semi-join
         "q6_forecast_revenue",
@@ -3255,6 +3360,36 @@ def oracle_sql() -> dict[str, str]:
             )
             select node as canonical, min(depth)::bigint as depth
             from reach group by node
+        """,
+        "kg_schema_profile": f"""
+            with {kg_cte},
+            tri as ({tri_canon})
+            select subj_type, pred, obj_type, count(*)::bigint as n
+            from tri group by 1, 2, 3
+        """,
+        "kg_relative_dates": f"""
+            with p as (select url, warc_ts,
+                              cast(regexp_extract(url, '/page/(\\d+)$', 1)
+                                   as bigint) % 5 as m
+                       from read_parquet('{gold}/pages/*.parquet')),
+            -- the corpus text itself contains NO relative-date trigger
+            -- words (verified; the engine scans the FULL text, so any
+            -- drift shows up as a hash mismatch) — the oracle resolves
+            -- the planted suffixes with dateparser-default arithmetic
+            r as (select url,
+                         case m when 0 then 'yesterday'
+                                when 1 then 'next monday'
+                                when 2 then '3 days ago'
+                                when 3 then 'in 2 weeks' end as expr,
+                         case m
+                           when 0 then warc_ts::date - interval 1 day
+                           when 1 then warc_ts::date + to_days(
+                               ((7 - isodow(warc_ts::date)) % 7 + 1)::int)
+                           when 2 then warc_ts::date - interval 3 day
+                           when 3 then warc_ts::date + interval 14 day
+                         end as d
+                  from p where m < 4)
+            select url, expr, strftime(d, '%Y-%m-%d') as resolved from r
         """,
         "kg_validity_intervals": f"""
             with {kg_cte},

@@ -93,3 +93,100 @@ def search_dates(text: str) -> list[tuple[str, _dt.date]]:
         if parsed is not None:
             out.append((match.group(0), parsed))
     return out
+
+
+# ---------------------------------------------------------------------------
+# relative / natural-language dates (reference parity: dateparser's
+# relative forms — src/check_spark_nlp.py:9-20 "next monday"/"yesterday",
+# src/methods/MultipleEntityExtractor.py:60-63).  dateparser resolves
+# these against the WALL CLOCK, which is banned in this engine
+# (determinism across workers and reruns); the anchor is EXPLICIT —
+# callers pass the document's crawl date (warc_ts), which is exactly the
+# temporal frame a crawled page's relative dates refer to.
+
+_WEEKDAYS_EN = {
+    "monday": 0, "tuesday": 1, "wednesday": 2, "thursday": 3,
+    "friday": 4, "saturday": 5, "sunday": 6,
+}
+
+_DAY_WORDS = {
+    # en / es / fr / de / pt single-word forms
+    "today": 0, "yesterday": -1, "tomorrow": 1,
+    "hoy": 0, "ayer": -1, "mañana": 1, "manana": 1,
+    "aujourd'hui": 0, "hier": -1, "demain": 1,
+    "heute": 0, "gestern": -1, "morgen": 1,
+    "hoje": 0, "ontem": -1, "amanhã": 1, "amanha": 1,
+}
+
+_WD_ALT = "|".join(sorted(_WEEKDAYS_EN, key=len, reverse=True))
+_DAYWORD_ALT = "|".join(
+    sorted((re.escape(w) for w in _DAY_WORDS), key=len, reverse=True)
+)
+
+RELATIVE_RE = re.compile(
+    r"(?:\b(?P<dir>next|last)\s+(?P<wd>%(wd)s)\b)"
+    r"|(?:\b(?P<n1>\d{1,3})\s+(?P<u1>day|week)s?\s+ago\b)"
+    r"|(?:\bin\s+(?P<n2>\d{1,3})\s+(?P<u2>day|week)s?\b)"
+    r"|(?:(?<![\w'])(?P<word>%(dw)s)(?![\w']))"
+    % {"wd": _WD_ALT, "dw": _DAYWORD_ALT},
+    re.IGNORECASE,
+)
+
+
+def parse_relative_date(text: str, anchor: _dt.date) -> _dt.date | None:
+    """One relative-date expression -> concrete date against ``anchor``.
+
+    Semantics match dateparser's PREFER_DATES_FROM defaults: ``next
+    <weekday>`` is the first strictly-after occurrence, ``last
+    <weekday>`` the first strictly-before; day-words and N-days/weeks
+    arithmetic are exact."""
+    m = RELATIVE_RE.search(text)
+    if not m:
+        return None
+    g = m.groupdict()
+    if g["wd"]:
+        wd = _WEEKDAYS_EN[g["wd"].lower()]
+        if g["dir"].lower() == "next":
+            return anchor + _dt.timedelta(
+                days=(wd - anchor.weekday() - 1) % 7 + 1
+            )
+        return anchor - _dt.timedelta(days=(anchor.weekday() - wd - 1) % 7 + 1)
+    if g["n1"]:
+        n = int(g["n1"]) * (7 if g["u1"].lower() == "week" else 1)
+        return anchor - _dt.timedelta(days=n)
+    if g["n2"]:
+        n = int(g["n2"]) * (7 if g["u2"].lower() == "week" else 1)
+        return anchor + _dt.timedelta(days=n)
+    return anchor + _dt.timedelta(days=_DAY_WORDS[g["word"].lower()])
+
+
+def parse_date_anchored(text: str, anchor: _dt.date | None) -> _dt.date | None:
+    """Absolute grammar first (anchor-independent), then — when an
+    anchor is provided — the relative grammar.  With ``anchor=None``
+    this is exactly :func:`parse_date` (bit-identical legacy behavior;
+    the planted gold suites pass no anchor)."""
+    parsed = parse_date(text)
+    if parsed is not None or anchor is None:
+        return parsed
+    return parse_relative_date(text, anchor)
+
+
+def search_dates_anchored(
+    text: str, anchor: _dt.date | None
+) -> list[tuple[str, _dt.date]]:
+    """Absolute + (with an anchor) relative date expressions in
+    occurrence order, absolute matches winning overlaps — the
+    ``dateparser.search.search_dates`` shape with deterministic
+    anchoring."""
+    out = [(m.start(), m.group(0), d) for m, d in (
+        (m, parse_date(m.group(0))) for m in DATE_RE.finditer(text)
+    ) if d is not None]
+    if anchor is not None:
+        covered = [(s, s + len(t)) for s, t, _ in out]
+        for m in RELATIVE_RE.finditer(text):
+            if any(a < m.end() and m.start() < b for a, b in covered):
+                continue
+            d = parse_relative_date(m.group(0), anchor)
+            if d is not None:
+                out.append((m.start(), m.group(0), d))
+    return [(t, d) for _s, t, d in sorted(out, key=lambda r: r[0])]

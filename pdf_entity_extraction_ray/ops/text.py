@@ -830,3 +830,48 @@ def top_tokens_by_lang(docs_ds, k: int = 10):
         .groupby("lang")
         .map_groups(final_topk, batch_format="pyarrow")
     )
+
+
+def relative_date_mentions(pages_ds):
+    """Relative/natural-language date resolution over a pages corpus —
+    the dateparser capability the reference demos (check_spark_nlp.py
+    "next monday"/"yesterday") made deterministic: every relative
+    expression in a page's text resolves against THAT PAGE's crawl date
+    (``warc_ts``), never a wall clock, so reruns and workers agree.
+
+    Stateless map_batches (compiled grammar, per-doc scan — the
+    tokenizer discipline); emits ``(url, expr, resolved)`` with the
+    resolved date as an ISO string (hash-stable)."""
+    import datetime as _dt
+
+    from ..functions.dates import RELATIVE_RE, parse_relative_date
+
+    def scan(batch: pa.Table) -> pa.Table:
+        urls, exprs, dates = [], [], []
+        if batch.num_rows and "text" in batch.column_names:
+            for url, text, ts_us in zip(
+                batch.column("url").to_pylist(),
+                batch.column("text").to_pylist(),
+                batch.column("warc_ts").cast(pa.timestamp("us"))
+                .cast(pa.int64()).to_pylist(),
+            ):
+                anchor = _dt.datetime.fromtimestamp(
+                    ts_us / 1e6, tz=_dt.timezone.utc
+                ).date()
+                for m in RELATIVE_RE.finditer(text):
+                    d = parse_relative_date(m.group(0), anchor)
+                    if d is not None:
+                        urls.append(url)
+                        exprs.append(m.group(0))
+                        dates.append(d.isoformat())
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "expr": pa.array(exprs, pa.string()),
+                "resolved": pa.array(dates, pa.string()),
+            }
+        )
+
+    return pages_ds.select_columns(["url", "text", "warc_ts"]).map_batches(
+        scan, batch_format="pyarrow"
+    )

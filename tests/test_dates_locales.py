@@ -82,3 +82,74 @@ def test_corpus_plants_all_locales_and_dates_parse():
                 assert is_parseable_date(m["text"]), (page.lang, m["text"])
                 seen[page.lang] = seen.get(page.lang, 0) + 1
     assert set(seen) >= {"en", "es", "fr", "de", "pt"}, seen
+
+
+class TestRelativeDates:
+    """Round-5: the dateparser RELATIVE forms (reference
+    check_spark_nlp.py 'next monday'/'yesterday') with an EXPLICIT anchor
+    instead of dateparser's wall clock."""
+
+    ANCHOR = __import__("datetime").date(2024, 5, 15)  # a Wednesday
+
+    def test_grammar(self):
+        import datetime as dt
+
+        from pdf_entity_extraction_ray.functions.dates import (
+            parse_relative_date,
+        )
+
+        a = self.ANCHOR
+        cases = {
+            "today": a, "yesterday": a - dt.timedelta(1),
+            "Tomorrow": a + dt.timedelta(1),
+            # next = strictly after, last = strictly before (dateparser
+            # PREFER_DATES_FROM defaults); anchor IS a Wednesday
+            "next wednesday": dt.date(2024, 5, 22),
+            "last wednesday": dt.date(2024, 5, 8),
+            "next monday": dt.date(2024, 5, 20),
+            "last sunday": dt.date(2024, 5, 12),
+            "3 days ago": dt.date(2024, 5, 12),
+            "1 week ago": dt.date(2024, 5, 8),
+            "in 2 weeks": dt.date(2024, 5, 29),
+            "in 1 day": dt.date(2024, 5, 16),
+            # multilingual day words
+            "ayer": a - dt.timedelta(1), "hier": a - dt.timedelta(1),
+            "gestern": a - dt.timedelta(1), "ontem": a - dt.timedelta(1),
+            "demain": a + dt.timedelta(1), "amanhã": a + dt.timedelta(1),
+            "heute": a, "hoje": a,
+        }
+        for text, want in cases.items():
+            assert parse_relative_date(text, a) == want, text
+        assert parse_relative_date("no dates here", a) is None
+
+    def test_anchored_entry_points(self):
+        import datetime as dt
+
+        from pdf_entity_extraction_ray.functions.dates import (
+            parse_date_anchored,
+            search_dates_anchored,
+        )
+
+        a = self.ANCHOR
+        # absolute grammar wins and needs no anchor
+        assert parse_date_anchored("2004-11-05", None) == dt.date(2004, 11, 5)
+        assert parse_date_anchored("yesterday", None) is None  # legacy path
+        assert parse_date_anchored("yesterday", a) == a - dt.timedelta(1)
+        got = search_dates_anchored(
+            "seen yesterday, due 2004-11-05, back in 2 weeks", a
+        )
+        assert got == [
+            ("yesterday", a - dt.timedelta(1)),
+            ("2004-11-05", dt.date(2004, 11, 5)),
+            ("in 2 weeks", dt.date(2024, 5, 29)),
+        ]
+
+    def test_no_word_boundary_false_positives(self):
+        from pdf_entity_extraction_ray.functions.dates import RELATIVE_RE
+
+        # substrings of larger words must not trigger
+        for text in ("hierarchy", "smorgasbord", "heutelike", "untoday"):
+            assert RELATIVE_RE.search(text) is None, text
+        # possessive/plural forms DO match the base word (span = the word)
+        m = RELATIVE_RE.search("hier!")
+        assert m and m.group(0) == "hier"
