@@ -789,6 +789,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 f.write("ok")
         return ray.data.read_parquet(big)
 
+    def _kg_ego_subgraph(sf_dir):
+        """2-hop induced subgraph around the 3 lexicographically smallest
+        canonicals (ops/graph_stats.ego_subgraph): bfs_depths node set +
+        membership-filtered directed edges — the KG serving query."""
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import ego_subgraph
+
+        res = _kg_artifacts(sf_dir)
+        edges = ray.data.read_parquet(
+            res["edges"],
+            columns=["src_id", "src_canonical", "pred", "dst_id", "dst_canonical"],
+        )
+        seeds: set[str] = set()
+        for b in edges.select_columns(
+            ["src_canonical", "dst_canonical"]
+        ).iter_batches(batch_format="pyarrow"):
+            vals = sorted(
+                set(b.column("src_canonical").to_pylist())
+                | set(b.column("dst_canonical").to_pylist())
+            )[:3]
+            seeds.update(vals)
+        return ego_subgraph(edges, sorted(seeds)[:3], depth=2)
+
     def _kg_schema_profile(sf_dir):
         """Ontology profile: assertion counts per (subj_type, pred,
         obj_type) — the schema census a KG consumer reads before writing
@@ -1792,6 +1816,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_relative_dates": _kg_relative_dates,
         # --- ontology profile: (subj_type, pred, obj_type) census ---
         "kg_schema_profile": _kg_schema_profile,
+        # --- 2-hop induced ego subgraph (KG serving query) ---
+        "kg_ego_subgraph": _kg_ego_subgraph,
         # --- temporal fact validity intervals ---
         "kg_validity_intervals": _kg_validity_intervals,
         # --- per-language token frequency profile ---
@@ -2323,6 +2349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_tokens_by_lang",
         "kg_relative_dates",
         "kg_schema_profile",
+        "kg_ego_subgraph",
         # round 4, fifteenth batch: TPC-H Q6 filtered
         # aggregate, Q4 EXISTS semi-join
         "q6_forecast_revenue",
@@ -3360,6 +3387,29 @@ def oracle_sql() -> dict[str, str]:
             )
             select node as canonical, min(depth)::bigint as depth
             from reach group by node
+        """,
+        "kg_ego_subgraph": f"""
+            with recursive {kg_cte},
+            tri as ({tri_canon}),
+            de as (select distinct subj_canonical as s, pred,
+                          obj_canonical as o from tri),
+            e0 as (select distinct s as u, o as v from de),
+            edges as (select u, v from e0 union select v, u from e0),
+            seeds as (select u as node from (
+                          select u from edges union select v from edges)
+                      order by node limit 3),
+            reach(node, depth) as (
+                select node, 0 from seeds
+                union
+                select e.v, r.depth + 1 from reach r
+                join edges e on e.u = r.node
+                where r.depth < 2
+            ),
+            nodes as (select distinct node from reach)
+            select de.s as src_canonical, de.pred, de.o as dst_canonical
+            from de
+            join nodes a on a.node = de.s
+            join nodes b on b.node = de.o
         """,
         "kg_schema_profile": f"""
             with {kg_cte},

@@ -7050,3 +7050,63 @@ def validity_intervals(triples_ds, pages_ds, num_partitions: int | None = None):
             Sum("n_assertions", alias_name="n_assertions"),
         )
     )
+
+
+def ego_subgraph(edges_ds, seeds, *, depth: int = 2,
+                 num_partitions: int | None = None):
+    """K-hop INDUCED subgraph around a seed set — the "show me everything
+    within 2 hops of X, with the connecting facts" query a KG serves.
+
+    Node set = :func:`bfs_depths` (the proven BSP kernel) over the
+    undirected view; the induced EDGE set is the directed edges whose
+    BOTH endpoints were reached.  The reached-node set is broadcast once
+    via ``ray.put`` and each edge batch filters against it — driver and
+    broadcast state are O(neighborhood), which is the OUTPUT size, so
+    the op is inherently bounded by what the caller asked to see (an
+    ego net around a mega-hub is large because the ANSWER is large).
+
+    Emits distinct ``(src_canonical, pred, dst_canonical)``."""
+    import ray
+
+    reached: set[str] = set()
+    for b in bfs_depths(
+        edges_ds, list(seeds), max_depth=depth, num_partitions=num_partitions
+    ).iter_batches(batch_format="pyarrow"):
+        reached.update(b.column("canonical").to_pylist())
+    import ray.data
+
+    empty = pa.table(
+        {
+            "src_canonical": pa.array([], pa.string()),
+            "pred": pa.array([], pa.string()),
+            "dst_canonical": pa.array([], pa.string()),
+        }
+    )
+    if not reached:
+        return ray.data.from_arrow(empty)
+    reach_ref = ray.put(pa.array(sorted(reached), pa.string()))
+
+    def induced(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src_canonical" not in batch.column_names:
+            return empty
+        rset = ray.get(reach_ref)
+        keep = pc.and_(
+            pc.is_valid(pc.index_in(batch.column("src_canonical"), value_set=rset)),
+            pc.is_valid(pc.index_in(batch.column("dst_canonical"), value_set=rset)),
+        )
+        t = batch.filter(keep)
+        return pa.table(
+            {
+                "src_canonical": t.column("src_canonical"),
+                "pred": t.column("pred"),
+                "dst_canonical": t.column("dst_canonical"),
+            }
+        ).group_by(["src_canonical", "pred", "dst_canonical"]).aggregate([])
+
+    return (
+        edges_ds.select_columns(["src_canonical", "pred", "dst_canonical"])
+        .map_batches(induced, batch_format="pyarrow")
+        .groupby(["src_canonical", "pred", "dst_canonical"])
+        .count()
+        .select_columns(["src_canonical", "pred", "dst_canonical"])
+    )

@@ -628,3 +628,47 @@ class TestTopTokensByLang:
             ("en", 1, "bird", 3), ("en", 2, "cat", 2),
             ("fr", 1, "chat", 2), ("fr", 2, "chien", 1),
         ]
+
+
+class TestEgoSubgraph:
+    def test_induced_edges_only(self):
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import ego_subgraph
+
+        # a -> b -> c -> d chain plus x -> y island; seeds {a}, depth 2
+        edges = [("a", "p", "b"), ("b", "q", "c"), ("c", "r", "d"),
+                 ("x", "s", "y"), ("b", "q", "c")]  # dup edge collapses
+        ids = {n: i for i, n in enumerate("abcdxy")}
+        tbl = pa.table(
+            {
+                "src_id": pa.array([ids[u] for u, _, _ in edges], pa.int64()),
+                "src_canonical": pa.array([u for u, _, _ in edges]),
+                "pred": pa.array([p for _, p, _ in edges]),
+                "dst_id": pa.array([ids[v] for _, _, v in edges], pa.int64()),
+                "dst_canonical": pa.array([v for _, _, v in edges]),
+            }
+        )
+        got = sorted(
+            (r["src_canonical"], r["pred"], r["dst_canonical"])
+            for r in _rows(ego_subgraph(ray.data.from_arrow(tbl), ["a"], depth=2))
+        )
+        # reached = {a, b, c}; the c->d edge leaves the ego net, x/y island out
+        assert got == [("a", "p", "b"), ("b", "q", "c")]
+
+    def test_empty_seed_reach(self):
+        import ray.data
+
+        from pdf_entity_extraction_ray.ops.graph_stats import ego_subgraph
+
+        tbl = pa.table(
+            {
+                "src_id": pa.array([1], pa.int64()),
+                "src_canonical": pa.array(["a"]),
+                "pred": pa.array(["p"]),
+                "dst_id": pa.array([2], pa.int64()),
+                "dst_canonical": pa.array(["b"]),
+            }
+        )
+        out = _rows(ego_subgraph(ray.data.from_arrow(tbl), ["zzz"], depth=2))
+        assert out == []
