@@ -268,6 +268,13 @@ def run_ops(sf_dir: str, repeat: int = 1) -> dict[str, list[float]]:
         "docs_code_detect": lambda: read("documents").map_batches(
             text.code_detect_batch, batch_format="pyarrow"
         ),
+        "docs_source_mix": lambda: relational.source_mix(read("documents")),
+        "events_burst_rates": lambda: relational.user_burst_rates(
+            read("events")
+        ),
+        "docs_top_tokens_by_lang": lambda: text.top_tokens_by_lang(
+            read("documents"), k=10
+        ),
     }
     times: dict[str, list[float]] = {}
     for name, make in ops.items():
@@ -453,6 +460,53 @@ def main() -> None:
         ).assortativity_moments(
             ray.data.read_parquet(
                 kg_edges, columns=["src_canonical", "dst_canonical"]
+            )
+        ),
+        # round-5 additions
+        "kg_degree_gini": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats", fromlist=["degree_gini"]
+        ).degree_gini(
+            ray.data.read_parquet(
+                kg_edges, columns=["src_canonical", "dst_canonical"]
+            )
+        ),
+        "kg_metapath": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats",
+            fromlist=["metapath_instances"],
+        ).metapath_instances(
+            ray.data.read_parquet(
+                kg_edges, columns=["src_canonical", "pred", "dst_canonical"]
+            ),
+            "works_for",
+            "located_in",
+        ),
+        "kg_closeness": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats",
+            fromlist=["closeness_sampled"],
+        ).closeness_sampled(
+            ray.data.read_parquet(
+                kg_edges,
+                columns=["src_id", "src_canonical", "dst_id", "dst_canonical"],
+            ),
+            n_sources=8,
+            max_depth=32,
+        ),
+        "kg_validity_intervals": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.graph_stats",
+            fromlist=["validity_intervals"],
+        ).validity_intervals(
+            ray.data.read_parquet(
+                os.path.join(f"/tmp/graft_bench/kg_out_{num_cpus}", "triples_canonical"),
+                columns=["subj_canonical", "pred", "obj_canonical", "url"],
+            ),
+            ray.data.read_parquet(f"{pages_path}/pages", columns=["url", "warc_ts"]),
+        ),
+        "kg_relative_dates": lambda: __import__(
+            "pdf_entity_extraction_ray.ops.text",
+            fromlist=["relative_date_mentions"],
+        ).relative_date_mentions(
+            ray.data.read_parquet(
+                f"{pages_path}/pages", columns=["url", "text", "warc_ts"]
             )
         ),
         "kg_heavy_tokens": lambda: __import__(
