@@ -1826,14 +1826,17 @@ def bfs_depths(edges_ds, seeds, *, max_depth: int = 6,
     edges' own id columns).  Emits (canonical, depth) for reached nodes
     only.  Depths are a pure function of the graph, so a DuckDB
     recursive CTE mirrors exactly."""
-    import numpy as np
-    import ray
-    import ray.data
+    nodes = _bfs_nodes(edges_ds)
+    static = _bfs_static(edges_ds, nodes, num_partitions)
+    return _bfs_run(static, nodes, seeds, max_depth)
+
+
+def _bfs_nodes(edges_ds):
+    """Materialized id <-> canonical node map (node rows only, never
+    edges) — shared by the seed lookup and the final re-key join, and
+    by multi-source callers across runs."""
     from ray.data.aggregate import Min
 
-    from .dedup import _join_partitions
-
-    # ---- id <-> canonical map (node rows only, never edges) ----
     def idmap(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "src_id" not in batch.column_names:
             return pa.table(
@@ -1854,16 +1857,22 @@ def bfs_depths(edges_ds, seeds, *, max_depth: int = 6,
             }
         )
 
-    nodes = (
+    return (
         edges_ds.select_columns(["src_id", "src_canonical", "dst_id", "dst_canonical"])
         .map_batches(idmap, batch_format="pyarrow")
         .groupby("node")
         .aggregate(Min("canonical", alias_name="canonical"))
-        .materialize()  # node rows; reused for seed lookup and re-keying
+        .materialize()
     )
-    seed_set = set(seeds)
-    seed_rows = nodes.filter(lambda r: r["canonical"] in seed_set).take_all()
-    seed_ids = np.asarray(sorted(r["node"] for r in seed_rows), dtype=np.int64)
+
+
+def _bfs_static(edges_ds, nodes, num_partitions):
+    """Materialize the BFS static state ONCE — symmetrized int edges,
+    split into P hash shards as reusable ObjectRefs — so multi-source
+    callers (:func:`closeness_sampled`) pay the edge pass a single time
+    instead of once per source.  Returns (shard_lists, n_blocks, P)."""
+    import numpy as np
+    import ray
 
     def sym(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "src_id" not in batch.column_names:
@@ -1878,8 +1887,7 @@ def bfs_depths(edges_ds, seeds, *, max_depth: int = 6,
         )
 
     P = num_partitions or max(4, int(ray.cluster_resources().get("CPU", 4)))
-    split_edges, concat_part, msgs, reduce_part, to_table = _bfs_remotes()
-
+    split_edges, _concat, _msgs, _reduce, _tt = _bfs_remotes()
     sym_ds = edges_ds.select_columns(["src_id", "dst_id"]).map_batches(
         sym, batch_format="pyarrow"
     ).materialize()
@@ -1887,9 +1895,28 @@ def bfs_depths(edges_ds, seeds, *, max_depth: int = 6,
     shard_lists = [split_edges.options(num_returns=P).remote(r, P) for r in block_refs]
     if P == 1:
         shard_lists = [[s] for s in shard_lists]
+    return shard_lists, len(block_refs), P
+
+
+def _bfs_run(static, nodes, seeds, max_depth):
+    """One seed-set BSP run over pre-split shards (see
+    :func:`_bfs_static`); bit-identical to the previous inline form —
+    the shards are immutable ObjectRefs, each run builds fresh
+    per-partition state from them."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    from .dedup import _join_partitions
+
+    shard_lists, n_blocks, P = static
+    _split, concat_part, msgs, reduce_part, to_table = _bfs_remotes()
+    seed_set = set(seeds)
+    seed_rows = nodes.filter(lambda r: r["canonical"] in seed_set).take_all()
+    seed_ids = np.asarray(sorted(r["node"] for r in seed_rows), dtype=np.int64)
     seed_ref = ray.put(seed_ids)
     parts = [
-        concat_part.remote(seed_ref, *[shard_lists[i][p] for i in range(len(block_refs))])
+        concat_part.remote(seed_ref, *[shard_lists[i][p] for i in range(n_blocks)])
         for p in range(P)
     ]
 
@@ -6758,12 +6785,14 @@ def closeness_sampled(
         cand.update(b.column("canonical").to_pylist())
     sources = sorted(cand)[:n_sources]
 
-    runs = []
-    for s in sources:
-        d = bfs_depths(
-            edges_ds, [s], max_depth=max_depth, num_partitions=num_partitions
-        )
-        runs.append(d)
+    # one static build (id map + symmetrized shard split), then one BSP
+    # run per source over the SHARED immutable shards — the per-source
+    # edge re-pass was the 8x setup cost the first cut paid
+    nodes = _bfs_nodes(edges_ds)
+    static = _bfs_static(edges_ds, nodes, num_partitions)
+    runs = [
+        _bfs_run(static, nodes, [s], max_depth) for s in sources
+    ]
     if not runs:
         import ray.data
 
